@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.T.{Q, t}
+import graft.functions.Udx
+
+/** SURVEY.md §2.4 aggregations, §2.5 window functions, §2.12 UDF/UDAF/UDTF.
+  *
+  * All hash aggregations rely on Catalyst's automatic partial+final split
+  * (map-side combine before the shuffle) — the shape that scales to 100 TB.
+  * Money sums use the exact-DECIMAL discipline from [[graft.T]].
+  */
+object Aggregates {
+
+  private val pivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val queries: Map[String, Q] = Map(
+    // §2.4 TPC-H Q1-shaped hash aggregation (the flagship)
+    "agg_group" -> ((s, sf) =>
+      t(s, sf, "lineitem")
+        .filter(col("l_shipdate") <= expr("TIMESTAMP '2000-12-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          T.dsum(col("l_quantity"), 2).as("sum_qty"),
+          T.dsum(col("l_extendedprice"), 2).as("sum_base"),
+          T.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc"),
+          T.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          (T.dsum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+          (T.dsum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // §2.4 exact distinct counting
+    "agg_count_distinct" -> ((s, sf) =>
+      t(s, sf, "orders").groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("cust_cnt"), count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")),
+
+    // §2.4 rollup with subtotal rows (NULL markers folded to 'ALL')
+    "agg_rollup" -> ((s, sf) =>
+      t(s, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), T.dsum(col("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+
+    // §2.4 cube over orders dimensions
+    "agg_cube" -> ((s, sf) =>
+      t(s, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), T.dsum(col("o_totalprice"), 2).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+          col("cnt"), col("sum_price"))
+        .orderBy("st", "pr")),
+
+    // §2.4 explicit grouping sets (Spark 4 Dataset.groupingSets)
+    "agg_grouping_sets" -> ((s, sf) =>
+      t(s, sf, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), T.dsum(col("o_totalprice"), 2).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+          col("cnt"), col("sum_price"))
+        .orderBy("st", "pr")),
+
+    // §2.4 HLL++ sketch (capability: no cross-engine oracle — rsd-bounded,
+    // asserted against exact counts in the test suite)
+    "agg_approx_distinct" -> ((s, sf) =>
+      t(s, sf, "events").groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type")),
+
+    // §2.4 per-group sorted list (array_sort tames collect_list order)
+    "agg_collect_list" -> ((s, sf) =>
+      t(s, sf, "orders").groupBy("o_custkey")
+        .agg(array_join(array_sort(collect_list(col("o_orderkey"))), ",").as("order_keys"))
+        .orderBy("o_custkey")),
+
+    // §2.4 pivot to the quanta-matrix shape (explicit pivot values)
+    "agg_pivot" -> ((s, sf) => {
+      val p = t(s, sf, "events").groupBy("user_id")
+        .pivot("event_type", pivotTypes).count()
+      p.select(col("user_id") +: pivotTypes.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("user_id")
+    }),
+
+    // §2.5 ranking family: rank/dense_rank on the value ordering alone,
+    // row_number with a unique tiebreak
+    "win_rank" -> ((s, sf) => {
+      val wv = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+      val wu = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, sf, "customer").select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        rank().over(wv).cast("long").as("rnk"),
+        dense_rank().over(wv).cast("long").as("drnk"),
+        row_number().over(wu).cast("long").as("rn"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.5 lag/lead: inter-event gap in microseconds per user
+    "win_lag_lead" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, sf, "events").select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+        (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts"))).as("next_us"))
+        .orderBy("event_id")
+    }),
+
+    // §2.5 running total (exact decimal accumulation inside the frame)
+    "win_running" -> ((s, sf) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, sf, "orders").select(col("o_orderkey"), col("o_custkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("cum_spent"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.5 value-range frame: ±1000 of each order's totalprice
+    "win_range_frame" -> ((s, sf) =>
+      t(s, sf, "orders").selectExpr("o_orderkey",
+        """count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+           RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS near_cnt""")
+        .orderBy("o_orderkey")),
+
+    // §2.5 deterministic equal-frequency quartiles
+    "win_ntile" -> ((s, sf) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, sf, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.5 top-3 orders per customer (rank-filter top-k)
+    "topk_per_group" -> ((s, sf) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, sf, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // §2.12 scalar UDF (clamp)
+    "udf_scalar" -> ((s, sf) => {
+      val clampUdf = udf(Udx.clamp)
+      t(s, sf, "events").select(col("event_id"),
+        clampUdf(col("value"), lit(10.0), lit(400.0)).as("clamped"))
+        .orderBy("event_id")
+    }),
+
+    // §2.12 typed Aggregator UDAF: quantity-weighted mean price
+    "udaf_aggregator" -> ((s, sf) =>
+      t(s, sf, "lineitem").groupBy("l_returnflag")
+        .agg(round(Udx.weightedMean(col("l_extendedprice"), col("l_quantity")), 4).as("wmean_price"))
+        .orderBy("l_returnflag")),
+
+    // §2.12 table-generating function: token + 0-based position per doc
+    "udtf_posexplode" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+        .orderBy("doc_id", "pos"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+         CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+         CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price,
+         count(*) AS cnt
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "agg_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS cust_cnt, count(*) AS cnt
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+         count(*) AS cnt, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""",
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pr,
+         count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY st, pr""",
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pr,
+         count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus),(o_orderpriority),())
+         ORDER BY st, pr""",
+    "agg_collect_list" ->
+      """SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "agg_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type='click') AS click,
+         count(*) FILTER (WHERE event_type='error') AS error,
+         count(*) FILTER (WHERE event_type='purchase') AS purchase,
+         count(*) FILTER (WHERE event_type='signup') AS signup,
+         count(*) FILTER (WHERE event_type='view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "win_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+         rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+         dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer ORDER BY c_custkey""",
+    "win_lag_lead" ->
+      """SELECT event_id, user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS next_us
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+    "win_running" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spent
+         FROM orders ORDER BY o_orderkey""",
+    "win_range_frame" ->
+      """SELECT o_orderkey,
+         count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                        RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS near_cnt
+         FROM orders ORDER BY o_orderkey""",
+    "win_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+         ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+         FROM customer ORDER BY c_custkey""",
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "udf_scalar" ->
+      """SELECT event_id, least(greatest(value, 10.0), 400.0) AS clamped
+         FROM events ORDER BY event_id""",
+    "udaf_aggregator" ->
+      """SELECT l_returnflag,
+         round(sum(l_extendedprice*l_quantity)/sum(l_quantity), 4) AS wmean_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "udtf_posexplode" ->
+      """SELECT doc_id, unnest(range(len(string_split(text,' ')))) AS pos,
+         unnest(string_split(text,' ')) AS token
+         FROM documents ORDER BY doc_id, pos"""
+  )
+}

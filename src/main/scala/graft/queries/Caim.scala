@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.Bucketizer
+import org.apache.spark.sql.functions._
+import graft.T.{Q, t}
+
+/** SURVEY.md §2.9 — the reference's own surface: CAIM discretization
+  * dataflow stages (Kurgan & Cios, IEEE TKDE 16(2), 2004), each exposed as a
+  * declared query over `embeddings` with feature = CAST(embedding[1] AS
+  * DOUBLE) and class = label. The full greedy fit lives in
+  * [[graft.ml.CAIMDiscretizer]] (capability row, golden/property-tested).
+  */
+object Caim {
+
+  /** Literal splits for the transform demo (within the embedding[0] range). */
+  private val demoSplits = Array(-0.2, 0.0, 0.2)
+
+  val queries: Map[String, Q] = Map(
+    // Alg. step 1: midpoints between consecutive distinct feature values
+    "caim_candidates" -> ((s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, sf, "embeddings")
+        .select(element_at(col("embedding"), 1).cast("double").as("v")).distinct()
+      val w = Window.orderBy("v")
+      d.select((( lag("v", 1).over(w) + col("v")) / 2).as("cand"))
+        .filter(col("cand").isNotNull)
+        .orderBy("cand")
+    }),
+
+    // Quanta matrix over a fixed 20-bin grid: counts per (label, interval)
+    "caim_quanta" -> ((s, sf) => {
+      val e = t(s, sf, "embeddings")
+        .select(col("label"), element_at(col("embedding"), 1).cast("double").as("v"))
+      val stats = e.agg(min("v").as("lo"), max("v").as("hi"))
+      e.crossJoin(broadcast(stats))
+        .select(col("label"),
+          least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / 20)), lit(19L))
+            .cast("long").as("bin"))
+        .groupBy("label", "bin").agg(count(lit(1)).as("cnt"))
+        .orderBy("label", "bin")
+    }),
+
+    // CAIM criterion of that fixed scheme: (Σ_r max_r²/M_r) / n
+    "caim_criterion" -> ((s, sf) => {
+      val e = t(s, sf, "embeddings")
+        .select(col("label"), element_at(col("embedding"), 1).cast("double").as("v"))
+      val stats = e.agg(min("v").as("lo"), max("v").as("hi"))
+      val quanta = e.crossJoin(broadcast(stats))
+        .select(col("label"),
+          least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / 20)), lit(19L))
+            .cast("long").as("bin"))
+        .groupBy("label", "bin").agg(count(lit(1)).as("cnt"))
+      quanta.groupBy("bin")
+        .agg(max("cnt").as("mx"), sum("cnt").as("tot"))
+        .agg(count(lit(1)).as("n_bins"),
+          round(sum(col("mx") * col("mx") / col("tot").cast("double")) / count(lit(1)), 6)
+            .as("caim"))
+    }),
+
+    // Model.transform with literal splits (Bucketizer bin assignment —
+    // narrow, no shuffle: exactly how the fitted model scales)
+    "caim_transform" -> ((s, sf) => {
+      val e = t(s, sf, "embeddings")
+        .select(col("vec_id"), element_at(col("embedding"), 1).cast("double").as("v"))
+      val buck = new Bucketizer().setInputCol("v").setOutputCol("bin")
+        .setSplits(Double.NegativeInfinity +: demoSplits :+ Double.PositiveInfinity)
+      buck.transform(e)
+        .select(col("vec_id"), col("bin").cast("long").as("bin"))
+        .orderBy("vec_id")
+    }),
+
+    // unsupervised equal-width baseline
+    "disc_equal_width" -> ((s, sf) => {
+      val e = t(s, sf, "embeddings")
+        .select(col("vec_id"), element_at(col("embedding"), 1).cast("double").as("v"))
+      val stats = e.agg(min("v").as("lo"), max("v").as("hi"))
+      e.crossJoin(broadcast(stats))
+        .select(col("vec_id"),
+          least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / 10)), lit(9L))
+            .cast("long").as("bin"))
+        .orderBy("vec_id")
+    }),
+
+    // unsupervised equal-frequency baseline (deterministic ntile)
+    "disc_equal_freq" -> ((s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, sf, "embeddings")
+        .select(col("vec_id"), element_at(col("embedding"), 1).cast("double").as("v"))
+      val w = Window.orderBy(col("v").asc, col("vec_id").asc)
+      e.select(col("vec_id"), ntile(8).over(w).cast("long").as("bin"))
+        .orderBy("vec_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "caim_candidates" ->
+      """WITH d AS (SELECT DISTINCT CAST(embedding[1] AS DOUBLE) AS v FROM embeddings)
+         SELECT cand FROM (
+           SELECT (lag(v) OVER (ORDER BY v) + v)/2 AS cand FROM d)
+         WHERE cand IS NOT NULL ORDER BY cand""",
+    "caim_quanta" ->
+      """WITH e AS (SELECT label, CAST(embedding[1] AS DOUBLE) AS v FROM embeddings),
+              s AS (SELECT min(v) lo, max(v) hi FROM e)
+         SELECT label,
+           least(CAST(floor((v - lo)/((hi - lo)/20)) AS BIGINT), 19) AS bin,
+           count(*) AS cnt
+         FROM e, s GROUP BY 1, 2 ORDER BY label, bin""",
+    "caim_criterion" ->
+      """WITH e AS (SELECT label, CAST(embedding[1] AS DOUBLE) AS v FROM embeddings),
+              s AS (SELECT min(v) lo, max(v) hi FROM e),
+              q AS (SELECT label,
+                      least(CAST(floor((v - lo)/((hi - lo)/20)) AS BIGINT), 19) AS bin,
+                      count(*) AS cnt
+                    FROM e, s GROUP BY 1, 2),
+              a AS (SELECT bin, max(cnt) mx, CAST(sum(cnt) AS BIGINT) tot FROM q GROUP BY bin)
+         SELECT count(*) AS n_bins,
+                round(sum(mx*mx/CAST(tot AS DOUBLE))/count(*), 6) AS caim
+         FROM a""",
+    "caim_transform" ->
+      """SELECT vec_id,
+           CAST(CASE WHEN v < -0.2 THEN 0 WHEN v < 0.0 THEN 1
+                     WHEN v < 0.2 THEN 2 ELSE 3 END AS BIGINT) AS bin
+         FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS v FROM embeddings)
+         ORDER BY vec_id""",
+    "disc_equal_width" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS v FROM embeddings),
+              s AS (SELECT min(v) lo, max(v) hi FROM e)
+         SELECT vec_id,
+           least(CAST(floor((v - lo)/((hi - lo)/10)) AS BIGINT), 9) AS bin
+         FROM e, s ORDER BY vec_id""",
+    "disc_equal_freq" ->
+      """SELECT vec_id,
+           CAST(ntile(8) OVER (ORDER BY v, vec_id) AS BIGINT) AS bin
+         FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS v FROM embeddings)
+         ORDER BY vec_id"""
+  )
+}

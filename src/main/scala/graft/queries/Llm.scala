@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.T.{Q, t}
+
+/** SURVEY.md §2.10 — LLM-data-pipeline operators: dedup (exact / n-gram
+  * Jaccard / MinHash-LSH), similarity search over embeddings, text analysis,
+  * sessionization.
+  *
+  * Scale notes: `dedup_jaccard` uses 3-gram shingles (not unigrams) so the
+  * inverted-index self-join stays sparse — the corpus has only 31 distinct
+  * words, so unigram joins would be quadratic in the corpus; 3-gram shingle
+  * cardinality is ~27k and keeps candidate pairs bounded. `dedup_minhash` is
+  * the sub-quadratic 100 TB path over the same shingles.
+  */
+object Llm {
+
+  /** Per-doc distinct 3-gram shingles: (doc_id, s). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(0, size(tk)-3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))")))
+        .as("s"))
+
+  /** All ordered cosine pairs (a_id != b_id is caller's choice via cond). */
+  private def cosinePairs(emb: DataFrame, cond: Column): DataFrame = {
+    val v = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
+    val a = v.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, cond)
+      .withColumn("dot", aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("sim", col("dot") / (col("na") * col("nb")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: content hash → survivor (min doc_id) + multiplicity
+    "dedup_exact" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+        .orderBy("h")),
+
+    // exact n-gram (3-shingle) Jaccard near-dup pairs, tau = 0.5
+    "dedup_jaccard" -> ((s, sf) => {
+      val sh = shingles(t(s, sf, "documents"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+        .where(col("jac") >= 0.5)
+        .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
+        .orderBy("da", "db")
+    }),
+
+    // MinHash-LSH candidate pairs (capability row: hash-seed dependent, no
+    // cross-engine oracle; tests assert candidates ⊇ dedup_jaccard pairs)
+    "dedup_minhash" -> ((s, sf) => {
+      val sh = shingles(t(s, sf, "documents"))
+        .groupBy("doc_id").agg(collect_list(col("s")).as("sh"))
+      val feat = new HashingTF().setInputCol("sh").setOutputCol("features")
+        .setNumFeatures(1 << 18).transform(sh)
+      val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L).fit(feat)
+      model.approxSimilarityJoin(feat, feat, 0.5, "dist")
+        .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"),
+          round(lit(1.0) - col("dist"), 6).as("est_jaccard"))
+        .where(col("a_id") < col("b_id"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // exact cosine similarity pairs over 64-dim embeddings, tau = 0.4
+    "sim_cosine_pairs" -> ((s, sf) =>
+      cosinePairs(t(s, sf, "embeddings"), col("a_id") < col("b_id"))
+        .where(col("sim") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("a_id", "b_id")),
+
+    // brute-force top-5 nearest neighbours per vector (capability row:
+    // float-rank ties across engines → validated in tests, not oracled)
+    "sim_topk" -> ((s, sf) => {
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+      cosinePairs(t(s, sf, "embeddings"), col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), col("sim"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 5)
+        .select(col("a_id"), col("rn"), col("b_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("a_id", "rn")
+    }),
+
+    // canonical generator demo: tokenize + explode + count
+    "text_wordcount" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy("w")),
+
+    // global bigram counts
+    "text_ngrams" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(split(col("text"), " ").as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(explode(
+          expr("transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1]))")).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .orderBy("bg")),
+
+    // per-language document analytics
+    "text_stats" -> ((s, sf) =>
+      t(s, sf, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          round(avg(size(split(col("text"), " ")).cast("long")), 6).as("avg_toks"),
+          countDistinct(col("source")).as("srcs"))
+        .orderBy("lang")),
+
+    // 30-min-gap sessionization: flag + running sum + per-session stats
+    "sessionize" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val flagged = t(s, sf, "events").select(col("user_id"), col("ts"), col("event_id"),
+        when(lag(col("ts"), 1).over(w).isNull ||
+             unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) >= 1800000000L, 1)
+          .otherwise(0).as("ns"))
+      flagged
+        .withColumn("sid", sum(col("ns")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+        .orderBy("user_id", "sid")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
+         FROM documents GROUP BY 1 ORDER BY h""",
+    "dedup_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(
+                    [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)])) AS s
+                  FROM tok),
+           sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+           inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+                     JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT da, db, round(jac, 6) AS jac FROM (
+           SELECT da, db, i*1.0/(sa.n + sb.n - i) AS jac
+           FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id)
+         WHERE jac >= 0.5 ORDER BY da, db""",
+    "sim_cosine_pairs" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
+                    sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm
+                    FROM embeddings),
+           p AS (SELECT a.vec_id a_id, b.vec_id b_id,
+                   list_sum(list_transform(list_zip(a.e, b.e), q -> q[1]*q[2]))/(a.nrm*b.nrm) sim
+                 FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT a_id, b_id, round(sim, 6) AS sim FROM p
+         WHERE sim >= 0.4 ORDER BY a_id, b_id""",
+    "text_wordcount" ->
+      """SELECT w, count(*) AS cnt FROM
+         (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+         GROUP BY w ORDER BY w""",
+    "text_ngrams" ->
+      """SELECT bg, count(*) AS cnt FROM (
+           SELECT unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS bg
+           FROM (SELECT string_split(text,' ') AS tk FROM documents))
+         GROUP BY bg ORDER BY bg""",
+    "text_stats" ->
+      """SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         round(avg(n_chars), 6) AS avg_chars,
+         round(avg(len(string_split(text,' '))), 6) AS avg_toks,
+         count(DISTINCT source) AS srcs
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           s2 AS (SELECT user_id, ts,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+           FROM g)
+         SELECT user_id, sid, count(*) AS n_events,
+                min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+         FROM s2 GROUP BY user_id, sid ORDER BY user_id, sid"""
+  )
+}

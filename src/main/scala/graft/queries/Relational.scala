@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.T.{Q, t}
+
+/** SURVEY.md §2.1–2.3, §2.6, §2.7 — scans, projections/filters, joins,
+  * sort/limit, set operations. Pure DataFrame-DSL, fully Catalyst-optimized:
+  * filters/projections push to the parquet scan; small dimensions broadcast.
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+    // §2.1 full scan with explicit projection
+    "scan_parquet" -> ((s, sf) =>
+      t(s, sf, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")),
+
+    // §2.2 computed projection: revenue expression + casts
+    "project_select" -> ((s, sf) =>
+      t(s, sf, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)").cast("double").as("revenue"),
+        col("l_quantity").cast("long").as("qty_int"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .cast("decimal(18,6)").cast("double").as("charge"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // §2.2 compound predicate: BETWEEN / IN / LIKE / OR / IS NULL
+    "filter_pred" -> ((s, sf) =>
+      t(s, sf, "part")
+        .filter(col("p_size").between(10, 20) &&
+          (col("p_type").isin("ECONOMY", "PROMO") || col("p_name").like("red%")) &&
+          col("p_brand").isNotNull)
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .orderBy("p_partkey")),
+
+    // §2.3 equi inner join
+    "join_inner" -> ((s, sf) => {
+      val o = t(s, sf, "orders"); val c = t(s, sf, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.3 left outer join + aggregate (customers with zero orders kept)
+    "join_left" -> ((s, sf) => {
+      val o = t(s, sf, "orders"); val c = t(s, sf, "customer")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("order_cnt"),
+          coalesce(T.dsum(col("o_totalprice"), 2), lit(0.0)).as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.3 full outer join of two aggregated sides
+    "join_full" -> ((s, sf) => {
+      val c = t(s, sf, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val su = t(s, sf, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("s_cnt"))
+      c.join(su, c("nk") === su("nk"), "full_outer")
+        .select(coalesce(c("nk"), su("nk")).as("nk"),
+          coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+          coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+        .orderBy("nk")
+    }),
+
+    // §2.3 left-semi: customers having at least one order
+    "join_semi" -> ((s, sf) => {
+      val o = t(s, sf, "orders"); val c = t(s, sf, "customer")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // §2.3 left-anti: customers with no orders
+    "join_anti" -> ((s, sf) => {
+      val o = t(s, sf, "orders"); val c = t(s, sf, "customer")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // §2.3 explicit broadcast of the small dimension (plan-level hint;
+    // at 100 TB the fact side never shuffles for this join)
+    "join_broadcast" -> ((s, sf) => {
+      val l = t(s, sf, "lineitem"); val p = t(s, sf, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(T.dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    }),
+
+    // §2.3 cartesian product
+    "join_cross" -> ((s, sf) =>
+      t(s, sf, "region").crossJoin(t(s, sf, "nation"))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey")),
+
+    // §2.3 range/interval join: same-user event pairs within (0, 5 min]
+    "join_range" -> ((s, sf) => {
+      val e = t(s, sf, "events")
+      val e1 = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+      val e2 = e.select(col("event_id").as("b_id"), col("user_id").as("u2"), col("ts").as("b_ts"))
+      e1.join(e2, col("user_id") === col("u2") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+        .select("a_id", "b_id").orderBy("a_id", "b_id")
+    }),
+
+    // §2.3 as-of join: latest signup at-or-before each purchase, per user.
+    // Expressed as inequality join + max() — deterministic under ts ties
+    // because only the max signup ts is projected.
+    "join_asof" -> ((s, sf) => {
+      val e = t(s, sf, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val sg = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("u2"), col("ts").as("s_ts"))
+      p.join(sg, col("user_id") === col("u2") && col("s_ts") <= col("p_ts"))
+        .groupBy(col("p_id"), col("user_id"))
+        .agg(max(unix_micros(col("s_ts"))).as("signup_us"))
+        .orderBy("p_id")
+    }),
+
+    // §2.6 global top-k → TakeOrderedAndProject physical operator
+    "sort_limit" -> ((s, sf) =>
+      t(s, sf, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)),
+
+    // §2.7 bag union of two conformed projections
+    "set_union_all" -> ((s, sf) => {
+      val c = t(s, sf, "customer").select(lit("C").as("side"),
+        col("c_custkey").as("key"), col("c_name").as("name"), col("c_nationkey").as("nk"))
+      val su = t(s, sf, "supplier").select(lit("S").as("side"),
+        col("s_suppkey").as("key"), col("s_name").as("name"), col("s_nationkey").as("nk"))
+      c.unionAll(su).orderBy("side", "key")
+    }),
+
+    // §2.7 set intersection (distinct semantics)
+    "set_intersect" -> ((s, sf) =>
+      t(s, sf, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, sf, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    // §2.7 set difference
+    "set_except" -> ((s, sf) =>
+      t(s, sf, "customer").select(col("c_nationkey").as("nk"))
+        .except(t(s, sf, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "project_select" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+         CAST(l_quantity AS BIGINT) AS qty_int,
+         CAST(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6)) AS DOUBLE) AS charge
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "filter_pred" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+         WHERE p_size BETWEEN 10 AND 20
+           AND (p_type IN ('ECONOMY','PROMO') OR p_name LIKE 'red%')
+           AND p_brand IS NOT NULL
+         ORDER BY p_partkey""",
+    "join_inner" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "join_left" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
+         coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "join_full" ->
+      """WITH c AS (SELECT c_nationkey nk, count(*) c_cnt FROM customer GROUP BY 1),
+              s AS (SELECT s_nationkey nk, count(*) s_cnt FROM supplier GROUP BY 1)
+         SELECT coalesce(c.nk, s.nk) AS nk,
+                coalesce(c_cnt, 0) AS c_cnt, coalesce(s_cnt, 0) AS s_cnt
+         FROM c FULL JOIN s ON c.nk = s.nk ORDER BY nk""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_broadcast" ->
+      """SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+         FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey""",
+    "join_range" ->
+      """SELECT e1.event_id AS a_id, e2.event_id AS b_id
+         FROM events e1 JOIN events e2
+           ON e1.user_id = e2.user_id
+          AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+         ORDER BY a_id, b_id""",
+    "join_asof" ->
+      """SELECT p.event_id AS p_id, p.user_id, max(epoch_us(s.ts)) AS signup_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND s.ts <= p.ts
+         GROUP BY p.event_id, p.user_id ORDER BY p_id""",
+    "sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "set_union_all" ->
+      """SELECT 'C' AS side, c_custkey AS key, c_name AS name, c_nationkey AS nk FROM customer
+         UNION ALL
+         SELECT 'S', s_suppkey, s_name, s_nationkey FROM supplier
+         ORDER BY side, key""",
+    "set_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""",
+    "set_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk"""
+  )
+}

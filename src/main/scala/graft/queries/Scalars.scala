@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+import graft.T.{Q, t}
+
+/** SURVEY.md §2.8 — scalar function surface (string / date / math /
+  * conditional / array / map / JSON). All codegen'd built-ins; floats follow
+  * the §5.4 rounding discipline.
+  */
+object Scalars {
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, sf) =>
+      t(s, sf, "part").select(col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        length(col("p_name")).cast("long").as("len"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("cat"),
+        lpad(col("p_brand"), 10, "*").as("pad"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("rep"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        element_at(split(col("p_name"), " "), 2).as("second_word"))
+        .orderBy("p_partkey")),
+
+    "fn_date" -> ((s, sf) =>
+      t(s, sf, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        unix_micros(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+        unix_micros((col("o_orderdate") + expr("INTERVAL 30 DAYS")).cast("timestamp")).as("plus30_us"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, sf) =>
+      t(s, sf, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        ceil(col("l_extendedprice")).cast("long").as("ce"),
+        floor(col("l_extendedprice")).cast("long").as("fl"),
+        round(sqrt(col("l_quantity")), 6).as("sq"),
+        round(log(col("l_extendedprice")), 6).as("ln_p"),
+        round(pow(col("l_discount"), 2), 6).as("pw"),
+        (col("l_linenumber") % 3).cast("long").as("md"),
+        round(abs(col("l_tax") - 0.04), 6).as("ab"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "fn_conditional" -> ((s, sf) =>
+      t(s, sf, "orders").select(col("o_orderkey"),
+        when(col("o_totalprice") > 100000, "big")
+          .when(col("o_totalprice") > 10000, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("gl"),
+        least(col("o_totalprice"), lit(50000.0)).as("ll"))
+        .orderBy("o_orderkey")),
+
+    // array surface over the 64-dim embedding column; scalars out (never
+    // raw float arrays — cross-writer list encodings differ)
+    "fn_array" -> ((s, sf) =>
+      t(s, sf, "embeddings").select(col("vec_id"),
+        size(col("embedding")).cast("long").as("sz"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_e"),
+        round(element_at(col("embedding"), 64).cast("double"), 6).as("last_e"),
+        round(aggregate(transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x).cast("double"), 6).as("sum8"),
+        round(element_at(transform(col("embedding"), x => x.cast("double") * 2), 3), 6).as("third_x2"))
+        .orderBy("vec_id")),
+
+    // JSON-string props → typed map, scalar extraction
+    "fn_map" -> ((s, sf) =>
+      t(s, sf, "events")
+        .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
+        .select(col("event_id"),
+          element_at(col("m"), "k").cast("long").as("k_val"),
+          size(map_keys(col("m"))).cast("long").as("nkeys"))
+        .orderBy("event_id")),
+
+    // per-group aggregation over a JSON field
+    "fn_json" -> ((s, sf) =>
+      t(s, sf, "events").groupBy("event_type")
+        .agg(round(avg(get_json_object(col("props"), "$.k").cast("long")), 6).as("avg_k"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey, upper(p_name) AS up, substring(p_name, 1, 5) AS sub,
+         CAST(length(p_name) AS BIGINT) AS len,
+         p_brand || '/' || p_type AS cat,
+         lpad(p_brand, 10, '*') AS pad,
+         replace(p_name, ' ', '_') AS rep,
+         regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+         string_split(p_name, ' ')[2] AS second_word
+         FROM part ORDER BY p_partkey""",
+    "fn_date" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(day(o_orderdate) AS BIGINT) AS dom,
+         epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+         epoch_us(o_orderdate + INTERVAL 30 DAY) AS plus30_us
+         FROM orders ORDER BY o_orderkey""",
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+         CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+         round(sqrt(l_quantity), 6) AS sq,
+         round(ln(l_extendedprice), 6) AS ln_p,
+         round(pow(l_discount, 2), 6) AS pw,
+         CAST(l_linenumber % 3 AS BIGINT) AS md,
+         round(abs(l_tax - 0.04), 6) AS ab
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 100000 THEN 'big'
+              WHEN o_totalprice > 10000 THEN 'mid' ELSE 'small' END AS bucket,
+         coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st,
+         greatest(o_totalprice, 50000.0) AS gl,
+         least(o_totalprice, 50000.0) AS ll
+         FROM orders ORDER BY o_orderkey""",
+    "fn_array" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS sz,
+         round(CAST(embedding[1] AS DOUBLE), 6) AS first_e,
+         round(CAST(embedding[64] AS DOUBLE), 6) AS last_e,
+         round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+             + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)
+             + CAST(embedding[5] AS DOUBLE) + CAST(embedding[6] AS DOUBLE)
+             + CAST(embedding[7] AS DOUBLE) + CAST(embedding[8] AS DOUBLE), 6) AS sum8,
+         round(CAST(embedding[3] AS DOUBLE) * 2, 6) AS third_x2
+         FROM embeddings ORDER BY vec_id""",
+    "fn_map" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+         CAST(len(json_keys(props)) AS BIGINT) AS nkeys
+         FROM events ORDER BY event_id""",
+    "fn_json" ->
+      """SELECT event_type,
+         round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+         count(*) AS cnt
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}
