@@ -75,9 +75,11 @@ object Relational {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
 
-    // §2.3 left-anti: customers with no orders
+    // §2.3 left-anti: customers with no urgent orders (the unfiltered FK is
+    // fully covered in this corpus, so the anti side is filtered)
     "join_anti" -> ((s, sf) => {
-      val o = t(s, sf, "orders"); val c = t(s, sf, "customer")
+      val o = t(s, sf, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      val c = t(s, sf, "customer")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
@@ -190,7 +192,8 @@ object Relational {
          ORDER BY c_custkey""",
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
     "join_broadcast" ->
       """SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

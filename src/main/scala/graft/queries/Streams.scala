@@ -13,33 +13,41 @@ import graft.T.{Q, t}
   * tumbling/sliding grids to the epoch so `date_trunc`/`time_bucket` agree.
   */
 object Streams {
+  import org.apache.spark.sql.DataFrame
+
+  /** Write-once event-time transforms: valid on a batch DataFrame (declared
+    * queries below) and on a readStream DataFrame (StreamingSpec). Results
+    * are unordered — batch callers add their ORDER BY.
+    */
+  def tumbling(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), T.dsum(col("value"), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  def sliding(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"), T.dsum(col("value"), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"), col("sum_value"))
+
+  def session(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), T.dsum(col("value"), 2).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("ws_us"),
+        unix_micros(col("session_window.end")).as("we_us"), col("cnt"), col("sum_value"))
 
   val queries: Map[String, Q] = Map(
     // 1-hour tumbling event-time windows per event_type
     "stream_tumbling" -> ((s, sf) =>
-      t(s, sf, "events")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), T.dsum(col("value"), 2).as("sum_value"))
-        .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
-          col("cnt"), col("sum_value"))
-        .orderBy("ws_us", "event_type")),
+      tumbling(t(s, sf, "events")).orderBy("ws_us", "event_type")),
 
     // 1-hour windows sliding every 15 min (each event lands in 4 windows)
     "stream_sliding" -> ((s, sf) =>
-      t(s, sf, "events")
-        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-        .agg(count(lit(1)).as("cnt"), T.dsum(col("value"), 2).as("sum_value"))
-        .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"), col("sum_value"))
-        .orderBy("ws_us")),
+      sliding(t(s, sf, "events")).orderBy("ws_us")),
 
     // data-driven session windows, 30-min gap, per user
     "stream_session" -> ((s, sf) =>
-      t(s, sf, "events")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("cnt"), T.dsum(col("value"), 2).as("sum_value"))
-        .select(col("user_id"), unix_micros(col("session_window.start")).as("ws_us"),
-          unix_micros(col("session_window.end")).as("we_us"), col("cnt"), col("sum_value"))
-        .orderBy("user_id", "ws_us"))
+      session(t(s, sf, "events")).orderBy("user_id", "ws_us"))
   )
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.ml.{CAIMDiscretizer, CAIMDiscretizerModel}
+
+/** CAIM golden + property tests (FIXTURES.md §F2, SURVEY.md §5.3). */
+class CaimSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private def golden = {
+    // 3 perfectly separable class clusters → cuts at the two midpoints
+    val rows = Seq.tabulate(4)(i => (1.0 + i, 0)) ++
+      Seq.tabulate(4)(i => (10.0 + i, 1)) ++
+      Seq.tabulate(4)(i => (20.0 + i, 2))
+    import spark.implicits._
+    rows.toDF("x", "y")
+  }
+
+  test("golden fixture: boundaries at cluster midpoints, criterion 4.0") {
+    val est = new CAIMDiscretizer()
+      .setInputCols(Array("x")).setOutputCols(Array("xb")).setLabelCol("y")
+    val model = est.fit(golden)
+    model.boundaries should have length 1
+    model.boundaries(0) shouldBe Array(1.0, 7.0, 16.5, 23.0)
+
+    // quanta matrix is diagonal (4,4,4) → CAIM = (16/4 * 3)/3 = 4.0
+    val vals = Array(1.0, 2.0, 3.0, 4.0, 10.0, 11.0, 12.0, 13.0, 20.0, 21.0, 22.0, 23.0)
+    val counts = vals.zipWithIndex.map { case (_, i) =>
+      val c = Array(0L, 0L, 0L); c(i / 4) = 1L; c
+    }
+    CAIMDiscretizer.greedySelect(vals, counts, 3) shouldBe Array(1.0, 7.0, 16.5, 23.0)
+  }
+
+  test("transform digitizes into consecutive bins, monotonically") {
+    val est = new CAIMDiscretizer()
+      .setInputCols(Array("x")).setOutputCols(Array("xb")).setLabelCol("y")
+    val out = est.fit(golden).transform(golden)
+      .select("x", "xb").collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    out.map(_._2).distinct shouldBe Array(0.0, 1.0, 2.0)
+    // monotone: x <= y implies bin(x) <= bin(y)
+    out.sliding(2).foreach { case Array(a, b) => a._2 should be <= b._2 }
+  }
+
+  test("fit is invariant to row order and partitioning") {
+    val est = new CAIMDiscretizer()
+      .setInputCols(Array("x")).setOutputCols(Array("xb")).setLabelCol("y")
+    val base = est.fit(golden).boundaries
+    for (k <- Seq(1, 3, 7)) {
+      est.fit(golden.repartition(k)).boundaries shouldBe base
+      est.fit(golden.orderBy(rand(seed = k))).boundaries shouldBe base
+    }
+  }
+
+  test("multi-column fit on real embeddings data: invariants hold") {
+    val e = T.t(spark, sf001, "embeddings")
+      .select(element_at(col("embedding"), 1).cast("double").as("e0"),
+        element_at(col("embedding"), 2).cast("double").as("e1"), col("label"))
+    val model = new CAIMDiscretizer()
+      .setInputCols(Array("e0", "e1")).setOutputCols(Array("b0", "b1"))
+      .setLabelCol("label").fit(e)
+    model.boundaries.foreach { b =>
+      b.length should be >= 2
+      b.sliding(2).foreach { case Array(x, y) => x should be < y }
+    }
+    // every accepted scheme has at least 2 intervals unless degenerate,
+    // and every input row lands in a valid bin
+    val out = model.transform(e)
+    out.where(col("b0").isNull || col("b1").isNull).count() shouldBe 0L
+    val stats = T.t(spark, sf001, "embeddings")
+      .agg(min(element_at(col("embedding"), 1).cast("double")),
+        max(element_at(col("embedding"), 1).cast("double"))).head()
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    model.boundaries(0).head shouldBe lo
+    model.boundaries(0).last shouldBe hi
+  }
+
+  test("maxCandidates caps the histogram and still yields valid splits") {
+    val e = T.t(spark, sf001, "embeddings")
+      .select(element_at(col("embedding"), 1).cast("double").as("e0"), col("label"))
+    val model = new CAIMDiscretizer()
+      .setInputCols(Array("e0")).setOutputCols(Array("b0"))
+      .setLabelCol("label").setMaxCandidates(32).fit(e)
+    model.boundaries(0).length should be >= 2
+    model.boundaries(0).sliding(2).foreach { case Array(x, y) => x should be < y }
+  }
+
+  test("model save/load roundtrip") {
+    val est = new CAIMDiscretizer()
+      .setInputCols(Array("x")).setOutputCols(Array("xb")).setLabelCol("y")
+    val model = est.fit(golden)
+    val dir = java.nio.file.Files.createTempDirectory("caim-model").toString + "/m"
+    model.write.overwrite().save(dir)
+    val loaded = CAIMDiscretizerModel.load(dir)
+    loaded.boundaries shouldBe model.boundaries
+    loaded.transform(golden).select("xb").collect().map(_.getDouble(0)).sorted shouldBe
+      model.transform(golden).select("xb").collect().map(_.getDouble(0)).sorted
+  }
+}

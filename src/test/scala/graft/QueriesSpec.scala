@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Per-operator smoke + spot checks at sf0.001, plus the distributed-
+  * correctness property: results must not depend on shuffle parallelism
+  * (SURVEY.md §5.3). Full value-level verification is the driver's DuckDB
+  * oracle (t2); these tests catch regressions fast.
+  */
+class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  test("every declared query runs and returns rows at sf0.001") {
+    val empties = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val n = SparkEntry.queries(name)(spark, sf001).count()
+      if (n == 0) Some(name) else None
+    }
+    // dedup_jaccard/minhash and sim_cosine_pairs legitimately may be sparse
+    // at sf0.001 but must still be non-empty on this corpus
+    empties shouldBe empty
+  }
+
+  test("flagship entry returns rows (t1 smoke shape)") {
+    val df = SparkEntry.entry(spark)
+    df.count() should be > 0L
+    df.columns should contain allOf ("l_returnflag", "l_linestatus", "sum_qty", "cnt")
+  }
+
+  test("oracle map only references declared queries") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.keySet.diff(qs) shouldBe empty
+  }
+
+  test("agg_group spot values: totals add up against raw scan") {
+    val res = SparkEntry.queries("agg_group")(spark, sf001)
+    val total = res.agg(sum("cnt")).head().getLong(0)
+    val expected = T.t(spark, sf001, "lineitem")
+      .filter(col("l_shipdate") <= expr("TIMESTAMP '2000-12-01 00:00:00'")).count()
+    total shouldBe expected
+  }
+
+  test("aggregation results are invariant to shuffle parallelism") {
+    for (name <- Seq("agg_group", "join_left", "sessionize", "caim_criterion")) {
+      val r8 = SparkEntry.queries(name)(spark, sf001).collect()
+      spark.conf.set("spark.sql.shuffle.partitions", 3)
+      try {
+        val r3 = SparkEntry.queries(name)(spark, sf001).collect()
+        r3 shouldBe r8
+      } finally spark.conf.set("spark.sql.shuffle.partitions", 8)
+    }
+  }
+
+  test("dedup_minhash candidates cover all exact-jaccard pairs") {
+    val exact = SparkEntry.queries("dedup_jaccard")(spark, sf001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = SparkEntry.queries("dedup_minhash")(spark, sf001)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.diff(cand) shouldBe empty
+  }
+
+  test("sim_topk ranks are consistent with sim_cosine_pairs") {
+    val topk = SparkEntry.queries("sim_topk")(spark, sf001).collect()
+    // per a_id: sims are non-increasing in rank
+    topk.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      byRank.sliding(2).foreach {
+        case Array(hi, lo) => hi should be >= lo
+        case _ =>
+      }
+    }
+  }
+
+  test("approx_count_distinct is within rsd of exact") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = T.t(spark, sf001, "events").groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.keySet shouldBe exact.keySet
+    exact.foreach { case (k, ex) =>
+      math.abs(approx(k) - ex).toDouble / ex should be < 0.1
+    }
+  }
+
+  test("SQL-text variant agrees with the DSL variant (dialect pre-check)") {
+    T.t(spark, sf001, "lineitem").createOrReplaceTempView("lineitem")
+    val sqlRes = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS cnt
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""").collect()
+    val dsl = SparkEntry.queries("agg_group")(spark, sf001)
+      .select("l_returnflag", "l_linestatus", "sum_qty", "cnt").collect()
+    sqlRes shouldBe dsl
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.Suite
+
+/** Shared local SparkSession for the test suite (mirrors the harness confs:
+  * UTC, nanos-as-long, modest shuffle parallelism).
+  */
+trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
+
+  lazy val spark: SparkSession = SparkFixture.session
+
+  val sf001 = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = super.afterAll()
+}
+
+object SparkFixture {
+  lazy val session: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-tests")
+    .config("spark.sql.shuffle.partitions", 8)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}

@@ -1,0 +1,146 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.queries.Streams
+import graft.streaming.{Stateful, UserEvent}
+
+/** Structured Streaming capability tests (SURVEY.md §2.11, FIXTURES.md §F3):
+  * the same event-time transforms declared as batch queries run under
+  * readStream/MemoryStream; watermark late-data drop; stateful dedup;
+  * arbitrary state via flatMapGroupsWithState.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  // (event_id, ts, user_id, event_type, value) mirroring the events schema
+  private val inOrder = Seq(
+    (1L, ts("2024-01-01T10:05:00Z"), 7L, "click", 1.0),
+    (2L, ts("2024-01-01T10:45:00Z"), 7L, "view", 2.0),
+    (3L, ts("2024-01-01T11:10:00Z"), 8L, "click", 3.0),
+    (4L, ts("2024-01-01T12:59:00Z"), 7L, "click", 4.0))
+
+  test("tumbling windows: streaming result equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.tumbling(df).writeStream
+      .format("memory").queryName("tumb").outputMode("complete").start()
+    try {
+      ms.addData(inOrder: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumb").orderBy("ws_us", "event_type").collect()
+      val batch = Streams.tumbling(
+        inOrder.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .orderBy("ws_us", "event_type").collect()
+      streamed shouldBe batch
+      streamed.length shouldBe 4 // (10h click, 10h view, 11h click, 12h click)
+    } finally q.stop()
+  }
+
+  test("session windows: two bursts 31 min apart become two sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.session(df).writeStream
+      .format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      ms.addData(
+        (1L, ts("2024-01-01T10:00:00Z"), 7L, "click", 1.0),
+        (2L, ts("2024-01-01T10:05:00Z"), 7L, "view", 1.0),
+        (3L, ts("2024-01-01T10:36:00Z"), 7L, "click", 1.0)) // 31 min after #2
+      q.processAllAvailable()
+      val rows = spark.table("sess").orderBy("ws_us").collect()
+      rows.length shouldBe 2
+      rows(0).getLong(3) shouldBe 2 // first session has 2 events
+      rows(1).getLong(3) shouldBe 1
+    } finally q.stop()
+  }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val windowed = df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+    val q = windowed.writeStream
+      .format("memory").queryName("wm").outputMode("append").start()
+    try {
+      ms.addData((1L, ts("2024-01-01T10:00:00Z"), 7L, "click", 1.0),
+        (2L, ts("2024-01-01T10:05:00Z"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      ms.addData((3L, ts("2024-01-01T11:00:00Z"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val afterAdvance = spark.table("wm").collect()
+      val w10 = unixMicros("2024-01-01T10:00:00Z")
+      afterAdvance.filter(_.getLong(0) == w10).map(_.getLong(1)).toSeq shouldBe Seq(2L)
+      // late event for the finalized 10:00 window → dropped, no new/changed row
+      ms.addData((4L, ts("2024-01-01T10:01:00Z"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val afterLate = spark.table("wm").collect()
+      afterLate.filter(_.getLong(0) == w10).map(_.getLong(1)).toSeq shouldBe Seq(2L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark deduplicates the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = df.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      ms.addData((1L, ts("2024-01-01T10:00:00Z"), 7L, "click", 1.0),
+        (1L, ts("2024-01-01T10:00:30Z"), 7L, "click", 1.0), // dup id within watermark
+        (2L, ts("2024-01-01T10:01:00Z"), 8L, "view", 2.0))
+      q.processAllAvailable()
+      ms.addData((9L, ts("2024-01-01T11:00:00Z"), 7L, "click", 1.0)) // flush watermark
+      q.processAllAvailable()
+      spark.table("dd").select("event_id").collect().map(_.getLong(0)).sorted shouldBe
+        Array(1L, 2L, 9L)
+    } finally q.stop()
+  }
+
+  test("arbitrary state: running per-user counters across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[UserEvent]
+    val q = Stateful.runningCounts(ms.toDS()).writeStream
+      .format("memory").queryName("state").outputMode("update").start()
+    try {
+      ms.addData(UserEvent(7L, 1L), UserEvent(7L, 2L), UserEvent(8L, 3L))
+      q.processAllAvailable()
+      ms.addData(UserEvent(7L, 4L))
+      q.processAllAvailable()
+      val latest = spark.table("state").groupBy("user_id")
+        .agg(max("events").as("events")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      latest shouldBe Map(7L -> 3L, 8L -> 1L)
+    } finally q.stop()
+  }
+
+  test("batch session_window agrees with the lag-based sessionize oracle shape") {
+    // R3 parity check: Spark's session merge vs gap-and-island SQL on real data
+    val viaSessionWindow = SparkEntry.queries("stream_session")(spark, sf001)
+      .select("user_id", "ws_us", "cnt").collect()
+    val viaLag = SparkEntry.queries("sessionize")(spark, sf001)
+      .select("user_id", "start_us", "n_events").collect()
+    viaSessionWindow.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted shouldBe
+      viaLag.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+  }
+
+  private def unixMicros(s: String): Long = Instant.parse(s).toEpochMilli * 1000L
+}
