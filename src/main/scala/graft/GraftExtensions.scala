@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.DotProduct
+
+/** Engine extension point, installed via
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the public
+  * Spark API for registering native Catalyst expressions (SURVEY.md §4:
+  * custom work beyond built-ins is confined to here and the CAIM estimator).
+  *
+  * Functions:
+  *  - `graft_dot(array<double>, array<double>) -> double` — codegen'd dot
+  *    product ([[graft.functions.DotProduct]]), the hot inner loop of the
+  *    similarity-search operators.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children(0), children(1))
+      }))
+  }
+}
