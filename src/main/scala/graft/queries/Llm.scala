@@ -19,7 +19,7 @@ import graft.T.{Q, t}
 object Llm {
 
   /** Per-doc distinct 3-gram shingles: (doc_id, s). */
-  private def shingles(docs: DataFrame): DataFrame =
+  private[queries] def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
       .where(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(array_distinct(

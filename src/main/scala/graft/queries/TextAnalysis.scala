@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.T.{Q, t}
+
+/** North-star text-analysis operators for training-data pipelines:
+  * language-ID (marker n-gram heuristic), quality scoring, token counting
+  * (whitespace + regex), positional document fingerprinting, and
+  * SimHash near-dup detection with banded candidate generation.
+  *
+  * Note: the synthetic corpus draws the same 31-word vocabulary for every
+  * `lang` value, so `text_langid` demonstrates the operator shape (marker
+  * scoring + deterministic argmax), not real classification accuracy.
+  */
+object TextAnalysis {
+
+  private val enM = Seq("the", "a", "order", "data")
+  private val esM = Seq("query", "fast", "row", "stream")
+  private val deM = Seq("agg", "table", "key", "join")
+
+  private def markerCount(markers: Seq[String]) = {
+    val arr = markers.map(m => s"'$m'").mkString("array(", ", ", ")")
+    expr(s"size(filter(tk, t -> array_contains($arr, t)))").cast("long")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // language-ID: occurrence counts against per-language marker sets,
+    // deterministic fixed-order argmax
+    "text_langid" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          markerCount(enM).as("s_en"), markerCount(esM).as("s_es"), markerCount(deM).as("s_de"))
+        .withColumn("pred",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+            .when(col("s_es") >= col("s_de"), "es").otherwise("de"))
+        .orderBy("doc_id")),
+
+    // quality scoring: length/stopword/digit ratios + a composite score
+    "text_quality" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"), col("n_chars"), col("text"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("tk")).cast("long").as("tok_cnt"),
+          round((col("n_chars") - (size(col("tk")) - 1)).cast("double") / size(col("tk")), 6)
+            .as("avg_tok_len"),
+          round(markerCount(enM).cast("double") / size(col("tk")), 6).as("stop_ratio"),
+          round(regexp_count(col("text"), lit("[0-9]")).cast("double") / col("n_chars"), 6)
+            .as("digit_ratio"))
+        .withColumn("quality",
+          round(least(lit(1.0), col("tok_cnt") / 100.0) * (lit(1.0) - col("stop_ratio")), 6))
+        .orderBy("doc_id")),
+
+    // token counting: whitespace, letter-run regex (BPE-ish pretokenizer
+    // shape), and distinct-token cardinality
+    "text_tokens" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_toks"),
+          regexp_count(col("text"), lit("[a-z]+")).cast("long").as("re_toks"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("uniq_toks"))
+        .orderBy("doc_id")),
+
+    // positional rolling-hash fingerprint: order-sensitive, exact integer
+    // arithmetic (mod 2^31-1) so it hash-matches across engines
+    "text_fingerprint" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .groupBy("doc_id")
+        .agg(pmod(sum((col("pos") + 1) *
+          (length(col("tok")) * 256 + ascii(substring(col("tok"), 1, 1)))),
+          lit(2147483647L)).as("fp"))
+        .orderBy("doc_id")),
+
+    // SimHash near-dup (capability row: Spark's xxhash64 seeds the bits, so
+    // no cross-engine oracle; tests cross-check against exact Jaccard).
+    // Banded candidate join (4 × 16-bit bands) — the sub-quadratic path:
+    // at 100 TB candidates come from equal-band buckets, never all pairs.
+    "dedup_simhash" -> ((s, sf) => {
+      val toks = Llm.shingles(t(s, sf, "documents"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      val votes = toks
+        .select(col("doc_id"), posexplode(
+          expr("transform(sequence(0, 63), b -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)"))
+          .as(Seq("bit", "vote")))
+        .groupBy("doc_id", "bit").agg(sum("vote").as("v"))
+      val sim = votes.groupBy("doc_id")
+        .agg(sum(expr(
+          "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END"))
+          .as("sh"))
+      val bands = sim.select(col("doc_id"), col("sh"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> (sh >> (b * 16)) & 65535)")).as(Seq("band", "bv")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sh").as("sha"), col("b.sh").as("shb"))
+        .distinct()
+      cand.withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
+        .where(col("hamming") <= 6)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    })
+  )
+
+  private def markerSql(markers: Seq[String]) =
+    markers.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" ->
+      s"""WITH s AS (SELECT doc_id,
+           CAST(len(list_filter(string_split(text,' '), t -> list_contains(${markerSql(enM)}, t))) AS BIGINT) s_en,
+           CAST(len(list_filter(string_split(text,' '), t -> list_contains(${markerSql(esM)}, t))) AS BIGINT) s_es,
+           CAST(len(list_filter(string_split(text,' '), t -> list_contains(${markerSql(deM)}, t))) AS BIGINT) s_de
+         FROM documents)
+         SELECT doc_id, s_en, s_es, s_de,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred
+         FROM s ORDER BY doc_id""",
+    "text_quality" ->
+      s"""WITH s AS (SELECT doc_id, n_chars, text, string_split(text,' ') tk FROM documents),
+         q AS (SELECT doc_id, n_chars,
+           CAST(len(tk) AS BIGINT) tok_cnt,
+           round(CAST(n_chars - (len(tk) - 1) AS DOUBLE) / len(tk), 6) avg_tok_len,
+           round(CAST(len(list_filter(tk, t -> list_contains(${markerSql(enM)}, t))) AS DOUBLE) / len(tk), 6) stop_ratio,
+           round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / n_chars, 6) digit_ratio
+         FROM s)
+         SELECT doc_id, n_chars, tok_cnt, avg_tok_len, stop_ratio, digit_ratio,
+           round(least(1.0, tok_cnt / 100.0) * (1.0 - stop_ratio), 6) AS quality
+         FROM q ORDER BY doc_id""",
+    "text_tokens" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text,' ')) AS BIGINT) AS ws_toks,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_toks,
+         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS uniq_toks
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+         CAST(sum((pos + 1) * (length(tok)*256 + ascii(substr(tok,1,1)))) % 2147483647 AS BIGINT) AS fp
+         FROM (SELECT doc_id,
+                 unnest(range(len(string_split(text,' ')))) AS pos,
+                 unnest(string_split(text,' ')) AS tok
+               FROM documents)
+         GROUP BY doc_id ORDER BY doc_id"""
+  )
+}

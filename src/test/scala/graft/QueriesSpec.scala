@@ -51,6 +51,19 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("dedup_simhash pairs are all true near-dups and cover most of them") {
+    val exact = SparkEntry.queries("dedup_jaccard")(spark, sf001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sh = SparkEntry.queries("dedup_simhash")(spark, sf001)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // precision: every simhash pair is a true jaccard>=0.5 pair
+    sh.foreach(p => exact.keySet should contain(p))
+    // recall: at least half of the near-identical (j>=0.9) pairs are found
+    val high = exact.filter(_._2 >= 0.9).keySet
+    if (high.nonEmpty)
+      sh.toSet.intersect(high).size.toDouble / high.size should be >= 0.5
+  }
+
   test("dedup_minhash candidates cover all exact-jaccard pairs") {
     val exact = SparkEntry.queries("dedup_jaccard")(spark, sf001)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

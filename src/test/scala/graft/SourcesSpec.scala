@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** §2.1 capability rows: CSV/JSON sources with explicit vs inferred schema
+  * (no CSV/JSON fixture exists in the corpus, so round-trip through temp
+  * dirs), and the parquet sink the harness itself exercises.
+  */
+class SourcesSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory(name).toString + "/data"
+
+  test("CSV round-trip with explicit schema") {
+    val dir = tmp("graft-csv")
+    val src = T.t(spark, sf001, "nation")
+    src.write.option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(dir)
+    back.schema shouldBe schema
+    back.orderBy("n_nationkey").collect() shouldBe src.orderBy("n_nationkey").collect()
+  }
+
+  test("JSON round-trip with schema inference") {
+    val dir = tmp("graft-json")
+    val src = T.t(spark, sf001, "region")
+    src.write.json(dir)
+    val back = spark.read.json(dir) // inferred: JSON integers widen to LongType
+    back.select(col("r_regionkey").cast("int"), col("r_name"))
+      .orderBy("r_regionkey").collect() shouldBe
+      src.select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
+  }
+
+  test("parquet sink round-trip preserves types exactly") {
+    val dir = tmp("graft-parquet")
+    val src = T.t(spark, sf001, "customer")
+    src.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    back.schema shouldBe src.schema
+    back.orderBy("c_custkey").collect() shouldBe src.orderBy("c_custkey").collect()
+  }
+}
