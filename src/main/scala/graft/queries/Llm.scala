@@ -101,6 +101,47 @@ object Llm {
         .orderBy("a_id", "rn")
     }),
 
+    // IVF approximate nearest neighbours (capability row: the 100 TB scale
+    // path for sim_topk). A KMeans coarse quantizer partitions vectors into
+    // cells; each query probes its nprobe=2 nearest cells and re-ranks
+    // exactly with graft_dot. Candidate volume drops from O(n²) to
+    // O(n²·nprobe/k) — at scale the cell assignment also becomes the
+    // shuffle/bucketing key so each cell joins co-located.
+    "sim_ann_ivf" -> ((s, sf) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, sf, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val withVec = emb.withColumn("fv", array_to_vector(col("e")))
+      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(withVec)
+      val assigned = model.transform(withVec)
+        .select(col("vec_id"), col("e"), col("cell"))
+      val sess = s
+      val cents = sess.createDataFrame(
+        model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+        .toDF("pcell", "c")
+      // nprobe=2 nearest centroids per vector (centroid table broadcasts)
+      val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("pcell").asc)
+      val probes = assigned.crossJoin(broadcast(cents))
+        .withColumn("d2", expr("graft_dot(e, e) - 2 * graft_dot(e, c) + graft_dot(c, c)"))
+        .withColumn("pr", row_number().over(w))
+        .where(col("pr") <= 2)
+        .select(col("vec_id").as("a_id"), col("e").as("ea"),
+          sqrt(expr("graft_dot(e, e)")).as("na"), col("pcell").as("cell"))
+      val data = assigned
+        .select(col("vec_id").as("b_id"), col("e").as("eb"),
+          sqrt(expr("graft_dot(e, e)")).as("nb"), col("cell"))
+      val wk = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+      probes.join(data, Seq("cell")).where(col("a_id") =!= col("b_id"))
+        .withColumn("sim", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+        .select(col("a_id"), col("b_id"), col("sim"),
+          row_number().over(wk).cast("long").as("rn"))
+        .where(col("rn") <= 5)
+        .select(col("a_id"), col("rn"), col("b_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("a_id", "rn")
+    }),
+
     // canonical generator demo: tokenize + explode + count
     "text_wordcount" -> ((s, sf) =>
       t(s, sf, "documents")

