@@ -85,6 +85,16 @@ class CaimSpec extends AnyFunSuite with SparkFixture with Matchers {
     model.boundaries(0).sliding(2).foreach { case Array(x, y) => x should be < y }
   }
 
+  test("knn classify: deterministic majority vote for every vector") {
+    val emb = T.t(spark, sf001, "embeddings")
+    val out = graft.ml.Knn.classify(emb, k = 5)
+    val n = emb.count()
+    out.count() shouldBe n
+    out.where(col("votes") < 1 || col("votes") > 5).count() shouldBe 0L
+    // deterministic across partitioning
+    graft.ml.Knn.classify(emb.repartition(3), k = 5).collect() shouldBe out.collect()
+  }
+
   test("model save/load roundtrip") {
     val est = new CAIMDiscretizer()
       .setInputCols(Array("x")).setOutputCols(Array("xb")).setLabelCol("y")
