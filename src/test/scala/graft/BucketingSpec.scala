@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Storage-layer co-location (SURVEY.md §4, PLANS.md): pre-bucketing both
+  * sides of a repeated join key eliminates the join shuffle entirely — at
+  * 100 TB this is the difference between a map-side merge and re-shuffling
+  * the fact table on every query. Demonstrated end-to-end: write bucketed
+  * tables, join, assert the plan has no Exchange and results are identical
+  * to the plain join.
+  */
+class BucketingSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  test("salted join equals plain join on skewed keys") {
+    import spark.implicits._
+    // 90% of fact rows share one hot key
+    val fact = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i.toLong))
+      .toDF("k", "v")
+    val dim = (0L to 6L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", salts = 8)
+      .select("k", "v", "name").orderBy("k", "v")
+    val plain = fact.join(dim, "k").select("k", "v", "name").orderBy("k", "v")
+    salted.collect() shouldBe plain.collect()
+  }
+
+  test("bucketed tables join with zero shuffles") {
+    val base = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      T.t(spark, sf001, "orders").write
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders_b").saveAsTable("orders_b")
+      T.t(spark, sf001, "customer").write
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/customer_b").saveAsTable("customer_b")
+
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name")
+      val plan = joined.queryExecution.executedPlan.toString()
+      plan should not include "Exchange"
+
+      val plain = T.t(spark, sf001, "orders")
+        .join(T.t(spark, sf001, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name")
+      joined.orderBy("o_orderkey").collect() shouldBe plain.orderBy("o_orderkey").collect()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
