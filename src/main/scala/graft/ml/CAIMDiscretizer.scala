@@ -217,12 +217,24 @@ class CAIMDiscretizerModel(override val uid: String)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     transformSchema(ds.schema)
-    val buck = new Bucketizer()
-      .setInputCols($(inputCols))
-      .setOutputCols($(outputCols))
-      .setSplitsArray($(splitsArray).map(b =>
-        Double.NegativeInfinity +: b.drop(1).dropRight(1) :+ Double.PositiveInfinity))
-    buck.transform(ds)
+    val io = $(inputCols).zip($(outputCols))
+    // boundaries are [min, cut*, max]: length ≤ 2 means no interior cuts
+    val (degenerate, real) = io.zip($(splitsArray)).partition(_._2.length <= 2)
+    // degenerate feature (≤1 interval, e.g. constant column): everything is
+    // bin 0 — Bucketizer needs ≥2 buckets so handle it directly
+    val withDegenerate = degenerate.foldLeft(ds.toDF()) { case (df, ((_, out), _)) =>
+      df.withColumn(out, org.apache.spark.sql.functions.lit(0.0))
+    }
+    if (real.isEmpty) withDegenerate
+    else {
+      val buck = new Bucketizer()
+        .setInputCols(real.map(_._1._1))
+        .setOutputCols(real.map(_._1._2))
+        .setSplitsArray(real.map { case (_, b) =>
+          Double.NegativeInfinity +: b.drop(1).dropRight(1) :+ Double.PositiveInfinity
+        })
+      buck.transform(withDegenerate)
+    }
   }
 
   override def copy(extra: ParamMap): CAIMDiscretizerModel =
