@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.DotProduct
+import graft.functions.{CharNGrams, DotProduct}
 
 /** Engine extension point, installed via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the public
@@ -14,6 +14,8 @@ import graft.functions.DotProduct
   *  - `graft_dot(array<double>, array<double>) -> double` — codegen'd dot
   *    product ([[graft.functions.DotProduct]]), the hot inner loop of the
   *    similarity-search operators.
+  *  - `graft_char_ngrams(string, n) -> rows of ngram` — custom table
+  *    generator ([[graft.functions.CharNGrams]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -24,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNGrams].getName, "graft_char_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_char_ngrams takes exactly 2 arguments")
+        CharNGrams(children(0), children(1))
       }))
   }
 }

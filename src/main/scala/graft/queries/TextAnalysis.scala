@@ -72,6 +72,14 @@ object TextAnalysis {
           lit(2147483647L)).as("fp"))
         .orderBy("doc_id")),
 
+    // custom Catalyst Generator: character 3-gram counts (the §2.12
+    // stretch UDTF, registered via SparkSessionExtensions)
+    "udtf_char_ngrams" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .selectExpr("graft_char_ngrams(text, 3) AS g")
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+        .orderBy("g")),
+
     // SimHash near-dup (capability row: Spark's xxhash64 seeds the bits, so
     // no cross-engine oracle; tests cross-check against exact Jaccard).
     // Banded candidate join (4 × 16-bit bands) — the sub-quadratic path:
@@ -142,6 +150,11 @@ object TextAnalysis {
          CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_toks,
          CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS uniq_toks
          FROM documents ORDER BY doc_id""",
+    "udtf_char_ngrams" ->
+      """SELECT g, count(*) AS cnt FROM (
+           SELECT unnest([substring(text, i, 3) for i in range(1, length(text) - 1)]) AS g
+           FROM documents)
+         GROUP BY g ORDER BY g""",
     "text_fingerprint" ->
       """SELECT doc_id,
          CAST(sum((pos + 1) * (length(tok)*256 + ascii(substr(tok,1,1)))) % 2147483647 AS BIGINT) AS fp
