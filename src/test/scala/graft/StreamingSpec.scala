@@ -132,6 +132,23 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally q.stop()
   }
 
+  test("file-source streaming: readStream over parquet equals batch") {
+    // same write-once transform over a file stream source (not MemoryStream)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    val batchDf = T.t(spark, sf001, "events")
+    batchDf.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(dir.toString)
+    val q = Streams.tumbling(stream).writeStream
+      .format("memory").queryName("filetumb").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("filetumb").orderBy("ws_us", "event_type").collect()
+      val batch = Streams.tumbling(batchDf).orderBy("ws_us", "event_type").collect()
+      streamed shouldBe batch
+      streamed.length should be > 0
+    } finally q.stop()
+  }
+
   test("batch session_window agrees with the lag-based sessionize oracle shape") {
     // R3 parity check: Spark's session merge vs gap-and-island SQL on real data
     val viaSessionWindow = SparkEntry.queries("stream_session")(spark, sf001)
