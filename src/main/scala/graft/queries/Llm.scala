@@ -49,9 +49,13 @@ object Llm {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
         .orderBy("h")),
 
-    // exact n-gram (3-shingle) Jaccard near-dup pairs, tau = 0.5
+    // exact n-gram (3-shingle) Jaccard near-dup pairs, tau = 0.5.
+    // The shingle table feeds three plan branches (two join sides + sizes);
+    // without persist Spark recomputes the explode per branch (self-joins
+    // don't share subplans) — at scale this would be a checkpoint.
     "dedup_jaccard" -> ((s, sf) => {
       val sh = shingles(t(s, sf, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
