@@ -10,6 +10,12 @@ import graft.T.{Q, t}
   * Jaccard / MinHash-LSH), similarity search over embeddings, text analysis,
   * sessionization.
   *
+  * Literature: shingle-set resemblance and MinHash are Broder, *On the
+  * resemblance and containment of documents* (SEQUENCES 1997); LSH banding
+  * follows Indyk & Motwani (STOC 1998); the IVF coarse-quantizer shape in
+  * `sim_ann_ivf` follows the inverted-file structure of Jégou, Douze &
+  * Schmid, *Product Quantization for Nearest Neighbor Search* (TPAMI 2011).
+  *
   * Scale notes: `dedup_jaccard` uses 3-gram shingles (not unigrams) so the
   * inverted-index self-join stays sparse — the corpus has only 31 distinct
   * words, so unigram joins would be quadratic in the corpus; 3-gram shingle

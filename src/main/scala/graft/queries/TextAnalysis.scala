@@ -6,7 +6,9 @@ import graft.T.{Q, t}
 /** North-star text-analysis operators for training-data pipelines:
   * language-ID (marker n-gram heuristic), quality scoring, token counting
   * (whitespace + regex), positional document fingerprinting, and
-  * SimHash near-dup detection with banded candidate generation.
+  * SimHash near-dup detection with banded candidate generation (Charikar,
+  * *Similarity estimation techniques from rounding algorithms*, STOC 2002;
+  * banded candidate join per the MinHash-LSH band trick).
   *
   * Note: the synthetic corpus draws the same 31-word vocabulary for every
   * `lang` value, so `text_langid` demonstrates the operator shape (marker

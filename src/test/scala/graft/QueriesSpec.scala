@@ -40,15 +40,21 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     total shouldBe expected
   }
 
-  test("aggregation results are invariant to shuffle parallelism") {
-    for (name <- Seq("agg_group", "join_left", "sessionize", "caim_criterion")) {
+  test("every query result is invariant to shuffle parallelism") {
+    // the distributed-correctness property (SURVEY §5.3): rerunning any
+    // query with different shuffle partitioning must be bit-identical.
+    // sim_ann_ivf is excluded: KMeans|| initialization legitimately depends
+    // on data partitioning (its own spec checks recall instead).
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(_ == "sim_ann_ivf")
+    val failures = names.flatMap { name =>
       val r8 = SparkEntry.queries(name)(spark, sf001).collect()
       spark.conf.set("spark.sql.shuffle.partitions", 3)
       try {
         val r3 = SparkEntry.queries(name)(spark, sf001).collect()
-        r3 shouldBe r8
+        if (r3.sameElements(r8)) None else Some(name)
       } finally spark.conf.set("spark.sql.shuffle.partitions", 8)
     }
+    failures shouldBe empty
   }
 
   test("dedup_simhash pairs are all true near-dups and cover most of them") {
