@@ -132,6 +132,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally q.stop()
   }
 
+  test("transformWithState running counters (RocksDB state store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[UserEvent]
+    val q = Stateful.runningCountsTws(ms.toDS()).writeStream
+      .format("memory").queryName("tws").outputMode("update").start()
+    try {
+      ms.addData(UserEvent(7L, 1L), UserEvent(7L, 2L), UserEvent(8L, 3L))
+      q.processAllAvailable()
+      ms.addData(UserEvent(7L, 4L))
+      q.processAllAvailable()
+      val latest = spark.table("tws").groupBy("user_id")
+        .agg(max("events").as("events")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      latest shouldBe Map(7L -> 3L, 8L -> 1L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("file-source streaming: readStream over parquet equals batch") {
     // same write-once transform over a file stream source (not MemoryStream)
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
