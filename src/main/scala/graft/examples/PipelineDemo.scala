@@ -1,0 +1,89 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.ml.CAIMDiscretizer
+import graft.queries.{Llm, TextAnalysis}
+
+/** End-to-end training-data pipeline composed from the library's operators
+  * — the "switch from the reference" usage demonstration:
+  *
+  *   documents ─ exact dedup ─ near-dup dedup (jaccard survivors)
+  *             ─ quality filter ─ language-ID ─ token counts/fingerprint
+  *   embeddings ─ CAIM-discretized features joined on doc cardinality
+  *
+  * Every stage is a DataFrame→DataFrame function; nothing collects to the
+  * driver except the CAIM histogram inside fit. Run:
+  *   sbt "runMain graft.examples.PipelineDemo /root/testdata/sf0.001"
+  */
+object PipelineDemo {
+
+  /** Pure-function pipeline over a documents table: returns the cleaned,
+    * annotated corpus (exact dups dropped, near-dups collapsed to the
+    * min-id survivor, low-quality rows filtered, language + token stats +
+    * fingerprint columns added).
+    */
+  def cleanCorpus(s: SparkSession, sf: String): DataFrame = {
+    val docs = T.t(s, sf, "documents")
+
+    // 1. exact dedup: keep min doc_id per content hash
+    val exactSurvivors = docs
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("keep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .where(col("doc_id") === col("keep"))
+      .drop("h", "keep")
+
+    // 2. near-dup dedup: drop the larger id of every jaccard>=0.5 pair
+    val nearDupLosers = Llm.queries("dedup_jaccard")(s, sf).select(col("db").as("doc_id"))
+    val deduped = exactSurvivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
+
+    // 3. quality + language + token annotations (reuse the declared ops)
+    val quality = TextAnalysis.queries("text_quality")(s, sf)
+      .select("doc_id", "quality", "stop_ratio")
+    val lang = TextAnalysis.queries("text_langid")(s, sf).select("doc_id", "pred")
+    val toks = TextAnalysis.queries("text_tokens")(s, sf).select("doc_id", "ws_toks")
+    val fp = TextAnalysis.queries("text_fingerprint")(s, sf)
+
+    deduped
+      .join(quality, "doc_id").join(lang, "doc_id").join(toks, "doc_id").join(fp, "doc_id")
+      .where(col("quality") >= 0.3)
+      .orderBy("doc_id")
+  }
+
+  /** CAIM-discretize the first two embedding dimensions against the label —
+    * the reference's own workflow, distributed.
+    */
+  def discretizedFeatures(s: SparkSession, sf: String): DataFrame = {
+    val emb = T.t(s, sf, "embeddings").select(col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("e0"),
+      element_at(col("embedding"), 2).cast("double").as("e1"), col("label"))
+    new CAIMDiscretizer()
+      .setInputCols(Array("e0", "e1")).setOutputCols(Array("b0", "b1"))
+      .setLabelCol("label")
+      .fit(emb).transform(emb)
+      .select("vec_id", "label", "b0", "b1")
+      .orderBy("vec_id")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val corpus = cleanCorpus(spark, sf)
+    val feats = discretizedFeatures(spark, sf)
+    println(s"clean corpus rows: ${corpus.count()}")
+    corpus.show(5, truncate = 40)
+    println(s"discretized feature rows: ${feats.count()}")
+    feats.show(5)
+    spark.stop()
+  }
+}

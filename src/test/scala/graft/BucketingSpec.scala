@@ -25,6 +25,23 @@ class BucketingSpec extends AnyFunSuite with SparkFixture with Matchers {
     salted.collect() shouldBe plain.collect()
   }
 
+  test("partitioned writes prune partitions at the scan") {
+    // the corpus ships unpartitioned (SURVEY §4: DPP inert) — demonstrate
+    // the partition-pruning path by re-laying events out by event_type
+    val base = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    T.t(spark, sf001, "events").write.partitionBy("event_type").parquet(base)
+    val q = spark.read.parquet(base).filter(col("event_type") === "purchase")
+    val scan = q.queryExecution.executedPlan.toString()
+    scan should include("PartitionFilters")
+    scan should include("event_type")
+    // pruned read returns exactly the purchase rows
+    q.count() shouldBe T.t(spark, sf001, "events")
+      .filter(col("event_type") === "purchase").count()
+    // and reads only 1 of the 5 partition directories
+    val parts = q.select(input_file_name()).distinct().collect().map(_.getString(0))
+    all(parts) should include("event_type=purchase")
+  }
+
   test("bucketed tables join with zero shuffles") {
     val base = java.nio.file.Files.createTempDirectory("graft-buckets").toString
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
