@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Third-opinion check (dev tool): recompute the semantically riskiest
+operators in pure Python — independent of BOTH the Spark queries and their
+DuckDB oracle SQL — so a formula that drifted identically on both engines
+would still be caught.
+
+Covers: sessionize (30-min gap islands), dedup_jaccard (3-gram shingle
+set Jaccard), caim_criterion (20-bin quanta + CAIM), join_asof (latest
+signup at-or-before each purchase).
+
+Usage: python3 tools/independent_check.py <sfDir> <verifyOutDir>
+(run graft.Verify into <verifyOutDir> first). Verified green 2026-08-12 at
+sf0.01: 9549 sessions, 25 jaccard pairs, caim=1.068815, 1791 asof rows.
+"""
+import collections
+import glob
+import math
+import sys
+
+import pyarrow.parquet as pq
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/v01"
+
+def sparkres(name):
+    return pq.read_table(glob.glob(f"{out}/{name}/*.parquet")[0]).to_pydict()
+
+fails = 0
+
+# sessionize: 30-min gap-island simulation
+ev = pq.read_table(f"{sf}/events.parquet").to_pydict()
+by_user = collections.defaultdict(list)
+for u, ts, eid in zip(ev["user_id"], ev["ts"], ev["event_id"]):
+    by_user[u].append((ts, eid))
+expected = []
+for u in sorted(by_user):
+    evs = sorted(by_user[u])
+    cur, sid = [evs[0]], 1
+    for prev, nxt in zip(evs, evs[1:]):
+        d = nxt[0] - prev[0]
+        us = d.days * 86400_000_000 + d.seconds * 1_000_000 + d.microseconds
+        if us >= 1_800_000_000:
+            expected.append((u, sid, len(cur)))
+            sid, cur = sid + 1, [nxt]
+        else:
+            cur.append(nxt)
+    expected.append((u, sid, len(cur)))
+got = sparkres("sessionize")
+ok = list(zip(got["user_id"], got["sid"], got["n_events"])) == expected
+print(f"sessionize: {'OK' if ok else 'MISMATCH'} ({len(expected)} sessions)")
+fails += 0 if ok else 1
+
+# dedup_jaccard: shingle-set jaccard via inverted index
+docs = pq.read_table(f"{sf}/documents.parquet").to_pydict()
+sh = {}
+for did, text in zip(docs["doc_id"], docs["text"]):
+    tk = text.split(" ")
+    if len(tk) >= 3:
+        sh[did] = set(" ".join(tk[i:i + 3]) for i in range(len(tk) - 2))
+inv = collections.defaultdict(set)
+for did, s in sh.items():
+    for g in s:
+        inv[g].add(did)
+cand = collections.defaultdict(int)
+for g, ds in inv.items():
+    ds = sorted(ds)
+    for i in range(len(ds)):
+        for j in range(i + 1, len(ds)):
+            cand[(ds[i], ds[j])] += 1
+exp_pairs = sorted(
+    (a, b, round(i / (len(sh[a]) + len(sh[b]) - i), 6))
+    for (a, b), i in cand.items()
+    if i / (len(sh[a]) + len(sh[b]) - i) >= 0.5)
+got = sparkres("dedup_jaccard")
+ok = sorted(zip(got["da"], got["db"], [round(x, 6) for x in got["jac"]])) == exp_pairs
+print(f"dedup_jaccard: {'OK' if ok else 'MISMATCH'} ({len(exp_pairs)} pairs)")
+fails += 0 if ok else 1
+
+# caim_criterion: 20-bin quanta + CAIM value
+emb = pq.read_table(f"{sf}/embeddings.parquet").to_pydict()
+vs = [float(e[0]) for e in emb["embedding"]]
+lo, hi = min(vs), max(vs)
+w = (hi - lo) / 20
+q = collections.defaultdict(lambda: collections.defaultdict(int))
+for v, l in zip(vs, emb["label"]):
+    q[min(int(math.floor((v - lo) / w)), 19)][l] += 1
+caim = round(sum(max(c.values()) ** 2 / sum(c.values()) for c in q.values()) / len(q), 6)
+got = sparkres("caim_criterion")
+ok = (got["n_bins"][0], round(got["caim"][0], 6)) == (len(q), caim)
+print(f"caim_criterion: {'OK' if ok else 'MISMATCH'} (caim={caim})")
+fails += 0 if ok else 1
+
+# join_asof: latest signup at-or-before each purchase
+sig = collections.defaultdict(list)
+for u, ts, et in zip(ev["user_id"], ev["ts"], ev["event_type"]):
+    if et == "signup":
+        sig[u].append(ts)
+exp_asof = sorted(
+    (eid, u)
+    for u, ts, eid, et in zip(ev["user_id"], ev["ts"], ev["event_id"], ev["event_type"])
+    if et == "purchase" and any(s <= ts for s in sig[u]))
+got = sparkres("join_asof")
+ok = sorted(zip(got["p_id"], got["user_id"])) == exp_asof
+print(f"join_asof: {'OK' if ok else 'MISMATCH'} ({len(exp_asof)} rows)")
+fails += 0 if ok else 1
+
+sys.exit(1 if fails else 0)
