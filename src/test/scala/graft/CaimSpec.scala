@@ -75,6 +75,27 @@ class CaimSpec extends AnyFunSuite with SparkFixture with Matchers {
     model.boundaries(0).last shouldBe hi
   }
 
+  test("wide fit: 16 features discretized in one distributed pass") {
+    // the reference parallelizes across features with a process pool; here
+    // all features ride ONE aggregation job (posexplode over the array)
+    val dims = 16
+    val cols = (0 until dims).map(i => s"e$i").toArray
+    val e = T.t(spark, sf001, "embeddings").select(
+      (0 until dims).map(i =>
+        element_at(col("embedding"), i + 1).cast("double").as(s"e$i")) :+ col("label"): _*)
+    val model = new CAIMDiscretizer()
+      .setInputCols(cols).setOutputCols(cols.map(_ + "_b"))
+      .setLabelCol("label").fit(e)
+    model.boundaries should have length dims
+    model.boundaries.foreach { b =>
+      b.length should be >= 2
+      b.sliding(2).foreach { case Array(x, y) => x should be < y; case _ => }
+    }
+    val out = model.transform(e)
+    out.columns.count(_.endsWith("_b")) shouldBe dims
+    out.count() shouldBe e.count()
+  }
+
   test("maxCandidates caps the histogram and still yields valid splits") {
     val e = T.t(spark, sf001, "embeddings")
       .select(element_at(col("embedding"), 1).cast("double").as("e0"), col("label"))
