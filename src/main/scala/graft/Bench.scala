@@ -6,7 +6,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Partition sizing is byte-driven, not count-driven: AQE re-coalesces
+      // every post-shuffle stage toward the advisory byte size, so the
+      // kilobyte shuffles at bench SF collapse to one or two tasks while a
+      // 100 TB shuffle still fans out to thousands of partitions.
+      // parallelismFirst=false is what makes AQE honor the byte target
+      // instead of refusing to coalesce below #cores.
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -16,15 +24,29 @@ object Bench {
     // JVM/codegen warmup so the first timed query doesn't absorb ~5s of
     // one-time class-loading; touches a scan+agg+shuffle path once.
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.toString.take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    // A failed query is reported as an error, never as a (fast) timing.
+    val ok = results.collect { case (n, sec, None) => n -> sec }
+    val errs = results.collect { case (n, _, Some(e)) => n -> e }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val es = errs.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errs.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
+    if (errs.nonEmpty) System.err.println(s"[bench] ${errs.size} queries FAILED: " +
+      errs.map(_._1).mkString(", "))
     spark.stop()
   }
 }

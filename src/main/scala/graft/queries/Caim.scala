@@ -16,14 +16,29 @@ object Caim {
   private val demoSplits = Array(-0.2, 0.0, 0.2)
 
   val queries: Map[String, Q] = Map(
-    // Alg. step 1: midpoints between consecutive distinct feature values
+    // Alg. step 1: midpoints between consecutive distinct feature values.
+    // Distributed lag: range-partition on v, per-partition lag in parallel,
+    // and stitch partition boundaries by joining each partition's first row
+    // with the running max of the previous partitions. Only the
+    // per-partition maxima (≤ #partitions rows) ever cross a global window
+    // — no full-data single-partition exchange at any scale.
     "caim_candidates" -> ((s, sf) => {
       import org.apache.spark.sql.expressions.Window
       val d = t(s, sf, "embeddings")
         .select(element_at(col("embedding"), 1).cast("double").as("v")).distinct()
-      val w = Window.orderBy("v")
-      d.select((( lag("v", 1).over(w) + col("v")) / 2).as("cand"))
-        .filter(col("cand").isNotNull)
+        .repartitionByRange(col("v"))
+        .withColumn("pid", spark_partition_id())
+      val wp = Window.partitionBy("pid").orderBy("v")
+      val withPrev = d.withColumn("prev", lag("v", 1).over(wp))
+      // boundary stitch: running max over the tiny per-partition summary
+      val wb = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+      val bounds = d.groupBy("pid").agg(max("v").as("pm"))
+        .withColumn("prevmax", max("pm").over(wb))
+        .select("pid", "prevmax")
+      withPrev.join(broadcast(bounds), Seq("pid"), "left")
+        .withColumn("pv", coalesce(col("prev"), col("prevmax")))
+        .filter(col("pv").isNotNull)
+        .select(((col("pv") + col("v")) / 2).as("cand"))
         .orderBy("cand")
     }),
 
@@ -81,13 +96,38 @@ object Caim {
         .orderBy("vec_id")
     }),
 
-    // unsupervised equal-frequency baseline (deterministic ntile)
+    // unsupervised equal-frequency baseline (deterministic ntile).
+    // Distributed exact ntile: range-partition on the sort key, per-
+    // partition row_number in parallel, global rank = partition offset +
+    // local rank (offsets are a prefix sum over ≤ #partitions counts), then
+    // ntile's bucket formula applied to the exact rank — identical output
+    // to a global ntile(8) with no full-data single-partition window.
     "disc_equal_freq" -> ((s, sf) => {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, sf, "embeddings")
         .select(col("vec_id"), element_at(col("embedding"), 1).cast("double").as("v"))
-      val w = Window.orderBy(col("v").asc, col("vec_id").asc)
-      e.select(col("vec_id"), ntile(8).over(w).cast("long").as("bin"))
+        .repartitionByRange(col("v"), col("vec_id"))
+        .withColumn("pid", spark_partition_id())
+      val wp = Window.partitionBy("pid").orderBy(col("v").asc, col("vec_id").asc)
+      val ranked = e.withColumn("rn", row_number().over(wp))
+      val sizes = e.groupBy("pid").agg(count(lit(1)).as("n"))
+      val wb = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offs = sizes
+        .withColumn("off", coalesce(sum("n").over(wb), lit(0L)))
+        .select("pid", "off")
+      val tot = sizes.agg(sum("n").as("n_tot"))
+      // ntile(k): the first (n % k) buckets get ceil(n/k) rows, the rest
+      // floor(n/k); rank r (1-based) maps to its bucket by integer division
+      ranked.join(broadcast(offs), Seq("pid"))
+        .crossJoin(broadcast(tot))
+        .withColumn("r", col("off") + col("rn"))
+        .withColumn("bsz", expr("n_tot div 8"))
+        .withColumn("rem", expr("n_tot % 8"))
+        .withColumn("bin",
+          when(col("r") <= col("rem") * (col("bsz") + 1),
+            expr("(r - 1) div (bsz + 1)") + 1)
+            .otherwise(col("rem") + expr("(r - 1 - rem * (bsz + 1)) div bsz") + 1))
+        .select(col("vec_id"), col("bin").cast("long").as("bin"))
         .orderBy("vec_id")
     })
   )

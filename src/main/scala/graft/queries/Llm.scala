@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -77,18 +76,31 @@ object Llm {
     }),
 
     // MinHash-LSH candidate pairs (capability row: hash-seed dependent, no
-    // cross-engine oracle; tests assert candidates ⊇ dedup_jaccard pairs)
+    // cross-engine oracle; tests assert candidates ⊇ dedup_jaccard pairs).
+    // Direct banded implementation (Broder minhash + Indyk–Motwani OR-
+    // amplification, b=16 bands of r=1): the k signature mins come out of a
+    // SINGLE agg shuffle (k hash families = xxhash64 salted by position),
+    // candidates come from an equi-join on (band, value) buckets — never
+    // all pairs — and the Jaccard estimate is the matching-position
+    // fraction of the two signatures. Collision probability for a
+    // true τ=0.5 pair is 1-(1-j)^16 ≈ 0.9999.
     "dedup_minhash" -> ((s, sf) => {
-      val sh = shingles(t(s, sf, "documents"))
-        .groupBy("doc_id").agg(collect_list(col("s")).as("sh"))
-      val feat = new HashingTF().setInputCol("sh").setOutputCol("features")
-        .setNumFeatures(1 << 18).transform(sh)
-      val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(8).setSeed(42L).fit(feat)
-      model.approxSimilarityJoin(feat, feat, 0.5, "dist")
-        .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"),
-          round(lit(1.0) - col("dist"), 6).as("est_jaccard"))
-        .where(col("a_id") < col("b_id"))
+      val k = 16
+      val mins = shingles(t(s, sf, "documents"))
+        .groupBy("doc_id")
+        .agg(array((0 until k).map(i => min(xxhash64(col("s"), lit(i)))): _*).as("mh"))
+      val bands = mins.select(col("doc_id"), col("mh"),
+        posexplode(col("mh")).as(Seq("band", "bv")))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.mh").as("ma"), col("b.mh").as("mb"))
+        .distinct()
+        .withColumn("est_jaccard", round(
+          expr(s"CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS DOUBLE) / $k"), 6))
+        .where(col("est_jaccard") >= 0.5)
+        .select("a_id", "b_id", "est_jaccard")
         .orderBy("a_id", "b_id")
     }),
 

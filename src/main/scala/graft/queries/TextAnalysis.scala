@@ -64,14 +64,18 @@ object TextAnalysis {
         .orderBy("doc_id")),
 
     // positional rolling-hash fingerprint: order-sensitive, exact integer
-    // arithmetic (mod 2^31-1) so it hash-matches across engines
+    // arithmetic (mod 2^31-1) so it hash-matches across engines. Computed
+    // as a narrow per-row array fold — no explode, no shuffle: the per-doc
+    // sum never leaves the row, so at 100 TB this is a pure map stage.
     "text_fingerprint" -> ((s, sf) =>
       t(s, sf, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .groupBy("doc_id")
-        .agg(pmod(sum((col("pos") + 1) *
-          (length(col("tok")) * 256 + ascii(substring(col("tok"), 1, 1)))),
-          lit(2147483647L)).as("fp"))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          pmod(expr(
+            """aggregate(sequence(0, size(tk) - 1), 0L,
+              |  (acc, i) -> acc + CAST(i + 1 AS BIGINT) *
+              |    (length(tk[i]) * 256 + ascii(substring(tk[i], 1, 1))))""".stripMargin),
+            lit(2147483647L)).as("fp"))
         .orderBy("doc_id")),
 
     // custom Catalyst Generator: character 3-gram counts (the §2.12
