@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** A media row: opaque binary payload + typed metadata columns.
-  * `payload` layout used by the STUB codec: 8-byte header
+  * Real container formats (PNG/JPEG/GIF/WAV) are detected by magic bytes;
+  * synthetic payloads may instead carry the legacy 8-byte graft header
   * (be16 width, be16 height, be32 sampleRate) followed by the body.
   */
 case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
@@ -17,28 +18,80 @@ case class DecodedMedia(media_id: Long, kind: String, payload: Array[Byte],
 /** Multimodal-column plumbing (north star, SURVEY.md §2 category checklist):
   * image/audio/video as opaque `binary` columns with typed metadata.
   *
-  * The *codec* step is a clearly-marked STUB — this environment ships no
-  * image/audio libraries, so `decodeMeta` parses a deterministic fake
-  * header instead of calling a real decoder. Everything Spark-side is real
-  * and tested: the schema, the per-partition batch iteration shape (the
-  * Scala analogue of `mapInPandas` — one iterator per partition, setup
-  * amortized per batch, never per row), narrow no-shuffle execution, and
-  * partition preservation. Swapping the stub for a real codec changes one
-  * function body and nothing about the plan.
+  * The *metadata* path is real: `decodeMeta` parses genuine PNG / JPEG /
+  * GIF / WAV container headers in pure JVM code (magic bytes + the format's
+  * own dimension/sample-rate fields — no codec library needed), falling
+  * back to the legacy 8-byte graft header for synthetic payloads. Only
+  * pixel/sample *decoding* (resize resampling, frame decode) remains a
+  * clearly-marked STUB, since the environment ships no codec libraries.
+  * Everything Spark-side is real and tested: the schema, the per-partition
+  * batch iteration shape (the Scala analogue of `mapInPandas` — one
+  * iterator per partition, setup amortized per batch, never per row),
+  * narrow no-shuffle execution, and partition preservation.
   */
 object MultiModal {
 
-  /** STUB codec: parse the fake 8-byte header. A real deployment would
-    * invoke an image/audio codec here (payload bytes are opaque to Spark
-    * either way — the plumbing is identical).
+  /** Parse real container metadata from the payload's own header bytes:
+    *   - PNG  — 8-byte signature, then the IHDR chunk's be32 width/height
+    *   - JPEG — walk marker segments to the first SOFn frame header
+    *   - GIF  — GIF87a/GIF89a logical-screen le16 width/height
+    *   - WAV  — RIFF/WAVE chunk walk to `fmt `'s le32 sample rate
+    * Unrecognized payloads fall back to the legacy 8-byte graft header
+    * (be16 w, be16 h, be32 rate) used by synthetic fixtures.
     */
   def decodeMeta(payload: Array[Byte]): MediaMeta = {
-    def be16(i: Int) = ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
-    def be32(i: Int) =
-      ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
-        ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
-    if (payload.length < 8) MediaMeta(0, 0, 0, payload.length)
-    else MediaMeta(be16(0), be16(2), be32(4), payload.length)
+    val n = payload.length
+    def u8(i: Int) = payload(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int, s: String) =
+      n >= i + s.length && s.indices.forall(j => payload(i + j) == s.charAt(j).toByte)
+
+    if (n >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a && tag(12, "IHDR"))
+      MediaMeta(be32(16), be32(20), 0, n)
+    else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var out = MediaMeta(0, 0, 0, n)
+      var done = false
+      while (!done && i + 3 < n && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        if (m == 0xff) i += 1 // fill byte
+        else if ((m >= 0xd0 && m <= 0xd9) || m == 0x01) i += 2 // standalone marker
+        else {
+          // SOFn (C0-CF minus C4/C8/CC) carries be16 height @+5, width @+7
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof && i + 8 < n) { out = MediaMeta(be16(i + 7), be16(i + 5), 0, n); done = true }
+          else i += 2 + be16(i + 2)
+        }
+      }
+      out
+    } else if (n >= 10 && (tag(0, "GIF87a") || tag(0, "GIF89a")))
+      MediaMeta(le16(6), le16(8), 0, n)
+    else if (tag(0, "RIFF") && tag(8, "WAVE")) {
+      var i = 12
+      var rate = 0
+      while (rate == 0 && i + 8 <= n) {
+        val sz = le32(i + 4)
+        if (tag(i, "fmt ") && i + 16 <= n) rate = le32(i + 12)
+        if (sz < 0) i = n else i += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      MediaMeta(0, 0, rate, n)
+    } else if (n >= 8) MediaMeta(be16(0), be16(2), be32(4), n) // legacy graft header
+    else MediaMeta(0, 0, 0, n)
+  }
+
+  /** Container detection by the same magic bytes `decodeMeta` keys on. */
+  def detectKind(payload: Array[Byte]): String = {
+    def tag(i: Int, s: String) =
+      payload.length >= i + s.length &&
+        s.indices.forall(j => payload(i + j) == s.charAt(j).toByte)
+    if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 && tag(1, "PNG")) "png"
+    else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) "jpeg"
+    else if (tag(0, "GIF87a") || tag(0, "GIF89a")) "gif"
+    else if (tag(0, "RIFF") && tag(8, "WAVE")) "wav"
+    else "raw"
   }
 
   /** Encode the fake header (test fixture / STUB resize helper). */
@@ -75,14 +128,19 @@ object MultiModal {
   }
 
   /** Frame sampling: split the body (after the 8-byte header) into `n`
-    * contiguous frames — array-of-binary out, one row in. Real slicing.
+    * contiguous frames — array-of-binary out, one row in. Real slicing;
+    * the last frame extends to the end of the body so no trailing bytes
+    * are dropped.
     */
   def frameSample(n: Int) = udf { payload: Array[Byte] =>
     val body = payload.drop(8)
     if (body.isEmpty || n <= 0) Array.empty[Array[Byte]]
     else {
       val sz = math.max(1, body.length / n)
-      (0 until n).map(i => body.slice(i * sz, math.min((i + 1) * sz, body.length))).toArray
+      (0 until n).map { i =>
+        val end = if (i == n - 1) body.length else math.min((i + 1) * sz, body.length)
+        body.slice(i * sz, end)
+      }.toArray
     }
   }
 
