@@ -35,7 +35,11 @@ object Bench {
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(e.toString.take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // a query's persisted intermediates must not linger into (and slow
+      // down / steal memory from) the queries timed after it
+      spark.sharedState.cacheManager.clearCache()
+      (name, sec, err)
     }
     // A failed query is reported as an error, never as a (fast) timing.
     val ok = results.collect { case (n, sec, None) => n -> sec }

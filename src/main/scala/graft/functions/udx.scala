@@ -37,4 +37,34 @@ object Udx {
   def weightedMean(x: Column, w: Column): Column =
     udaf(WeightedMeanAgg, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
       .apply(x, w)
+
+  /** Bounded top-k aggregator for kNN-style queries: keeps the k best
+    * (sim desc, id asc) pairs in a fixed-size buffer, so the PARTIAL
+    * aggregate already shrinks each map task's n·m candidate stream to k
+    * rows per group — the shuffle after a broadcast nearest-neighbour scan
+    * carries only groups×k rows, never the n·m candidate pairs. This is
+    * what keeps brute-force kNN viable: the quadratic stream exists only
+    * inside map tasks, pipelined, and is never materialized or shuffled.
+    */
+  class TopKAgg(k: Int)
+    extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.by[(Double, Long), (Double, Long)] { case (sim, id) => (-sim, id) }
+    override def zero: List[(Double, Long)] = Nil
+    override def reduce(b: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] =
+      if (b.lengthCompare(k) < 0 || ord.lt(in, b.last)) ((in :: b).sorted(ord)).take(k)
+      else b
+    override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+      (a ++ b).sorted(ord).take(k)
+    override def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = r
+    override def bufferEncoder: Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Column-function form of [[TopKAgg]]: `topK(5, $"sim", $"b_id")`. */
+  def topK(k: Int, sim: Column, id: Column): Column =
+    udaf(new TopKAgg(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      .apply(sim, id)
 }

@@ -31,15 +31,20 @@ case class DecodedMedia(media_id: Long, kind: String, payload: Array[Byte],
   */
 object MultiModal {
 
-  /** Parse real container metadata from the payload's own header bytes:
-    *   - PNG  — 8-byte signature, then the IHDR chunk's be32 width/height
+  /** One classifier for both kind and metadata, so they can never disagree:
+    * a payload is only "png"/"jpeg"/"gif"/"wav" when the same structural
+    * preconditions the parser needs actually hold (signature AND enough
+    * bytes for the dimension fields). Truncated or malformed containers
+    * degrade to ("raw", MediaMeta(0,0,0,n)) — one corrupt payload must
+    * never throw and kill a whole decode task at scale.
+    *   - PNG  — 8-byte signature + IHDR chunk's be32 width/height
     *   - JPEG — walk marker segments to the first SOFn frame header
     *   - GIF  — GIF87a/GIF89a logical-screen le16 width/height
     *   - WAV  — RIFF/WAVE chunk walk to `fmt `'s le32 sample rate
     * Unrecognized payloads fall back to the legacy 8-byte graft header
     * (be16 w, be16 h, be32 rate) used by synthetic fixtures.
     */
-  def decodeMeta(payload: Array[Byte]): MediaMeta = {
+  private def classify(payload: Array[Byte]): (String, MediaMeta) = {
     val n = payload.length
     def u8(i: Int) = payload(i) & 0xff
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
@@ -47,52 +52,71 @@ object MultiModal {
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     def tag(i: Int, s: String) =
-      n >= i + s.length && s.indices.forall(j => payload(i + j) == s.charAt(j).toByte)
-
-    if (n >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a && tag(12, "IHDR"))
-      MediaMeta(be32(16), be32(20), 0, n)
-    else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
-      var i = 2
-      var out = MediaMeta(0, 0, 0, n)
-      var done = false
-      while (!done && i + 3 < n && u8(i) == 0xff) {
-        val m = u8(i + 1)
-        if (m == 0xff) i += 1 // fill byte
-        else if ((m >= 0xd0 && m <= 0xd9) || m == 0x01) i += 2 // standalone marker
-        else {
-          // SOFn (C0-CF minus C4/C8/CC) carries be16 height @+5, width @+7
-          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
-          if (isSof && i + 8 < n) { out = MediaMeta(be16(i + 7), be16(i + 5), 0, n); done = true }
-          else i += 2 + be16(i + 2)
-        }
-      }
-      out
-    } else if (n >= 10 && (tag(0, "GIF87a") || tag(0, "GIF89a")))
-      MediaMeta(le16(6), le16(8), 0, n)
-    else if (tag(0, "RIFF") && tag(8, "WAVE")) {
-      var i = 12
-      var rate = 0
-      while (rate == 0 && i + 8 <= n) {
-        val sz = le32(i + 4)
-        if (tag(i, "fmt ") && i + 16 <= n) rate = le32(i + 12)
-        if (sz < 0) i = n else i += 8 + sz + (sz & 1) // chunks are word-aligned
-      }
-      MediaMeta(0, 0, rate, n)
-    } else if (n >= 8) MediaMeta(be16(0), be16(2), be32(4), n) // legacy graft header
-    else MediaMeta(0, 0, 0, n)
-  }
-
-  /** Container detection by the same magic bytes `decodeMeta` keys on. */
-  def detectKind(payload: Array[Byte]): String = {
-    def tag(i: Int, s: String) =
-      payload.length >= i + s.length &&
+      i >= 0 && n >= i + s.length &&
         s.indices.forall(j => payload(i + j) == s.charAt(j).toByte)
-    if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 && tag(1, "PNG")) "png"
-    else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) "jpeg"
-    else if (tag(0, "GIF87a") || tag(0, "GIF89a")) "gif"
-    else if (tag(0, "RIFF") && tag(8, "WAVE")) "wav"
-    else "raw"
+
+    // A container *signature* (first bytes) vs a *parseable* container: a
+    // payload whose signature matches but whose structure doesn't parse is
+    // classified ("raw", zeros) — never the legacy-header fallback, which
+    // would read garbage dimensions out of the signature bytes themselves.
+    val hasSignature =
+      (n >= 8 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a) ||
+        (n >= 2 && u8(0) == 0xff && u8(1) == 0xd8) ||
+        tag(0, "GIF87a") || tag(0, "GIF89a") ||
+        (tag(0, "RIFF") && tag(8, "WAVE"))
+
+    val parsed: Option[(String, MediaMeta)] =
+      if (n >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a && tag(12, "IHDR"))
+        Some("png" -> MediaMeta(be32(16), be32(20), 0, n))
+      else if (n >= 11 && u8(0) == 0xff && u8(1) == 0xd8) {
+        var i = 2
+        var out: Option[MediaMeta] = None
+        while (out.isEmpty && i + 3 < n && u8(i) == 0xff) {
+          val m = u8(i + 1)
+          if (m == 0xff) i += 1 // fill byte
+          else if ((m >= 0xd0 && m <= 0xd9) || m == 0x01) i += 2 // standalone marker
+          else {
+            // SOFn (C0-CF minus C4/C8/CC) carries be16 height @+5, width @+7
+            val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof && i + 8 < n) out = Some(MediaMeta(be16(i + 7), be16(i + 5), 0, n))
+            else i += 2 + be16(i + 2)
+          }
+        }
+        out.map("jpeg" -> _)
+      } else if (n >= 10 && (tag(0, "GIF87a") || tag(0, "GIF89a")))
+        Some("gif" -> MediaMeta(le16(6), le16(8), 0, n))
+      else if (tag(0, "RIFF") && tag(8, "WAVE")) {
+        // Long cursor: a hostile le32 chunk size (e.g. 0x7FFFFFF0) would
+        // overflow an Int cursor negative and index out of bounds.
+        var i = 12L
+        var rate = 0
+        while (rate == 0 && i + 8 <= n) {
+          val sz = le32(i.toInt + 4).toLong & 0xffffffffL
+          if (tag(i.toInt, "fmt ") && i + 16 <= n) rate = le32(i.toInt + 12)
+          i += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+        if (rate != 0) Some("wav" -> MediaMeta(0, 0, rate, n)) else None
+      } else None
+
+    parsed.getOrElse {
+      if (hasSignature || n < 8) "raw" -> MediaMeta(0, 0, 0, n)
+      else "raw" -> MediaMeta(be16(0), be16(2), be32(4), n) // legacy graft header
+    }
   }
+
+  /** Parse container metadata (see [[classify]]); total — malformed input
+    * degrades to MediaMeta(0,0,0,n) rather than throwing.
+    */
+  def decodeMeta(payload: Array[Byte]): MediaMeta =
+    try classify(payload)._2
+    catch { case _: RuntimeException => MediaMeta(0, 0, 0, payload.length) }
+
+  /** Container detection — same classifier as [[decodeMeta]], so the kind
+    * label and the parsed metadata always agree.
+    */
+  def detectKind(payload: Array[Byte]): String =
+    try classify(payload)._1
+    catch { case _: RuntimeException => "raw" }
 
   /** Encode the fake header (test fixture / STUB resize helper). */
   def encodeHeader(width: Int, height: Int, sampleRate: Int): Array[Byte] =

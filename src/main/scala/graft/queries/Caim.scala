@@ -19,22 +19,29 @@ object Caim {
     // Alg. step 1: midpoints between consecutive distinct feature values.
     // Distributed lag: range-partition on v, per-partition lag in parallel,
     // and stitch partition boundaries by joining each partition's first row
-    // with the running max of the previous partitions. Only the
-    // per-partition maxima (≤ #partitions rows) ever cross a global window
-    // — no full-data single-partition exchange at any scale.
+    // with the max of all previous partitions (a triangular self-join over
+    // the ≤ #partitions per-partition maxima) — no single-partition
+    // exchange at any scale.
     "caim_candidates" -> ((s, sf) => {
       import org.apache.spark.sql.expressions.Window
+      // persist pins the range partitioning (and therefore pid) so the two
+      // consumers below are guaranteed the SAME partition boundaries — not
+      // merely likely-identical via exchange reuse (RangePartitioner
+      // sampling is seeded per RDD, so recomputation could diverge).
       val d = t(s, sf, "embeddings")
         .select(element_at(col("embedding"), 1).cast("double").as("v")).distinct()
         .repartitionByRange(col("v"))
         .withColumn("pid", spark_partition_id())
+        .persist()
       val wp = Window.partitionBy("pid").orderBy("v")
       val withPrev = d.withColumn("prev", lag("v", 1).over(wp))
-      // boundary stitch: running max over the tiny per-partition summary
-      val wb = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-      val bounds = d.groupBy("pid").agg(max("v").as("pm"))
-        .withColumn("prevmax", max("pm").over(wb))
-        .select("pid", "prevmax")
+      // boundary stitch over the tiny per-partition summary (≤ #partitions
+      // rows): prevmax via a triangular self-join instead of an
+      // unpartitioned running-max window — no single-partition exchange
+      // anywhere in the plan, at any scale.
+      val pm = d.groupBy("pid").agg(max("v").as("pm"))
+      val bounds = pm.as("x").join(pm.as("y"), col("y.pid") < col("x.pid"))
+        .groupBy(col("x.pid").as("pid")).agg(max(col("y.pm")).as("prevmax"))
       withPrev.join(broadcast(bounds), Seq("pid"), "left")
         .withColumn("pv", coalesce(col("prev"), col("prevmax")))
         .filter(col("pv").isNotNull)
@@ -104,17 +111,21 @@ object Caim {
     // to a global ntile(8) with no full-data single-partition window.
     "disc_equal_freq" -> ((s, sf) => {
       import org.apache.spark.sql.expressions.Window
+      // persist pins pid across the ranked/sizes branches (see
+      // caim_candidates — same RangePartitioner-reseeding hazard)
       val e = t(s, sf, "embeddings")
         .select(col("vec_id"), element_at(col("embedding"), 1).cast("double").as("v"))
         .repartitionByRange(col("v"), col("vec_id"))
         .withColumn("pid", spark_partition_id())
+        .persist()
       val wp = Window.partitionBy("pid").orderBy(col("v").asc, col("vec_id").asc)
       val ranked = e.withColumn("rn", row_number().over(wp))
       val sizes = e.groupBy("pid").agg(count(lit(1)).as("n"))
-      val wb = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-      val offs = sizes
-        .withColumn("off", coalesce(sum("n").over(wb), lit(0L)))
-        .select("pid", "off")
+      // prefix sum over ≤ #partitions rows via triangular self-join — no
+      // unpartitioned window, no single-partition exchange
+      val offs = sizes.as("x").join(sizes.as("y"), col("y.pid") < col("x.pid"), "left")
+        .groupBy(col("x.pid").as("pid"))
+        .agg(coalesce(sum(col("y.n")), lit(0L)).as("off"))
       val tot = sizes.agg(sum("n").as("n_tot"))
       // ntile(k): the first (n % k) buckets get ceil(n/k) rows, the rest
       // floor(n/k); rank r (1-based) maps to its bucket by integer division

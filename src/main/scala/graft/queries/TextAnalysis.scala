@@ -67,8 +67,11 @@ object TextAnalysis {
     // arithmetic (mod 2^31-1) so it hash-matches across engines. Computed
     // as a narrow per-row array fold — no explode, no shuffle: the per-doc
     // sum never leaves the row, so at 100 TB this is a pure map stage.
+    // null-text docs are dropped (matching the explode-based oracle's
+    // semantics, which emits no row for them) rather than surfacing null fp
     "text_fingerprint" -> ((s, sf) =>
       t(s, sf, "documents")
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"),
           pmod(expr(
@@ -107,8 +110,11 @@ object TextAnalysis {
         while (b < 64) { if (votes(b) > 0) sh |= (1L << b); b += 1 }
         sh
       }
+      // persist: one tiny row per doc; the banded self-join below would
+      // otherwise recompute the gather-shuffle + bit-vote fold per branch
       val sim = toks.groupBy("doc_id").agg(collect_list("h").as("hs"))
         .select(col("doc_id"), simhash(col("hs")).as("sh"))
+        .persist()
       val bands = sim.select(col("doc_id"), col("sh"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> (sh >> (b * 16)) & 65535)")).as(Seq("band", "bv")))
