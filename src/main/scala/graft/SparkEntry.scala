@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Aggregates, Caim, Llm, Relational, Scalars, Streams, TextAnalysis}
+import graft.queries.{Aggregates, Caim, Llm, Relational, Scalars, Sources, Streams, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Scalars.queries ++
-      Caim.queries ++ Llm.queries ++ Streams.queries ++ TextAnalysis.queries
+      Caim.queries ++ Llm.queries ++ Streams.queries ++ TextAnalysis.queries ++
+      Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Aggregates.oracle ++ Scalars.oracle ++
-      Caim.oracle ++ Llm.oracle ++ Streams.oracle ++ TextAnalysis.oracle
+      Caim.oracle ++ Llm.oracle ++ Streams.oracle ++ TextAnalysis.oracle ++
+      Sources.oracle
 }

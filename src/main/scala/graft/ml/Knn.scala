@@ -6,30 +6,23 @@ import org.apache.spark.sql.functions._
 
 /** k-nearest-neighbour majority-vote classification over an embedding
   * table — the composition of the similarity-search operators (SURVEY.md
-  * §2.10: `sim_topk` + `topk_per_group` + `agg_group`, no new semantics).
+  * §2.10: [[Sim.topK]] + `topk_per_group` + `agg_group`, no new semantics).
   *
-  * Exact brute-force: for bulk classification at 100 TB swap the all-pairs
-  * join for the IVF candidate generation of `sim_ann_ivf` — the vote/argmax
-  * tail of the pipeline is unchanged.
+  * With `auto = true` the neighbour search dispatches through [[Sim.topK]]:
+  * brute force on small corpora, the IVF coarse-quantizer path once the
+  * corpus crosses the all-pairs budget — the vote/argmax tail is unchanged
+  * either way.
   */
 object Knn {
 
-  /** @param emb (vec_id: long, embedding: array, label) table
+  /** @param emb  (vec_id: long, embedding: array, label) table
+    * @param auto swap brute force for IVF above [[Sim.topK]]'s threshold
     * @return (vec_id, pred, votes) — majority label among the k nearest
     *         neighbours by cosine; ties break to the smaller label.
     */
-  def classify(emb: DataFrame, k: Int = 5): DataFrame = {
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
-        col("label"))
-      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
-    val a = v.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
-    val b = v.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"),
-      col("label").as("b_label"))
-    val wk = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-    val neighbours = a.join(b, col("a_id") =!= col("b_id"))
-      .withColumn("sim", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
-      .withColumn("rn", row_number().over(wk))
-      .where(col("rn") <= k)
+  def classify(emb: DataFrame, k: Int = 5, auto: Boolean = false): DataFrame = {
+    val neighbours = Sim.topK(emb.select(col("vec_id"), col("embedding")), k, auto)
+      .join(emb.select(col("vec_id").as("b_id"), col("label").as("b_label")), "b_id")
       .select(col("a_id"), col("b_label"))
     val wv = Window.partitionBy("a_id").orderBy(col("votes").desc, col("b_label").asc)
     neighbours.groupBy("a_id", "b_label").agg(count(lit(1)).as("votes"))

@@ -47,39 +47,11 @@ object Llm {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col("doc_id"), explode(col("ss")).as("s"))
 
-  /** All ordered cosine pairs (a_id != b_id is caller's choice via cond).
-    * Dot/norm use the codegen'd `graft_dot` expression
-    * ([[graft.functions.DotProduct]], registered by [[graft.GraftExtensions]])
-    * — identical left-to-right summation to an explicit fold, ~40× faster
-    * than interpreted `aggregate(zip_with(...))` on this corpus.
-    */
-  private def cosinePairs(emb: DataFrame, cond: Column): DataFrame = {
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
-    // Probe side re-spreads across all cores (the source is typically one
-    // parquet row-group at bench SF, i.e. one scan partition); build side
-    // broadcasts, so the O(n·m) candidate stream is generated INSIDE map
-    // tasks, pipelined through the τ-filter/top-k — never shuffled.
-    val a = v.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
-    val b = v.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
-    a.join(broadcast(b), cond)
-      .withColumn("sim", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
-  }
-
-  /** (a_id, b_id, sim) candidate stream → ranked top-5 per a_id via the
-    * bounded [[graft.functions.Udx.TopKAgg]] (sim desc, b_id asc): partial
-    * aggregation shrinks each map task's candidates to ≤5 per group before
-    * the shuffle. Output: (a_id, rn, b_id, sim).
-    */
-  private def topKHits(cands: DataFrame): DataFrame =
-    cands
-      .groupBy("a_id")
-      .agg(graft.functions.Udx.topK(5, col("sim"), col("b_id")).as("hits"))
-      .select(col("a_id"), posexplode(col("hits")).as(Seq("i", "hit")))
-      .select(col("a_id"), (col("i") + 1).cast("long").as("rn"),
-        col("hit._2").as("b_id"), round(col("hit._1"), 6).as("sim"))
-      .orderBy("a_id", "rn")
+  // Similarity kernels (cosine pairs, bounded top-k, IVF) live in the
+  // library surface [[graft.ml.Sim]]; the declared queries below are thin
+  // bindings of those operators to the corpus tables. Dot/norm use the
+  // codegen'd `graft_dot` expression ([[graft.functions.DotProduct]],
+  // registered by [[graft.GraftExtensions]]).
 
   val queries: Map[String, Q] = Map(
     // exact dedup: content hash → survivor (min doc_id) + multiplicity
@@ -166,7 +138,7 @@ object Llm {
 
     // exact cosine similarity pairs over 64-dim embeddings, tau = 0.4
     "sim_cosine_pairs" -> ((s, sf) =>
-      cosinePairs(t(s, sf, "embeddings"), col("a_id") < col("b_id"))
+      graft.ml.Sim.cosinePairs(t(s, sf, "embeddings"), col("a_id") < col("b_id"))
         .where(col("sim") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
         .orderBy("a_id", "b_id")),
@@ -175,10 +147,8 @@ object Llm {
     // float-rank ties across engines → validated in tests, not oracled).
     // The bounded TopKAgg partial-aggregates INSIDE the broadcast-join map
     // tasks, so the n² candidate stream is pipelined and only n×5 hits are
-    // ever shuffled — vs the previous global window that sorted all n²
-    // pairs through an exchange.
-    "sim_topk" -> ((s, sf) =>
-      topKHits(cosinePairs(t(s, sf, "embeddings"), col("a_id") =!= col("b_id")))),
+    // ever shuffled.
+    "sim_topk" -> ((s, sf) => graft.ml.Sim.bruteTopK(t(s, sf, "embeddings"), 5)),
 
     // IVF approximate nearest neighbours (capability row: the 100 TB scale
     // path for sim_topk). A KMeans coarse quantizer partitions vectors into
@@ -186,36 +156,8 @@ object Llm {
     // exactly with graft_dot. Candidate volume drops from O(n²) to
     // O(n²·nprobe/k) — at scale the cell assignment also becomes the
     // shuffle/bucketing key so each cell joins co-located.
-    "sim_ann_ivf" -> ((s, sf) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val emb = t(s, sf, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val withVec = emb.withColumn("fv", array_to_vector(col("e")))
-      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(4)
-        .setFeaturesCol("fv").setPredictionCol("cell").fit(withVec)
-      val assigned = model.transform(withVec)
-        .select(col("vec_id"), col("e"), col("cell"))
-      val sess = s
-      val cents = sess.createDataFrame(
-        model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
-        .toDF("pcell", "c")
-      // nprobe=2 nearest centroids per vector (centroid table broadcasts)
-      val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("pcell").asc)
-      val probes = assigned.crossJoin(broadcast(cents))
-        .withColumn("d2", expr("graft_dot(e, e) - 2 * graft_dot(e, c) + graft_dot(c, c)"))
-        .withColumn("pr", row_number().over(w))
-        .where(col("pr") <= 2)
-        .select(col("vec_id").as("a_id"), col("e").as("ea"),
-          sqrt(expr("graft_dot(e, e)")).as("na"), col("pcell").as("cell"))
-      val data = assigned
-        .select(col("vec_id").as("b_id"), col("e").as("eb"),
-          sqrt(expr("graft_dot(e, e)")).as("nb"), col("cell"))
-      // bounded top-k partial agg inside the per-cell join tasks (see
-      // sim_topk): only n×5 hits cross the final exchange
-      topKHits(probes.join(data, Seq("cell")).where(col("a_id") =!= col("b_id"))
-        .withColumn("sim", expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
-    }),
+    "sim_ann_ivf" -> ((s, sf) =>
+      graft.ml.Sim.ivfTopK(t(s, sf, "embeddings"), 5, nCells = 16, nprobe = 2)),
 
     // canonical generator demo: tokenize + explode + count
     "text_wordcount" -> ((s, sf) =>

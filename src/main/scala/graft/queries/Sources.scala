@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.T.{Q, t}
+
+/** SURVEY.md §2.1 — CSV/JSON source round-trips as DECLARED (oracle-checked)
+  * queries, not just capability tests: each query materializes a corpus
+  * table into the text format inside the query, reads it back with an
+  * EXPLICIT schema, and aggregates. The oracle runs the same aggregate over
+  * the original parquet, so the round-trip must be lossless end-to-end
+  * (quoting/escaping on write, schema-driven parsing on read).
+  *
+  * Scale posture: write and read are both full-width distributed jobs (one
+  * file per partition on write, splittable line-based reads); the temp
+  * location stands in for any shared filesystem/object store.
+  */
+object Sources {
+
+  private def tmp(sf: String, fmt: String): String = {
+    val tag = new java.io.File(sf).getName
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${fmt}_$tag"
+  }
+
+  val queries: Map[String, Q] = Map(
+    // CSV with header; explicit DDL schema on read (no inference jobs)
+    "source_csv" -> ((s, sf) => {
+      val dir = tmp(sf, "csv")
+      t(s, sf, "nation").write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true").csv(dir)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+        .orderBy("n_regionkey")
+    }),
+
+    // JSON lines; doubles survive the text round-trip exactly (shortest
+    // round-trippable representation), summed with the DECIMAL discipline
+    "source_json" -> ((s, sf) => {
+      val dir = tmp(sf, "json")
+      t(s, sf, "supplier").write.mode("overwrite").json(dir)
+      s.read.schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .json(dir)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"), graft.T.dsum(col("s_acctbal"), 2).as("sum_bal"))
+        .orderBy("s_nationkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "source_csv" ->
+      """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+         FROM nation GROUP BY 1 ORDER BY n_regionkey""",
+    "source_json" ->
+      """SELECT s_nationkey, count(*) AS n_supp,
+                CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM supplier GROUP BY 1 ORDER BY s_nationkey"""
+  )
+}

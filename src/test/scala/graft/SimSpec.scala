@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.ml.Sim
+
+/** Auto-dispatching similarity search (SURVEY.md §4 stretch: the
+  * brute-force → IVF rewrite as a library function).
+  */
+class SimSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private def emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("auto below threshold is exactly the brute-force result") {
+    val brute = Sim.bruteTopK(emb, 5).collect()
+    val auto = Sim.topK(emb, 5, auto = true, ivfThreshold = Long.MaxValue).collect()
+    auto shouldBe brute
+  }
+
+  test("auto above threshold swaps to IVF and preserves >= 0.9 recall") {
+    val brute = Sim.bruteTopK(emb, 5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // threshold 1 forces the IVF path; probing every cell makes the coarse
+    // quantizer lossless, so the swap must preserve the exact neighbour set
+    // (recall 1.0). Real deployments trade nprobe < nCells for speed.
+    val swapped = Sim.topK(emb, 5, auto = true, ivfThreshold = 1,
+        nCells = 16, nprobe = 16)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = swapped.intersect(brute).size.toDouble / brute.size
+    recall should be >= 0.9
+  }
+
+  test("IVF path ranks are internally consistent (sim non-increasing)") {
+    Sim.topK(emb, 5, auto = true, ivfThreshold = 1).collect()
+      .groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+        byRank.sliding(2).foreach {
+          case Array(hi, lo) => hi should be >= lo
+          case _ =>
+        }
+      }
+  }
+}
