@@ -106,16 +106,27 @@ class CAIMDiscretizer(override val uid: String)
     val labelIdx = labels.zipWithIndex.toMap
     val nClasses = labels.length
 
-    val splits = feats.indices.map { fi =>
-      val mine = rows.filter(_.getInt(0) == fi)
-      val values = mine.map(_.getDouble(1)).distinct.sorted
-      val vIdx = values.zipWithIndex.toMap
-      val counts = Array.ofDim[Long](values.length, nClasses)
-      mine.foreach { r =>
-        counts(vIdx(r.getDouble(1)))(labelIdx(r.getString(2))) += r.getLong(3)
-      }
-      CAIMDiscretizer.greedySelect(values, counts, nClasses)
-    }.toArray
+    // Per-feature greedy runs are independent: fan them out across driver
+    // cores (the moral equivalent of a per-feature worker pool), each over
+    // its own pre-sliced piece of the collected histogram. Future.sequence
+    // keeps the output order aligned with inputCols.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val byFeat = rows.groupBy(_.getInt(0))
+    val splits = Await.result(
+      Future.sequence(feats.indices.map { fi =>
+        Future {
+          val mine = byFeat.getOrElse(fi, Array.empty[org.apache.spark.sql.Row])
+          val values = mine.map(_.getDouble(1)).distinct.sorted
+          val vIdx = values.zipWithIndex.toMap
+          val counts = Array.ofDim[Long](values.length, nClasses)
+          mine.foreach { r =>
+            counts(vIdx(r.getDouble(1)))(labelIdx(r.getString(2))) += r.getLong(3)
+          }
+          CAIMDiscretizer.greedySelect(values, counts, nClasses)
+        }
+      }), Duration.Inf).toArray
 
     copyValues(new CAIMDiscretizerModel(uid, splits).setParent(this))
   }

@@ -83,6 +83,18 @@ object Aggregates {
         .agg(array_join(array_sort(collect_list(col("o_orderkey"))), ",").as("order_keys"))
         .orderBy("o_custkey")),
 
+    // §2.4 exact percentiles (linear interpolation — same formula as the
+    // oracle's quantile_cont); quantities are small integers so the
+    // interpolated values are exact in binary and survive round(6)
+    "agg_percentile" -> ((s, sf) =>
+      t(s, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
+        .orderBy("l_returnflag")),
+
     // §2.4 pivot to the quanta-matrix shape (explicit pivot values)
     "agg_pivot" -> ((s, sf) => {
       val p = t(s, sf, "events").groupBy("user_id")
@@ -181,6 +193,12 @@ object Aggregates {
          count(*) AS cnt
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+         round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+         round(quantile_cont(l_quantity, 0.95), 6) AS p95
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_count_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS cust_cnt, count(*) AS cnt
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",

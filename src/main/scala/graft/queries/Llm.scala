@@ -143,6 +143,16 @@ object Llm {
         .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
         .orderBy("a_id", "b_id")),
 
+    // embedding-cosine near-dup collapse: every vector similar (τ=0.4) to a
+    // smaller-id vector is a duplicate; survivor = smallest such id. Same
+    // pair stream as sim_cosine_pairs, so the oracle cut is engine-stable.
+    "dedup_embed" -> ((s, sf) =>
+      graft.ml.Sim.cosinePairs(t(s, sf, "embeddings"), col("a_id") < col("b_id"))
+        .where(col("sim") >= 0.4)
+        .groupBy(col("b_id").as("dup_id"))
+        .agg(min(col("a_id")).as("keep_id"), count(lit(1)).as("n_better"))
+        .orderBy("dup_id")),
+
     // brute-force top-5 nearest neighbours per vector (capability row:
     // float-rank ties across engines → validated in tests, not oracled).
     // The bounded TopKAgg partial-aggregates INSIDE the broadcast-join map
@@ -230,6 +240,16 @@ object Llm {
                  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT a_id, b_id, round(sim, 6) AS sim FROM p
          WHERE sim >= 0.4 ORDER BY a_id, b_id""",
+    "dedup_embed" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
+                    sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm
+                    FROM embeddings),
+           p AS (SELECT a.vec_id a_id, b.vec_id b_id,
+                   list_sum(list_transform(list_zip(a.e, b.e), q -> q[1]*q[2]))/(a.nrm*b.nrm) sim
+                 FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT b_id AS dup_id, min(a_id) AS keep_id, count(*) AS n_better
+         FROM p WHERE sim >= 0.4 GROUP BY 1 ORDER BY dup_id""",
     "text_wordcount" ->
       """SELECT w, count(*) AS cnt FROM
          (SELECT unnest(string_split(text,' ')) AS w FROM documents)
