@@ -36,6 +36,23 @@ object Streams {
       .select(col("user_id"), unix_micros(col("session_window.start")).as("ws_us"),
         unix_micros(col("session_window.end")).as("we_us"), col("cnt"), col("sum_value"))
 
+  /** Event-time interval join, write-once: each left event pairs with right
+    * events of the same user inside [a_ts, a_ts + gap]. Batch: an equi-join
+    * on user_id with the range condition as join filter (one hash exchange
+    * per side). Streaming: the same expression on two watermarked streams —
+    * the explicit time bound is what lets Spark expire join state once the
+    * watermark passes a_ts + gap, keeping state O(gap × rate), not O(stream).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, gap: String): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("b_ts"),
+      col("event_id").as("b_id"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $gap"))
+      .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts"), col("b_ts"))
+  }
+
   val queries: Map[String, Q] = Map(
     // 1-hour tumbling event-time windows per event_type
     "stream_tumbling" -> ((s, sf) =>
@@ -47,7 +64,20 @@ object Streams {
 
     // data-driven session windows, 30-min gap, per user
     "stream_session" -> ((s, sf) =>
-      session(t(s, sf, "events")).orderBy("user_id", "ws_us"))
+      session(t(s, sf, "events")).orderBy("user_id", "ws_us")),
+
+    // event-time interval join: view → purchase by the same user within
+    // 10 minutes (the stream-stream join shape; StreamingSpec runs the
+    // same expression over two watermarked MemoryStreams)
+    "stream_join" -> ((s, sf) => {
+      val e = t(s, sf, "events")
+      intervalJoin(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "purchase"), "10 minutes")
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          unix_micros(col("a_ts")).as("a_us"), unix_micros(col("b_ts")).as("b_us"))
+        .orderBy("user_id", "a_id", "b_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -60,6 +90,14 @@ object Streams {
          count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
          GROUP BY 1 ORDER BY ws_us""",
+    "stream_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+                epoch_us(a.ts) AS a_us, epoch_us(b.ts) AS b_us
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND b.ts >= a.ts
+          AND b.ts <= a.ts + INTERVAL 10 MINUTE
+         WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+         ORDER BY 1, 2, 3""",
     "stream_session" ->
       """WITH g AS (SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL

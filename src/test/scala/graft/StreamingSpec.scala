@@ -159,6 +159,47 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("stream-stream interval join equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      (1L, ts("2024-01-01T10:00:00Z"), 7L, "view", 1.0),
+      (2L, ts("2024-01-01T10:30:00Z"), 7L, "view", 1.0),
+      (3L, ts("2024-01-01T10:00:00Z"), 8L, "view", 1.0))
+    val purchases = Seq(
+      (11L, ts("2024-01-01T10:05:00Z"), 7L, "purchase", 5.0), // joins view 1
+      (12L, ts("2024-01-01T10:38:00Z"), 7L, "purchase", 5.0), // joins view 2 only (> 10 min after 1)
+      (13L, ts("2024-01-01T11:00:00Z"), 8L, "purchase", 5.0)) // 60 min after view 3 → no join
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val msL = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val msR = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val joined = Streams.intervalJoin(
+      msL.toDF().toDF(cols: _*).withWatermark("ts", "1 hour"),
+      msR.toDF().toDF(cols: _*).withWatermark("ts", "1 hour"), "10 minutes")
+      .select("user_id", "a_id", "b_id")
+    val q = joined.writeStream
+      .format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      msL.addData(views: _*)
+      msR.addData(purchases: _*)
+      q.processAllAvailable()
+      // advance both watermarks so all joinable pairs are emitted
+      msL.addData((99L, ts("2024-01-01T13:00:00Z"), 9L, "view", 0.0))
+      msR.addData((98L, ts("2024-01-01T13:00:00Z"), 9L, "purchase", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ssj")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Streams.intervalJoin(
+        views.toDF(cols: _*), purchases.toDF(cols: _*), "10 minutes")
+        .select("user_id", "a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the watermark-advancing filler events join each other; ignore them
+      (streamed - ((9L, 99L, 98L))) shouldBe batch
+      batch should contain allOf ((7L, 1L, 11L), (7L, 2L, 12L))
+      batch should not contain ((8L, 3L, 13L))
+    } finally q.stop()
+  }
+
   test("file-source streaming: readStream over parquet equals batch") {
     // same write-once transform over a file stream source (not MemoryStream)
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
