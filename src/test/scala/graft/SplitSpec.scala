@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.Split
+
+/** Deterministic hash-split utility (train/test + k-fold). */
+class SplitSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private def docs = T.t(spark, sf001, "documents")
+
+  test("split is disjoint, complete, and roughly the requested fraction") {
+    val (train, test) = Split.byHash(docs, col("doc_id"), 0.2)
+    val n = docs.count()
+    val nTrain = train.count()
+    val nTest = test.count()
+    nTrain + nTest shouldBe n
+    train.select("doc_id").intersect(test.select("doc_id")).count() shouldBe 0L
+    nTest.toDouble / n shouldBe 0.2 +- 0.06
+  }
+
+  test("assignment is stable across runs and repartitioning") {
+    val (_, test1) = Split.byHash(docs, col("doc_id"), 0.2)
+    val (_, test2) = Split.byHash(docs.repartition(7), col("doc_id"), 0.2)
+    val ids1 = test1.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = test2.select("doc_id").collect().map(_.getLong(0)).sorted
+    ids1 shouldBe ids2
+  }
+
+  test("rows sharing a key land on the same side (no leakage)") {
+    // key on text content: exact-duplicate docs must not straddle the split
+    val (train, test) = Split.byHash(docs, col("text"), 0.3)
+    val trainTexts = train.select("text").distinct()
+    trainTexts.intersect(test.select("text").distinct()).count() shouldBe 0L
+  }
+
+  test("k-fold assignment covers all folds and is key-deterministic") {
+    val folded = docs.withColumn("fold", Split.fold(col("doc_id"), 5))
+    val dist = folded.groupBy("fold").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dist.keySet shouldBe Set(0L, 1L, 2L, 3L, 4L)
+    // no fold wildly over/under-represented on 500 docs
+    dist.values.foreach(_.toDouble should be(100.0 +- 45.0))
+    val again = docs.withColumn("fold", Split.fold(col("doc_id"), 5))
+    again.collect() shouldBe folded.collect()
+  }
+
+  test("split plan is narrow: no exchange") {
+    val (train, _) = Split.byHash(docs, col("doc_id"), 0.2)
+    val plan = train.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+}
