@@ -15,9 +15,13 @@ object Split {
 
   private val Buckets = 1000000L
 
-  /** Bucket in [0, 1e6) from the key: pmod(xxhash64(key, seed), 1e6). */
+  /** Bucket in [0, 1e6) from the key: pmod(xxhash64(key, seed), 1e6).
+    * A null key hashes to null, which would silently drop the row from
+    * BOTH sides of a split — route nulls to bucket 0 instead so the split
+    * stays a partition of the input.
+    */
   def bucket(key: Column, seed: Int = 42): Column =
-    pmod(xxhash64(key, lit(seed)), lit(Buckets))
+    coalesce(pmod(xxhash64(key, lit(seed)), lit(Buckets)), lit(0L))
 
   /** (train, test) with ≈ testFrac of keys in test.
     * Same (key, seed) → same side, always.
@@ -35,6 +39,6 @@ object Split {
     */
   def fold(key: Column, k: Int, seed: Int = 42): Column = {
     require(k > 0, "k must be positive")
-    pmod(xxhash64(key, lit(seed)), lit(k.toLong))
+    coalesce(pmod(xxhash64(key, lit(seed)), lit(k.toLong)), lit(0L))
   }
 }

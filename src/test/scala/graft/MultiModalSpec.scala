@@ -63,6 +63,36 @@ class MultiModalSpec extends AnyFunSuite with SparkFixture with Matchers {
     MultiModal.detectKind(MultiModal.encodeHeader(4, 4, 0) ++ b(1, 2, 3)) shouldBe "raw"
   }
 
+  test("malformed containers degrade to raw/zeros — never throw, never parse garbage") {
+    // truncated PNG: signature present but no IHDR → must NOT be labeled
+    // png, and must NOT fall into the legacy header (which would read
+    // garbage dimensions out of the signature bytes)
+    val truncatedPng = png(1920, 1080).take(12)
+    MultiModal.detectKind(truncatedPng) shouldBe "raw"
+    MultiModal.decodeMeta(truncatedPng) shouldBe
+      graft.multimodal.MediaMeta(0, 0, 0, truncatedPng.length)
+    // hostile WAV: chunk size 0x7FFFFFF0 would overflow an Int cursor;
+    // must degrade, not crash the decode task
+    val hostileWav = ascii("RIFF") ++ le32b(36) ++ ascii("WAVE") ++
+      ascii("junk") ++ le32b(0x7ffffff0)
+    noException should be thrownBy MultiModal.decodeMeta(hostileWav)
+    MultiModal.decodeMeta(hostileWav) shouldBe
+      graft.multimodal.MediaMeta(0, 0, 0, hostileWav.length)
+    MultiModal.detectKind(hostileWav) shouldBe "raw"
+    // truncated JPEG: SOI only, no SOF frame header
+    val soiOnly = b(0xff, 0xd8, 0xff, 0xd9)
+    MultiModal.detectKind(soiOnly) shouldBe "raw"
+    MultiModal.decodeMeta(soiOnly).width shouldBe 0
+    // kind and metadata must agree for arbitrary junk: kind != raw implies
+    // parsed (non-legacy) metadata, raw implies zeros-or-legacy
+    val junk = Seq(truncatedPng, hostileWav, soiOnly, Array.empty[Byte],
+      ascii("GIF89"), ascii("RIFF1234WAV"))
+    junk.foreach { p =>
+      MultiModal.detectKind(p) shouldBe "raw"
+      noException should be thrownBy MultiModal.decodeMeta(p)
+    }
+  }
+
   test("real-container rows flow through the distributed decode path") {
     implicit val enc = Encoders.product[MediaRow]
     val rows = Seq(

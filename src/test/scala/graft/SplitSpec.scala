@@ -46,6 +46,13 @@ class SplitSpec extends AnyFunSuite with SparkFixture with Matchers {
     again.collect() shouldBe folded.collect()
   }
 
+  test("null keys are not dropped: the split stays a partition of the input") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, null), (3L, "c"), (4L, null)).toDF("id", "key")
+    val (train, test) = Split.byHash(df, col("key"), 0.5)
+    train.count() + test.count() shouldBe 4L
+  }
+
   test("split plan is narrow: no exchange") {
     val (train, _) = Split.byHash(docs, col("doc_id"), 0.2)
     val plan = train.queryExecution.executedPlan.toString
