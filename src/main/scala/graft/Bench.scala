@@ -21,9 +21,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first timed query doesn't absorb ~5s of
-    // one-time class-loading; touches a scan+agg+shuffle path once.
-    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
+    // JVM/codegen warmup so the first timed query of each family doesn't
+    // absorb one-time class-loading: scan+agg+shuffle, window functions,
+    // the typed top-k aggregator (encoder init), and MLlib KMeans + netlib
+    // BLAS (~2s of pure class initialization on first touch).
+    locally {
+      import org.apache.spark.sql.functions._
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      nation.groupBy("n_regionkey").count().count()
+      nation.select(col("n_nationkey"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("n_regionkey").orderBy("n_nationkey")).as("rn")).count()
+      nation.select(col("n_regionkey").as("a_id"),
+          col("n_nationkey").cast("double").as("sim"), col("n_nationkey").as("b_id"))
+        .groupBy("a_id").agg(graft.functions.Udx.topK(2, col("sim"), col("b_id"))).count()
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val vecs = nation.selectExpr(
+          "array(cast(n_nationkey as double), cast(n_regionkey as double)) AS e")
+        .withColumn("fv", array_to_vector(col("e")))
+      new KMeans().setK(2).setSeed(1L).setMaxIter(1).setFeaturesCol("fv").fit(vecs)
+      spark.sharedState.cacheManager.clearCache()
+    }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
