@@ -62,12 +62,13 @@ object Llm {
         .orderBy("h")),
 
     // exact n-gram (3-shingle) Jaccard near-dup pairs, tau = 0.5.
-    // Each (doc_id, s) row carries its doc's shingle count n — computed
-    // narrowly from the per-row array — so the post-join Jaccard needs NO
-    // joins against a separate sizes table. The exploded table feeds both
-    // sides of the self-join; persist keeps the two branches from
-    // recomputing it (self-joins don't share subplans) — at scale this
-    // would be a checkpoint.
+    // The inverted-index self-join keys on xxhash64(shingle) — a long
+    // hashes/partitions far cheaper than a ~20-char string — with string
+    // equality kept as a residual predicate, so semantics stay EXACT even
+    // under a hash collision. Pair counts group on (da, db) only; the tiny
+    // per-doc sizes table is broadcast onto the counted stream afterwards
+    // (at 100 TB that broadcast becomes a shuffle join against the
+    // already-aggregated pair stream — still ∝ pairs, not corpus).
     "dedup_jaccard" -> ((s, sf) => {
       // persist the per-doc ARRAY table (one small row per doc), not the
       // exploded rows: referencing size(ss) and explode(ss) over a computed
@@ -75,13 +76,17 @@ object Llm {
       // exploded row (~50× the work); over a cached column both are O(1)
       val docs = shingleArrays(t(s, sf, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sh = docs.select(col("doc_id"), size(col("ss")).cast("long").as("n"),
-        explode(col("ss")).as("s"))
-      sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          col("a.n").as("na"), col("b.n").as("nb"))
+      val sh = docs.select(col("doc_id"), explode(col("ss")).as("s"))
+        .select(col("doc_id"), col("s"), xxhash64(col("s")).as("h"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.s") === col("b.s") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("i"))
+      val sizes = docs.select(col("doc_id"), size(col("ss")).cast("long").as("n"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("da"), col("n").as("na"))), "da")
+        .join(broadcast(sizes.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
         .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
         .where(col("jac") >= 0.5)
         .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
