@@ -84,6 +84,15 @@ object PipelineDemo {
     corpus.show(5, truncate = 40)
     println(s"discretized feature rows: ${feats.count()}")
     feats.show(5)
+    // deterministic train/test split keyed on CONTENT: duplicate or
+    // near-identical texts can never straddle the split, and membership is
+    // stable if the pipeline re-runs on a grown corpus
+    val (train, test) = graft.operators.Split.byHash(corpus, col("text"), 0.1)
+    println(s"train/test: ${train.count()} / ${test.count()}")
+    // similarity retrieval over the embeddings — auto-dispatches to IVF
+    // once the corpus crosses the all-pairs budget
+    val nn = graft.ml.Sim.topK(T.t(spark, sf, "embeddings"), 5, auto = true)
+    println(s"knn edges: ${nn.count()}")
     spark.stop()
   }
 }
