@@ -217,6 +217,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally q.stop()
   }
 
+  test("file-sink streaming: finalized windows append to parquet exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val cp = java.nio.file.Files.createTempDirectory("graft-stream-cp")
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val windowed = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+    val q = windowed.writeStream.format("parquet")
+      .option("path", out.toString).option("checkpointLocation", cp.toString)
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts("2024-01-01T10:00:00Z"), 7L, "click", 1.0),
+        (2L, ts("2024-01-01T10:05:00Z"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark so the 10:00 window finalizes and flushes
+      ms.addData((3L, ts("2024-01-01T11:00:00Z"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val sunk = spark.read.parquet(out.toString)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      sunk(unixMicros("2024-01-01T10:00:00Z")) shouldBe 2L
+      // the 11:00 window is still open — append mode must NOT have sunk it
+      sunk.keySet should not contain unixMicros("2024-01-01T11:00:00Z")
+    } finally q.stop()
+  }
+
   test("batch session_window agrees with the lag-based sessionize oracle shape") {
     // R3 parity check: Spark's session merge vs gap-and-island SQL on real data
     val viaSessionWindow = SparkEntry.queries("stream_session")(spark, sf001)
