@@ -83,6 +83,29 @@ object Aggregates {
         .agg(array_join(array_sort(collect_list(col("o_orderkey"))), ",").as("order_keys"))
         .orderBy("o_custkey")),
 
+    // §2.4 statistical aggregates WITHOUT the built-ins: stddev/corr from
+    // exact DECIMAL co-moment sums (order-independent), finished with one
+    // identical double-precision formula on both engines — built-in
+    // stddev/corr partial-merge order would differ in the last bits
+    "agg_stats" -> ((s, sf) =>
+      t(s, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(l_quantity AS DECIMAL(28,4))")).cast("double").as("sq"),
+          sum(expr("CAST(l_quantity*l_quantity AS DECIMAL(28,4))")).cast("double").as("sqq"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(28,4))")).cast("double").as("sp"),
+          sum(expr("CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,4))")).cast("double").as("spp"),
+          sum(expr("CAST(l_quantity*l_extendedprice AS DECIMAL(28,4))")).cast("double").as("spq"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("sq") / col("n"), 6).as("mean_qty"),
+          round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)), 6)
+            .as("std_qty"),
+          round((col("spq") - col("sq") * col("sp") / col("n")) /
+              (sqrt(col("sqq") - col("sq") * col("sq") / col("n")) *
+                sqrt(col("spp") - col("sp") * col("sp") / col("n"))), 6).as("corr_qp"))
+        .orderBy("l_returnflag")),
+
     // §2.4 exact percentiles (linear interpolation — same formula as the
     // oracle's quantile_cont); quantities are small integers so the
     // interpolated values are exact in binary and survive round(6)
@@ -113,6 +136,17 @@ object Aggregates {
         rank().over(wv).cast("long").as("rnk"),
         dense_rank().over(wv).cast("long").as("drnk"),
         row_number().over(wu).cast("long").as("rn"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.5 relative-position windows: percent_rank and cume_dist share one
+    // per-segment exchange; both are exact rationals of ranks/counts, so
+    // round(6) is engine-stable
+    "win_percent_rank" -> ((s, sf) => {
+      val wv = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+      t(s, sf, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        round(percent_rank().over(wv), 6).as("pr"),
+        round(cume_dist().over(wv), 6).as("cd"))
         .orderBy("c_custkey")
     }),
 
@@ -193,6 +227,20 @@ object Aggregates {
          count(*) AS cnt
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "agg_stats" ->
+      """WITH a AS (SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) sq,
+           CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE) sqq,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) sp,
+           CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) spp,
+           CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) spq
+         FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           round(sq/n, 6) AS mean_qty,
+           round(sqrt((sqq - sq*sq/n)/(n-1)), 6) AS std_qty,
+           round((spq - sq*sp/n) / (sqrt(sqq - sq*sq/n) * sqrt(spp - sp*sp/n)), 6) AS corr_qp
+         FROM a ORDER BY l_returnflag""",
     "agg_percentile" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_quantity, 0.25), 6) AS p25,
@@ -231,6 +279,11 @@ object Aggregates {
          rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
          dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk,
          row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer ORDER BY c_custkey""",
+    "win_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+         round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS pr,
+         round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS cd
          FROM customer ORDER BY c_custkey""",
     "win_lag_lead" ->
       """SELECT event_id, user_id,
