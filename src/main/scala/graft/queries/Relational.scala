@@ -94,6 +94,30 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    // §2.3 skew-salted join DECLARED against the plain-join oracle: the
+    // salting is a pure plan rewrite, so hash-matching the unsalted SQL is
+    // exactly the correctness contract ([[graft.operators.Skew]])
+    "join_salted" -> ((s, sf) => {
+      val l = t(s, sf, "lineitem").select("l_partkey", "l_quantity")
+      val p = t(s, sf, "part").select("p_partkey", "p_brand")
+        .withColumnRenamed("p_partkey", "l_partkey")
+      graft.operators.Skew.saltedJoin(l, p, "l_partkey", salts = 8)
+        .groupBy("p_brand")
+        .agg(T.dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    }),
+
+    // §2.2 scalar subquery: rows above the global average, per group
+    "filter_subquery" -> ((s, sf) => {
+      val l = t(s, sf, "lineitem")
+      val avgQ = l.agg(avg(col("l_quantity")).as("gavg"))
+      l.crossJoin(broadcast(avgQ))
+        .filter(col("l_quantity") > col("gavg"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_above"), T.dsum(col("l_quantity"), 2).as("sum_above"))
+        .orderBy("l_returnflag")
+    }),
+
     // §2.3 cartesian product
     "join_cross" -> ((s, sf) =>
       t(s, sf, "region").crossJoin(t(s, sf, "nation"))
@@ -200,6 +224,17 @@ object Relational {
                 count(*) AS cnt
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+    "join_salted" ->
+      """SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "filter_subquery" ->
+      """SELECT l_returnflag, count(*) AS n_above,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+         FROM lineitem
+         WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
          FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey""",
