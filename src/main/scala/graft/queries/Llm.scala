@@ -96,15 +96,12 @@ object Llm {
     // MinHash-LSH near-dup pairs (capability row: hash-seed dependent, no
     // cross-engine oracle; tests assert candidates ⊇ dedup_jaccard pairs).
     // Direct banded implementation (Broder minhash + Indyk–Motwani OR-
-    // amplification, b=16 bands of r=1): signatures are computed NARROWLY —
-    // each doc's k minhashes come from a per-row transform over its own
-    // shingle array (k hash families = xxhash64 salted by position), so
-    // nothing shuffles until the banded candidate equi-join on (band,
-    // value) buckets — never all pairs. Collision probability for a true
-    // τ=0.5 pair is 1-(1-0.5)^16 ≈ 0.99998. Candidates are then scored
-    // with EXACT Jaccard over the carried shingle arrays (not the k-sample
-    // estimate, which at k=16 would drop ~40% of true borderline pairs),
-    // so the ≥ τ filter preserves the candidates ⊇ exact-pairs invariant.
+    // amplification, b=16 bands of r=1); candidates come from an equi-join
+    // on (band, value) buckets — never all pairs. Collision probability
+    // for a true τ=0.5 pair is 1-(1-0.5)^16 ≈ 0.99998. Candidates are then
+    // scored with EXACT Jaccard (not the k-sample estimate, which at k=16
+    // would drop ~40% of true borderline pairs), so the ≥ τ filter
+    // preserves the candidates ⊇ exact-pairs invariant.
     "dedup_minhash" -> ((s, sf) => {
       val k = 16
       val docs = shingleArrays(t(s, sf, "documents"))
