@@ -6,7 +6,9 @@ would still be caught.
 
 Covers: sessionize (30-min gap islands), dedup_jaccard (3-gram shingle
 set Jaccard), caim_criterion (20-bin quanta + CAIM), join_asof (latest
-signup at-or-before each purchase).
+signup at-or-before each purchase), stream_join (view->purchase interval
+join), agg_percentile (linear-interpolated quantiles), agg_stats
+(decimal-co-moment mean/stddev/corr).
 
 Usage: python3 tools/independent_check.py <sfDir> <verifyOutDir>
 (run graft.Verify into <verifyOutDir> first). Verified green 2026-08-12 at
@@ -102,6 +104,63 @@ exp_asof = sorted(
 got = sparkres("join_asof")
 ok = sorted(zip(got["p_id"], got["user_id"])) == exp_asof
 print(f"join_asof: {'OK' if ok else 'MISMATCH'} ({len(exp_asof)} rows)")
+fails += 0 if ok else 1
+
+# stream_join: view->purchase pairs of the same user within 10 minutes
+purch = collections.defaultdict(list)
+for u, ts, eid, et in zip(ev["user_id"], ev["ts"], ev["event_id"], ev["event_type"]):
+    if et == "purchase":
+        purch[u].append((ts, eid))
+exp_sj = sorted(
+    (u, veid, peid)
+    for u, ts, veid, et in zip(ev["user_id"], ev["ts"], ev["event_id"], ev["event_type"])
+    if et == "view"
+    for pts, peid in purch.get(u, [])
+    if ts <= pts and (pts - ts).days * 86400_000_000
+        + (pts - ts).seconds * 1_000_000 + (pts - ts).microseconds <= 600_000_000)
+got = sparkres("stream_join")
+ok = sorted(zip(got["user_id"], got["a_id"], got["b_id"])) == exp_sj
+print(f"stream_join: {'OK' if ok else 'MISMATCH'} ({len(exp_sj)} pairs)")
+fails += 0 if ok else 1
+
+# agg_percentile: linear-interpolated quantiles per returnflag
+li = pq.read_table(f"{sf}/lineitem.parquet",
+                   columns=["l_returnflag", "l_quantity", "l_extendedprice"]).to_pydict()
+groups = collections.defaultdict(list)
+for f, q_ in zip(li["l_returnflag"], li["l_quantity"]):
+    groups[f].append(q_)
+def quantile_cont(xs, p):
+    xs = sorted(xs)
+    r = p * (len(xs) - 1)
+    f_, c = int(math.floor(r)), int(math.ceil(r))
+    return xs[f_] + (xs[c] - xs[f_]) * (r - f_)
+exp_pct = {f: tuple(round(quantile_cont(v, p), 6) for p in (0.25, 0.5, 0.95))
+           for f, v in groups.items()}
+got = sparkres("agg_percentile")
+ok = {f: (round(a, 6), round(b, 6), round(c, 6))
+      for f, a, b, c in zip(got["l_returnflag"], got["p25"], got["p50"], got["p95"])} == exp_pct
+print(f"agg_percentile: {'OK' if ok else 'MISMATCH'} ({len(exp_pct)} groups)")
+fails += 0 if ok else 1
+
+# agg_stats: exact integer-cent co-moment sums -> double closed form
+stats = collections.defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n, sq, sqq, sp, spp, spq (scaled ints)
+for f, q_, p_ in zip(li["l_returnflag"], li["l_quantity"], li["l_extendedprice"]):
+    qi, pi = round(q_ * 100), round(p_ * 100)  # exact cents
+    a = stats[f]
+    a[0] += 1; a[1] += qi; a[2] += qi * qi; a[3] += pi; a[4] += pi * pi; a[5] += qi * pi
+exp_stats = {}
+for f, (n, sq_, sqq, sp_, spp, spq) in stats.items():
+    sq_, sqq, sp_, spp, spq = sq_ / 1e2, sqq / 1e4, sp_ / 1e2, spp / 1e4, spq / 1e4
+    mean = round(sq_ / n, 6)
+    std = round(math.sqrt((sqq - sq_ * sq_ / n) / (n - 1)), 6)
+    corr = round((spq - sq_ * sp_ / n) /
+                 (math.sqrt(sqq - sq_ * sq_ / n) * math.sqrt(spp - sp_ * sp_ / n)), 6)
+    exp_stats[f] = (n, mean, std, corr)
+got = sparkres("agg_stats")
+ok = {f: (n, round(m, 6), round(s, 6), round(c, 6))
+      for f, n, m, s, c in zip(got["l_returnflag"], got["n"], got["mean_qty"],
+                               got["std_qty"], got["corr_qp"])} == exp_stats
+print(f"agg_stats: {'OK' if ok else 'MISMATCH'} ({len(exp_stats)} groups)")
 fails += 0 if ok else 1
 
 sys.exit(1 if fails else 0)
