@@ -101,6 +101,19 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     ann.size should be > 0
   }
 
+  test("approx_percentile sketch is within tolerance of the exact percentile") {
+    // quantile-sketch capability (Greenwald-Khanna): accuracy vs the exact
+    // interpolated percentile that agg_percentile declares
+    val r = T.t(spark, sf001, "lineitem").agg(
+      org.apache.spark.sql.functions.expr(
+        "approx_percentile(l_quantity, array(0.5, 0.95), 1000)").as("ap"),
+      org.apache.spark.sql.functions.expr(
+        "percentile(l_quantity, array(0.5, 0.95))").as("ep")).collect()(0)
+    val ap = r.getSeq[Double](0)
+    val ep = r.getSeq[Double](1)
+    ap.zip(ep).foreach { case (a, e) => math.abs(a - e) should be <= 1.0 }
+  }
+
   test("approx_count_distinct is within rsd of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
