@@ -63,6 +63,60 @@ class MultiModalSpec extends AnyFunSuite with SparkFixture with Matchers {
     MultiModal.detectKind(MultiModal.encodeHeader(4, 4, 0) ++ b(1, 2, 3)) shouldBe "raw"
   }
 
+  test("BMP pixel decode is real: known pixels round-trip through encode/decode") {
+    import graft.multimodal.MultiModal.RgbImage
+    // 2×2 raster: red, green / blue, white (top-down RGB)
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val img = RgbImage(2, 2, rgb)
+    val bmp = MultiModal.encodeBmp(img)
+    MultiModal.detectKind(bmp) shouldBe "bmp"
+    MultiModal.decodeMeta(bmp).width shouldBe 2
+    MultiModal.decodeMeta(bmp).height shouldBe 2
+    val back = MultiModal.decodeBmp(bmp).get
+    back.width shouldBe 2
+    back.height shouldBe 2
+    back.rgb shouldBe rgb
+  }
+
+  test("BMP resize is a real nearest-neighbour resample, not a header rewrite") {
+    import graft.multimodal.MultiModal.RgbImage
+    val rgb = Array[Byte](
+      10, 10, 10,  20, 20, 20,
+      30, 30, 30,  40, 40, 40)
+    val bmp = MultiModal.encodeBmp(RgbImage(2, 2, rgb))
+    val up = MultiModal.resizeRgb(MultiModal.decodeBmp(bmp).get, 4, 4)
+    up.width shouldBe 4
+    // each source pixel becomes a 2×2 block under nearest-neighbour
+    up.rgb((0 * 4 + 0) * 3) shouldBe 10
+    up.rgb((0 * 4 + 3) * 3) shouldBe 20
+    up.rgb((3 * 4 + 0) * 3) shouldBe 30
+    up.rgb((3 * 4 + 3) * 3) shouldBe 40
+    // and the resize UDF takes the real path for BMP payloads
+    import spark.implicits._
+    val out = Seq(bmp).toDF("payload")
+      .select(MultiModal.resize(4, 4)(org.apache.spark.sql.functions.col("payload")))
+      .collect()(0).getAs[Array[Byte]](0)
+    MultiModal.decodeBmp(out).get.rgb shouldBe up.rgb
+  }
+
+  test("WAV PCM sample decode and per-frame RMS are real") {
+    // 16-bit PCM mono: 4 zero samples then 4 full-scale samples
+    val samples = Array[Short](0, 0, 0, 0, 32767, -32768, 32767, -32768)
+    val data = samples.flatMap(s => Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val wavPcm = ascii("RIFF") ++ le32b(36 + data.length) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32b(16) ++ le16b(1) ++ le16b(1) ++ le32b(8000) ++
+      le32b(16000) ++ le16b(2) ++ le16b(16) ++
+      ascii("data") ++ le32b(data.length) ++ data
+    MultiModal.pcmSamples(wavPcm).get shouldBe samples
+    val rms = MultiModal.audioRms(wavPcm, 2).get
+    rms(0) shouldBe 0.0 +- 1e-9
+    rms(1) shouldBe 1.0 +- 1e-3 // full-scale square wave
+    // non-PCM/truncated audio degrades to None, never throws
+    MultiModal.pcmSamples(ascii("RIFF") ++ le32b(4) ++ ascii("WAVE")) shouldBe None
+  }
+
   test("malformed containers degrade to raw/zeros — never throw, never parse garbage") {
     // truncated PNG: signature present but no IHDR → must NOT be labeled
     // png, and must NOT fall into the legacy header (which would read
