@@ -328,11 +328,18 @@ object MultiModal {
     }
   }
 
-  /** Column-level convenience: metadata decode + histogram + frame stats in
-    * one narrow select over a DataFrame with a binary `payload` column.
+  /** Per-frame RMS as a column (null for non-PCM payloads). */
+  def audioRmsCol(frames: Int) = udf { payload: Array[Byte] =>
+    audioRms(payload, frames).orNull
+  }
+
+  /** Column-level convenience: metadata decode + histogram + frame stats +
+    * audio features in one narrow select over a DataFrame with a binary
+    * `payload` column.
     */
   def enrich(df: DataFrame, frames: Int = 4): DataFrame =
     df.withColumn("hist", byteHistogram(col("payload")))
       .withColumn("frames", frameSample(frames)(col("payload")))
+      .withColumn("rms", audioRmsCol(frames)(col("payload")))
       .withColumn("n_bytes", length(col("payload")).cast("long"))
 }
