@@ -138,6 +138,18 @@ object Llm {
         .orderBy("a_id", "b_id")
     }),
 
+    // transitive near-dup CLUSTERS over the exact jaccard pairs: min-label
+    // connected components ([[graft.operators.Components]]), so chains
+    // (a,b),(b,c) collapse to one cluster with one survivor — the step a
+    // real dedup pipeline needs on top of pairwise output. Oracled against
+    // a recursive-CTE reachability closure.
+    "dedup_clusters" -> ((s, sf) => {
+      val pairs = queries("dedup_jaccard")(s, sf).select("da", "db").persist()
+      graft.operators.Components.connected(pairs, "da", "db")
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // exact cosine similarity pairs over 64-dim embeddings, tau = 0.4
     "sim_cosine_pairs" -> ((s, sf) =>
       graft.ml.Sim.cosinePairs(t(s, sf, "embeddings"), col("a_id") < col("b_id"))
@@ -242,6 +254,26 @@ object Llm {
                  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT a_id, b_id, round(sim, 6) AS sim FROM p
          WHERE sim >= 0.4 ORDER BY a_id, b_id""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+           tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(
+                    [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)])) AS s
+                  FROM tok),
+           sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+           inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+                     JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           pairs AS (SELECT da, db FROM inter
+                     JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                     WHERE i*1.0/(sa.n + sb.n - i) >= 0.5),
+           edges AS (SELECT da AS u, db AS v FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           nodes AS (SELECT DISTINCT u AS id FROM edges),
+           reach AS (SELECT id, id AS lbl FROM nodes
+                     UNION
+                     SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id)
+         SELECT id AS doc_id, min(lbl) AS cluster
+         FROM reach GROUP BY id ORDER BY doc_id""",
     "dedup_embed" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
                     sqrt(list_sum(list_transform(embedding,

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.Components
+
+/** Min-label-propagation connected components. */
+class ComponentsSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  test("chain, pair, and triangle resolve to min-id clusters") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (7L, 9L))
+      .toDF("a_id", "b_id")
+    val got = Components.connected(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L)
+  }
+
+  test("a long path needs multiple propagation rounds and still converges") {
+    import spark.implicits._
+    val n = 40
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a_id", "b_id")
+    val got = Components.connected(edges).collect()
+    got.length shouldBe n
+    got.foreach(_.getLong(1) shouldBe 1L)
+  }
+
+  test("dedup_clusters is transitive over the pairwise jaccard output") {
+    val pairs = SparkEntry.queries("dedup_jaccard")(spark, sf001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every paired doc is clustered, and paired docs share a cluster
+    pairs.foreach { case (a, b) =>
+      clusters(a) shouldBe clusters(b)
+      clusters(a) should be <= math.min(a, b)
+    }
+  }
+}
