@@ -31,16 +31,18 @@ object Components {
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      // every vertex u hears the current label of each neighbour v
+      // every vertex u hears the current label of each neighbour v; the
+      // joined frame is lazily checkpointed so the ONE action per round
+      // (the convergence count) also materializes next round's input
       val heard = sym
         .join(lbl.select(col("id").as("v"), col("lbl").as("nlbl")), "v")
         .groupBy(col("u").as("id")).agg(min(col("nlbl")).as("nmin"))
-      val next = lbl.join(heard, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      changed = next.join(lbl.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") < col("old")).count()
-      lbl = next
+      val joined = lbl.join(heard, Seq("id"), "left")
+        .select(col("id"), col("lbl"), col("nmin"))
+        .localCheckpoint(eager = false)
+      changed = joined.filter(col("nmin") < col("lbl")).count()
+      lbl = joined.select(col("id"),
+        least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
     }
     sym.unpersist()
     lbl.select(col("id"), col("lbl").as("cluster"))
