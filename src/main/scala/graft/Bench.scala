@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** JVM/codegen warmup so the first timed query of each family doesn't
+    * absorb one-time class-loading: scan+agg+shuffle, window functions,
+    * the typed top-k aggregator (encoder init), and MLlib KMeans + netlib
+    * BLAS (~2s of pure class initialization on first touch). Shared with
+    * [[Prof]] so both tools isolate query cost from class-init noise.
+    */
+  def warmup(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    nation.groupBy("n_regionkey").count().count()
+    nation.select(col("n_nationkey"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("n_regionkey").orderBy("n_nationkey")).as("rn")).count()
+    nation.select(col("n_regionkey").as("a_id"),
+        col("n_nationkey").cast("double").as("sim"), col("n_nationkey").as("b_id"))
+      .groupBy("a_id").agg(graft.functions.Udx.topK(2, col("sim"), col("b_id"))).count()
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = nation.selectExpr(
+        "array(cast(n_nationkey as double), cast(n_regionkey as double)) AS e")
+      .withColumn("fv", array_to_vector(col("e")))
+    new KMeans().setK(2).setSeed(1L).setMaxIter(1).setFeaturesCol("fv").fit(vecs)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,28 +47,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first timed query of each family doesn't
-    // absorb one-time class-loading: scan+agg+shuffle, window functions,
-    // the typed top-k aggregator (encoder init), and MLlib KMeans + netlib
-    // BLAS (~2s of pure class initialization on first touch).
-    locally {
-      import org.apache.spark.sql.functions._
-      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
-      nation.groupBy("n_regionkey").count().count()
-      nation.select(col("n_nationkey"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("n_regionkey").orderBy("n_nationkey")).as("rn")).count()
-      nation.select(col("n_regionkey").as("a_id"),
-          col("n_nationkey").cast("double").as("sim"), col("n_nationkey").as("b_id"))
-        .groupBy("a_id").agg(graft.functions.Udx.topK(2, col("sim"), col("b_id"))).count()
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val vecs = nation.selectExpr(
-          "array(cast(n_nationkey as double), cast(n_regionkey as double)) AS e")
-        .withColumn("fv", array_to_vector(col("e")))
-      new KMeans().setK(2).setSeed(1L).setMaxIter(1).setFeaturesCol("fv").fit(vecs)
-      spark.sharedState.cacheManager.clearCache()
-    }
+    warmup(spark, sfDir)
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

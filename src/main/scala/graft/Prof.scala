@@ -25,8 +25,7 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // same warmup as Bench
-    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
+    Bench.warmup(spark, sfDir)
     names.foreach { n =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

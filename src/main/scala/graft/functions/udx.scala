@@ -48,6 +48,7 @@ object Udx {
     */
   class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+    require(k > 0, "k must be positive")
     private val ord: Ordering[(Double, Long)] =
       Ordering.by[(Double, Long), (Double, Long)] { case (sim, id) => (-sim, id) }
     override def zero: List[(Double, Long)] = Nil

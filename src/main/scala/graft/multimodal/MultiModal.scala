@@ -72,8 +72,16 @@ object MultiModal {
     val parsed: Option[(String, MediaMeta)] =
       if (n >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a && tag(12, "IHDR"))
         Some("png" -> MediaMeta(be32(16), be32(20), 0, n))
-      else if (n >= 54 && tag(0, "BM"))
-        Some("bmp" -> MediaMeta(le32(18), le32(22), 0, n))
+      else if (n >= 54 && tag(0, "BM")) {
+        // same parsed-or-raw contract as the other containers: only a
+        // structurally valid uncompressed 24-bit DIB is "bmp" (height may
+        // be negative = top-down; report magnitude)
+        val w = le32(18); val h = le32(22)
+        val bpp = le16(28); val comp = le32(30)
+        if (bpp == 24 && comp == 0 && w > 0 && h != 0 && math.abs(h) <= (1 << 24))
+          Some("bmp" -> MediaMeta(w, math.abs(h), 0, n))
+        else None
+      }
       else if (n >= 11 && u8(0) == 0xff && u8(1) == 0xd8) {
         var i = 2
         var out: Option[MediaMeta] = None
@@ -129,8 +137,10 @@ object MultiModal {
 
   /** REAL pixel decode for uncompressed 24-bit BMP (BI_RGB): pure
     * arithmetic over the container bytes, no codec library. Rows are
-    * stored bottom-up in BGR with 4-byte padding; we emit top-down RGB.
-    * Compressed formats (PNG/JPEG) still require a codec and stay stubbed.
+    * stored BGR with 4-byte padding — bottom-up for positive biHeight,
+    * top-down for negative (standard Windows DIB); we emit top-down RGB
+    * either way. Compressed formats (PNG/JPEG) still need a codec and
+    * stay stubbed.
     */
   def decodeBmp(payload: Array[Byte]): Option[RgbImage] = try {
     def u8(i: Int) = payload(i) & 0xff
@@ -138,16 +148,18 @@ object MultiModal {
     def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') None
     else {
-      val off = le32(10); val w = le32(18); val h = le32(22)
+      val off = le32(10); val w = le32(18); val rawH = le32(22)
       val bpp = le16(28); val comp = le32(30)
+      val h = math.abs(rawH)
+      val topDown = rawH < 0
       val stride = (w * 3 + 3) & ~3
-      if (bpp != 24 || comp != 0 || w <= 0 || h <= 0 ||
+      if (bpp != 24 || comp != 0 || w <= 0 || h <= 0 || off < 54 ||
           off.toLong + stride.toLong * h > payload.length) None
       else {
         val out = new Array[Byte](w * h * 3)
         var y = 0
         while (y < h) {
-          val src = off + (h - 1 - y) * stride
+          val src = off + (if (topDown) y else h - 1 - y) * stride
           var x = 0
           while (x < w) {
             out((y * w + x) * 3) = payload(src + x * 3 + 2)     // R

@@ -16,12 +16,13 @@ object Split {
   private val Buckets = 1000000L
 
   /** Bucket in [0, 1e6) from the key: pmod(xxhash64(key, seed), 1e6).
-    * A null key hashes to null, which would silently drop the row from
-    * BOTH sides of a split — route nulls to bucket 0 instead so the split
-    * stays a partition of the input.
+    * xxhash64 SKIPS null inputs (it would hash only the seed column), so
+    * without an explicit branch every null key would land in one
+    * hash-of-seed-determined bucket that silently moves with the seed —
+    * instead nulls are routed to bucket 0, a fixed documented side.
     */
   def bucket(key: Column, seed: Int = 42): Column =
-    coalesce(pmod(xxhash64(key, lit(seed)), lit(Buckets)), lit(0L))
+    when(key.isNull, lit(0L)).otherwise(pmod(xxhash64(key, lit(seed)), lit(Buckets)))
 
   /** (train, test) with ≈ testFrac of keys in test.
     * Same (key, seed) → same side, always.
@@ -39,6 +40,6 @@ object Split {
     */
   def fold(key: Column, k: Int, seed: Int = 42): Column = {
     require(k > 0, "k must be positive")
-    coalesce(pmod(xxhash64(key, lit(seed)), lit(k.toLong)), lit(0L))
+    when(key.isNull, lit(0L)).otherwise(pmod(xxhash64(key, lit(seed)), lit(k.toLong)))
   }
 }

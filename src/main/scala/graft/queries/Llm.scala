@@ -83,10 +83,13 @@ object Llm {
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("i"))
+      // no broadcast HINT on the per-doc sizes table: it grows with the
+      // corpus, so the size-based planner (plus AQE's runtime re-plan)
+      // must keep the freedom to fall back to a shuffle join at scale
       val sizes = docs.select(col("doc_id"), size(col("ss")).cast("long").as("n"))
       inter
-        .join(broadcast(sizes.select(col("doc_id").as("da"), col("n").as("na"))), "da")
-        .join(broadcast(sizes.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
         .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
         .where(col("jac") >= 0.5)
         .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
@@ -126,8 +129,11 @@ object Llm {
       // strings; a cross-shingle hash collision could only inflate jac —
       // superset-safe for a candidate generator). Work stays ∝ candidate
       // pairs × shingles-per-doc, never corpus².
+      // candidate set is hinted only by its true runtime size: no explicit
+      // broadcast() — it is corpus-proportional, and AQE's runtime stats
+      // pick broadcast when it fits and shuffle joins when it doesn't
       val shh = sh.select(col("doc_id"), col("n"), xxhash64(col("s")).as("h"))
-      broadcast(cand)
+      cand
         .join(shh.select(col("doc_id").as("a_id"), col("n").as("na"), col("h")), "a_id")
         .join(shh.select(col("doc_id").as("b_id"), col("n").as("nb"), col("h")), Seq("b_id", "h"))
         .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))

@@ -16,9 +16,13 @@ import graft.T.{Q, t}
   */
 object Sources {
 
+  // per-JVM tag: concurrent harness processes (tests + Verify + Bench)
+  // must not overwrite each other's round-trip files mid-read
+  private lazy val runTag = java.util.UUID.randomUUID().toString.take(8)
+
   private def tmp(sf: String, fmt: String): String = {
     val tag = new java.io.File(sf).getName
-    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${fmt}_$tag"
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${runTag}_${fmt}_$tag"
   }
 
   val queries: Map[String, Q] = Map(

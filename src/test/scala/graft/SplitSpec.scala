@@ -46,11 +46,17 @@ class SplitSpec extends AnyFunSuite with SparkFixture with Matchers {
     again.collect() shouldBe folded.collect()
   }
 
-  test("null keys are not dropped: the split stays a partition of the input") {
+  test("null keys are not dropped and land in the fixed bucket-0 side") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, null), (3L, "c"), (4L, null)).toDF("id", "key")
     val (train, test) = Split.byHash(df, col("key"), 0.5)
     train.count() + test.count() shouldBe 4L
+    // bucket 0 < cut for any testFrac > 0 → nulls are always test-side,
+    // regardless of seed
+    Seq(1, 42, 7777).foreach { seed =>
+      val (_, t) = Split.byHash(df, col("key"), 0.5, seed)
+      t.filter(col("key").isNull).count() shouldBe 2L
+    }
   }
 
   test("split plan is narrow: no exchange") {
