@@ -68,11 +68,16 @@ object Bench {
     // A failed query is reported as an error, never as a (fast) timing.
     val ok = results.collect { case (n, sec, None) => n -> sec }
     val errs = results.collect { case (n, _, Some(e)) => n -> e }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val es = errs.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+    // ms precision keeps the whole line under the driver's 2,000-char tail
+    // capture (r3's 9-decimal values pushed it to ~2.6k chars and the first
+    // five per-query entries were truncated away); error strings are capped
+    // for the same reason
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val es = errs.map { case (k, v) => "\"" + k + "\":\"" + esc(v.take(80)) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errs.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_errors":${errs.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
     if (errs.nonEmpty) System.err.println(s"[bench] ${errs.size} queries FAILED: " +
       errs.map(_._1).mkString(", "))
     spark.stop()

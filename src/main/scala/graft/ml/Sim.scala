@@ -19,7 +19,11 @@ object Sim {
 
   /** All cosine pairs satisfying `cond` over (vec_id, embedding):
     * (a_id, b_id, sim). The probe side re-spreads across cores; the build
-    * side broadcasts (small-corpus tool — IVF is the scale path).
+    * side carries NO broadcast hint — it is corpus-proportional, so the
+    * size-based planner (and AQE at runtime) must keep the freedom to fall
+    * back to a partitioned join instead of hitting the broadcast cap /
+    * driver OOM as a hard failure at larger corpora. (Small-corpus tool
+    * either way — IVF / LSH are the scale paths.)
     */
   def cosinePairs(emb: DataFrame, cond: Column): DataFrame = {
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -27,8 +31,68 @@ object Sim {
     val a = v.repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
-    a.join(broadcast(b), cond)
+    a.join(b, cond)
       .withColumn("sim", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+  }
+
+  /** Random-hyperplane LSH near-dup pairs (Charikar, *Similarity estimation
+    * techniques from rounding algorithms*, STOC 2002 — simhash for
+    * vectors): bit i of a vector's signature is sign(e · r_i) for `nBands ×
+    * bandBits` deterministic pseudo-random Gaussian hyperplanes; CANDIDATES
+    * come from an equi-join on (band, band-bits) buckets — never all pairs
+    * — and are re-ranked with EXACT cosine via the codegen'd graft_dot, so
+    * every emitted pair is a true ≥ `tau` pair and the only error mode is
+    * missing an across-bucket pair.
+    *
+    * Recall: P[one bit agrees] = 1 − θ/π for angle θ; a pair survives
+    * banding with p_band = 1 − (1 − p^bandBits)^nBands. The defaults
+    * (16 bands × 2 bits) give p_band ≈ 0.9997 even at sim = 0.4
+    * (p = 0.631) — SimSpec pins candidates ⊇ exact-τ0.4 pairs on the test
+    * corpus. Pruning grows with the working threshold: at a realistic
+    * near-dup τ = 0.9 (p = 0.90), 8 bands × 8 bits keeps p_band ≈ 0.98
+    * while shrinking each band's bucket to ~n/256 — candidate volume
+    * ∝ n²/256 per band instead of n². The hyperplane table is constant-size
+    * (bits × dim doubles, corpus-independent), so its broadcast is safe at
+    * any scale, and the band bucket id is the shuffle key — co-located,
+    * skew-bounded by bucket size.
+    */
+  def cosineLshPairs(emb: DataFrame, tau: Double, nBands: Int = 16,
+      bandBits: Int = 2, seed: Long = 42L): DataFrame = {
+    val nBits = nBands * bandBits
+    require(nBits <= 63, s"nBands*bandBits must fit a long, got $nBits")
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val rnd = new java.util.Random(seed)
+    val planes = Seq.tabulate(nBits) { i =>
+      (i, Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val planesDf = spark.createDataFrame(planes).toDF("bit", "r")
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+    // signature: nBits sign bits packed into one long — the crossJoin is a
+    // constant nBits× row expansion (narrow after the tiny-table broadcast),
+    // packed back down by a codegen'd sum aggregate
+    val sig = v.crossJoin(broadcast(planesDf))
+      .select(col("vec_id"),
+        when(expr("graft_dot(e, r)") >= 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+          .otherwise(0L).as("sb"))
+      .groupBy("vec_id").agg(sum(col("sb")).as("sig"))
+    val bands = sig.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> (sig >> (b * $bandBits)) & ${(1L << bandBits) - 1})"))
+        .as(Seq("band", "bv")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    // exact cosine re-rank of the bucketed candidates
+    cand
+      .join(v.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb")), "b_id")
+      .withColumn("sim", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+      .where(col("sim") >= tau)
+      .select(col("a_id"), col("b_id"), col("sim"))
   }
 
   /** (a_id, b_id, sim) candidates → ranked top-k per a_id (sim desc, b_id

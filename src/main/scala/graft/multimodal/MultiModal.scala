@@ -22,12 +22,12 @@ case class DecodedMedia(media_id: Long, kind: String, payload: Array[Byte],
   * GIF / BMP / WAV container headers in pure JVM code (magic bytes + the
   * format's own dimension/sample-rate fields — no codec library needed),
   * falling back to the legacy 8-byte graft header for synthetic payloads.
-  * Pixel/sample decoding is ALSO real where the format is uncompressed:
-  * 24-bit BMP rasters decode to RGB (`decodeBmp`) with true
-  * nearest-neighbour resize, and 16-bit PCM WAV decodes to samples
-  * (`pcmSamples`) with per-frame RMS features. Only COMPRESSED pixel data
-  * (PNG/JPEG) remains a clearly-marked STUB, since decompressing it needs
-  * codec libraries this environment doesn't ship.
+  * Pixel/sample decoding is real for EVERY container the classifier knows:
+  * 24-bit BMP rasters decode arithmetically (`decodeBmp`); compressed
+  * PNG / JPEG / GIF decode through the JDK's own `javax.imageio` codecs
+  * (`decodeImage` — shipped with every JRE, headless-safe, zero new
+  * dependencies); both feed the true nearest-neighbour resize. 16-bit PCM
+  * WAV decodes to samples (`pcmSamples`) with per-frame RMS features.
   * Everything Spark-side is real and tested: the schema, the per-partition
   * batch iteration shape (the Scala analogue of `mapInPandas` — one
   * iterator per partition, setup amortized per batch, never per row),
@@ -60,14 +60,18 @@ object MultiModal {
         s.indices.forall(j => payload(i + j) == s.charAt(j).toByte)
 
     // A container *signature* (first bytes) vs a *parseable* container: a
-    // payload whose signature matches but whose structure doesn't parse is
-    // classified ("raw", zeros) — never the legacy-header fallback, which
-    // would read garbage dimensions out of the signature bytes themselves.
-    val hasSignature =
+    // payload whose STRONG signature (≥6 bytes: PNG / GIF / RIFF+WAVE)
+    // matches but whose structure doesn't parse is classified ("raw",
+    // zeros) — never the legacy-header fallback, which would read garbage
+    // dimensions out of the signature bytes themselves. The 2-byte
+    // signatures ("BM", FF D8) are AMBIGUOUS with a legacy graft header
+    // whose be16 width happens to be 0x424D or 0xFFD8, so when their
+    // structural parse fails they fall through to the legacy parse instead
+    // of zeroing real fixture metadata.
+    val strongSignature =
       (n >= 8 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a) ||
-        (n >= 2 && u8(0) == 0xff && u8(1) == 0xd8) ||
         tag(0, "GIF87a") || tag(0, "GIF89a") ||
-        (tag(0, "RIFF") && tag(8, "WAVE")) || tag(0, "BM")
+        (tag(0, "RIFF") && tag(8, "WAVE"))
 
     val parsed: Option[(String, MediaMeta)] =
       if (n >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a && tag(12, "IHDR"))
@@ -113,7 +117,7 @@ object MultiModal {
       } else None
 
     parsed.getOrElse {
-      if (hasSignature || n < 8) "raw" -> MediaMeta(0, 0, 0, n)
+      if (strongSignature || n < 8) "raw" -> MediaMeta(0, 0, 0, n)
       else "raw" -> MediaMeta(be16(0), be16(2), be32(4), n) // legacy graft header
     }
   }
@@ -139,8 +143,8 @@ object MultiModal {
     * arithmetic over the container bytes, no codec library. Rows are
     * stored BGR with 4-byte padding — bottom-up for positive biHeight,
     * top-down for negative (standard Windows DIB); we emit top-down RGB
-    * either way. Compressed formats (PNG/JPEG) still need a codec and
-    * stay stubbed.
+    * either way. Compressed formats (PNG/JPEG/GIF) decode through
+    * [[decodeImage]]'s JDK codecs.
     */
   def decodeBmp(payload: Array[Byte]): Option[RgbImage] = try {
     def u8(i: Int) = payload(i) & 0xff
@@ -173,6 +177,52 @@ object MultiModal {
       }
     }
   } catch { case _: RuntimeException => None }
+
+  /** REAL pixel decode for every known raster container: uncompressed
+    * 24-bit BMP arithmetically ([[decodeBmp]] — no library at all), and
+    * compressed PNG / JPEG / GIF through the JDK's built-in
+    * `javax.imageio` codecs — part of every JRE (headless-safe), so this
+    * adds zero dependencies. Total: undecodable payloads yield None, never
+    * an exception that would kill a whole decode task at scale.
+    */
+  def decodeImage(payload: Array[Byte]): Option[RgbImage] =
+    decodeBmp(payload).orElse(try {
+      // stream-backed (no ImageIO disk cache): codec temp files would be
+      // per-row I/O inside executor tasks
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val img = javax.imageio.ImageIO.read(in)
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) None
+          else {
+            val out = new Array[Byte](w * h * 3)
+            val px = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, px, 0, w)
+              var x = 0
+              while (x < w) {
+                val p = px(x); val d = (y * w + x) * 3
+                out(d) = ((p >> 16) & 0xff).toByte
+                out(d + 1) = ((p >> 8) & 0xff).toByte
+                out(d + 2) = (p & 0xff).toByte
+                x += 1
+              }
+              y += 1
+            }
+            Some(RgbImage(w, h, out))
+          }
+        }
+      } finally {
+        // ImageIO.read(ImageInputStream) closes the stream on a successful
+        // read but NOT when it returns null — close idempotently either way
+        try if (in != null) in.close()
+        catch { case _: java.io.IOException => () }
+      }
+    } catch { case _: Exception => None })
 
   /** Encode an [[RgbImage]] as an uncompressed 24-bit BMP. */
   def encodeBmp(img: RgbImage): Array[Byte] = {
@@ -272,7 +322,8 @@ object MultiModal {
       }
     }
 
-  /** Encode the fake header (test fixture / STUB resize helper). */
+  /** Encode the legacy 8-byte graft header (synthetic fixtures and the
+    * non-raster resize fallback). */
   def encodeHeader(width: Int, height: Int, sampleRate: Int): Array[Byte] =
     Array[Byte](
       ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
@@ -287,7 +338,8 @@ object MultiModal {
   def withDecodedMeta(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     implicit val enc = Encoders.product[DecodedMedia]
     media.mapPartitions { it =>
-      // per-partition setup would go here (codec/context init — STUB: none)
+      // per-partition setup point (codec/context init — the JDK ImageIO
+      // registry is JVM-global, so nothing to construct here)
       it.map { r =>
         val m = decodeMeta(r.payload)
         DecodedMedia(r.media_id, r.kind, r.payload, m.width, m.height, m.sample_rate, m.n_bytes)
@@ -322,17 +374,29 @@ object MultiModal {
     }
   }
 
-  /** Resize: REAL nearest-neighbour resample for decodable rasters
-    * (uncompressed 24-bit BMP); containers whose pixel data needs a codec
-    * library (PNG/JPEG) keep the deterministic header-rewrite STUB —
-    * truncate/cycle the body to w*h bytes — so the dataflow stays testable.
+  /** Resize: REAL nearest-neighbour resample for every decodable raster
+    * (BMP arithmetically, PNG/JPEG/GIF via [[decodeImage]]'s JDK codecs),
+    * re-encoded as uncompressed 24-bit BMP — a deterministic byte layout,
+    * unlike the JDK's PNG writer whose chunking may vary across versions.
+    * Non-raster payloads (audio, synthetic fixtures) keep the deterministic
+    * header-rewrite fallback — truncate/cycle the body to w*h bytes — so
+    * the dataflow stays total. The encode side validates allocation sizes
+    * before touching memory: a hostile target (or source) dimension must
+    * degrade to the fallback, not overflow Int and kill the decode task.
     */
   def resize(w: Int, h: Int) = udf { payload: Array[Byte] =>
-    decodeBmp(payload) match {
+    val fitsRaster = w > 0 && h > 0 &&
+      w.toLong * h * 3 <= Int.MaxValue &&                   // resizeRgb raster
+      ((w.toLong * 3 + 3) & ~3L) * h + 54 <= Int.MaxValue   // encodeBmp stride
+    (if (fitsRaster) decodeImage(payload) else None) match {
       case Some(img) => encodeBmp(resizeRgb(img, w, h))
       case None =>
         val body = payload.drop(8)
-        val target = w * h
+        val target = // clamped: a hostile w×h must not overflow the Int
+          // allocation (crash) or balloon a per-row buffer (OOM) — legit
+          // fallback fixtures are tiny, so cap the synthetic body at 64 MiB
+          if (w <= 0 || h <= 0) 0
+          else math.min(w.toLong * h, 1L << 26).toInt
         val out = new Array[Byte](target)
         var i = 0
         while (i < target && body.nonEmpty) { out(i) = body(i % body.length); i += 1 }

@@ -12,49 +12,62 @@ import org.apache.spark.sql.functions._
   * survivor, which per-pair min-id logic cannot do.
   *
   * Scale posture: every round shuffles only (vertex, label) pairs and the
-  * edge list on vertex id; `localCheckpoint` truncates lineage so the plan
-  * stays flat across iterations. Skewed hub vertices aggregate via
-  * map-side partial min.
+  * edge list on vertex id; per-round RDD snapshots truncate lineage so the
+  * plan stays flat across iterations. Skewed hub vertices aggregate via
+  * map-side partial min. Convergence is checked every TWO propagation
+  * steps: label propagation is monotone (labels only decrease), so two
+  * steps are a no-op iff each is — and halving the driver actions halves
+  * the per-round scheduling overhead that dominates at small round sizes.
+  *
+  * Block bookkeeping: all per-round snapshots AND the final labels are
+  * freed before returning — the result is sealed (eagerly materialized)
+  * through the caller's [[Tracked]], which owns the one surviving block.
   */
 object Components {
 
   /** @param edges undirected edge list
+    * @param tr    owner of the sealed result block (see [[Tracked.seal]])
     * @return (id, cluster) — cluster = smallest vertex id reachable
     */
-  def connected(edges: DataFrame, a: String = "a_id", b: String = "b_id"): DataFrame = {
+  def connected(edges: DataFrame, a: String = "a_id", b: String = "b_id",
+      tr: Tracked = new Tracked): DataFrame = {
     val spark = edges.sparkSession
     val sym = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
       .union(edges.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
       .distinct()
       .persist()
-    // Lineage truncation with explicit block bookkeeping: each round's
+    // Lineage truncation with explicit block bookkeeping: each checkpoint's
     // frame is snapped to a persisted RDD we hold a handle to, so every
-    // superseded round is unpersisted when the loop ends — localCheckpoint
-    // would strand O(rounds) block sets that neither Dataset.unpersist nor
-    // the SQL cache manager can free. Only the FINAL labels (one row per
-    // paired vertex) stay pinned for the caller's action.
+    // snapshot is unpersisted before returning — localCheckpoint would
+    // strand O(rounds) block sets that neither Dataset.unpersist nor the
+    // SQL cache manager can free.
     var kept: List[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = Nil
     def snap(df: DataFrame): DataFrame = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       kept = rdd :: kept
       spark.createDataFrame(rdd, df.schema)
     }
+    // one propagation step, composed lazily: every vertex u hears the
+    // current label of each neighbour v and keeps the minimum
+    def step(cur: DataFrame): DataFrame = {
+      val heard = sym
+        .join(cur.select(col("id").as("v"), col("lbl").as("nlbl")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("nlbl")).as("nmin"))
+      cur.join(heard, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+    }
     var lbl = snap(sym.select(col("u").as("id")).withColumn("lbl", col("id")).distinct())
     var changed = 1L
     while (changed > 0) {
-      // every vertex u hears the current label of each neighbour v; ONE
-      // action per round (the convergence count) materializes the snap
-      val heard = sym
-        .join(lbl.select(col("id").as("v"), col("lbl").as("nlbl")), "v")
-        .groupBy(col("u").as("id")).agg(min(col("nlbl")).as("nmin"))
-      val joined = snap(lbl.join(heard, Seq("id"), "left")
-        .select(col("id"), col("lbl"), col("nmin")))
-      changed = joined.filter(col("nmin") < col("lbl")).count()
-      lbl = joined.select(col("id"),
-        least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      val prev = lbl
+      val next = snap(step(step(prev))) // two steps per action (monotone)
+      changed = next.as("n").join(prev.as("p"), "id")
+        .filter(col("n.lbl") < col("p.lbl")).count()
+      lbl = next
     }
-    sym.unpersist()
-    kept.drop(1).foreach(_.unpersist(blocking = false)) // all but the final round
-    lbl.select(col("id"), col("lbl").as("cluster"))
+    val out = tr.seal(lbl.select(col("id"), col("lbl").as("cluster")))
+    sym.unpersist(blocking = false)
+    kept.foreach(_.unpersist(blocking = false))
+    out
   }
 }

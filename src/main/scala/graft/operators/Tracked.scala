@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Block bookkeeping for multi-stage library operators (dedup, clustering):
+  * every intermediate a pipeline persists is registered on a Tracked handle
+  * list, and `seal` eagerly materializes the pipeline's final result before
+  * unpersisting every intermediate. This closes the r3 leak where query
+  * bodies persisted intermediates and relied on the harness's clearCache():
+  * a long-lived session composing dedup operators no longer accumulates
+  * pinned MEMORY_AND_DISK blocks.
+  *
+  * Ownership contract: the sealed RESULT is itself persisted (so downstream
+  * actions never re-run the pipeline) and is registered as `owned`; callers
+  * free it with `release()` (or `Dataset.unpersist` / the session's cache
+  * manager) once consumed. Intermediates are never the caller's problem.
+  */
+final class Tracked {
+  private var kept: List[DataFrame] = Nil
+  private var owned: List[DataFrame] = Nil
+
+  /** Persist an intermediate and remember the handle. */
+  def persist(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    kept = p :: kept
+    p
+  }
+
+  /** Unpersist every tracked intermediate (not sealed results). */
+  def free(): Unit = {
+    kept.foreach(_.unpersist(blocking = false))
+    kept = Nil
+  }
+
+  /** Eagerly materialize `result` (persist + count — downstream actions read
+    * the cache, so the pipeline runs exactly once), then free every tracked
+    * intermediate. Seal the UNSORTED result and sort after: sealing a
+    * global-sort plan would pay the range-partition sampling job, which
+    * recomputes the unsorted child a second time.
+    */
+  def seal(result: DataFrame): DataFrame = {
+    val out = result.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    owned = out :: owned
+    free()
+    out
+  }
+
+  /** Free everything, sealed results included — zero pinned blocks remain. */
+  def release(): Unit = {
+    free()
+    owned.foreach(_.unpersist(blocking = false))
+    owned = Nil
+  }
+}

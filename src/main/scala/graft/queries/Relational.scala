@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.T
 import graft.T.{Q, t}
@@ -136,17 +137,26 @@ object Relational {
     }),
 
     // §2.3 as-of join: latest signup at-or-before each purchase, per user.
-    // Expressed as inequality join + max() — deterministic under ts ties
-    // because only the max signup ts is projected.
+    // Expressed as a single ordered window MERGE, not an inequality join:
+    // union both event types, sort per user by (ts, signup-before-purchase)
+    // so an at-ts signup is visible to its purchase, and carry the latest
+    // signup forward with last(ignoreNulls). Linear per user — one exchange,
+    // no pair fan-out — where the r3 inequality-join + max() plan did
+    // O(purchases × signups) work per user and stragglered on hot users.
+    // Purchases with no at-or-before signup are dropped (inner-join
+    // semantics, same as the oracle).
     "join_asof" -> ((s, sf) => {
       val e = t(s, sf, "events")
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-      val sg = e.filter(col("event_type") === "signup")
-        .select(col("user_id").as("u2"), col("ts").as("s_ts"))
-      p.join(sg, col("user_id") === col("u2") && col("s_ts") <= col("p_ts"))
-        .groupBy(col("p_id"), col("user_id"))
-        .agg(max(unix_micros(col("s_ts"))).as("signup_us"))
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("event_type") === "purchase").cast("int").as("is_p"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("is_p").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("signup_us",
+          last(when(col("is_p") === 0, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+        .where(col("is_p") === 1 && col("signup_us").isNotNull)
+        .select(col("event_id").as("p_id"), col("user_id"), col("signup_us"))
         .orderBy("p_id")
     }),
 

@@ -94,27 +94,25 @@ object TextAnalysis {
     // Banded candidate join (4 × 16-bit bands) — the sub-quadratic path:
     // at 100 TB candidates come from equal-band buckets, never all pairs.
     "dedup_simhash" -> ((s, sf) => {
-      val toks = Llm.shingles(t(s, sf, "documents"))
+      val tr = new graft.operators.Tracked
+      val toks = Llm.shingles(t(s, sf, "documents"), tr)
         .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      // one shuffle: gather shingle hashes per doc, fold the 64 bit-votes
-      // in a tight loop (vote sums are order-independent, so this is
-      // equivalent to — and 4 shuffles cheaper than — a per-bit explode)
-      val simhash = udf { hs: Seq[Long] =>
-        val votes = new Array[Int](64)
-        hs.foreach { h =>
-          var b = 0
-          while (b < 64) { if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
-        }
-        var sh = 0L
-        var b = 0
-        while (b < 64) { if (votes(b) > 0) sh |= (1L << b); b += 1 }
-        sh
-      }
+      // 64 ALGEBRAIC bit-vote aggregates (sum of ±1 per bit) instead of the
+      // r3 collect_list gather + Scala-UDF fold: sums partial-aggregate
+      // map-side — only 64 longs per doc ever shuffle, never the full
+      // shingle-hash list — and the whole vote stays inside whole-stage
+      // codegen with no serialization boundary. The sign pack-down is a
+      // codegen'd higher-order fold over the vote array.
+      val votes = toks.groupBy("doc_id").agg(
+        array((0 until 64).map(b =>
+          sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1)): _*).as("votes"))
       // persist: one tiny row per doc; the banded self-join below would
-      // otherwise recompute the gather-shuffle + bit-vote fold per branch
-      val sim = toks.groupBy("doc_id").agg(collect_list("h").as("hs"))
-        .select(col("doc_id"), simhash(col("hs")).as("sh"))
-        .persist()
+      // otherwise recompute the vote aggregation per branch
+      val sim = tr.persist(votes.select(col("doc_id"), expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+          |  (acc, b) -> acc | IF(element_at(votes, b + 1) > 0,
+          |                       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"""
+          .stripMargin).as("sh")))
       val bands = sim.select(col("doc_id"), col("sh"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> (sh >> (b * 16)) & 65535)")).as(Seq("band", "bv")))
@@ -124,9 +122,10 @@ object TextAnalysis {
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("a.sh").as("sha"), col("b.sh").as("shb"))
         .distinct()
-      cand.withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
-        .where(col("hamming") <= 6)
-        .select("a_id", "b_id", "hamming")
+      tr.seal(cand
+          .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
+          .where(col("hamming") <= 6)
+          .select("a_id", "b_id", "hamming"))
         .orderBy("a_id", "b_id")
     })
   )

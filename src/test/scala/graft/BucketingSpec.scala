@@ -42,6 +42,28 @@ class BucketingSpec extends AnyFunSuite with SparkFixture with Matchers {
     all(parts) should include("event_type=purchase")
   }
 
+  test("date-partitioned writes prune to the queried day range") {
+    // the canonical production layout: facts partitioned by ingestion day,
+    // queries over a date window read only the matching directories
+    val base = java.nio.file.Files.createTempDirectory("graft-bydate").toString + "/events"
+    val events = T.t(spark, sf001, "events").withColumn("day", to_date(col("ts")))
+    events.write.partitionBy("day").parquet(base)
+    val days = events.select("day").distinct().orderBy("day")
+      .collect().map(_.getDate(0))
+    days.length should be > 2
+    val cut = days(days.length / 2)
+    val q = spark.read.parquet(base).filter(col("day") >= cut)
+    // the range predicate must reach the scan as a PARTITION filter
+    val scan = q.queryExecution.executedPlan.toString()
+    scan should include("PartitionFilters")
+    scan should include("day")
+    q.count() shouldBe events.filter(col("day") >= cut).count()
+    // and only the matching day directories are read
+    val files = q.select(input_file_name()).distinct().collect().map(_.getString(0))
+    val readDays = files.map(f => f.split("day=")(1).split("/")(0)).distinct.sorted
+    readDays shouldBe days.filter(_.compareTo(cut) >= 0).map(_.toString).sorted
+  }
+
   test("bucketed tables join with zero shuffles") {
     val base = java.nio.file.Files.createTempDirectory("graft-buckets").toString
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -8,9 +8,11 @@ import graft.multimodal.{MediaRow, MultiModal}
 
 /** Multimodal tests: metadata parsing is real (genuine PNG/JPEG/GIF/WAV
   * container headers, built byte-by-byte below from the published format
-  * specs); only pixel/sample decode stays stubbed. The schema, batch shape,
-  * narrow execution, and partition preservation are asserted on real plans
-  * (SURVEY.md north star). Synthetic payloads use the legacy graft header.
+  * specs), and pixel/sample decode is real for every raster container —
+  * BMP arithmetically, PNG/JPEG/GIF through the JDK's own javax.imageio
+  * codecs. The schema, batch shape, narrow execution, and partition
+  * preservation are asserted on real plans (SURVEY.md north star).
+  * Synthetic payloads use the legacy graft header.
   */
 class MultiModalSpec extends AnyFunSuite with SparkFixture with Matchers {
 
@@ -99,6 +101,81 @@ class MultiModalSpec extends AnyFunSuite with SparkFixture with Matchers {
       .select(MultiModal.resize(4, 4)(org.apache.spark.sql.functions.col("payload")))
       .collect()(0).getAs[Array[Byte]](0)
     MultiModal.decodeBmp(out).get.rgb shouldBe up.rgb
+  }
+
+  private def imageBytes(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, fmt, o)
+    o.toByteArray
+  }
+
+  test("PNG pixel decode is real: JDK codec recovers known pixels exactly") {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val p = imageBytes(img, "png")
+    MultiModal.detectKind(p) shouldBe "png"
+    val dec = MultiModal.decodeImage(p).get
+    (dec.width, dec.height) shouldBe ((2, 2))
+    dec.rgb shouldBe Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    // header metadata parse agrees with the codec's dimensions
+    MultiModal.decodeMeta(p) shouldBe graft.multimodal.MediaMeta(2, 2, 0, p.length)
+  }
+
+  test("JPEG pixel decode is real: uniform gray survives the lossy codec") {
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0x808080)
+    val p = imageBytes(img, "jpg")
+    MultiModal.detectKind(p) shouldBe "jpeg"
+    val dec = MultiModal.decodeImage(p).get
+    (dec.width, dec.height) shouldBe ((4, 4))
+    // lossy codec: every channel within a small tolerance of mid-gray
+    dec.rgb.foreach(v => math.abs((v & 0xff) - 0x80) should be <= 4)
+    MultiModal.decodeMeta(p).width shouldBe 4
+  }
+
+  test("resize takes the real raster path for PNG payloads") {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x0a0a0a); img.setRGB(1, 0, 0x141414)
+    img.setRGB(0, 1, 0x1e1e1e); img.setRGB(1, 1, 0x282828)
+    val p = imageBytes(img, "png")
+    import spark.implicits._
+    val out = Seq(p).toDF("payload")
+      .select(MultiModal.resize(4, 4)(col("payload")))
+      .collect()(0).getAs[Array[Byte]](0)
+    // output is a real 4×4 BMP raster with nearest-neighbour 2×2 blocks
+    val r = MultiModal.decodeBmp(out).get
+    (r.width, r.height) shouldBe ((4, 4))
+    r.rgb((0 * 4 + 0) * 3) shouldBe 10
+    r.rgb((0 * 4 + 3) * 3) shouldBe 20
+    r.rgb((3 * 4 + 0) * 3) shouldBe 30
+    r.rgb((3 * 4 + 3) * 3) shouldBe 40
+  }
+
+  test("resize with hostile target dimensions degrades instead of overflowing") {
+    import spark.implicits._
+    val bmp = MultiModal.encodeBmp(graft.multimodal.MultiModal.RgbImage(2, 2,
+      Array.fill[Byte](12)(7)))
+    // 50000×50000×3 overflows Int on the raster path: must fall back (and
+    // cap the synthetic body), not throw NegativeArraySize / OOM the task
+    noException should be thrownBy {
+      Seq(bmp).toDF("payload")
+        .select(MultiModal.resize(50000, 50000)(col("payload"))).collect()
+    }
+  }
+
+  test("ambiguous 2-byte signatures fall back to the legacy header when unparseable") {
+    // a legacy fixture whose be16 width is 0x424D ('BM'): too short for a
+    // structural BMP parse, so metadata must come from the legacy header —
+    // not be zeroed by the signature match
+    val p = MultiModal.encodeHeader(0x424d, 123, 7) ++ b(1, 1, 1, 1)
+    MultiModal.decodeMeta(p) shouldBe graft.multimodal.MediaMeta(0x424d, 123, 7, p.length)
+    // same for a width of 0xFFD8 (the JPEG SOI marker)
+    val q = MultiModal.encodeHeader(0xffd8, 55, 9) ++ b(0, 0, 0, 0, 0)
+    MultiModal.decodeMeta(q).height shouldBe 55
+    MultiModal.decodeMeta(q).sample_rate shouldBe 9
   }
 
   test("WAV PCM sample decode and per-frame RMS are real") {
@@ -212,7 +289,7 @@ class MultiModalSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
-  test("stub resize rewrites header and sizes the body to w*h") {
+  test("non-raster resize fallback rewrites header and sizes the body to w*h") {
     val out = media.toDF().withColumn("r", MultiModal.resize(32, 8)(col("payload")))
     out.select("r").collect().foreach { r =>
       val p = r.getAs[Array[Byte]](0)

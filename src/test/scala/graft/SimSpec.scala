@@ -32,6 +32,28 @@ class SimSpec extends AnyFunSuite with SparkFixture with Matchers {
     recall should be >= 0.9
   }
 
+  test("LSH near-dup pairs: candidates cover every exact tau=0.4 pair") {
+    // the sub-quadratic dedup_embed sibling: random-hyperplane signatures,
+    // banded bucket join, exact cosine re-rank. With 16 bands × 2 bits the
+    // analytic per-pair miss rate at sim = 0.4 (the hardest regime: p_bit
+    // = 0.63) is (1 - 0.63²)^16 ≈ 3e-4, so the fixed-seed candidate set
+    // must cover the exact pair set on this corpus.
+    val exact = Sim.cosinePairs(emb, col("a_id") < col("b_id"))
+      .where(col("sim") >= 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Sim.cosineLshPairs(emb, 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.diff(lsh) shouldBe empty
+    // and re-ranking is exact: LSH never emits a below-threshold pair
+    lsh.diff(exact) shouldBe empty
+  }
+
+  test("LSH signatures are deterministic for a fixed seed") {
+    val a = Sim.cosineLshPairs(emb, 0.4, seed = 7L).collect().map(_.toString).sorted
+    val b = Sim.cosineLshPairs(emb, 0.4, seed = 7L).collect().map(_.toString).sorted
+    a shouldBe b
+  }
+
   test("IVF path ranks are internally consistent (sim non-increasing)") {
     Sim.topK(emb, 5, auto = true, ivfThreshold = 1).collect()
       .groupBy(_.getLong(0)).foreach { case (_, rows) =>
