@@ -18,6 +18,8 @@ object Bench {
     nation.select(col("n_regionkey").as("a_id"),
         col("n_nationkey").cast("double").as("sim"), col("n_nationkey").as("b_id"))
       .groupBy("a_id").agg(graft.functions.Udx.topK(2, col("sim"), col("b_id"))).count()
+    nation.groupBy("n_regionkey")
+      .agg(graft.functions.Udx.simhashOf(col("n_nationkey").cast("long"))).count()
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val vecs = nation.selectExpr(

@@ -24,7 +24,8 @@ object PipelineDemo {
     * min-id survivor, low-quality rows filtered, language + token stats +
     * fingerprint columns added).
     */
-  def cleanCorpus(s: SparkSession, sf: String): DataFrame = {
+  def cleanCorpus(s: SparkSession, sf: String,
+      tr: graft.operators.Tracked = new graft.operators.Tracked): DataFrame = {
     val docs = T.t(s, sf, "documents")
 
     // 1. exact dedup: keep min doc_id per content hash
@@ -35,8 +36,11 @@ object PipelineDemo {
       .where(col("doc_id") === col("keep"))
       .drop("h", "keep")
 
-    // 2. near-dup dedup: drop the larger id of every jaccard>=0.5 pair
-    val nearDupLosers = Llm.queries("dedup_jaccard")(s, sf).select(col("db").as("doc_id"))
+    // 2. near-dup dedup: drop the larger id of every jaccard>=0.5 pair —
+    // through the library kernel with the CALLER's Tracked, so the shingle
+    // cache is released by tr.release() once the corpus is consumed (the
+    // block-ownership contract a long-lived session needs)
+    val nearDupLosers = Llm.jaccardPairs(docs, 0.5, tr).select(col("db").as("doc_id"))
     val deduped = exactSurvivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
 
     // 3. quality + language + token annotations (reuse the declared ops)
@@ -78,7 +82,8 @@ object PipelineDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val corpus = cleanCorpus(spark, sf)
+    val tr = new graft.operators.Tracked
+    val corpus = cleanCorpus(spark, sf, tr)
     val feats = discretizedFeatures(spark, sf)
     println(s"clean corpus rows: ${corpus.count()}")
     corpus.show(5, truncate = 40)
@@ -89,6 +94,9 @@ object PipelineDemo {
     // stable if the pipeline re-runs on a grown corpus
     val (train, test) = graft.operators.Split.byHash(corpus, col("text"), 0.1)
     println(s"train/test: ${train.count()} / ${test.count()}")
+    // corpus fully consumed — release the pipeline's cached intermediates
+    tr.release()
+    println(s"pinned blocks after release: ${spark.sparkContext.getRDDStorageInfo.length}")
     // similarity retrieval over the embeddings — auto-dispatches to IVF
     // once the corpus crosses the all-pairs budget
     val nn = graft.ml.Sim.topK(T.t(spark, sf, "embeddings"), 5, auto = true)

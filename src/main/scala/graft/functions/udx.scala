@@ -68,4 +68,39 @@ object Udx {
   def topK(k: Int, sim: Column, id: Column): Column =
     udaf(new TopKAgg(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
       .apply(sim, id)
+
+  /** SimHash bit-vote aggregator (Charikar, STOC 2002): streams 64-bit
+    * feature hashes into a fixed 64-int vote buffer and finishes with the
+    * sign-packed signature. Votes are algebraic (sum of ±1 per bit), so
+    * partial aggregation shrinks each map task's hash stream to ONE 64-int
+    * buffer per group before the shuffle — the gather-then-fold
+    * formulation shipped every hash — and the plan stays one aggregate
+    * column wide (a 64-sum-columns formulation pays ~1 s of driver
+    * analysis + codegen on every cold plan, measured at sf0.1).
+    */
+  object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) { if (((h >> i) & 1L) == 1L) b(i) += 1 else b(i) -= 1; i += 1 }
+      b
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Int]): Long = {
+      var sh = 0L
+      var i = 0
+      while (i < 64) { if (r(i) > 0) sh |= (1L << i); i += 1 }
+      sh
+    }
+    override def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Column-function form of [[SimHashAgg]]. */
+  def simhashOf(h: Column): Column = udaf(SimHashAgg, Encoders.scalaLong).apply(h)
 }

@@ -32,9 +32,15 @@ object Components {
   def connected(edges: DataFrame, a: String = "a_id", b: String = "b_id",
       tr: Tracked = new Tracked): DataFrame = {
     val spark = edges.sparkSession
+    // the edge list is cached PRE-PARTITIONED on v — the only key it ever
+    // joins on — so no propagation round re-shuffles it: each step's join
+    // exchanges only the (vertex, label) frame. At scale the edge list is
+    // the dominant frame; shuffling it once instead of once-per-round is
+    // the difference between O(E) and O(E·diameter) network traffic.
     val sym = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
       .union(edges.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
       .distinct()
+      .repartition(col("v"))
       .persist()
     // Lineage truncation with explicit block bookkeeping: each checkpoint's
     // frame is snapped to a persisted RDD we hold a handle to, so every
@@ -48,21 +54,25 @@ object Components {
       spark.createDataFrame(rdd, df.schema)
     }
     // one propagation step, composed lazily: every vertex u hears the
-    // current label of each neighbour v and keeps the minimum
+    // current label of each neighbour v and keeps the minimum. `lbl0` (the
+    // label at the START of the current action) is threaded through so the
+    // convergence check is a filter on the same frame — no extra
+    // compare-join stage per action.
     def step(cur: DataFrame): DataFrame = {
       val heard = sym
         .join(cur.select(col("id").as("v"), col("lbl").as("nlbl")), "v")
         .groupBy(col("u").as("id")).agg(min(col("nlbl")).as("nmin"))
       cur.join(heard, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl0"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
     }
-    var lbl = snap(sym.select(col("u").as("id")).withColumn("lbl", col("id")).distinct())
+    var lbl = snap(sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl0"), col("id").as("lbl")))
     var changed = 1L
     while (changed > 0) {
-      val prev = lbl
-      val next = snap(step(step(prev))) // two steps per action (monotone)
-      changed = next.as("n").join(prev.as("p"), "id")
-        .filter(col("n.lbl") < col("p.lbl")).count()
+      val next = snap(step(step( // two steps per action (monotone labels)
+        lbl.select(col("id"), col("lbl").as("lbl0"), col("lbl")))))
+      changed = next.filter(col("lbl") < col("lbl0")).count()
       lbl = next
     }
     val out = tr.seal(lbl.select(col("id"), col("lbl").as("cluster")))

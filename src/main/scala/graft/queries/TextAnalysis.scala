@@ -97,22 +97,15 @@ object TextAnalysis {
       val tr = new graft.operators.Tracked
       val toks = Llm.shingles(t(s, sf, "documents"), tr)
         .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      // 64 ALGEBRAIC bit-vote aggregates (sum of ±1 per bit) instead of the
-      // r3 collect_list gather + Scala-UDF fold: sums partial-aggregate
-      // map-side — only 64 longs per doc ever shuffle, never the full
-      // shingle-hash list — and the whole vote stays inside whole-stage
-      // codegen with no serialization boundary. The sign pack-down is a
-      // codegen'd higher-order fold over the vote array.
-      val votes = toks.groupBy("doc_id").agg(
-        array((0 until 64).map(b =>
-          sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1)): _*).as("votes"))
+      // one ALGEBRAIC bit-vote aggregator ([[graft.functions.Udx.SimHashAgg]])
+      // instead of the r3 collect_list gather + Scala-UDF fold: votes
+      // partial-aggregate map-side, so only a 64-int buffer per doc ever
+      // shuffles — never the full shingle-hash list — and the plan stays
+      // one aggregate column wide (narrow to analyze, cheap to compile).
       // persist: one tiny row per doc; the banded self-join below would
       // otherwise recompute the vote aggregation per branch
-      val sim = tr.persist(votes.select(col("doc_id"), expr(
-        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-          |  (acc, b) -> acc | IF(element_at(votes, b + 1) > 0,
-          |                       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"""
-          .stripMargin).as("sh")))
+      val sim = tr.persist(toks.groupBy("doc_id")
+        .agg(graft.functions.Udx.simhashOf(col("h")).as("sh")))
       val bands = sim.select(col("doc_id"), col("sh"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> (sh >> (b * 16)) & 65535)")).as(Seq("band", "bv")))
