@@ -25,7 +25,11 @@ object PipelineDemo {
     * fingerprint columns added).
     */
   def cleanCorpus(s: SparkSession, sf: String,
-      tr: graft.operators.Tracked = new graft.operators.Tracked): DataFrame = {
+      // required, not defaulted: the shingle cache inside jaccardPairs is
+      // reachable only through this handle — a silently-discarded default
+      // Tracked would be exactly the unreleasable pinned block the
+      // ownership contract exists to prevent
+      tr: graft.operators.Tracked): DataFrame = {
     val docs = T.t(s, sf, "documents")
 
     // 1. exact dedup: keep min doc_id per content hash
@@ -95,7 +99,11 @@ object PipelineDemo {
     val (train, test) = graft.operators.Split.byHash(corpus, col("text"), 0.1)
     println(s"train/test: ${train.count()} / ${test.count()}")
     // corpus fully consumed — release the pipeline's cached intermediates
+    // (unpersist is asynchronous, so poll briefly before reporting)
     tr.release()
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getRDDStorageInfo.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
     println(s"pinned blocks after release: ${spark.sparkContext.getRDDStorageInfo.length}")
     // similarity retrieval over the embeddings — auto-dispatches to IVF
     // once the corpus crosses the all-pairs budget

@@ -26,8 +26,12 @@ object Sim {
     * either way — IVF / LSH are the scale paths.)
     */
   def cosinePairs(emb: DataFrame, cond: Column): DataFrame = {
+    // zero-norm vectors (padding rows, failed upstream embedders) are
+    // excluded up front: their cosine is 0/0 = NaN, and Spark orders NaN
+    // above every double, so a NaN sim would sail through >= tau filters
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+      .where(col("nrm") > 0)
     val a = v.repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
@@ -61,7 +65,15 @@ object Sim {
     val nBits = nBands * bandBits
     require(nBits <= 63, s"nBands*bandBits must fit a long, got $nBits")
     val spark = emb.sparkSession
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // hyperplane dimension comes from the data (one-row peek); an empty
+    // corpus yields an empty pair frame, not a head-of-nothing crash
+    val dim = emb.select(size(col("embedding"))).head(1) match {
+      case Array(r) => r.getInt(0)
+      case _ =>
+        return emb.sparkSession.emptyDataFrame
+          .select(lit(0L).as("a_id"), lit(0L).as("b_id"), lit(0.0).as("sim"))
+          .limit(0)
+    }
     val rnd = new java.util.Random(seed)
     val planes = Seq.tabulate(nBits) { i =>
       (i, Array.fill(dim)(rnd.nextGaussian()))
@@ -69,6 +81,7 @@ object Sim {
     val planesDf = spark.createDataFrame(planes).toDF("bit", "r")
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+      .where(col("nrm") > 0) // zero-norm → sim = NaN, see cosinePairs
     // signature: nBits sign bits packed into one long — the crossJoin is a
     // constant nBits× row expansion (narrow after the tiny-table broadcast),
     // packed back down by a codegen'd sum aggregate

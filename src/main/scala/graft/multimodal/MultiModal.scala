@@ -65,24 +65,33 @@ object MultiModal {
     // zeros) — never the legacy-header fallback, which would read garbage
     // dimensions out of the signature bytes themselves. The 2-byte
     // signatures ("BM", FF D8) are AMBIGUOUS with a legacy graft header
-    // whose be16 width happens to be 0x424D or 0xFFD8, so when their
-    // structural parse fails they fall through to the legacy parse instead
-    // of zeroing real fixture metadata.
+    // whose be16 width happens to be 0x424D or 0xFFD8 — for those, fall
+    // through to the legacy parse ONLY when the payload cannot be the real
+    // container: a real JPEG always has a 0xFF marker byte at offset 2
+    // (a truncated photo must degrade to zeros, not to garbage legacy
+    // dimensions), and a real BMP is at least its 54-byte header (shorter
+    // BM-prefixed payloads can only be legacy fixtures).
     val strongSignature =
       (n >= 8 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a) ||
         tag(0, "GIF87a") || tag(0, "GIF89a") ||
-        (tag(0, "RIFF") && tag(8, "WAVE"))
+        (tag(0, "RIFF") && tag(8, "WAVE")) ||
+        (n >= 3 && u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff) ||
+        (n >= 54 && tag(0, "BM"))
 
     val parsed: Option[(String, MediaMeta)] =
       if (n >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a && tag(12, "IHDR"))
         Some("png" -> MediaMeta(be32(16), be32(20), 0, n))
       else if (n >= 54 && tag(0, "BM")) {
-        // same parsed-or-raw contract as the other containers: only a
-        // structurally valid uncompressed 24-bit DIB is "bmp" (height may
-        // be negative = top-down; report magnitude)
+        // same parsed-or-raw contract as the other containers: any
+        // structurally valid DIB with a standard bit depth is "bmp" — the
+        // dimension fields don't depend on the pixel format, and the
+        // ImageIO decode path handles more than the arithmetic 24-bit one,
+        // so kind/metadata must not be narrower than pixel decode (height
+        // may be negative = top-down; report magnitude)
         val w = le32(18); val h = le32(22)
-        val bpp = le16(28); val comp = le32(30)
-        if (bpp == 24 && comp == 0 && w > 0 && h != 0 && math.abs(h) <= (1 << 24))
+        val bpp = le16(28)
+        if (Set(1, 4, 8, 16, 24, 32)(bpp) && w > 0 && h != 0 &&
+            w <= (1 << 24) && math.abs(h) <= (1 << 24))
           Some("bmp" -> MediaMeta(w, math.abs(h), 0, n))
         else None
       }
@@ -187,9 +196,10 @@ object MultiModal {
     */
   def decodeImage(payload: Array[Byte]): Option[RgbImage] =
     decodeBmp(payload).orElse(try {
-      // stream-backed (no ImageIO disk cache): codec temp files would be
-      // per-row I/O inside executor tasks
-      val in = javax.imageio.ImageIO.createImageInputStream(
+      // memory-backed explicitly: ImageIO.createImageInputStream defaults
+      // to a FILE-cached stream, which would create and delete a temp file
+      // per row inside executor tasks
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val img = javax.imageio.ImageIO.read(in)

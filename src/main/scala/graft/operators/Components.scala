@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** @param edges undirected edge list
-    * @param tr    owner of the sealed result block (see [[Tracked.seal]])
+    * @param tr    owner of the sealed result block (see [[Tracked.seal]]).
+    *              Intermediates the CALLER tracked on it (the edge-pair
+    *              cache, shingle tables) are freed as soon as the first
+    *              propagation round has materialized the symmetric edge
+    *              cache — they must not be needed afterwards.
     * @return (id, cluster) — cluster = smallest vertex id reachable
     */
   def connected(edges: DataFrame, a: String = "a_id", b: String = "b_id",
@@ -69,11 +73,20 @@ object Components {
     var lbl = snap(sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl0"), col("id").as("lbl")))
     var changed = 1L
+    var firstRound = true
     while (changed > 0) {
       val next = snap(step(step( // two steps per action (monotone labels)
         lbl.select(col("id"), col("lbl").as("lbl0"), col("lbl")))))
       changed = next.filter(col("lbl") < col("lbl0")).count()
       lbl = next
+      if (firstRound) {
+        // round 1's action materialized the symmetric edge cache, so the
+        // caller's tracked INPUT caches (pair stream, shingle tables) are
+        // dead weight now — free them instead of pinning ~double the edge
+        // storage for the remaining O(diameter) rounds
+        tr.free()
+        firstRound = false
+      }
     }
     val out = tr.seal(lbl.select(col("id"), col("lbl").as("cluster")))
     sym.unpersist(blocking = false)

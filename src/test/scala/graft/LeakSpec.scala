@@ -29,8 +29,7 @@ class LeakSpec extends AnyFunSuite with SparkFixture with Matchers {
   test("composed dedup pipeline leaves zero pinned blocks after release") {
     val before = storedIds
     val docs = T.t(spark, sf001, "documents")
-    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+    val emb = T.t(spark, sf001, "embeddings").select(col("vec_id"), col("embedding"))
     val tr = new Tracked
     // three dedup operators, one session: exact-jaccard pair generation,
     // transitive clustering over those pairs, embedding LSH near-dup —

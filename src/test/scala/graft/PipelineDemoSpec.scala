@@ -9,13 +9,15 @@ import graft.examples.PipelineDemo
 class PipelineDemoSpec extends AnyFunSuite with SparkFixture with Matchers {
 
   test("cleanCorpus dedups, filters, and annotates") {
-    val corpus = PipelineDemo.cleanCorpus(spark, sf001)
+    val tr = new graft.operators.Tracked
+    val corpus = PipelineDemo.cleanCorpus(spark, sf001, tr)
     val n = corpus.count()
     n should be > 0L
     n should be < T.t(spark, sf001, "documents").count() // something was dropped
     corpus.columns should contain allOf ("quality", "pred", "ws_toks", "fp")
     // survivors are exact-dedup canonical: no duplicate texts remain
     corpus.groupBy("text").count().filter(col("count") > 1).count() shouldBe 0L
+    tr.release()
   }
 
   test("discretizedFeatures bins both dimensions for every vector") {
