@@ -40,12 +40,15 @@ object PipelineDemo {
       .where(col("doc_id") === col("keep"))
       .drop("h", "keep")
 
-    // 2. near-dup dedup: drop the larger id of every jaccard>=0.5 pair —
-    // through the library kernel with the CALLER's Tracked, so the shingle
-    // cache is released by tr.release() once the corpus is consumed (the
-    // block-ownership contract a long-lived session needs)
-    val nearDupLosers = Llm.jaccardPairs(docs, 0.5, tr).select(col("db").as("doc_id"))
-    val deduped = exactSurvivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    // 2. near-dup dedup, TRANSITIVE: jaccard pairs → connected components →
+    // survivor materialization, all through the library kernels with the
+    // CALLER's Tracked (chains (a,b),(b,c) collapse to ONE survivor, which
+    // pairwise drop-the-larger-id logic cannot do). The cluster
+    // representative is never an exact-dup loser: exact dups share text,
+    // so they share a cluster, and the representative is the min id.
+    val pairs = tr.persist(Llm.jaccardPairs(docs, 0.5, tr).select("da", "db"))
+    val clusters = graft.operators.Components.connected(pairs, "da", "db", tr)
+    val deduped = graft.operators.Dedup.survivors(exactSurvivors, clusters)
 
     // 3. quality + language + token annotations (reuse the declared ops)
     val quality = TextAnalysis.queries("text_quality")(s, sf)

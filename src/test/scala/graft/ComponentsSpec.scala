@@ -26,6 +26,26 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture with Matchers {
     got.foreach(_.getLong(1) shouldBe 1L)
   }
 
+  test("Dedup.survivors keeps unclustered rows plus one representative per cluster") {
+    val docs = T.t(spark, sf001, "documents")
+    val tr = new graft.operators.Tracked
+    val pairs = tr.persist(graft.queries.Llm
+      .jaccardPairs(docs, 0.5, tr).select("da", "db"))
+    val clusters = Components.connected(pairs, "da", "db", tr)
+    val kept = graft.operators.Dedup.survivors(docs, clusters)
+    // schema unchanged; every cluster keeps exactly its min-id member;
+    // all unclustered docs survive
+    kept.columns shouldBe docs.columns
+    val cl = clusters.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val losers = cl.collect { case (id, c) if id != c => id }.toSet
+    val reps = cl.map(_._2).toSet
+    reps.subsetOf(keptIds) shouldBe true
+    keptIds.intersect(losers) shouldBe empty
+    kept.count() shouldBe docs.count() - losers.size
+    tr.release()
+  }
+
   test("dedup_clusters is transitive over the pairwise jaccard output") {
     val pairs = SparkEntry.queries("dedup_jaccard")(spark, sf001)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
