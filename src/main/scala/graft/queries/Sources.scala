@@ -47,6 +47,18 @@ object Sources {
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_supp"), graft.T.dsum(col("s_acctbal"), 2).as("sum_bal"))
         .orderBy("s_nationkey")
+    }),
+
+    // ORC (Spark-native columnar source, round 4): binary round-trip —
+    // types survive exactly (no text parsing), predicates and column
+    // pruning push into the ORC reader the same way they do for parquet
+    "source_orc" -> ((s, sf) => {
+      val dir = tmp(sf, "orc")
+      t(s, sf, "customer").write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), graft.T.dsum(col("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -57,6 +69,10 @@ object Sources {
     "source_json" ->
       """SELECT s_nationkey, count(*) AS n_supp,
                 CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-         FROM supplier GROUP BY 1 ORDER BY s_nationkey"""
+         FROM supplier GROUP BY 1 ORDER BY s_nationkey""",
+    "source_orc" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY 1 ORDER BY c_mktsegment"""
   )
 }

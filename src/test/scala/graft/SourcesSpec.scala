@@ -36,6 +36,18 @@ class SourcesSpec extends AnyFunSuite with SparkFixture with Matchers {
       src.select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
   }
 
+  test("ORC round-trip preserves types exactly") {
+    val dir = tmp("graft-orc")
+    val src = T.t(spark, sf001, "customer")
+    src.write.orc(dir)
+    val back = spark.read.orc(dir)
+    back.schema shouldBe src.schema
+    back.orderBy("c_custkey").collect() shouldBe src.orderBy("c_custkey").collect()
+    // predicate pushdown reaches the ORC reader like it does for parquet
+    val plan = back.filter(col("c_acctbal") > 0).queryExecution.executedPlan.toString()
+    plan should include("PushedFilters")
+  }
+
   test("parquet sink round-trip preserves types exactly") {
     val dir = tmp("graft-parquet")
     val src = T.t(spark, sf001, "customer")
