@@ -42,4 +42,27 @@ object Split {
     require(k > 0, "k must be positive")
     when(key.isNull, lit(0L)).otherwise(pmod(xxhash64(key, lit(seed)), lit(k.toLong)))
   }
+
+  /** Deterministic stratified downsample (round 4): keep a per-stratum
+    * fraction of rows, membership decided by the KEY's hash bucket — not a
+    * Bernoulli RNG like `stat.sampleBy`, whose draw depends on row order
+    * and partitioning. Re-runs, repartitionings, and corpus growth keep
+    * every previously-sampled key sampled (hash-stable membership is what
+    * makes corpus downsampling reproducible and incrementally extendable),
+    * and duplicate keys sample together. Strata missing from `fractions`
+    * default to `defaultFrac` (0 = drop — the usual "keep only listed
+    * languages at these rates" shape). Narrow: one projection + filter, no
+    * shuffle, no driver state.
+    */
+  def sampleByHash(df: DataFrame, key: Column, strata: Column,
+      fractions: Map[String, Double], defaultFrac: Double = 0.0,
+      seed: Int = 42): DataFrame = {
+    (fractions.values ++ Seq(defaultFrac)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0, 1], got $f"))
+    val cut = fractions.foldLeft(lit((defaultFrac * Buckets).toLong)) {
+      case (acc, (stratum, f)) =>
+        when(strata === lit(stratum), lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(bucket(key, seed) < cut)
+  }
 }

@@ -59,6 +59,30 @@ class SplitSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("stratified hash sample: per-stratum rates, stable, subset-monotone") {
+    val fr = Map("en" -> 0.5, "es" -> 0.1)
+    val s = Split.sampleByHash(docs, col("doc_id"), col("lang"), fr)
+    val by = s.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only listed strata survive (defaultFrac = 0), at ≈ their fractions
+    by.keySet.subsetOf(fr.keySet) shouldBe true
+    fr.foreach { case (l, f) =>
+      by.getOrElse(l, 0L).toDouble / tot(l) shouldBe f +- 0.12
+    }
+    // stable across repartitioning (pure function of key+seed)
+    val s2 = Split.sampleByHash(docs.repartition(7), col("doc_id"), col("lang"), fr)
+    s2.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      s.select("doc_id").collect().map(_.getLong(0)).sorted
+    // lowering a fraction yields a SUBSET (hash membership is monotone in
+    // the cut — the property that makes downsampling reproducible and
+    // incrementally adjustable)
+    val smaller = Split.sampleByHash(docs, col("doc_id"), col("lang"), Map("en" -> 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val enIds = s.where(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    smaller.subsetOf(enIds) shouldBe true
+  }
+
   test("split plan is narrow: no exchange") {
     val (train, _) = Split.byHash(docs, col("doc_id"), 0.2)
     val plan = train.queryExecution.executedPlan.toString
