@@ -36,6 +36,34 @@ class SourcesSpec extends AnyFunSuite with SparkFixture with Matchers {
       src.select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
   }
 
+  test("malformed JSON lines are captured per-row, never fatal") {
+    // at corpus scale some fraction of source lines is always broken; one
+    // bad record must not kill the read. PERMISSIVE mode (the default)
+    // parses good rows and lands broken ones in _corrupt_record
+    val dir = tmp("graft-badjson")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part-0.json"),
+      """{"r_regionkey": 1, "r_name": "AMERICA"}
+        |{"r_regionkey": 2, "r_name": "ASIA"}
+        |{"r_regionkey": oops not json
+        |""".stripMargin)
+    // Spark disallows filtering the internal corrupt column straight off a
+    // raw file scan — materialize the parse once (its own documented rule)
+    val back = spark.read
+      .schema("r_regionkey INT, r_name STRING, _corrupt_record STRING")
+      .json(dir).cache()
+    back.count() shouldBe 3
+    back.filter(col("_corrupt_record").isNotNull).count() shouldBe 1
+    back.filter(col("_corrupt_record").isNull)
+      .select("r_regionkey", "r_name").orderBy("r_regionkey")
+      .collect().map(r => (r.getInt(0), r.getString(1))) shouldBe
+      Array((1, "AMERICA"), (2, "ASIA"))
+    back.unpersist(blocking = false)
+    // DROPMALFORMED: broken rows silently excluded when that's the policy
+    spark.read.schema("r_regionkey INT, r_name STRING")
+      .option("mode", "DROPMALFORMED").json(dir).count() shouldBe 2
+  }
+
   test("ORC round-trip preserves types exactly") {
     val dir = tmp("graft-orc")
     val src = T.t(spark, sf001, "customer")
