@@ -20,17 +20,20 @@ final class Tracked {
   private var kept: List[DataFrame] = Nil
   private var owned: List[DataFrame] = Nil
 
-  /** Persist an intermediate and remember the handle. */
+  /** Persist an intermediate and remember the handle. (Handle-list updates
+    * are synchronized: pipelines that fan out stages on Futures may share
+    * one Tracked.)
+    */
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    kept = p :: kept
+    synchronized { kept = p :: kept }
     p
   }
 
   /** Unpersist every tracked intermediate (not sealed results). */
   def free(): Unit = {
-    kept.foreach(_.unpersist(blocking = false))
-    kept = Nil
+    val toFree = synchronized { val k = kept; kept = Nil; k }
+    toFree.foreach(_.unpersist(blocking = false))
   }
 
   /** Eagerly materialize `result` (persist + count — downstream actions read
@@ -42,7 +45,7 @@ final class Tracked {
   def seal(result: DataFrame): DataFrame = {
     val out = result.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    owned = out :: owned
+    synchronized { owned = out :: owned }
     free()
     out
   }
@@ -50,7 +53,7 @@ final class Tracked {
   /** Free everything, sealed results included — zero pinned blocks remain. */
   def release(): Unit = {
     free()
-    owned.foreach(_.unpersist(blocking = false))
-    owned = Nil
+    val toFree = synchronized { val o = owned; owned = Nil; o }
+    toFree.foreach(_.unpersist(blocking = false))
   }
 }
