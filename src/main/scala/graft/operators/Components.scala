@@ -70,8 +70,11 @@ object Components {
         .select(col("id"), col("lbl0"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
     }
-    var lbl = snap(sym.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl0"), col("id").as("lbl")))
+    // no snapshot for the initial labels: the frame is one distinct over
+    // the (cached) edge list — depth-1 lineage, nothing to truncate, and
+    // skipping the RDD persist saves a materialization in round 1
+    var lbl = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl0"), col("id").as("lbl"))
     var changed = 1L
     var firstRound = true
     while (changed > 0) {
