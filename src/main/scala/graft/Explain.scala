@@ -10,12 +10,15 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // source_* queries are excluded from the default list: their
+    // constructors eagerly WRITE the round-trip files, so a plan-dump run
+    // would execute real jobs (pass them explicitly to accept that)
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "agg_group", "filter_pred", "project_select", "join_broadcast",
       "join_inner", "join_asof", "sim_cosine_pairs", "sim_topk",
       "dedup_jaccard", "dedup_minhash", "dedup_simhash", "caim_candidates",
       "disc_equal_freq", "sessionize", "topk_per_group", "sort_limit",
-      "join_salted", "stream_join", "knn_classify", "source_orc")
+      "join_salted", "stream_join", "knn_classify")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)

@@ -46,7 +46,7 @@ object PipelineDemo {
     // pairwise drop-the-larger-id logic cannot do). The cluster
     // representative is never an exact-dup loser: exact dups share text,
     // so they share a cluster, and the representative is the min id.
-    val pairs = tr.persist(Llm.jaccardPairs(docs, 0.5, tr).select("da", "db"))
+    val pairs = Llm.clusterEdges(docs, 0.5, tr)
     val clusters = graft.operators.Components.connected(pairs, "da", "db", tr)
     val deduped = graft.operators.Dedup.survivors(exactSurvivors, clusters)
 

@@ -23,8 +23,12 @@ object Dedup {
     * @return the deduplicated corpus: unclustered rows + one
     *         representative (min id) per cluster, original schema
     */
-  def survivors(docs: DataFrame, clusters: DataFrame, idCol: String = "doc_id"): DataFrame =
-    docs.join(clusters.select(col("id").as(idCol), col("cluster")), Seq(idCol), "left")
-      .where(col("cluster").isNull || col("cluster") === col(idCol))
-      .drop("cluster")
+  def survivors(docs: DataFrame, clusters: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    // collision-proof internal name: a corpus carrying its own "cluster"
+    // column must survive untouched (no ambiguous-reference failure)
+    val c = "__graft_cluster"
+    docs.join(clusters.select(col("id").as(idCol), col("cluster").as(c)), Seq(idCol), "left")
+      .where(col(c).isNull || col(c) === col(idCol))
+      .drop(c)
+  }
 }

@@ -51,7 +51,12 @@ object Split {
     * makes corpus downsampling reproducible and incrementally extendable),
     * and duplicate keys sample together. Strata missing from `fractions`
     * default to `defaultFrac` (0 = drop — the usual "keep only listed
-    * languages at these rates" shape). Narrow: one projection + filter, no
+    * languages at these rates" shape). Null KEYS are always dropped: the
+    * split's null→bucket-0 policy would keep 100% of null-key rows in any
+    * stratum with a positive fraction, silently breaking the per-stratum
+    * rate — a sampler has no "must land somewhere" obligation, so
+    * exclusion is the honest contract (hash a coalesced surrogate key if
+    * null rows must participate). Narrow: one projection + filter, no
     * shuffle, no driver state.
     */
   def sampleByHash(df: DataFrame, key: Column, strata: Column,
@@ -63,6 +68,6 @@ object Split {
       case (acc, (stratum, f)) =>
         when(strata === lit(stratum), lit((f * Buckets).toLong)).otherwise(acc)
     }
-    df.filter(bucket(key, seed) < cut)
+    df.filter(key.isNotNull && bucket(key, seed) < cut)
   }
 }

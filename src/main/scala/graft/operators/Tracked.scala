@@ -20,9 +20,12 @@ final class Tracked {
   private var kept: List[DataFrame] = Nil
   private var owned: List[DataFrame] = Nil
 
-  /** Persist an intermediate and remember the handle. (Handle-list updates
-    * are synchronized: pipelines that fan out stages on Futures may share
-    * one Tracked.)
+  /** Persist an intermediate and remember the handle. Handle-list updates
+    * are synchronized so concurrent registration can't lose a handle — but
+    * `seal`/`free`/`release` free EVERY tracked intermediate, so stages
+    * running concurrently must use separate Tracked instances (seal from
+    * one stage would reclaim caches a sibling still reads); share one
+    * Tracked only across sequential stages.
     */
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)

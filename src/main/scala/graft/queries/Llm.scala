@@ -88,6 +88,16 @@ object Llm {
       .select(col("da"), col("db"), col("jac"))
   }
 
+  /** Jaccard pair stream wired for [[graft.operators.Components]]: a
+    * TRACKED persist (not a seal!) so the first propagation round
+    * materializes it into cache and Components' round-1 free reclaims it.
+    * The one place this ownership-sensitive wiring lives — the declared
+    * query, the pipeline demo, and the specs all call it.
+    */
+  private[graft] def clusterEdges(docsRaw: DataFrame, tau: Double,
+      tr: graft.operators.Tracked): DataFrame =
+    tr.persist(jaccardPairs(docsRaw, tau, tr).select("da", "db"))
+
   // Similarity kernels (cosine pairs, bounded top-k, IVF) live in the
   // library surface [[graft.ml.Sim]]; the declared queries below are thin
   // bindings of those operators to the corpus tables. Dot/norm use the
@@ -171,10 +181,7 @@ object Llm {
     // the range-partition sampling job: half the 10.9 s wall time).
     "dedup_clusters" -> ((s, sf) => {
       val tr = new graft.operators.Tracked
-      // a tracked intermediate, not an owned seal: first propagation round
-      // materializes it into cache, and Components' own seal frees it (and
-      // the shingle table) once the final labels are materialized
-      val pairs = tr.persist(jaccardPairs(t(s, sf, "documents"), 0.5, tr).select("da", "db"))
+      val pairs = clusterEdges(t(s, sf, "documents"), 0.5, tr)
       graft.operators.Components.connected(pairs, "da", "db", tr)
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")

@@ -29,8 +29,7 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture with Matchers {
   test("Dedup.survivors keeps unclustered rows plus one representative per cluster") {
     val docs = T.t(spark, sf001, "documents")
     val tr = new graft.operators.Tracked
-    val pairs = tr.persist(graft.queries.Llm
-      .jaccardPairs(docs, 0.5, tr).select("da", "db"))
+    val pairs = graft.queries.Llm.clusterEdges(docs, 0.5, tr)
     val clusters = Components.connected(pairs, "da", "db", tr)
     val kept = graft.operators.Dedup.survivors(docs, clusters)
     // schema unchanged; every cluster keeps exactly its min-id member;

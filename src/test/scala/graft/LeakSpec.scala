@@ -35,16 +35,13 @@ class LeakSpec extends AnyFunSuite with SparkFixture with Matchers {
     // transitive clustering over those pairs, embedding LSH near-dup —
     // every intermediate (shingle arrays, pair cache, per-round label
     // snapshots) rides the shared Tracked
-    val pairs = tr.persist(jPairs(docs, tr).select("da", "db"))
+    val pairs = Llm.clusterEdges(docs, 0.5, tr)
     val clusters = Components.connected(pairs, "da", "db", tr)
     clusters.count() should be > 0L
     graft.ml.Sim.cosineLshPairs(emb, 0.4).count() should be > 0L
     tr.release()
     awaitStorage(before)
   }
-
-  private def jPairs(docs: org.apache.spark.sql.DataFrame, tr: Tracked) =
-    Llm.jaccardPairs(docs, 0.5, tr)
 
   test("declared dedup queries pin only their sealed result, freed by clearCache") {
     val before = storedIds

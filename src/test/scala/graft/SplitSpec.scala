@@ -81,6 +81,11 @@ class SplitSpec extends AnyFunSuite with SparkFixture with Matchers {
     val enIds = s.where(col("lang") === "en")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     smaller.subsetOf(enIds) shouldBe true
+    // null keys are dropped, never kept at 100% via the bucket-0 rule
+    val withNulls = docs.withColumn("k",
+      when(col("doc_id") % 2 === 0, col("doc_id")))
+    Split.sampleByHash(withNulls, col("k"), col("lang"), Map("en" -> 1.0))
+      .filter(col("k").isNull).count() shouldBe 0L
   }
 
   test("split plan is narrow: no exchange") {
