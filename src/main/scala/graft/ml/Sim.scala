@@ -61,35 +61,48 @@ object Sim {
     * skew-bounded by bucket size.
     */
   def cosineLshPairs(emb: DataFrame, tau: Double, nBands: Int = 16,
-      bandBits: Int = 2, seed: Long = 42L): DataFrame = {
+      bandBits: Int = 2, seed: Long = 42L,
+      tr: graft.operators.Tracked = null): DataFrame = {
     val nBits = nBands * bandBits
     require(nBits <= 63, s"nBands*bandBits must fit a long, got $nBits")
     val spark = emb.sparkSession
-    // hyperplane dimension comes from the data (one-row peek); an empty
-    // corpus yields an empty pair frame, not a head-of-nothing crash
-    val dim = emb.select(size(col("embedding"))).head(1) match {
-      case Array(r) => r.getInt(0)
-      case _ =>
-        return emb.sparkSession.emptyDataFrame
-          .select(lit(0L).as("a_id"), lit(0L).as("b_id"), lit(0.0).as("sim"))
-          .limit(0)
-    }
+    // the empty / degenerate result keeps vec_id's REAL column type (int
+    // corpora must not come back as long just because the corpus is empty)
+    def emptyPairs = emb.select(col("vec_id").as("a_id"),
+      col("vec_id").as("b_id"), lit(0.0).as("sim")).limit(0)
+    // hyperplane dimension from a null-safe aggregate, not a one-row peek:
+    // a null embedding in the first row must not NPE, and mixed-length
+    // corpora get planes sized to the LONGEST vector (graft_dot iterates
+    // min(len) — shorter vectors behave as zero-padded). Column-pruned
+    // scan-count job, the same runtime-statistics move topK(auto) makes.
+    val dim = emb.where(col("embedding").isNotNull)
+      .agg(coalesce(max(size(col("embedding"))), lit(0)))
+      .head().getInt(0)
+    if (dim <= 0) return emptyPairs
     val rnd = new java.util.Random(seed)
     val planes = Seq.tabulate(nBits) { i =>
       (i, Array.fill(dim)(rnd.nextGaussian()))
     }
     val planesDf = spark.createDataFrame(planes).toDF("bit", "r")
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
-      .where(col("nrm") > 0) // zero-norm → sim = NaN, see cosinePairs
+    // v feeds the signature crossJoin AND both exact re-rank joins; sig
+    // feeds both sides of the band self-join. Persisting them is OPT-IN
+    // via the caller's Tracked: with `tr` the shared stages compute once
+    // and the caller frees the blocks (seal/free/release); without it the
+    // pipeline stays persist-free — recomputation over a pinned-block
+    // leak, since nobody would own the caches
+    def keep(df: DataFrame) = if (tr == null) df else tr.persist(df)
+    val v = keep(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+        .where(col("nrm") > 0)) // zero-norm → sim = NaN, see cosinePairs
     // signature: nBits sign bits packed into one long — the crossJoin is a
     // constant nBits× row expansion (narrow after the tiny-table broadcast),
     // packed back down by a codegen'd sum aggregate
-    val sig = v.crossJoin(broadcast(planesDf))
+    val sig = keep(v.crossJoin(broadcast(planesDf))
       .select(col("vec_id"),
         when(expr("graft_dot(e, r)") >= 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
           .otherwise(0L).as("sb"))
-      .groupBy("vec_id").agg(sum(col("sb")).as("sig"))
+      .groupBy("vec_id").agg(sum(col("sb")).as("sig")))
     val bands = sig.select(col("vec_id"),
       posexplode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> (sig >> (b * $bandBits)) & ${(1L << bandBits) - 1})"))

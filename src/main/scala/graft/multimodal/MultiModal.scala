@@ -410,7 +410,11 @@ object MultiModal {
         val out = new Array[Byte](target)
         var i = 0
         while (i < target && body.nonEmpty) { out(i) = body(i % body.length); i += 1 }
-        encodeHeader(w, h, decodeMeta(payload).sample_rate) ++ out
+        // the legacy header packs w/h as big-endian 16-bit: clamp so a
+        // >65535 target reports 65535 instead of silently wrapping (e.g.
+        // w=70000 would read back as 4464); the body is capped separately
+        encodeHeader(math.max(0, math.min(w, 0xFFFF)),
+          math.max(0, math.min(h, 0xFFFF)), decodeMeta(payload).sample_rate) ++ out
     }
   }
 

@@ -25,16 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** @param edges undirected edge list
-    * @param tr    owner of the sealed result block (see [[Tracked.seal]]).
-    *              Intermediates the CALLER tracked on it (the edge-pair
-    *              cache, shingle tables) are freed as soon as the first
-    *              propagation round has materialized the symmetric edge
-    *              cache — they must not be needed afterwards.
+  /** @param edges  undirected edge list
+    * @param inputs the Tracked that holds the caches FEEDING `edges` (the
+    *               edge-pair cache, shingle tables) and nothing else. The
+    *               name is the contract: EVERY intermediate kept on this
+    *               handle is freed as soon as the first propagation round
+    *               has materialized the symmetric edge cache — a Tracked
+    *               carrying caches some sibling pipeline still reads must
+    *               NOT be passed here (it would silently recompute them).
+    *               The sealed result is registered as owned on the same
+    *               handle, so `inputs.release()` reclaims everything.
     * @return (id, cluster) — cluster = smallest vertex id reachable
     */
   def connected(edges: DataFrame, a: String = "a_id", b: String = "b_id",
-      tr: Tracked = new Tracked): DataFrame = {
+      inputs: Tracked = new Tracked): DataFrame = {
     val spark = edges.sparkSession
     // the edge list is cached PRE-PARTITIONED on v — the only key it ever
     // joins on — so no propagation round re-shuffles it: each step's join
@@ -87,11 +91,11 @@ object Components {
         // caller's tracked INPUT caches (pair stream, shingle tables) are
         // dead weight now — free them instead of pinning ~double the edge
         // storage for the remaining O(diameter) rounds
-        tr.free()
+        inputs.free()
         firstRound = false
       }
     }
-    val out = tr.seal(lbl.select(col("id"), col("lbl").as("cluster")))
+    val out = inputs.seal(lbl.select(col("id"), col("lbl").as("cluster")))
     sym.unpersist(blocking = false)
     kept.foreach(_.unpersist(blocking = false))
     out

@@ -56,7 +56,13 @@ object Split {
     * stratum with a positive fraction, silently breaking the per-stratum
     * rate — a sampler has no "must land somewhere" obligation, so
     * exclusion is the honest contract (hash a coalesced surrogate key if
-    * null rows must participate). Narrow: one projection + filter, no
+    * null rows must participate). A NULL STRATUM is different from a null
+    * key: the row still has a hashable identity, it just matches no listed
+    * stratum (`strata === lit(s)` is null-false for every s), so it samples
+    * at `defaultFrac` like any other unlisted stratum — with the default
+    * `defaultFrac = 0.0` null-stratum rows are dropped; pass a positive
+    * default (or coalesce the stratum column upstream) to keep them at a
+    * chosen rate. SplitSpec pins this. Narrow: one projection + filter, no
     * shuffle, no driver state.
     */
   def sampleByHash(df: DataFrame, key: Column, strata: Column,

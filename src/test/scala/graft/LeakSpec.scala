@@ -38,7 +38,7 @@ class LeakSpec extends AnyFunSuite with SparkFixture with Matchers {
     val pairs = Llm.clusterEdges(docs, 0.5, tr)
     val clusters = Components.connected(pairs, "da", "db", tr)
     clusters.count() should be > 0L
-    graft.ml.Sim.cosineLshPairs(emb, 0.4).count() should be > 0L
+    graft.ml.Sim.cosineLshPairs(emb, 0.4, tr = tr).count() should be > 0L
     tr.release()
     awaitStorage(before)
   }

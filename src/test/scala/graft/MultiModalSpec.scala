@@ -164,6 +164,13 @@ class MultiModalSpec extends AnyFunSuite with SparkFixture with Matchers {
       Seq(bmp).toDF("payload")
         .select(MultiModal.resize(50000, 50000)(col("payload"))).collect()
     }
+    // fallback header packs w/h as be16: a 70000-wide target must report
+    // the clamped 65535, not silently wrap to 70000 & 0xFFFF = 4464
+    val legacy = MultiModal.encodeHeader(2, 2, 0) ++ Array.fill[Byte](4)(9)
+    val out = Seq(legacy).toDF("payload")
+      .select(MultiModal.resize(70000, 1)(col("payload")))
+      .collect()(0).getAs[Array[Byte]](0)
+    MultiModal.decodeMeta(out).width shouldBe 65535
   }
 
   test("ambiguous 2-byte signatures fall back to the legacy header when unparseable") {

@@ -54,6 +54,27 @@ class SimSpec extends AnyFunSuite with SparkFixture with Matchers {
     a shouldBe b
   }
 
+  test("LSH: null head-row embedding, all-null corpus, and typed empty result") {
+    // a null embedding in the FIRST row must not NPE the dimension probe —
+    // the probe aggregates over non-null rows, so the result is identical
+    // to the clean corpus (the null row is norm-filtered out anyway)
+    val embType = emb.schema("embedding").dataType
+    val nullRow = emb.limit(1)
+      .select(lit(999999L).as("vec_id"), lit(null).cast(embType).as("embedding"))
+    val spiked = nullRow.unionByName(emb)
+    val clean = Sim.cosineLshPairs(emb, 0.4).collect().map(_.toString).sorted
+    Sim.cosineLshPairs(spiked, 0.4).collect().map(_.toString).sorted shouldBe clean
+    // an all-null corpus yields zero pairs, not a crash
+    Sim.cosineLshPairs(nullRow, 0.4).count() shouldBe 0L
+    // the empty result keeps vec_id's REAL type (int corpus → int ids)
+    val intCorpus = emb.select(col("vec_id").cast("int").as("vec_id"), col("embedding"))
+      .limit(0)
+    val ep = Sim.cosineLshPairs(intCorpus, 0.4)
+    ep.count() shouldBe 0L
+    ep.schema("a_id").dataType shouldBe org.apache.spark.sql.types.IntegerType
+    ep.schema("b_id").dataType shouldBe org.apache.spark.sql.types.IntegerType
+  }
+
   test("IVF path ranks are internally consistent (sim non-increasing)") {
     Sim.topK(emb, 5, auto = true, ivfThreshold = 1).collect()
       .groupBy(_.getLong(0)).foreach { case (_, rows) =>

@@ -86,6 +86,15 @@ class SplitSpec extends AnyFunSuite with SparkFixture with Matchers {
       when(col("doc_id") % 2 === 0, col("doc_id")))
     Split.sampleByHash(withNulls, col("k"), col("lang"), Map("en" -> 1.0))
       .filter(col("k").isNull).count() shouldBe 0L
+    // a NULL STRATUM matches no listed stratum → samples at defaultFrac:
+    // dropped under the default 0.0, fully kept under defaultFrac = 1.0
+    val nullStrata = docs.withColumn("ls",
+      when(col("doc_id") % 2 === 0, col("lang")))
+    val nNullStratum = nullStrata.filter(col("ls").isNull).count()
+    Split.sampleByHash(nullStrata, col("doc_id"), col("ls"), fr)
+      .filter(col("ls").isNull).count() shouldBe 0L
+    Split.sampleByHash(nullStrata, col("doc_id"), col("ls"), fr, defaultFrac = 1.0)
+      .filter(col("ls").isNull).count() shouldBe nNullStratum
   }
 
   test("split plan is narrow: no exchange") {
