@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Banded (binned) range join — SURVEY.md §2.13: pairs of rows satisfying
+  * an INTERVAL predicate `rightVal − leftVal ∈ (low, high]`, executed as an
+  * EQUI-join on a quantized bin key plus a residual filter, never as a
+  * nested-loop or per-key cross product.
+  *
+  * Why this exists: Spark plans a pure inequality predicate as
+  * BroadcastNestedLoopJoin (O(|L|·|R|) comparisons, broadcast cap on one
+  * side), and an equi-key + inequality as a hash join whose per-key
+  * fan-out is quadratic in the key's row count — one hot key (a bot user,
+  * a default account) makes a straggler task at 100 TB. Quantizing the
+  * value into bins of width `high − low` makes every left row match rows
+  * in AT MOST TWO bins, so the join becomes a plain shuffled equi-join on
+  * (keys…, bin): co-located, AQE-skew-splittable, and linear in the true
+  * match count instead of the per-key row count squared. The same trick
+  * under Databricks' range-join bin hints and KDB's window joins, built
+  * here from stock Spark operators: explode(sequence(…)) for the ≤2 bin
+  * replicas, an equi-join Catalyst already knows how to shuffle, and the
+  * exact predicate kept as a residual so semantics never depend on the
+  * binning.
+  *
+  * Cost model: left rows duplicate ×2 (the two candidate bins); right rows
+  * don't duplicate. Candidates per left row = right rows within its two
+  * bins — for time joins ("events within 5 minutes") that is the 10-minute
+  * neighbourhood, not the whole key group. A custom `binWidth` trades the
+  * duplication factor against bin population: width w covers the interval
+  * with ⌈(high−low)/w⌉+1 replicas.
+  */
+object RangeJoin {
+
+  /** Floor division as a column (exact for |c| below 2^53 after the double
+    * round-trip; pmod keeps the floor semantics for negative values too —
+    * Spark's `/` on longs is double division and `div` truncates toward
+    * zero, neither of which bins negatives correctly on its own).
+    */
+  private def fdiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** All (left, right) row pairs with `keyEq` satisfied and
+    * `rightVal ∈ (leftVal + lowExclusive, leftVal + highInclusive]`.
+    *
+    * @param left / right   input frames; column names must be disjoint
+    *                       (rename before a self-join, as any Spark
+    *                       self-join requires)
+    * @param keyEq          extra equi condition (`lit(true)` for a pure
+    *                       band join — still an equi-join on the bin key,
+    *                       NO nested loop; RangeJoinSpec asserts the plan)
+    * @param leftVal        long-typed value on the left frame (timestamps:
+    *                       `unix_micros(ts)`)
+    * @param rightVal       long-typed value on the right frame
+    * @param lowExclusive   interval lower bound, exclusive
+    * @param highInclusive  interval upper bound, inclusive
+    * @param binWidth       bin width; 0 (default) = `high − low`, the
+    *                       minimal-duplication choice (≤2 bins per left row)
+    */
+  def within(left: DataFrame, right: DataFrame, keyEq: Column,
+      leftVal: Column, rightVal: Column,
+      lowExclusive: Long, highInclusive: Long, binWidth: Long = 0L): DataFrame = {
+    require(highInclusive > lowExclusive,
+      s"empty interval: ($lowExclusive, $highInclusive]")
+    val w = if (binWidth > 0) binWidth else highInclusive - lowExclusive
+    // smallest admissible rightVal is leftVal+low+1 (long-integer values),
+    // largest is leftVal+high → the left row's candidate bins
+    val lb = left.withColumn("__graft_bin_l", explode(sequence(
+      fdiv(leftVal + lit(lowExclusive + 1), w),
+      fdiv(leftVal + lit(highInclusive), w))))
+    val rb = right.withColumn("__graft_bin_r", fdiv(rightVal, w))
+    lb.join(rb,
+        col("__graft_bin_l") === col("__graft_bin_r") && keyEq &&
+          rightVal > leftVal + lit(lowExclusive) &&
+          rightVal <= leftVal + lit(highInclusive))
+      .drop("__graft_bin_l", "__graft_bin_r")
+  }
+}

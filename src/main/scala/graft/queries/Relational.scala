@@ -126,13 +126,19 @@ object Relational {
         .orderBy("r_regionkey", "n_nationkey")),
 
     // §2.3 range/interval join: same-user event pairs within (0, 5 min]
+    // Executed through the banded operator [[graft.operators.RangeJoin]]:
+    // an equi-join on (user, 5-min time bin) + exact residual, so one hot
+    // user costs its 10-minute neighbourhoods, not |events(user)|² — the
+    // plain equi-key + inequality plan's straggler mode at scale. Same
+    // result set as the naive join (residual keeps exact semantics), same
+    // oracle; RangeJoinSpec pins the equivalence and the plan shape.
     "join_range" -> ((s, sf) => {
       val e = t(s, sf, "events")
       val e1 = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
       val e2 = e.select(col("event_id").as("b_id"), col("user_id").as("u2"), col("ts").as("b_ts"))
-      e1.join(e2, col("user_id") === col("u2") &&
-          col("b_ts") > col("a_ts") &&
-          col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+      graft.operators.RangeJoin.within(e1, e2, col("user_id") === col("u2"),
+          unix_micros(col("a_ts")), unix_micros(col("b_ts")),
+          lowExclusive = 0L, highInclusive = 300000000L)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
 

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.RangeJoin
+
+/** Banded range join (SURVEY.md §2.13): equi-join on a quantized bin key +
+  * exact residual. Pins (1) result equivalence with the naive inequality
+  * join, (2) the plan shape — an equi-join even with NO key, where stock
+  * Spark falls back to BroadcastNestedLoopJoin, (3) interval edge
+  * semantics (open low, closed high), (4) custom bin widths.
+  */
+class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private def events = T.t(spark, sf001, "events")
+
+  private def sides = {
+    val e = events
+    (e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts")),
+      e.select(col("event_id").as("b_id"), col("user_id").as("u2"), col("ts").as("b_ts")))
+  }
+
+  test("keyed band join equals the naive equi+inequality join") {
+    val (e1, e2) = sides
+    val naive = e1.join(e2, col("user_id") === col("u2") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = RangeJoin.within(e1, e2, col("user_id") === col("u2"),
+        unix_micros(col("a_ts")), unix_micros(col("b_ts")), 0L, 300000000L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    banded shouldBe naive
+    naive should not be empty
+  }
+
+  test("keyless band join stays an equi-join — no nested loop in the plan") {
+    val (e1, e2) = sides
+    val pure = RangeJoin.within(e1, e2, lit(true),
+      unix_micros(col("a_ts")), unix_micros(col("b_ts")), 0L, 60000000L)
+    val plan = pure.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    // and it is the same result the nested-loop plan would produce
+    val naive = e1.limit(200).join(e2, col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 MINUTE"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bandedOnSubset = RangeJoin.within(e1.limit(200), e2, lit(true),
+        unix_micros(col("a_ts")), unix_micros(col("b_ts")), 0L, 60000000L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    bandedOnSubset shouldBe naive
+  }
+
+  test("interval bounds: open low excludes ties, closed high includes the edge") {
+    import spark.implicits._
+    val l = Seq((1L, 100L)).toDF("lid", "lv")
+    val r = Seq((10L, 100L), (11L, 101L), (12L, 110L), (13L, 111L)).toDF("rid", "rv")
+    val got = RangeJoin.within(l, r, lit(true), col("lv"), col("rv"), 0L, 10L)
+      .select("rid").collect().map(_.getLong(0)).toSet
+    // rv=100 is a tie with lv (excluded: open low); rv=110 is lv+high
+    // (included: closed high); rv=111 is beyond
+    got shouldBe Set(11L, 12L)
+  }
+
+  test("custom bin width changes the plan constant, never the result") {
+    val (e1, e2) = sides
+    val default = RangeJoin.within(e1, e2, col("user_id") === col("u2"),
+        unix_micros(col("a_ts")), unix_micros(col("b_ts")), 0L, 300000000L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrow = RangeJoin.within(e1, e2, col("user_id") === col("u2"),
+        unix_micros(col("a_ts")), unix_micros(col("b_ts")), 0L, 300000000L,
+        binWidth = 100000000L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    narrow shouldBe default
+  }
+
+  test("negative values bin with floor semantics (pairs straddling zero)") {
+    import spark.implicits._
+    val l = Seq((1L, -5L), (2L, -15L)).toDF("lid", "lv")
+    val r = Seq((10L, 3L), (11L, -8L), (12L, -30L)).toDF("rid", "rv")
+    // interval (0, 10]: lid=1 matches rv in (-5, 5] → {3}; lid=2 matches
+    // rv in (-15, -5] → {-8}
+    val got = RangeJoin.within(l, r, lit(true), col("lv"), col("rv"), 0L, 10L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 10L), (2L, 11L))
+  }
+}
