@@ -56,7 +56,14 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.zipWithIndex.map { case ((name, fn), i) =>
+      // periodic full GC: Spark's ContextCleaner reclaims shuffle files and
+      // broadcast blocks only after their references are COLLECTED — 75+
+      // queries in one JVM otherwise accumulate tens of GB of dead shuffle
+      // dirs and broadcasts, and the later queries in the run pay for it in
+      // disk pressure and old-gen churn (the round-4 driver run showed a
+      // progressive tail-end slowdown). Outside the timed region.
+      if (i % 15 == 0) System.gc()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }

@@ -45,9 +45,14 @@ object Components {
     // exchanges only the (vertex, label) frame. At scale the edge list is
     // the dominant frame; shuffling it once instead of once-per-round is
     // the difference between O(E) and O(E·diameter) network traffic.
+    // NO distinct() on the symmetric expansion: min-label propagation is
+    // idempotent under duplicate edges (min over a multiset of neighbour
+    // labels = min over the set), our pair generators already emit
+    // distinct (a<b) pairs, and the dedup would cost a full extra shuffle
+    // of the dominant frame per run. Callers with heavily duplicated edge
+    // lists should pre-distinct — a size/perf choice, never correctness.
     val sym = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
       .union(edges.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
-      .distinct()
       .repartition(col("v"))
       .persist()
     // Lineage truncation with explicit block bookkeeping: each checkpoint's

@@ -183,6 +183,37 @@ object Aggregates {
         .orderBy("c_custkey")
     }),
 
+    // §2.4 deterministic mode: most frequent quantity per return flag,
+    // smallest value on ties — count + window argmax, NOT the built-in
+    // mode() whose tie-break is engine-dependent (the determinism rule
+    // that makes this oracle-able where mode() is not)
+    "agg_mode" -> ((s, sf) => {
+      val cnt = t(s, sf, "lineitem").groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      cnt.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // §2.5 value-offset windows: first/last/nth over an explicit full
+    // frame (last_value under the default frame is the famous footgun —
+    // it returns the CURRENT row; the unbounded-following frame makes it
+    // the true partition extremum, and the unique (price, key) ordering
+    // makes all three engine-stable)
+    "win_first_last" -> ((s, sf) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, sf, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        first(col("o_orderkey")).over(w).as("top_key"),
+        last(col("o_orderkey")).over(w).as("bottom_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("runnerup_key"))
+        .orderBy("o_orderkey")
+    }),
+
     // §2.5 top-3 orders per customer (rank-filter top-k)
     "topk_per_group" -> ((s, sf) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -285,6 +316,23 @@ object Aggregates {
          round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS pr,
          round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS cd
          FROM customer ORDER BY c_custkey""",
+    "agg_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+           SELECT l_returnflag, l_quantity, count(*) AS cnt,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY count(*) DESC, l_quantity ASC) AS rn
+           FROM lineitem GROUP BY l_returnflag, l_quantity)
+         WHERE rn = 1 ORDER BY l_returnflag""",
+    "win_first_last" ->
+      """SELECT o_orderkey, o_orderstatus,
+         first_value(o_orderkey) OVER w AS top_key,
+         last_value(o_orderkey) OVER w AS bottom_key,
+         nth_value(o_orderkey, 2) OVER w AS runnerup_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""",
     "win_lag_lead" ->
       """SELECT event_id, user_id,
          epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,

@@ -166,6 +166,41 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // §2.3 FORWARD as-of join: EARLIEST signup at-or-after each purchase —
+    // the same ordered window merge as join_asof run in reverse time
+    // (desc ts; at equal ts the signup sorts first so it is visible to the
+    // purchase). Still linear per user, one exchange, no pair fan-out.
+    "join_asof_fwd" -> ((s, sf) => {
+      val e = t(s, sf, "events")
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("event_type") === "purchase").cast("int").as("is_p"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("is_p").asc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("signup_us",
+          last(when(col("is_p") === 0, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+        .where(col("is_p") === 1 && col("signup_us").isNotNull)
+        .select(col("event_id").as("p_id"), col("user_id"), col("signup_us"))
+        .orderBy("p_id")
+    }),
+
+    // §2.3 correlated LATERAL join: top-2 suppliers per nation by account
+    // balance. The lateral subquery re-executes per outer row LOGICALLY;
+    // Catalyst decorrelates it into a ranked window + join, so the physical
+    // plan is the same shuffle topk_per_group gets — declarative lateral
+    // syntax, no nested-loop execution.
+    "join_lateral" -> ((s, sf) => {
+      t(s, sf, "nation").createOrReplaceTempView("g_nation")
+      t(s, sf, "supplier").createOrReplaceTempView("g_supplier")
+      s.sql("""SELECT n_nationkey, n_name, s_name, s_acctbal
+               FROM g_nation,
+               LATERAL (SELECT s_name, s_acctbal FROM g_supplier
+                        WHERE s_nationkey = n_nationkey
+                        ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2)
+               ORDER BY n_nationkey, s_name""")
+    }),
+
     // §2.6 global top-k → TakeOrderedAndProject physical operator
     "sort_limit" -> ((s, sf) =>
       t(s, sf, "orders")
@@ -266,6 +301,19 @@ object Relational {
          JOIN (SELECT * FROM events WHERE event_type = 'signup') s
            ON p.user_id = s.user_id AND s.ts <= p.ts
          GROUP BY p.event_id, p.user_id ORDER BY p_id""",
+    "join_asof_fwd" ->
+      """SELECT p.event_id AS p_id, p.user_id, min(epoch_us(s.ts)) AS signup_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND s.ts >= p.ts
+         GROUP BY p.event_id, p.user_id ORDER BY p_id""",
+    "join_lateral" ->
+      """SELECT n_nationkey, n_name, s_name, s_acctbal
+         FROM nation,
+         LATERAL (SELECT s_name, s_acctbal FROM supplier
+                  WHERE s_nationkey = n_nationkey
+                  ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2)
+         ORDER BY n_nationkey, s_name""",
     "sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",

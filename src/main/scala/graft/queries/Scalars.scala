@@ -80,7 +80,19 @@ object Scalars {
       t(s, sf, "events").groupBy("event_type")
         .agg(round(avg(get_json_object(col("props"), "$.k").cast("long")), 6).as("avg_k"),
           count(lit(1)).as("cnt"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // regex surface beyond fn_string's extract/replace: occurrence counts,
+    // boolean match, global substitution. Patterns stay in the common
+    // Java-regex ∩ RE2 dialect (char classes, \b, alternation) so the
+    // DuckDB oracle is semantics-identical.
+    "fn_regexp" -> ((s, sf) =>
+      t(s, sf, "documents").select(col("doc_id"),
+        regexp_extract(col("text"), "(s[a-z]+)", 1).as("first_s"),
+        regexp_count(col("text"), lit("ta[a-z]*")).cast("long").as("n_ta"),
+        regexp_replace(col("text"), lit("[aeiou]"), lit("_")).as("devoweled"),
+        col("text").rlike("window").cast("long").as("has_window"))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -139,6 +151,13 @@ object Scalars {
       """SELECT event_type,
          round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
          count(*) AS cnt
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "fn_regexp" ->
+      """SELECT doc_id,
+         regexp_extract(text, '(s[a-z]+)', 1) AS first_s,
+         CAST(len(regexp_extract_all(text, 'ta[a-z]*')) AS BIGINT) AS n_ta,
+         regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+         CAST(regexp_matches(text, 'window') AS BIGINT) AS has_window
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -81,6 +81,21 @@ object TextAnalysis {
             lit(2147483647L)).as("fp"))
         .orderBy("doc_id")),
 
+    // text normalization: the standard pre-tokenization cleanup pass —
+    // article stopword removal (word-boundary anchored so 'table' keeps
+    // its 'a'), whitespace collapse, trim. Patterns live in the common
+    // Java-regex ∩ RE2 dialect; per-row narrow map stage at any scale.
+    "text_normalize" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("norm", trim(regexp_replace(
+          regexp_replace(col("text"), lit("\\b(a|the)\\b"), lit("")),
+          lit(" +"), lit(" "))))
+        .select(col("doc_id"), col("norm"),
+          size(split(col("text"), " ")).cast("long").as("toks_before"),
+          size(split(col("norm"), " ")).cast("long").as("toks_after"))
+        .orderBy("doc_id")),
+
     // custom Catalyst Generator: character 3-gram counts (the §2.12
     // stretch UDTF, registered via SparkSessionExtensions)
     "udtf_char_ngrams" -> ((s, sf) =>
@@ -127,6 +142,15 @@ object TextAnalysis {
     markers.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+           trim(regexp_replace(regexp_replace(text, '\b(a|the)\b', '', 'g'),
+                ' +', ' ', 'g')) AS norm
+         FROM documents)
+         SELECT doc_id, norm,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks_before,
+           CAST(len(string_split(norm, ' ')) AS BIGINT) AS toks_after
+         FROM n ORDER BY doc_id""",
     "text_langid" ->
       s"""WITH s AS (SELECT doc_id,
            CAST(len(list_filter(string_split(text,' '), t -> list_contains(${markerSql(enM)}, t))) AS BIGINT) s_en,
