@@ -16,10 +16,16 @@ import graft.functions.{CharNGrams, DotProduct}
   *    similarity-search operators.
   *  - `graft_char_ngrams(string, n) -> rows of ngram` — custom table
   *    generator ([[graft.functions.CharNGrams]]).
+  *
+  * Optimizer rules:
+  *  - [[graft.plans.RangeJoinRewrite]] — rewrites naive interval joins
+  *    into the banded equi-join shape (OFF by default; enable with
+  *    `spark.graft.rangeJoin.rewrite=true`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

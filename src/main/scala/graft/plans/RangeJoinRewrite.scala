@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.LongType
+
+/** Catalyst optimizer rule: rewrite a naive interval join into the banded
+  * equi-join shape of [[graft.operators.RangeJoin]] — automatically, at the
+  * LOGICAL PLAN level, so any user query written as
+  *
+  *   `a.join(b, keyEq && bv > av + lo && bv <= av + hi)`
+  *
+  * (long-typed values; `keyEq` optional) stops executing as a
+  * BroadcastNestedLoopJoin (keyless) or a per-key-quadratic hash join
+  * (hot keys) and becomes a shuffled equi-join on a quantized bin key,
+  * with the ORIGINAL predicate kept as a residual — the rewrite can never
+  * change results, only the join's physical shape.
+  *
+  * Scope (deliberately narrow, correctness first):
+  *  - inner joins only;
+  *  - both bounds present, anchored on the same pair of long-typed,
+  *    deterministic, single-side expressions (timestamps participate via
+  *    `unix_micros(ts)`, which is how this library writes time columns);
+  *  - bound offsets must be foldable literals (post-constant-folding they
+  *    are, for any `+ 300000000L` / `+ INTERVAL`-derived constant);
+  *  - either orientation (the interval may anchor on the left or the
+  *    right child — the anchor side gets the two-bin explode).
+  *
+  * OFF by default; enable with `spark.graft.rangeJoin.rewrite=true`. The
+  * declared `join_range` query calls the operator directly — this rule is
+  * the transparent path for queries that don't know the operator exists,
+  * and the §4 demonstration that the operator tier (c) — a real
+  * `Rule[LogicalPlan]` via `SparkSessionExtensions.injectOptimizerRule` —
+  * composes with everything else in the engine.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val Flag = "spark.graft.rangeJoin.rewrite"
+  private val BinL = "__graft_bin_l"
+  private val BinR = "__graft_bin_r"
+
+  private sealed trait Kind
+  private case object Lower extends Kind // value > anchor + off
+  private case object Upper extends Kind // value <= anchor + off
+
+  /** One reading of an inequality conjunct, normalized to the canonical
+    * strict-lower / non-strict-upper forms above.
+    */
+  private case class Bound(kind: Kind, anchor: Expression, offset: Long,
+      value: Expression, src: Expression)
+
+  /** `e` as (base, additive literal): `x + 5L` → (x, 5); `5L + x` → (x, 5);
+    * anything else → (e, 0). Int literals were widened+folded to long by
+    * the time user rules run.
+    */
+  private def splitAdd(e: Expression): (Expression, Long) = e match {
+    case Add(b, Literal(c: Long, LongType), _) => (b, c)
+    case Add(Literal(c: Long, LongType), b, _) => (b, c)
+    case other => (other, 0L)
+  }
+
+  /** Both readings of a comparison conjunct — either side may be the
+    * interval's anchor. `x > y` read with anchor y is the lower bound
+    * `x > y + c`; read with anchor x it is the upper bound `y <= x + (c−1)`.
+    * Offsets convert ≥/< into the canonical strict-lower / non-strict-upper.
+    */
+  private def bounds(c: Expression): Seq[Bound] = {
+    def two(big: Expression, small: Expression, strict: Boolean): Seq[Bound] = {
+      val (aS, cS) = splitAdd(small)
+      val (aB, cB) = splitAdd(big)
+      Seq(
+        // big > small: anchor = small side → lower bound on `big`
+        Bound(Lower, aS, if (strict) cS else cS - 1, big, c),
+        // big > small ⇔ small < big: anchor = big side → upper bound on
+        // `small`: small <= big + (cB − 1) (strict) / + cB (non-strict)
+        Bound(Upper, aB, if (strict) cB - 1 else cB, small, c))
+    }
+    c match {
+      case GreaterThan(x, y) => two(x, y, strict = true)
+      case LessThan(x, y) => two(y, x, strict = true)
+      case GreaterThanOrEqual(x, y) => two(x, y, strict = false)
+      case LessThanOrEqual(x, y) => two(y, x, strict = false)
+      case _ => Nil
+    }
+  }
+
+  private def longDet(e: Expression): Boolean =
+    e.dataType == LongType && e.deterministic
+
+  /** Exact floor division for values whose magnitude survives the double
+    * round-trip is NOT needed here: x − pmod(x, w) is always an exact
+    * multiple of w, so integral (truncating) division of it is exact floor
+    * division for any sign — pure long arithmetic, no doubles.
+    */
+  private def fdiv(x: Expression, w: Long): Expression =
+    IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!SQLConf.get.getConfString(Flag, "false").toBoolean) return plan
+    plan.transformUp {
+      case j @ Join(l, r, Inner, Some(cond), hint)
+          // fixed-point guard: the rewrite keeps the original conjuncts as
+          // residual, so a rewritten join still matches the pattern — the
+          // bin attributes mark it as done
+          if !j.children.exists(_.output.exists(_.name.startsWith("__graft_bin"))) =>
+        // a lower bound `value > anchor + lo` paired with an upper bound
+        // `value <= anchor + hi` over the SAME (anchor, value) expressions,
+        // anchor and value each sided entirely on one (opposite) child
+        val sided = splitConjunctivePredicates(cond).flatMap(bounds).filter { b =>
+          longDet(b.anchor) && longDet(b.value) &&
+            ((b.anchor.references.subsetOf(l.outputSet) && b.anchor.references.nonEmpty &&
+              b.value.references.subsetOf(r.outputSet) && b.value.references.nonEmpty) ||
+             (b.anchor.references.subsetOf(r.outputSet) && b.anchor.references.nonEmpty &&
+              b.value.references.subsetOf(l.outputSet) && b.value.references.nonEmpty))
+        }
+        val rewritten = sided.filter(_.kind == Lower).flatMap { low0 =>
+          sided.find { b =>
+            b.kind == Upper && (b.src ne low0.src) && b.offset > low0.offset &&
+              b.anchor.semanticEquals(low0.anchor) && b.value.semanticEquals(low0.value)
+          }.map(low0 -> _)
+        }.headOption.map { case (low0, high0) =>
+          val lo = low0.offset
+          val hi = high0.offset
+          val w = hi - lo
+          val anchorOnLeft = low0.anchor.references.subsetOf(l.outputSet)
+          val (anchorChild, valueChild) = if (anchorOnLeft) (l, r) else (r, l)
+          // anchor side: explode to the (at most two) candidate bins
+          val binL = AttributeReference(BinL, LongType, nullable = false)()
+          val gen = Generate(
+            // Sequence is TimeZoneAware even over longs: without an explicit
+            // timeZoneId the node is unresolved and the optimizer's plan
+            // validation rejects the rewrite
+            Explode(Sequence(
+              fdiv(Add(low0.anchor, Literal(lo + 1)), w),
+              fdiv(Add(low0.anchor, Literal(hi)), w), None,
+              Some(SQLConf.get.sessionLocalTimeZone))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(binL), child = anchorChild)
+          // value side: its single bin
+          val binR = Alias(fdiv(low0.value, w), BinR)()
+          val proj = Project(valueChild.output :+ binR, valueChild)
+          val (nl, nr) = if (anchorOnLeft) (gen: LogicalPlan, proj: LogicalPlan)
+            else (proj: LogicalPlan, gen: LogicalPlan)
+          val newCond = And(EqualTo(binL, binR.toAttribute), cond)
+          Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+        }
+        rewritten.getOrElse(j)
+    }
+  }
+}

@@ -74,6 +74,34 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
     narrow shouldBe default
   }
 
+  test("optimizer rule rewrites a naive interval join when enabled") {
+    val (e1r, e2r) = sides
+    val e1 = e1r.select(col("a_id"), col("user_id"), unix_micros(col("a_ts")).as("av"))
+    val e2 = e2r.select(col("b_id"), col("u2"), unix_micros(col("b_ts")).as("bv"))
+    def naive = e1.join(e2, col("user_id") === col("u2") &&
+        col("bv") > col("av") && col("bv") <= col("av") + lit(300000000L))
+      .select("a_id", "b_id")
+    val off = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    try {
+      val on = naive
+      // rewritten: the two-bin explode shows up as a Generate/sequence and
+      // the join now carries the bin equi-key
+      val plan = on.queryExecution.optimizedPlan.toString
+      plan should include("__graft_bin")
+      // and the residual keeps results identical
+      on.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe off
+      // keyless naive join: nested loop without the rule, equi-join with it
+      val pure = e1.join(e2, col("bv") > col("av") &&
+          col("bv") <= col("av") + lit(60000000L))
+      val purePlan = pure.queryExecution.executedPlan.toString
+      purePlan should not include "BroadcastNestedLoopJoin"
+      purePlan should include("__graft_bin")
+    } finally spark.conf.unset("spark.graft.rangeJoin.rewrite")
+    // flag off: untouched
+    naive.queryExecution.optimizedPlan.toString should not include "__graft_bin"
+  }
+
   test("negative values bin with floor semantics (pairs straddling zero)") {
     import spark.implicits._
     val l = Seq((1L, -5L), (2L, -15L)).toDF("lid", "lv")
