@@ -32,13 +32,14 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Floor division as a column (exact for |c| below 2^53 after the double
-    * round-trip; pmod keeps the floor semantics for negative values too —
-    * Spark's `/` on longs is double division and `div` truncates toward
-    * zero, neither of which bins negatives correctly on its own).
+  /** The bin KEY is the floor multiple `c − pmod(c, w)` itself — never a
+    * quotient: equal multiples ⇔ equal bins, so no division is needed at
+    * all, and the arithmetic stays exact long math for the full value
+    * range (a double-division quotient would silently misbin values above
+    * 2^53, e.g. nanosecond epochs). pmod keeps floor semantics for
+    * negative values.
     */
-  private def fdiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+  private def binOf(c: Column, w: Long): Column = c - pmod(c, lit(w))
 
   /** All (left, right) row pairs with `keyEq` satisfied and
     * `rightVal ∈ (leftVal + lowExclusive, leftVal + highInclusive]`.
@@ -62,13 +63,17 @@ object RangeJoin {
       lowExclusive: Long, highInclusive: Long, binWidth: Long = 0L): DataFrame = {
     require(highInclusive > lowExclusive,
       s"empty interval: ($lowExclusive, $highInclusive]")
-    val w = if (binWidth > 0) binWidth else highInclusive - lowExclusive
+    // subtractExact: an interval wider than Long.MaxValue must fail loudly,
+    // not wrap to a negative width that silently misbins every row
+    val w = if (binWidth > 0) binWidth
+      else Math.subtractExact(highInclusive, lowExclusive)
     // smallest admissible rightVal is leftVal+low+1 (long-integer values),
-    // largest is leftVal+high → the left row's candidate bins
+    // largest is leftVal+high → the left row's candidate bins, stepped by
+    // the bin width (bin keys are floor MULTIPLES, see binOf)
     val lb = left.withColumn("__graft_bin_l", explode(sequence(
-      fdiv(leftVal + lit(lowExclusive + 1), w),
-      fdiv(leftVal + lit(highInclusive), w))))
-    val rb = right.withColumn("__graft_bin_r", fdiv(rightVal, w))
+      binOf(leftVal + lit(lowExclusive + 1), w),
+      binOf(leftVal + lit(highInclusive), w), lit(w))))
+    val rb = right.withColumn("__graft_bin_r", binOf(rightVal, w))
     lb.join(rb,
         col("__graft_bin_l") === col("__graft_bin_r") && keyEq &&
           rightVal > leftVal + lit(lowExclusive) &&

@@ -116,9 +116,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
              (b.anchor.references.subsetOf(r.outputSet) && b.anchor.references.nonEmpty &&
               b.value.references.subsetOf(l.outputSet) && b.value.references.nonEmpty))
         }
+        // width via subtractExact: extreme opposite-sign offsets would wrap
+        // hi − lo negative and rewrite into a corrupt plan — skip instead
+        def widthOk(lo: Long, hi: Long): Boolean =
+          try Math.subtractExact(hi, lo) > 0 catch { case _: ArithmeticException => false }
         val rewritten = sided.filter(_.kind == Lower).flatMap { low0 =>
           sided.find { b =>
-            b.kind == Upper && (b.src ne low0.src) && b.offset > low0.offset &&
+            b.kind == Upper && (b.src ne low0.src) && widthOk(low0.offset, b.offset) &&
               b.anchor.semanticEquals(low0.anchor) && b.value.semanticEquals(low0.value)
           }.map(low0 -> _)
         }.headOption.map { case (low0, high0) =>

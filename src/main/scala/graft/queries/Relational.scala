@@ -186,20 +186,20 @@ object Relational {
     }),
 
     // §2.3 correlated LATERAL join: top-2 suppliers per nation by account
-    // balance. The lateral subquery re-executes per outer row LOGICALLY;
-    // Catalyst decorrelates it into a ranked window + join, so the physical
-    // plan is the same shuffle topk_per_group gets — declarative lateral
-    // syntax, no nested-loop execution.
-    "join_lateral" -> ((s, sf) => {
-      t(s, sf, "nation").createOrReplaceTempView("g_nation")
-      t(s, sf, "supplier").createOrReplaceTempView("g_supplier")
-      s.sql("""SELECT n_nationkey, n_name, s_name, s_acctbal
-               FROM g_nation,
-               LATERAL (SELECT s_name, s_acctbal FROM g_supplier
-                        WHERE s_nationkey = n_nationkey
-                        ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2)
-               ORDER BY n_nationkey, s_name""")
-    }),
+    // balance, via the Spark 4 Dataset.lateralJoin API (side-effect-free —
+    // no temp views on the shared session) with `.outer()` marking the
+    // correlated reference. The lateral subquery re-executes per outer row
+    // LOGICALLY; Catalyst decorrelates it into a ranked window + join, so
+    // the physical plan is the same shuffle topk_per_group gets — no
+    // nested-loop execution.
+    "join_lateral" -> ((s, sf) =>
+      t(s, sf, "nation").lateralJoin(
+          t(s, sf, "supplier")
+            .where(col("s_nationkey") === col("n_nationkey").outer())
+            .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+            .limit(2))
+        .select("n_nationkey", "n_name", "s_name", "s_acctbal")
+        .orderBy("n_nationkey", "s_name")),
 
     // §2.6 global top-k → TakeOrderedAndProject physical operator
     "sort_limit" -> ((s, sf) =>

@@ -102,6 +102,24 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
     naive.queryExecution.optimizedPlan.toString should not include "__graft_bin"
   }
 
+  test("values above 2^53 bin exactly (no double round-trip in the bin key)") {
+    import spark.implicits._
+    // nanosecond-epoch magnitude: a quotient computed through double
+    // division would round here and could misbin; bin keys are pure-long
+    // floor multiples so pairs must survive at any magnitude
+    val base = 4000000000000000000L
+    val l = Seq((1L, base), (2L, base + 1000L)).toDF("lid", "lv")
+    val r = Seq((10L, base + 5L), (11L, base + 1005L), (12L, base + 500L))
+      .toDF("rid", "rv")
+    val got = RangeJoin.within(l, r, lit(true), col("lv"), col("rv"), 0L, 10L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    got shouldBe Set((1L, 10L), (2L, 11L))
+    // an interval wider than Long.MaxValue fails loudly instead of wrapping
+    an[ArithmeticException] should be thrownBy
+      RangeJoin.within(l, r, lit(true), col("lv"), col("rv"),
+        -6000000000000000000L, 5000000000000000000L)
+  }
+
   test("negative values bin with floor semantics (pairs straddling zero)") {
     import spark.implicits._
     val l = Seq((1L, -5L), (2L, -15L)).toDF("lid", "lv")
