@@ -78,8 +78,15 @@ object Llm {
     // column would make codegen re-derive the whole shingle transform per
     // exploded row (~50× the work); over a cached column both are O(1)
     val docs = tr.persist(shingleArrays(docsRaw))
-    val shS = docs.select(col("doc_id"), explode(col("ss")).as("s"))
-      .select(col("doc_id"), col("s"), xxhash64(col("s")).as("h"))
+    // the per-doc shingle count rides the exploded rows (8 bytes) and is
+    // grouped alongside the pair, so NO post-aggregation joins against a
+    // sizes table are needed — the candidate-pair stream (orders of
+    // magnitude larger than the final pair set; 1.1M vs 256 at sf0.1)
+    // goes straight from the count aggregate into the jac filter. Same
+    // move dedup_minhash's exact scorer makes.
+    val shS = docs.select(col("doc_id"), size(col("ss")).cast("long").as("n"),
+        explode(col("ss")).as("s"))
+      .select(col("doc_id"), col("n"), col("s"), xxhash64(col("s")).as("h"))
     val collided = {
       val r = shS.agg(countDistinct(col("s")).as("ns"),
         countDistinct(col("h")).as("nh")).head()
@@ -91,16 +98,10 @@ object Llm {
         col("a.h") === col("b.h") && col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id")
       else col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
-    val inter = sh.as("a").join(sh.as("b"), joinCond)
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    sh.as("a").join(sh.as("b"), joinCond)
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
-    // no broadcast HINT on the per-doc sizes table: it grows with the
-    // corpus, so the size-based planner (plus AQE's runtime re-plan)
-    // must keep the freedom to fall back to a shuffle join at scale
-    val sizes = docs.select(col("doc_id"), size(col("ss")).cast("long").as("n"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .where(col("jac") >= tau)
       .select(col("da"), col("db"), col("jac"))
