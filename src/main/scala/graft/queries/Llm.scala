@@ -223,6 +223,22 @@ object Llm {
         .agg(min(col("a_id")).as("keep_id"), count(lit(1)).as("n_better"))
         .orderBy("dup_id")),
 
+    // transitive near-dup CLUSTERS over the embedding-cosine pair stream:
+    // the same Components kernel as dedup_clusters consuming a DIFFERENT
+    // pair source — chains of τ=0.4 cosine pairs collapse to one cluster.
+    // Oracled against the same recursive-CTE closure over the cosine CTE;
+    // the pair SET is engine-stable (the unrounded >= τ cut already
+    // hash-matches in sim_cosine_pairs), so the closure is too.
+    "dedup_embed_clusters" -> ((s, sf) => {
+      val tr = new graft.operators.Tracked
+      val pairs = tr.persist(
+        graft.ml.Sim.cosinePairs(t(s, sf, "embeddings"), col("a_id") < col("b_id"))
+          .where(col("sim") >= 0.4).select("a_id", "b_id"))
+      graft.operators.Components.connected(pairs, "a_id", "b_id", tr)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
+
     // brute-force top-5 nearest neighbours per vector (capability row:
     // float-rank ties across engines → validated in tests, not oracled).
     // The bounded TopKAgg partial-aggregates INSIDE the broadcast-join map
@@ -338,6 +354,24 @@ object Llm {
                      SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id)
          SELECT id AS doc_id, min(lbl) AS cluster
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "dedup_embed_clusters" ->
+      """WITH RECURSIVE
+           n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm
+                 FROM embeddings),
+           p AS (SELECT a.vec_id a_id, b.vec_id b_id,
+                   list_sum(list_transform(list_zip(a.e, b.e), q -> q[1]*q[2]))/(a.nrm*b.nrm) sim
+                 FROM n a JOIN n b ON a.vec_id < b.vec_id),
+           pairs AS (SELECT a_id, b_id FROM p WHERE sim >= 0.4),
+           edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                     UNION ALL SELECT b_id, a_id FROM pairs),
+           nodes AS (SELECT DISTINCT u AS id FROM edges),
+           reach AS (SELECT id, id AS lbl FROM nodes
+                     UNION
+                     SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id)
+         SELECT id AS vec_id, min(lbl) AS cluster
+         FROM reach GROUP BY id ORDER BY vec_id""",
     "dedup_embed" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
                     sqrt(list_sum(list_transform(embedding,

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 import graft.operators.RangeJoin
@@ -129,5 +131,41 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
     val got = RangeJoin.within(l, r, lit(true), col("lv"), col("rv"), 0L, 10L)
       .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     got shouldBe Set((1L, 10L), (2L, 11L))
+  }
+
+  test("property: banded join equals the in-memory brute force on random inputs") {
+    import spark.implicits._
+    // random magnitudes mix small, negative, and >2^53 values; random
+    // interval bounds include negative-lo (lookback) and custom widths.
+    // Fixed seeds so failures reproduce.
+    val caseGen: Gen[(List[Long], List[Long], Long, Long, Long)] = for {
+      scale <- Gen.oneOf(100L, 1000000L, 4000000000000000000L)
+      lvs <- Gen.listOfN(12, Gen.choose(-50L, 50L).map(x => scale + x))
+      rvs <- Gen.listOfN(12, Gen.choose(-50L, 50L).map(x => scale + x))
+      lo <- Gen.choose(-20L, 15L)
+      span <- Gen.choose(1L, 40L)
+      bw <- Gen.oneOf(0L, 1L, 3L, 7L, 100L)
+    } yield (lvs, rvs, lo, lo + span, bw)
+    val params = Gen.Parameters.default
+    var run = 0
+    var seedNo = 0L
+    while (run < 60 && seedNo < 1000) {
+      caseGen.apply(params, Seed(seedNo)).foreach { case (lvs, rvs, lo, hi, bw) =>
+        val l = lvs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
+        val r = rvs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
+        val got = RangeJoin.within(l, r, lit(true), col("lv"), col("rv"), lo, hi, bw)
+          .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        val want = (for {
+          (lv, li) <- lvs.zipWithIndex
+          (rv, ri) <- rvs.zipWithIndex
+          // BigInt avoids overflow in the expected-side arithmetic
+          if BigInt(rv) > BigInt(lv) + lo && BigInt(rv) <= BigInt(lv) + hi
+        } yield (li.toLong, ri.toLong)).toSet
+        withClue(s"seed=$seedNo lo=$lo hi=$hi bw=$bw: ") { got shouldBe want }
+        run += 1
+      }
+      seedNo += 1
+    }
+    run should be >= 50
   }
 }
