@@ -183,6 +183,37 @@ object Aggregates {
         .orderBy("c_custkey")
     }),
 
+    // §2.4 bitwise aggregates (bit_and / bit_or / bit_xor are commutative
+    // and associative, so map-side partial aggregation applies and the
+    // result is merge-order independent — oracle-able unlike mode())
+    "agg_bitwise" -> ((s, sf) =>
+      t(s, sf, "lineitem").groupBy("l_returnflag")
+        .agg(expr("bit_and(l_orderkey)").as("band"),
+          expr("bit_or(l_orderkey)").as("bor"),
+          expr("bit_xor(l_orderkey)").as("bxor"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // §2.4 heavy hitters via the built-in Count–Min sketch aggregate
+    // (Cormode & Muthukrishnan 2005): one distributed mergeable-sketch
+    // pass, then the driver queries the 31-word vocabulary against the
+    // sketch — the same designed, bounded driver boundary as the CAIM
+    // histogram. Deterministic for a fixed seed (cell-wise-add merge is
+    // commutative), but DuckDB has no CMS → rows-only declared; the test
+    // suite pins the ε-overestimate guarantee against exact counts.
+    "agg_heavy_hitters" -> ((s, sf) => {
+      val toks = t(s, sf, "documents").select(explode(split(col("text"), " ")).as("w"))
+      val skBytes = toks
+        .select(expr("count_min_sketch(w, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      // the corpus vocabulary is the query set (bounded: 31 words)
+      val vocab = toks.distinct().collect().map(_.getString(0)).sorted
+      import s.implicits._
+      vocab.map(w => (w, cms.estimateCount(w))).toSeq.toDF("w", "est")
+    }),
+
     // §2.4 deterministic mode: most frequent quantity per return flag,
     // smallest value on ties — count + window argmax, NOT the built-in
     // mode() whose tie-break is engine-dependent (the determinism rule
@@ -316,6 +347,11 @@ object Aggregates {
          round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS pr,
          round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS cd
          FROM customer ORDER BY c_custkey""",
+    "agg_bitwise" ->
+      """SELECT l_returnflag,
+         bit_and(l_orderkey) AS band, bit_or(l_orderkey) AS bor,
+         bit_xor(l_orderkey) AS bxor, count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_mode" ->
       """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
            SELECT l_returnflag, l_quantity, count(*) AS cnt,

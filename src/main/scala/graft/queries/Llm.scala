@@ -206,6 +206,21 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // survivor materialization over the jaccard clusters — the dedup
+    // END PRODUCT a pipeline actually writes: unclustered docs + one
+    // representative (the hash-min member) per near-dup cluster, original
+    // schema. Declares [[graft.operators.Dedup.survivors]]; oracled as an
+    // anti-join against the recursive-closure losers.
+    "dedup_survivors" -> ((s, sf) => {
+      val tr = new graft.operators.Tracked
+      val docs = t(s, sf, "documents")
+      val pairs = clusterEdges(docs, 0.5, tr)
+      val clusters = graft.operators.Components.connected(pairs, "da", "db", tr)
+      graft.operators.Dedup.survivors(docs, clusters)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // exact cosine similarity pairs over 64-dim embeddings, tau = 0.4
     "sim_cosine_pairs" -> ((s, sf) =>
       graft.ml.Sim.cosinePairs(t(s, sf, "embeddings"), col("a_id") < col("b_id"))
@@ -354,6 +369,29 @@ object Llm {
                      SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id)
          SELECT id AS doc_id, min(lbl) AS cluster
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "dedup_survivors" ->
+      """WITH RECURSIVE
+           tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(
+                    [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)])) AS s
+                  FROM tok),
+           sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+           inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+                     JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           pairs AS (SELECT da, db FROM inter
+                     JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                     WHERE i*1.0/(sa.n + sb.n - i) >= 0.5),
+           edges AS (SELECT da AS u, db AS v FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           nodes AS (SELECT DISTINCT u AS id FROM edges),
+           reach AS (SELECT id, id AS lbl FROM nodes
+                     UNION
+                     SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+           clus AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+         SELECT d.doc_id, d.lang, d.source, d.n_chars
+         FROM documents d LEFT JOIN clus c ON d.doc_id = c.id
+         WHERE c.cluster IS NULL OR c.cluster = d.doc_id
+         ORDER BY d.doc_id""",
     "dedup_embed_clusters" ->
       """WITH RECURSIVE
            n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,

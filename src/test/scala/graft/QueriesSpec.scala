@@ -126,6 +126,22 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("count-min heavy hitters obey the epsilon-overestimate guarantee") {
+    val est = SparkEntry.queries("agg_heavy_hitters")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = T.t(spark, sf001, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val exact = toks.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    est.keySet shouldBe exact.keySet
+    exact.foreach { case (w, ex) =>
+      // CMS never underestimates; overestimate bounded by ε·N (ε = 0.001)
+      est(w) should be >= ex
+      est(w) - ex should be <= (0.001 * total).toLong + 1
+    }
+  }
+
   test("SQL-text variant agrees with the DSL variant (dialect pre-check)") {
     T.t(spark, sf001, "lineitem").createOrReplaceTempView("lineitem")
     val sqlRes = spark.sql(
