@@ -77,11 +77,18 @@ object Bench {
     // A failed query is reported as an error, never as a (fast) timing.
     val ok = results.collect { case (n, sec, None) => n -> sec }
     val errs = results.collect { case (n, _, Some(e)) => n -> e }
-    // ms precision keeps the whole line under the driver's 2,000-char tail
-    // capture (r3's 9-decimal values pushed it to ~2.6k chars and the first
-    // five per-query entries were truncated away); error strings are capped
-    // for the same reason
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // 2-decimal precision with trailing zeros stripped keeps the whole
+    // line under the driver's 2,000-char tail capture at 87 queries
+    // (r3's 9-decimal values pushed it to ~2.6k chars and entries were
+    // truncated away; 3-dp unstripped crossed 2.1k when the surface hit
+    // 87); error strings are capped for the same reason
+    def r3(v: Double): String = {
+      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        if (t.isEmpty) "0" else t
+      } else s
+    }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => "\"" + k + "\":\"" + esc(v.take(80)) + "\"" }
       .mkString("{", ",", "}")

@@ -26,6 +26,23 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture with Matchers {
     got.foreach(_.getLong(1) shouldBe 1L)
   }
 
+  test("distributed path (threshold 0) agrees with the driver union-find path") {
+    import spark.implicits._
+    // mixed shapes: a 25-chain (pointer jump earns its keep), a star, a
+    // triangle with a tail, an isolated pair — same answer both ways
+    val edges = ((1 until 25).map(i => (i.toLong, (i + 1).toLong)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L),
+        (200L, 201L), (201L, 202L), (200L, 202L), (202L, 203L),
+        (300L, 301L))).toDF("a_id", "b_id")
+    val small = Components.connected(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Components.connected(edges, smallThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dist shouldBe small
+    dist(25L) shouldBe 1L
+    dist(203L) shouldBe 200L
+  }
+
   test("Dedup.survivors keeps unclustered rows plus one representative per cluster") {
     val docs = T.t(spark, sf001, "documents")
     val tr = new graft.operators.Tracked

@@ -19,11 +19,15 @@ class LeakSpec extends AnyFunSuite with SparkFixture with Matchers {
   private def storedIds: Set[Int] =
     spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
 
-  private def awaitStorage(expected: Set[Int]): Unit = {
-    // unpersist(blocking = false) is asynchronous — poll briefly
+  private def awaitStorage(before: Set[Int]): Unit = {
+    // unpersist(blocking = false) is asynchronous — poll briefly. Assert
+    // no NEW blocks remain (diff, not equality): blocks a PREVIOUS suite
+    // pinned and async-unpersisted may drain from `before` mid-test, so
+    // exact-set equality races against other suites' cleanup
     val deadline = System.nanoTime() + 10e9.toLong
-    while (storedIds != expected && System.nanoTime() < deadline) Thread.sleep(100)
-    storedIds shouldBe expected
+    while (storedIds.diff(before).nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    storedIds.diff(before) shouldBe empty
   }
 
   test("composed dedup pipeline leaves zero pinned blocks after release") {
