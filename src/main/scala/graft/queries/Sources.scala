@@ -49,6 +49,26 @@ object Sources {
         .orderBy("s_nationkey")
     }),
 
+    // Plain text lines (round 5): the lowest-common-denominator source a
+    // training-data pipeline actually ingests — delimited lines, parsed
+    // with engine expressions on read (no format codec at all). Tab-safe:
+    // the corpus text column is space-separated words.
+    "source_text" -> ((s, sf) => {
+      val dir = tmp(sf, "text")
+      t(s, sf, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read.text(dir)
+        .select(split(col("value"), "\t").as("f"))
+        .select(element_at(col("f"), 1).cast("bigint").as("doc_id"),
+          element_at(col("f"), 2).as("lang"),
+          element_at(col("f"), 3).as("text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("bigint").as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // ORC (Spark-native columnar source, round 4): binary round-trip —
     // types survive exactly (no text parsing), predicates and column
     // pruning push into the ORC reader the same way they do for parquet
@@ -70,6 +90,9 @@ object Sources {
       """SELECT s_nationkey, count(*) AS n_supp,
                 CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM supplier GROUP BY 1 ORDER BY s_nationkey""",
+    "source_text" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1 ORDER BY lang""",
     "source_orc" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
