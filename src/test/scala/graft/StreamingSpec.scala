@@ -246,6 +246,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally q.stop()
   }
 
+  test("incremental minhash dedup finds cross-batch near-dup candidates") {
+    import spark.implicits._
+    import graft.streaming.{BandedDoc, IncrementalDedup}
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = T.t(spark, sf001, "documents")
+    val docs = docsDf.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val tr = new graft.operators.Tracked
+    val exact = graft.queries.Llm.jaccardPairs(docsDf, 0.5, tr)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    tr.release()
+    exact should not be empty
+    // split a known near-dup pair ACROSS batches: finding it requires the
+    // bucket state to carry batch-1 membership into batch 2
+    val (aStar, bStar) = exact.head
+    val batch1 = docs.filter(d => d._1 == aStar || (d._1 != bStar && d._1 % 2 == 0))
+    val batch2 = docs.filter(d => d._1 == bStar || (d._1 != aStar && d._1 % 2 == 1))
+    val ms = MemoryStream[(Long, String)]
+    val cands = IncrementalDedup.candidates(
+      IncrementalDedup.bandRows(ms.toDF().toDF("doc_id", "text")).as[BandedDoc])
+    val q = cands.writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("inc_dedup").count()
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("inc_dedup").select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // candidate stream covers every exact τ=0.5 pair (the dedup_minhash
+      // invariant, now incrementally) …
+      exact.diff(got) shouldBe empty
+      // … including the pair whose members arrived in different batches
+      got should contain(if (aStar < bStar) (aStar, bStar) else (bStar, aStar))
+      spark.table("inc_dedup").count() should be > afterB1
+    } finally q.stop()
+  }
+
   test("batch session_window agrees with the lag-based sessionize oracle shape") {
     // R3 parity check: Spark's session merge vs gap-and-island SQL on real data
     val viaSessionWindow = SparkEntry.queries("stream_session")(spark, sf001)
