@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * Two execution paths behind one result contract, picked by RUNTIME edge
   * count (the same statistics-driven dispatch as `Sim.topK(auto)`):
   *
-  *  - **small graphs** (≤ `smallThreshold` symmetric edges, default 2²⁰ ≈
-  *    32 MB of driver longs): collect the edge list and run union–find
-  *    with path compression on the driver — microseconds, zero extra
-  *    Spark rounds. The designed, BOUNDED driver boundary, like the CAIM
-  *    compressed histogram: the threshold caps driver memory, not the
-  *    corpus.
+  *  - **small graphs** (≤ `smallThreshold` symmetric edges, default 2²⁰):
+  *    collect the edge list and run union–find with path compression on
+  *    the driver — microseconds, zero extra Spark rounds. The designed,
+  *    BOUNDED driver boundary, like the CAIM compressed histogram: the
+  *    threshold caps driver memory, not the corpus. Budget honestly:
+  *    the collected Array[(Long, Long)] is boxed tuples, ~80–100 bytes
+  *    per edge transient (plus the result LocalRelation), so the 2²⁰
+  *    default costs on the order of 100 MB peak driver memory — size
+  *    `smallThreshold` against THAT figure, not 16 bytes/edge.
   *  - **large graphs**: distributed minimum-label propagation — per round
   *    a neighbour HOP (equi-join + map-side-partial min aggregation) then
   *    a POINTER JUMP (lbl ← lbl(lbl), one self-join of the small label
@@ -43,8 +46,9 @@ object Components {
     *               registered as owned on the same handle, so
     *               `inputs.release()` reclaims everything.
     * @param smallThreshold symmetric-edge count at or below which the
-    *               driver union–find path runs (driver footprint ≈
-    *               16 bytes × threshold; 0 forces the distributed path)
+    *               driver union–find path runs (peak driver footprint ≈
+    *               80–100 bytes × threshold, boxed-tuple collect;
+    *               0 forces the distributed path)
     * @return (id, cluster) — cluster = smallest vertex id reachable
     */
   def connected(edges: DataFrame, a: String = "a_id", b: String = "b_id",

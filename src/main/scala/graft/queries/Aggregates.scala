@@ -202,16 +202,22 @@ object Aggregates {
     // commutative), but DuckDB has no CMS → rows-only declared; the test
     // suite pins the ε-overestimate guarantee against exact counts.
     "agg_heavy_hitters" -> ((s, sf) => {
+      // cached: the sketch pass and the vocabulary pass are two actions
+      // over the same exploded-token frame — without the persist the
+      // split+explode scan of the corpus would run twice
       val toks = t(s, sf, "documents").select(explode(split(col("text"), " ")).as("w"))
-      val skBytes = toks
-        .select(expr("count_min_sketch(w, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
-        .head().getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(skBytes))
-      // the corpus vocabulary is the query set (bounded: 31 words)
-      val vocab = toks.distinct().collect().map(_.getString(0)).sorted
-      import s.implicits._
-      vocab.map(w => (w, cms.estimateCount(w))).toSeq.toDF("w", "est")
+        .persist()
+      try {
+        val skBytes = toks
+          .select(expr("count_min_sketch(w, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        // the corpus vocabulary is the query set (bounded: 31 words)
+        val vocab = toks.distinct().collect().map(_.getString(0)).sorted
+        import s.implicits._
+        vocab.map(w => (w, cms.estimateCount(w))).toSeq.toDF("w", "est")
+      } finally toks.unpersist(blocking = false) // result is driver data — no lineage on toks
     }),
 
     // §2.4 deterministic mode: most frequent quantity per return flag,

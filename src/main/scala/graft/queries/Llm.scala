@@ -108,10 +108,13 @@ object Llm {
   }
 
   /** Jaccard pair stream wired for [[graft.operators.Components]]: a
-    * TRACKED persist (not a seal!) so the first propagation round
-    * materializes it into cache and Components' round-1 free reclaims it.
-    * The one place this ownership-sensitive wiring lives — the declared
-    * query, the pipeline demo, and the specs all call it.
+    * TRACKED persist (not a seal!) so Components' dispatch count — the
+    * one action that materializes the symmetric edge cache — fills this
+    * cache too, and the `inputs.free()` right after it reclaims it
+    * before any propagation (or, on the driver union–find path, before
+    * the collect's result is even used). The one place this
+    * ownership-sensitive wiring lives — the declared queries, the
+    * pipeline demo, and the specs all call it.
     */
   private[graft] def clusterEdges(docsRaw: DataFrame, tau: Double,
       tr: graft.operators.Tracked): DataFrame =

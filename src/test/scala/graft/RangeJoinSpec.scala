@@ -135,11 +135,12 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
 
   test("property: banded join equals the in-memory brute force on random inputs") {
     import spark.implicits._
-    // random magnitudes mix small, negative, and >2^53 values; random
-    // interval bounds include negative-lo (lookback) and custom widths.
-    // Fixed seeds so failures reproduce.
+    // random magnitudes mix small, NEGATIVE (the -1M scale — values are
+    // genuinely below zero, exercising pmod floor semantics), and >2^53
+    // values; random interval bounds include negative-lo (lookback) and
+    // custom widths. Fixed seeds so failures reproduce.
     val caseGen: Gen[(List[Long], List[Long], Long, Long, Long)] = for {
-      scale <- Gen.oneOf(100L, 1000000L, 4000000000000000000L)
+      scale <- Gen.oneOf(-1000000L, 100L, 1000000L, 4000000000000000000L)
       lvs <- Gen.listOfN(12, Gen.choose(-50L, 50L).map(x => scale + x))
       rvs <- Gen.listOfN(12, Gen.choose(-50L, 50L).map(x => scale + x))
       lo <- Gen.choose(-20L, 15L)
