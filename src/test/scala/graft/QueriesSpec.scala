@@ -126,6 +126,36 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("jaccard self-join shuffles no string payload under hash compaction") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val tr = new graft.operators.Tracked
+    // AQE off for the inspection: AdaptiveSparkPlanExec hides its input
+    // plan from collect(), and sparkPlan predates EnsureRequirements (no
+    // Exchange nodes exist there at all)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pairs = graft.queries.Llm.jaccardPairs(
+        T.t(spark, sf001, "documents"), 0.5, tr)
+      // every shuffle in the kernel carries only longs/doubles — the
+      // ~20-byte shingle strings never cross an exchange once the runtime
+      // bijection check passes (the whole point of the compaction; on
+      // real corpora this is the dominant shuffle)
+      val exchanges = pairs.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      exchanges should not be empty
+      exchanges.foreach { e =>
+        withClue(s"exchange ${e.output.map(_.name)}: ") {
+          e.output.exists(_.dataType == StringType) shouldBe false
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      tr.release()
+    }
+  }
+
   test("count-min heavy hitters obey the epsilon-overestimate guarantee") {
     val est = SparkEntry.queries("agg_heavy_hitters")(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
