@@ -183,6 +183,21 @@ object Aggregates {
         .orderBy("c_custkey")
     }),
 
+    // §2.4 unpivot / melt — the inverse of agg_pivot (wide measures →
+    // long (key, measure, value) rows), via the typed Dataset.unpivot
+    // API; narrow (each row expands in place, no shuffle before the
+    // ordering). The measure name column makes the melt lossless.
+    "agg_unpivot" -> ((s, sf) =>
+      t(s, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "measure", valueColumnName = "v")
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
     // §2.4 bitwise aggregates (bit_and / bit_or / bit_xor are commutative
     // and associative, so map-side partial aggregation applies and the
     // result is merge-order independent — oracle-able unlike mode())
@@ -357,6 +372,16 @@ object Aggregates {
          round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS pr,
          round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS cd
          FROM customer ORDER BY c_custkey""",
+    "agg_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, v FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber, measure""",
     "agg_bitwise" ->
       """SELECT l_returnflag,
          bit_and(l_orderkey) AS band, bit_or(l_orderkey) AS bor,
