@@ -90,10 +90,16 @@ object Bench {
       } else s
     }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val es = errs.map { case (k, v) => "\"" + k + "\":\"" + esc(v.take(80)) + "\"" }
-      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_errors":${errs.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
+    // error fields appear only when something failed: at 90 queries the
+    // line sits ~1900 chars against the driver's 2,000-char tail window
+    // (incl. sbt's trailing "[success]" line) — every always-on byte counts
+    val es = if (errs.isEmpty) "" else {
+      val m = errs.map { case (k, v) => "\"" + k + "\":\"" + esc(v.take(80)) + "\"" }
+        .mkString("{", ",", "}")
+      s""""n_errors":${errs.size},"errors":$m,"""
+    }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$es"queries":$qs,"sf":"$sfDir"}""")
     if (errs.nonEmpty) System.err.println(s"[bench] ${errs.size} queries FAILED: " +
       errs.map(_._1).mkString(", "))
     spark.stop()

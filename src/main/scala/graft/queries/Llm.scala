@@ -193,6 +193,22 @@ object Llm {
         .orderBy("a_id", "b_id")
     }),
 
+    // the streaming IncrementalDedup module run in BATCH mode (the same
+    // code path — flatMapGroupsWithState executes per-group transiently):
+    // banded minhash candidates from per-bucket state, distinct'd and
+    // ordered. Rows-only declared (band values are hash-seed dependent);
+    // StreamingSpec pins the cross-batch incremental behaviour and the
+    // candidates ⊇ exact-pairs invariant.
+    "dedup_incremental" -> ((s, sf) => {
+      import s.implicits._
+      graft.streaming.IncrementalDedup.candidates(
+          graft.streaming.IncrementalDedup.bandRows(t(s, sf, "documents"))
+            .as[graft.streaming.BandedDoc])
+        .toDF()
+        .distinct()
+        .orderBy("a_id", "b_id")
+    }),
+
     // transitive near-dup CLUSTERS over the exact jaccard pairs: min-label
     // connected components ([[graft.operators.Components]]), so chains
     // (a,b),(b,c) collapse to one cluster with one survivor — the step a
