@@ -53,12 +53,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       value: Expression, src: Expression)
 
   /** `e` as (base, additive literal): `x + 5L` → (x, 5); `5L + x` → (x, 5);
+    * `x − 5L` → (x, −5) (lookback windows are naturally written with a
+    * subtraction, and Catalyst does not canonicalize it to an Add);
     * anything else → (e, 0). Int literals were widened+folded to long by
-    * the time user rules run.
+    * the time user rules run. Long.MinValue is unsplittable (−c would
+    * overflow) and falls through to the (e, 0) case.
     */
   private def splitAdd(e: Expression): (Expression, Long) = e match {
     case Add(b, Literal(c: Long, LongType), _) => (b, c)
     case Add(Literal(c: Long, LongType), b, _) => (b, c)
+    case Subtract(b, Literal(c: Long, LongType), _) if c != Long.MinValue => (b, -c)
     case other => (other, 0L)
   }
 

@@ -104,6 +104,33 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
     naive.queryExecution.optimizedPlan.toString should not include "__graft_bin"
   }
 
+  test("optimizer rule handles non-strict bounds, subtraction offsets, and swapped orientation") {
+    val (e1r, e2r) = sides
+    val e1 = e1r.select(col("a_id"), col("user_id"), unix_micros(col("a_ts")).as("av"))
+    val e2 = e2r.select(col("b_id"), col("u2"), unix_micros(col("b_ts")).as("bv"))
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ≥ lower + < upper (both non-canonical strictness)
+    def q1 = e1.join(e2, col("user_id") === col("u2") &&
+      col("bv") >= col("av") + lit(1L) && col("bv") < col("av") + lit(60000001L))
+    // interval anchored on the RIGHT side's value, written as a LOOKBACK
+    // with a subtraction: av ∈ [bv − 5 min, bv) — the anchor side (right)
+    // must get the explode
+    def q2 = e1.join(e2, col("user_id") === col("u2") &&
+      col("av") < col("bv") && col("av") >= col("bv") - lit(300000000L))
+    val off1 = collectPairs(q1)
+    val off2 = collectPairs(q2)
+    off1 should not be empty
+    off2 should not be empty
+    spark.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    try {
+      q1.queryExecution.optimizedPlan.toString should include("__graft_bin")
+      q2.queryExecution.optimizedPlan.toString should include("__graft_bin")
+      collectPairs(q1) shouldBe off1
+      collectPairs(q2) shouldBe off2
+    } finally spark.conf.unset("spark.graft.rangeJoin.rewrite")
+  }
+
   test("values above 2^53 bin exactly (no double round-trip in the bin key)") {
     import spark.implicits._
     // nanosecond-epoch magnitude: a quotient computed through double
