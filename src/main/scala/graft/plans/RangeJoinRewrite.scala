@@ -72,15 +72,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * Offsets convert ≥/< into the canonical strict-lower / non-strict-upper.
     */
   private def bounds(c: Expression): Seq[Bound] = {
+    // the strict/non-strict canonicalizations subtract 1 from the parsed
+    // offset — at Long.MinValue that wraps to MaxValue and would flip the
+    // bound's direction, so the reading is dropped instead (same policy as
+    // splitAdd's MinValue fallthrough)
+    def m1(off: Long): Option[Long] =
+      if (off == Long.MinValue) None else Some(off - 1)
     def two(big: Expression, small: Expression, strict: Boolean): Seq[Bound] = {
       val (aS, cS) = splitAdd(small)
       val (aB, cB) = splitAdd(big)
-      Seq(
-        // big > small: anchor = small side → lower bound on `big`
-        Bound(Lower, aS, if (strict) cS else cS - 1, big, c),
-        // big > small ⇔ small < big: anchor = big side → upper bound on
-        // `small`: small <= big + (cB − 1) (strict) / + cB (non-strict)
-        Bound(Upper, aB, if (strict) cB - 1 else cB, small, c))
+      // big > small: anchor = small side → lower bound on `big`
+      val lower = (if (strict) Some(cS) else m1(cS)).map(Bound(Lower, aS, _, big, c))
+      // big > small ⇔ small < big: anchor = big side → upper bound on
+      // `small`: small <= big + (cB − 1) (strict) / + cB (non-strict)
+      val upper = (if (strict) m1(cB) else Some(cB)).map(Bound(Upper, aB, _, small, c))
+      lower.toSeq ++ upper.toSeq
     }
     c match {
       case GreaterThan(x, y) => two(x, y, strict = true)
@@ -121,9 +127,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               b.value.references.subsetOf(l.outputSet) && b.value.references.nonEmpty))
         }
         // width via subtractExact: extreme opposite-sign offsets would wrap
-        // hi − lo negative and rewrite into a corrupt plan — skip instead
-        def widthOk(lo: Long, hi: Long): Boolean =
-          try Math.subtractExact(hi, lo) > 0 catch { case _: ArithmeticException => false }
+        // hi − lo negative and rewrite into a corrupt plan — skip instead.
+        // The |offset| ≤ 2^61 cap keeps the derived endpoints
+        // (anchor + lo + 1, anchor + hi) overflow-free for any |anchor| ≤
+        // 2^61 (unix_micros ≈ 2^51); past that, Add could wrap, making
+        // Sequence(start > stop) default to step −1 — a huge descending
+        // bin list — so the rewrite declines and the join runs as written.
+        def widthOk(lo: Long, hi: Long): Boolean = {
+          val cap = 1L << 61
+          lo > -cap && hi < cap &&
+            (try Math.subtractExact(hi, lo) > 0
+             catch { case _: ArithmeticException => false })
+        }
         val rewritten = sided.filter(_.kind == Lower).flatMap { low0 =>
           sided.find { b =>
             b.kind == Upper && (b.src ne low0.src) && widthOk(low0.offset, b.offset) &&

@@ -232,8 +232,12 @@ object Aggregates {
         // that is all 31 words, but a real corpus has unbounded
         // vocabulary, and a sketch query set must be a bounded dictionary
         // (top candidates from a sampling pass, a known lexicon, …), so
-        // the cap is part of the operator's contract, not a test shortcut
-        val vocab = toks.distinct().limit(10000).collect().map(_.getString(0)).sorted
+        // the cap is part of the operator's contract, not a test shortcut.
+        // Ordered before the cap: limit without ordering is
+        // nondeterministic, and the declared row set must be stable
+        // run-to-run once the vocabulary exceeds the cap.
+        val vocab = toks.distinct().orderBy("w").limit(10000)
+          .collect().map(_.getString(0))
         import s.implicits._
         vocab.map(w => (w, cms.estimateCount(w))).toSeq.toDF("w", "est")
       } finally toks.unpersist(blocking = false) // result is driver data — no lineage on toks

@@ -52,11 +52,17 @@ object Sources {
     // Plain text lines (round 5): the lowest-common-denominator source a
     // training-data pipeline actually ingests — delimited lines, parsed
     // with engine expressions on read (no format codec at all). Tab-safe:
-    // the corpus text column is space-separated words.
+    // the corpus text column is space-separated words. NULL-safe: concat_ws
+    // SKIPS null fields (shifting every later column on read-back), so each
+    // field is coalesced to the empty string — "" casts back to NULL for
+    // doc_id and stays a harmless empty token for the text aggregate.
     "source_text" -> ((s, sf) => {
       val dir = tmp(sf, "text")
       t(s, sf, "documents")
-        .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+        .select(concat_ws("\t",
+          coalesce(col("doc_id").cast("string"), lit("")),
+          coalesce(col("lang"), lit("")),
+          coalesce(col("text"), lit(""))).as("value"))
         .write.mode("overwrite").text(dir)
       s.read.text(dir)
         .select(split(col("value"), "\t").as("f"))

@@ -69,23 +69,26 @@ object IncrementalDedup {
     bands.groupByKey(b => (b.band, b.bv))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) => {
-          var seen = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
-          val seenSet = scala.collection.mutable.LongMap[Unit](seen.map(_ -> ()): _*)
+          // history stays untouched; this batch's arrivals accumulate in a
+          // growable buffer and concatenate into the state ONCE — per-row
+          // work is O(pairs emitted), never an array copy per arrival
+          val old = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+          val seenSet = scala.collection.mutable.LongMap[Unit](old.map(_ -> ()): _*)
+          val fresh = scala.collection.mutable.ArrayBuffer.empty[Long]
           val out = List.newBuilder[CandidatePair]
+          def pair(h: Long, n: Long): Unit =
+            out += (if (h < n) CandidatePair(h, n) else CandidatePair(n, h))
           rows.foreach { r =>
-            if (!seenSet.contains(r.doc_id) && seen.length < maxBucket) {
+            if (!seenSet.contains(r.doc_id) && old.length + fresh.length < maxBucket) {
               var i = 0
-              while (i < seen.length) {
-                val h = seen(i)
-                out += (if (h < r.doc_id) CandidatePair(h, r.doc_id)
-                  else CandidatePair(r.doc_id, h))
-                i += 1
-              }
-              seen = seen :+ r.doc_id
+              while (i < old.length) { pair(old(i), r.doc_id); i += 1 }
+              var j = 0
+              while (j < fresh.length) { pair(fresh(j), r.doc_id); j += 1 }
+              fresh += r.doc_id
               seenSet(r.doc_id) = ()
             }
           }
-          state.update(BucketState(seen))
+          state.update(BucketState(old ++ fresh))
           out.result().iterator
         })
   }

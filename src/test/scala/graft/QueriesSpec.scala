@@ -133,6 +133,9 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     // AQE off for the inspection: AdaptiveSparkPlanExec hides its input
     // plan from collect(), and sparkPlan predates EnsureRequirements (no
     // Exchange nodes exist there at all)
+    // restore whatever the session had, not a hard-coded value — other
+    // suites share this SparkSession
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val pairs = graft.queries.Llm.jaccardPairs(
@@ -151,7 +154,7 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
         }
       }
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       tr.release()
     }
   }
