@@ -18,12 +18,12 @@ import org.apache.spark.sql.functions._
 object Sim {
 
   /** All cosine pairs satisfying `cond` over (vec_id, embedding):
-    * (a_id, b_id, sim). The probe side re-spreads across cores; the build
-    * side carries NO broadcast hint — it is corpus-proportional, so the
-    * size-based planner (and AQE at runtime) must keep the freedom to fall
-    * back to a partitioned join instead of hitting the broadcast cap /
-    * driver OOM as a hard failure at larger corpora. (Small-corpus tool
-    * either way — IVF / LSH are the scale paths.)
+    * (a_id, b_id, sim). The build side carries NO broadcast hint — it is
+    * corpus-proportional, so the size-based planner (and AQE at runtime)
+    * must keep the freedom to fall back to a partitioned join instead of
+    * hitting the broadcast cap / driver OOM as a hard failure at larger
+    * corpora. (Small-corpus tool either way — IVF / LSH are the scale
+    * paths.)
     */
   def cosinePairs(emb: DataFrame, cond: Column): DataFrame = {
     // zero-norm vectors (padding rows, failed upstream embedders) are
@@ -32,8 +32,15 @@ object Sim {
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
       .where(col("nrm") > 0)
-    val a = v.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
+    // re-spread the probe side ONLY when the scan is narrower than the
+    // machine (a one-file toy corpus reads as a single partition and would
+    // score n² on one core); a corpus already at-or-above core parallelism
+    // gets no exchange — the join's own requirement / AQE sizes it (r6
+    // verdict: the unconditional repartition was a pure-waste shuffle of
+    // the dominant frame at scale)
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val a0 = if (v.rdd.getNumPartitions < par) v.repartition(par) else v
+    val a = a0.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, cond)
       .withColumn("sim", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
@@ -59,10 +66,21 @@ object Sim {
     * (bits × dim doubles, corpus-independent), so its broadcast is safe at
     * any scale, and the band bucket id is the shuffle key — co-located,
     * skew-bounded by bucket size.
+    *
+    * `maxBucket` (round 7) drops (band, value) buckets whose membership
+    * exceeds the cap before any pair is generated: a degenerate band (all
+    * vectors on the same side of every hyperplane in it — clustered or
+    * duplicated embeddings) would make one bucket's join fan-out quadratic,
+    * which AQE cannot split. With 2-bit default bands a bucket legitimately
+    * holds ~n/4 vectors, so the default cap is high (65536) — it is a skew
+    * guard, not a recall knob; at scale raise `bandBits` (8 bits → ~n/256
+    * buckets) so legitimate buckets sit far under the cap. Documented
+    * recall loss applies to over-cap buckets only; the exact re-rank keeps
+    * every emitted pair a true ≥ tau pair regardless.
     */
   def cosineLshPairs(emb: DataFrame, tau: Double, nBands: Int = 16,
       bandBits: Int = 2, seed: Long = 42L,
-      tr: graft.operators.Tracked = null): DataFrame = {
+      tr: graft.operators.Tracked = null, maxBucket: Int = 65536): DataFrame = {
     val nBits = nBands * bandBits
     require(nBits <= 63, s"nBands*bandBits must fit a long, got $nBits")
     val spark = emb.sparkSession
@@ -103,10 +121,16 @@ object Sim {
         when(expr("graft_dot(e, r)") >= 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
           .otherwise(0L).as("sb"))
       .groupBy("vec_id").agg(sum(col("sb")).as("sig")))
-    val bands = sig.select(col("vec_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${nBands - 1}), b -> (sig >> (b * $bandBits)) & ${(1L << bandBits) - 1})"))
+    // bucket-size cap (see scaladoc): the window count partitions on the
+    // SAME (band, bv) key the candidate self-join shuffles on, and the
+    // capped frame is kept (when tr is present) so both join sides read it
+    val bands = keep(sig.select(col("vec_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${nBands - 1}), b -> (sig >> (b * $bandBits)) & ${(1L << bandBits) - 1})"))
         .as(Seq("band", "bv")))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy("band", "bv")))
+      .where(col("bsz") <= maxBucket).drop("bsz"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.vec_id") < col("b.vec_id"))

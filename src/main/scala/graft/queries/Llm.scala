@@ -107,6 +107,51 @@ object Llm {
       .select(col("da"), col("db"), col("jac"))
   }
 
+  /** Banded MinHash-LSH candidate pairs (a_id, b_id) over a PERSISTED
+    * per-doc shingle-array frame (doc_id, ss). k = nBands × rowsPerBand
+    * salted-xxhash64 signature minima come from ONE codegen'd aggregate;
+    * a band's value is xxhash64 over its r consecutive minima — AND-
+    * amplification within a band, OR across bands (Broder 1997; Indyk &
+    * Motwani 1998), so P[candidate] = 1 − (1 − j^r)^b. r ≥ 2 is what makes
+    * this scale-honest: at r=1 a j=0.1 garbage pair collides with
+    * p = 1−0.9^16 ≈ 0.81 (near-all-pairs on boilerplate-heavy corpora);
+    * at b=8, r=2 that drops to 1−(1−0.01)^8 ≈ 0.08 while a true τ=0.5
+    * pair keeps p ≈ 0.90 and j=0.7 keeps p ≈ 0.996. Candidates come from
+    * a bucketed equi-join on (band, value) — never all pairs.
+    *
+    * `maxBucket` bounds per-bucket join fan-out: one degenerate band value
+    * (the minhash of a boilerplate shingle shared by everything) would make
+    * a single bucket's pair volume quadratic — AQE splits partitions but
+    * cannot split one key's join fan-out — so buckets larger than
+    * `maxBucket` are DROPPED (documented recall loss on pathological
+    * buckets only; the same skew contract [[graft.streaming.IncrementalDedup]]
+    * enforces on stream state via its own maxBucket). The capped band frame
+    * is persisted through `tr` (nDocs × nBands tiny rows), so both sides of
+    * the self-join read the cache instead of recomputing the signature
+    * aggregate and the bucket-size window.
+    */
+  private[graft] def minhashCandidates(docs: DataFrame, nBands: Int,
+      rowsPerBand: Int, maxBucket: Int, tr: graft.operators.Tracked): DataFrame = {
+    val k = nBands * rowsPerBand
+    val sh = docs.select(col("doc_id"), explode(col("ss")).as("s"))
+    val mins = sh.groupBy("doc_id")
+      .agg(array((0 until k).map(i => min(xxhash64(col("s"), lit(i)))): _*).as("mh"))
+    val bands0 = mins.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${nBands - 1}), b -> xxhash64(slice(mh, b * $rowsPerBand + 1, $rowsPerBand)))"))
+      .as(Seq("band", "bv")))
+    // bucket-size cap: one window count partitioned on the SAME (band, bv)
+    // key the candidate join shuffles on — the exchange is shared work, and
+    // the filter runs before any pair is generated
+    val bands = tr.persist(bands0
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bv")))
+      .where(col("bsz") <= maxBucket).drop("bsz"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
   /** Jaccard pair stream wired for [[graft.operators.Components]]: a
     * TRACKED persist (not a seal!) so Components' dispatch count — the
     * one action that materializes the symmetric edge cache — fills this
@@ -147,32 +192,20 @@ object Llm {
 
     // MinHash-LSH near-dup pairs (capability row: hash-seed dependent, no
     // cross-engine oracle; tests assert candidates ⊇ dedup_jaccard pairs).
-    // Direct banded implementation (Broder minhash + Indyk–Motwani OR-
-    // amplification, b=16 bands of r=1); candidates come from an equi-join
-    // on (band, value) buckets — never all pairs. Collision probability
-    // for a true τ=0.5 pair is 1-(1-0.5)^16 ≈ 0.99998. Candidates are then
-    // scored with EXACT Jaccard (not the k-sample estimate, which at k=16
-    // would drop ~40% of true borderline pairs), so the ≥ τ filter
-    // preserves the candidates ⊇ exact-pairs invariant.
+    // Round 7: banding is b=8 bands × r=2 rows ([[minhashCandidates]],
+    // 1−(1−j²)⁸ curve — r≥2 AND-amplification keeps j=0.1 garbage at
+    // p ≈ 0.08 instead of r=1's 0.81) with a 4096-doc bucket cap, the same
+    // skew bound as IncrementalDedup. Candidates are then scored with EXACT
+    // Jaccard (not the k-sample estimate, which at k=16 would drop ~40% of
+    // true borderline pairs), so the ≥ τ filter preserves the candidates ⊇
+    // exact-pairs invariant on this corpus (QueriesSpec pins it).
     "dedup_minhash" -> ((s, sf) => {
-      val k = 16
       val tr = new graft.operators.Tracked
       val docs = tr.persist(shingleArrays(t(s, sf, "documents")))
+      val cand = minhashCandidates(docs, nBands = 8, rowsPerBand = 2,
+        maxBucket = 4096, tr = tr)
       val sh = docs.select(col("doc_id"), size(col("ss")).cast("long").as("n"),
         explode(col("ss")).as("s"))
-      // all k signature mins from ONE codegen'd agg over the exploded
-      // shingles (k hash families = xxhash64 salted by position)
-      val mins = sh.groupBy("doc_id")
-        .agg(array((0 until k).map(i => min(xxhash64(col("s"), lit(i)))): _*).as("mh"))
-      // banded candidate join carries ONLY ids — the distinct pair set is a
-      // tiny fraction of all pairs (1.2% at bench SF) and broadcasts into
-      // the exact-scoring joins below
-      val bands = mins.select(col("doc_id"), posexplode(col("mh")).as(Seq("band", "bv")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
       // exact |A∩B| per candidate pair via two codegen'd hash joins over
       // 64-bit-hashed shingles (longs shuffle/probe far cheaper than
       // strings; a cross-shingle hash collision could only inflate jac —

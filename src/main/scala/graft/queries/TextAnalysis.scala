@@ -25,6 +25,43 @@ object TextAnalysis {
     expr(s"size(filter(tk, t -> array_contains($arr, t)))").cast("long")
   }
 
+  /** SimHash banded candidate pairs (a_id, b_id, sha, shb): 64-bit
+    * signature from the algebraic bit-vote aggregator, 4 × 16-bit band
+    * equi-join buckets — the sub-quadratic candidate stage behind
+    * `dedup_simhash`. `maxBucket` drops buckets whose membership exceeds
+    * the cap (round 7): one degenerate band value — near-identical
+    * boilerplate collapsing a 16-bit band — would otherwise make a single
+    * bucket's join fan-out quadratic, which AQE cannot split. Documented
+    * recall loss on pathological buckets only; same skew contract as
+    * [[graft.queries.Llm.minhashCandidates]] / IncrementalDedup. The
+    * capped band frame is persisted via `tr` (4 tiny rows per doc) so both
+    * self-join sides read the cache.
+    */
+  private[graft] def simhashBandPairs(docsRaw: org.apache.spark.sql.DataFrame,
+      maxBucket: Int, tr: graft.operators.Tracked): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Llm.shingles(docsRaw, tr)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // one ALGEBRAIC bit-vote aggregator ([[graft.functions.Udx.SimHashAgg]])
+    // instead of the r3 collect_list gather + Scala-UDF fold: votes
+    // partial-aggregate map-side, so only a 64-int buffer per doc ever
+    // shuffles — never the full shingle-hash list — and the plan stays
+    // one aggregate column wide (narrow to analyze, cheap to compile).
+    val sim = tr.persist(toks.groupBy("doc_id")
+      .agg(graft.functions.Udx.simhashOf(col("h")).as("sh")))
+    val bands = tr.persist(sim.select(col("doc_id"), col("sh"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> (sh >> (b * 16)) & 65535)")).as(Seq("band", "bv")))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bv")))
+      .where(col("bsz") <= maxBucket).drop("bsz"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // language-ID: occurrence counts against per-language marker sets,
     // deterministic fixed-order argmax
@@ -106,30 +143,12 @@ object TextAnalysis {
 
     // SimHash near-dup (capability row: Spark's xxhash64 seeds the bits, so
     // no cross-engine oracle; tests cross-check against exact Jaccard).
-    // Banded candidate join (4 × 16-bit bands) — the sub-quadratic path:
-    // at 100 TB candidates come from equal-band buckets, never all pairs.
+    // Banded candidate join (4 × 16-bit bands, [[simhashBandPairs]], round-7
+    // bucket cap) — the sub-quadratic path: at 100 TB candidates come from
+    // equal-band buckets, never all pairs.
     "dedup_simhash" -> ((s, sf) => {
       val tr = new graft.operators.Tracked
-      val toks = Llm.shingles(t(s, sf, "documents"), tr)
-        .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      // one ALGEBRAIC bit-vote aggregator ([[graft.functions.Udx.SimHashAgg]])
-      // instead of the r3 collect_list gather + Scala-UDF fold: votes
-      // partial-aggregate map-side, so only a 64-int buffer per doc ever
-      // shuffles — never the full shingle-hash list — and the plan stays
-      // one aggregate column wide (narrow to analyze, cheap to compile).
-      // persist: one tiny row per doc; the banded self-join below would
-      // otherwise recompute the vote aggregation per branch
-      val sim = tr.persist(toks.groupBy("doc_id")
-        .agg(graft.functions.Udx.simhashOf(col("h")).as("sh")))
-      val bands = sim.select(col("doc_id"), col("sh"),
-        posexplode(expr(
-          "transform(sequence(0, 3), b -> (sh >> (b * 16)) & 65535)")).as(Seq("band", "bv")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.sh").as("sha"), col("b.sh").as("shb"))
-        .distinct()
+      val cand = simhashBandPairs(t(s, sf, "documents"), maxBucket = 4096, tr = tr)
       tr.seal(cand
           .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
           .where(col("hamming") <= 6)

@@ -78,6 +78,31 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     exact.diff(cand) shouldBe empty
   }
 
+  test("minhash and simhash bucket caps bound degenerate boilerplate fan-out") {
+    import spark.implicits._
+    // 40 identical documents: every band of every doc lands in ONE bucket
+    // of size 40 — the degenerate-boilerplate corpus whose candidate
+    // volume is quadratic. A cap below the bucket size must bound the
+    // candidate set to zero (recall loss confined to over-cap buckets);
+    // at the declared queries' 4096 cap the full pair set comes back.
+    val docs = (1L to 40L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val allPairs = 40L * 39 / 2
+    val tr = new graft.operators.Tracked
+    try {
+      val sa = tr.persist(graft.queries.Llm.shingleArrays(docs))
+      graft.queries.Llm.minhashCandidates(sa, nBands = 8, rowsPerBand = 2,
+        maxBucket = 10, tr = tr).count() shouldBe 0L
+      graft.queries.Llm.minhashCandidates(sa, nBands = 8, rowsPerBand = 2,
+        maxBucket = 4096, tr = tr).count() shouldBe allPairs
+      graft.queries.TextAnalysis.simhashBandPairs(docs, maxBucket = 10, tr = tr)
+        .count() shouldBe 0L
+      graft.queries.TextAnalysis.simhashBandPairs(docs, maxBucket = 4096, tr = tr)
+        .count() shouldBe allPairs
+    } finally tr.release()
+  }
+
   test("sim_topk ranks are consistent with sim_cosine_pairs") {
     val topk = SparkEntry.queries("sim_topk")(spark, sf001).collect()
     // per a_id: sims are non-increasing in rank

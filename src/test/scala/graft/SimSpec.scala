@@ -75,6 +75,19 @@ class SimSpec extends AnyFunSuite with SparkFixture with Matchers {
     ep.schema("b_id").dataType shouldBe org.apache.spark.sql.types.IntegerType
   }
 
+  test("LSH bucket cap bounds degenerate-corpus candidate fan-out") {
+    import spark.implicits._
+    // 30 identical embeddings: every signature is identical, so every band
+    // collapses into ONE bucket of size 30 — the degenerate-boilerplate
+    // shape whose pair fan-out is quadratic. A cap below the bucket size
+    // must bound candidate volume to zero (documented recall loss applies
+    // to over-cap buckets only); at the default cap the exact quadratic
+    // pair set comes back.
+    val dup = (1 to 30).map(i => (i.toLong, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    Sim.cosineLshPairs(dup, 0.4, maxBucket = 10).count() shouldBe 0L
+    Sim.cosineLshPairs(dup, 0.4).count() shouldBe (30L * 29 / 2)
+  }
+
   test("IVF path ranks are internally consistent (sim non-increasing)") {
     Sim.topK(emb, 5, auto = true, ivfThreshold = 1).collect()
       .groupBy(_.getLong(0)).foreach { case (_, rows) =>
