@@ -91,6 +91,32 @@ object Caim {
         .orderBy("vec_id")
     }),
 
+    // the FULL greedy CAIM fit (Kurgan–Cios Alg. steps 2–4) as a DECLARED
+    // rows-only query (round 7): the reference's core algorithm finally
+    // reaches a CORRECTNESS row. Four features (embedding[1..4]) + label
+    // through [[graft.ml.CAIMDiscretizer]]; the fit is deterministic —
+    // exact integer histogram, exact greedy over prefix sums — so the
+    // emitted (feature, bin_idx, boundary) rows are stable run-to-run.
+    // Not SQL-expressible (iterative greedy) → no oracle entry; CaimSpec's
+    // golden/property/save-load suites pin the fit semantics.
+    "caim_fit" -> ((s, sf) => {
+      import s.implicits._
+      val names = (1 to 4).map(i => s"f$i")
+      val df = t(s, sf, "embeddings").select(
+        (1 to 4).map(i => element_at(col("embedding"), i).cast("double").as(s"f$i")) :+
+          col("label"): _*)
+      val model = new graft.ml.CAIMDiscretizer()
+        .setInputCols(names.toArray)
+        .setOutputCols(names.map("b" + _).toArray)
+        .setLabelCol("label")
+        .fit(df)
+      model.boundaries.zipWithIndex.flatMap { case (bs, fi) =>
+        bs.zipWithIndex.map { case (b, bi) => (names(fi), bi.toLong, b) }
+      }.toSeq.toDF("feature", "bin_idx", "boundary")
+        .withColumn("boundary", round(col("boundary"), 6))
+        .orderBy("feature", "bin_idx")
+    }),
+
     // unsupervised equal-width baseline
     "disc_equal_width" -> ((s, sf) => {
       val e = t(s, sf, "embeddings")

@@ -306,6 +306,22 @@ object Llm {
         .orderBy("vec_id")
     }),
 
+    // sub-quadratic embedding near-dup collapse (round 7, rows-only: LSH
+    // bucketing is hyperplane-seed dependent, so no cross-engine oracle;
+    // SimSpec pins candidates ⊇ exact τ=0.4 pairs and fixed-seed
+    // determinism). The [[graft.ml.Sim.cosineLshPairs]] candidate stream —
+    // banded random-hyperplane buckets, exact graft_dot re-rank, round-7
+    // bucket cap — collapsed to survivors exactly like dedup_embed: every
+    // vector similar to a smaller-id vector is a duplicate. This is the
+    // 100 TB path of that query: candidates from buckets, never all pairs.
+    "dedup_embed_lsh" -> ((s, sf) => {
+      val tr = new graft.operators.Tracked
+      tr.seal(graft.ml.Sim.cosineLshPairs(t(s, sf, "embeddings"), 0.4, tr = tr)
+          .groupBy(col("b_id").as("dup_id"))
+          .agg(min(col("a_id")).as("keep_id"), count(lit(1)).as("n_better")))
+        .orderBy("dup_id")
+    }),
+
     // brute-force top-5 nearest neighbours per vector (capability row:
     // float-rank ties across engines → validated in tests, not oracled).
     // The bounded TopKAgg partial-aggregates INSIDE the broadcast-join map

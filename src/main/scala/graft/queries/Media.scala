@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.T.Q
+import graft.multimodal.{MediaRow, MultiModal}
+
+/** Multimodal-column pipeline as a DECLARED query (round 7): the corpus has
+  * no media column, so the query generates deterministic container fixtures
+  * in-query (the source_csv write-then-read pattern), round-trips them
+  * through a parquet binary column, and runs the REAL decode pipeline —
+  * magic-byte classification, container metadata parse, pixel decode
+  * (BMP arithmetically, PNG via the JDK's javax.imageio), 16-bit PCM
+  * sample decode with per-frame RMS — emitting one metadata/feature row
+  * per payload. Rows-only: binary fixtures have no DuckDB analog;
+  * MultiModalSpec pins decode semantics (known-pixel / known-sample
+  * round-trips), and MediaSpec pins this query's emitted values.
+  *
+  * Scale shape: the decode is [[MultiModal.withDecodedMeta]]'s
+  * per-partition batch iteration (mapPartitions — narrow, no shuffle), and
+  * the feature columns are per-row UDFs over the payload — at 100 TB this
+  * is a pure map stage over the binary column, exactly how a real
+  * image/audio feature extractor runs.
+  */
+object Media {
+
+  /** Deterministic 16-bit PCM mono WAV: RIFF/WAVE + fmt + data chunks. */
+  private[graft] def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val data = samples.flatMap(v => Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    val b = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    b.array()
+  }
+
+  /** The fixture raster: 6×4 deterministic gradient, encoded both as
+    * uncompressed 24-bit BMP (arithmetic decode path) and as PNG through
+    * the JDK encoder (javax.imageio decode path) — the two decoders must
+    * agree on the recovered pixels, which the query's checksum column
+    * exposes (MediaSpec asserts the equality).
+    */
+  private[graft] def fixtureRaster: MultiModal.RgbImage =
+    MultiModal.RgbImage(6, 4, Array.tabulate(72)(i => ((i * 11) % 251).toByte))
+
+  private[graft] def pngBytes(img: MultiModal.RgbImage): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val p = (y * img.width + x) * 3
+        bi.setRGB(x, y, ((img.rgb(p) & 0xff) << 16) |
+          ((img.rgb(p + 1) & 0xff) << 8) | (img.rgb(p + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The four fixture payloads: BMP + PNG of the same raster, a PCM WAV
+    * with a known square wave, and a legacy-header synthetic payload.
+    */
+  private[graft] def fixtures: Seq[MediaRow] = Seq(
+    MediaRow(1L, "image", MultiModal.encodeBmp(fixtureRaster)),
+    MediaRow(2L, "image", pngBytes(fixtureRaster)),
+    MediaRow(3L, "audio",
+      wavBytes(8000, Array[Short](0, 0, 0, 0, 16384, -16384, 16384, -16384))),
+    MediaRow(4L, "other",
+      MultiModal.encodeHeader(7, 5, 0) ++ Array.tabulate(35)(_.toByte)))
+
+  // per-JVM tag, same concurrency contract as Sources.tmp
+  private lazy val runTag = java.util.UUID.randomUUID().toString.take(8)
+
+  val queries: Map[String, Q] = Map(
+    "multimodal_meta" -> ((s, sf) => {
+      import s.implicits._
+      val dir = {
+        val tag = new java.io.File(sf).getName
+        s"${sys.props("java.io.tmpdir")}/graft_media_${runTag}_$tag"
+      }
+      // binary-column round trip through a real columnar source: media
+      // payloads in production live exactly like this — an opaque binary
+      // column beside typed metadata in parquet
+      s.createDataset(fixtures).toDF().write.mode("overwrite").parquet(dir)
+      val media = s.read.parquet(dir).as[MediaRow]
+      val pixSum = udf { p: Array[Byte] =>
+        MultiModal.decodeImage(p)
+          .map(im => im.rgb.foldLeft(0L)((a, v) => a + (v & 0xff))).getOrElse(-1L)
+      }
+      val kindOf = udf { p: Array[Byte] => MultiModal.detectKind(p) }
+      MultiModal.withDecodedMeta(media).toDF()
+        .withColumn("det_kind", kindOf(col("payload")))
+        .withColumn("pix_sum", pixSum(col("payload")))
+        .withColumn("rms0",
+          round(element_at(MultiModal.audioRmsCol(2)(col("payload")), 2), 6))
+        .select(col("media_id"), col("kind"), col("det_kind"), col("width"),
+          col("height"), col("sample_rate"), col("n_bytes").cast("long").as("n_bytes"),
+          col("pix_sum"), col("rms0"))
+        .orderBy("media_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map.empty
+}

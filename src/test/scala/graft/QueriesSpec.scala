@@ -78,6 +78,32 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     exact.diff(cand) shouldBe empty
   }
 
+  test("caim_fit emits per-feature strictly-increasing boundary arrays") {
+    val rows = SparkEntry.queries("caim_fit")(spark, sf001).collect()
+    val byF = rows.groupBy(_.getString(0))
+    byF.keySet shouldBe Set("f1", "f2", "f3", "f4")
+    byF.values.foreach { rs =>
+      val bs = rs.sortBy(_.getLong(1)).map(_.getDouble(2))
+      bs.length should be >= 2
+      bs.sliding(2).foreach {
+        case Array(a, b) => a should be < b
+        case _ =>
+      }
+    }
+  }
+
+  test("dedup_embed_lsh survivors are a subset-consistent view of dedup_embed") {
+    // the LSH path re-ranks exactly, so every (dup_id, keep_id) it emits
+    // must agree with the exact quadratic query where present; on this
+    // corpus the default banding covers all exact pairs (SimSpec), so the
+    // two queries coincide
+    val exact = SparkEntry.queries("dedup_embed")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh = SparkEntry.queries("dedup_embed_lsh")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    lsh shouldBe exact
+  }
+
   test("minhash and simhash bucket caps bound degenerate boilerplate fan-out") {
     import spark.implicits._
     // 40 identical documents: every band of every doc lands in ONE bucket
