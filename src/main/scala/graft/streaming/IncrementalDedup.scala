@@ -61,35 +61,59 @@ object IncrementalDedup {
     * against every doc already in its (band, value) buckets — plus pairs
     * among docs arriving together — then joins the buckets. Works on a
     * streaming OR batch Dataset (same code path; batch = one big group).
+    *
+    * `ttlMs` (round 7) bounds state on an UNBOUNDED stream: with a
+    * positive TTL each bucket gets a processing-time timeout that is
+    * re-armed on every arrival, so a bucket idle for `ttlMs` is evicted
+    * from the state store — total state becomes ∝ the active working set
+    * (docs arriving within one TTL window), not the whole corpus history.
+    * The documented recall trade: a near-dup whose twin arrived more than
+    * `ttlMs` earlier is no longer paired (the batch dedup_minhash path is
+    * the full-history tool). ttlMs = 0 (the default, and the batch mode
+    * used by the declared `dedup_incremental` query) keeps the original
+    * never-evict behaviour.
     */
-  def candidates(bands: Dataset[BandedDoc], maxBucket: Int = 4096): Dataset[CandidatePair] = {
+  def candidates(bands: Dataset[BandedDoc], maxBucket: Int = 4096,
+      ttlMs: Long = 0L): Dataset[CandidatePair] = {
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
     implicit val outEnc = Encoders.product[CandidatePair]
     implicit val stateEnc = Encoders.product[BucketState]
+    val timeout =
+      if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     bands.groupByKey(b => (b.band, b.bv))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) => {
-          // history stays untouched; this batch's arrivals accumulate in a
-          // growable buffer and concatenate into the state ONCE — per-row
-          // work is O(pairs emitted), never an array copy per arrival
-          val old = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
-          val seenSet = scala.collection.mutable.LongMap[Unit](old.map(_ -> ()): _*)
-          val fresh = scala.collection.mutable.ArrayBuffer.empty[Long]
-          val out = List.newBuilder[CandidatePair]
-          def pair(h: Long, n: Long): Unit =
-            out += (if (h < n) CandidatePair(h, n) else CandidatePair(n, h))
-          rows.foreach { r =>
-            if (!seenSet.contains(r.doc_id) && old.length + fresh.length < maxBucket) {
-              var i = 0
-              while (i < old.length) { pair(old(i), r.doc_id); i += 1 }
-              var j = 0
-              while (j < fresh.length) { pair(fresh(j), r.doc_id); j += 1 }
-              fresh += r.doc_id
-              seenSet(r.doc_id) = ()
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop the bucket's membership entirely —
+            // timeouts only fire for groups with no arrivals this batch,
+            // so no candidate is lost that the TTL contract promised
+            state.remove()
+            Iterator.empty
+          } else {
+            // history stays untouched; this batch's arrivals accumulate in a
+            // growable buffer and concatenate into the state ONCE — per-row
+            // work is O(pairs emitted), never an array copy per arrival
+            val old = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+            val seenSet = scala.collection.mutable.LongMap[Unit](old.map(_ -> ()): _*)
+            val fresh = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val out = List.newBuilder[CandidatePair]
+            def pair(h: Long, n: Long): Unit =
+              out += (if (h < n) CandidatePair(h, n) else CandidatePair(n, h))
+            rows.foreach { r =>
+              if (!seenSet.contains(r.doc_id) && old.length + fresh.length < maxBucket) {
+                var i = 0
+                while (i < old.length) { pair(old(i), r.doc_id); i += 1 }
+                var j = 0
+                while (j < fresh.length) { pair(fresh(j), r.doc_id); j += 1 }
+                fresh += r.doc_id
+                seenSet(r.doc_id) = ()
+              }
             }
+            state.update(BucketState(old ++ fresh))
+            if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+            out.result().iterator
           }
-          state.update(BucketState(old ++ fresh))
-          out.result().iterator
         })
   }
 }

@@ -285,6 +285,62 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally q.stop()
   }
 
+  test("incremental dedup TTL evicts idle bucket state") {
+    import spark.implicits._
+    import graft.streaming.{BandedDoc, IncrementalDedup}
+    implicit val sqlCtx = spark.sqlContext
+    // with ProcessingTimeTimeout Spark schedules a batch every trigger to
+    // check timeouts (shouldRunAnotherBatch == true), so noNewData is never
+    // signalled and processAllAvailable would block forever — the test
+    // POLLS the sink for sentinel pairs instead. Each addData ships an
+    // identical twin whose pair is the in-batch sentinel: once the twin
+    // pair is visible, that batch (including its timeout sweep) committed.
+    // Vocabularies: a/b share every bucket; c is fully disjoint from both.
+    val docA = (1L, "red orange yellow green blue indigo violet")
+    val docB = (2L, "red orange yellow green blue indigo violet")
+    val docB2 = (5L, "red orange yellow green blue indigo violet")
+    val docC = (3L, "one two three four five six seven")
+    val docC2 = (4L, "one two three four five six seven")
+    def run(ttlMs: Long, sleepMs: Long): Set[(Long, Long)] = {
+      val name = s"inc_ttl_$ttlMs"
+      val ms = MemoryStream[(Long, String)]
+      val cands = IncrementalDedup.candidates(
+        IncrementalDedup.bandRows(ms.toDF().toDF("doc_id", "text")).as[BandedDoc],
+        ttlMs = ttlMs)
+      val q = cands.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+        .start()
+      def await(pair: (Long, Long)): Unit = {
+        val deadline = System.nanoTime() + 30000000000L
+        while (!spark.table(name).collect()
+            .exists(r => (r.getLong(0), r.getLong(1)) == pair)) {
+          if (System.nanoTime() > deadline) fail(s"sentinel $pair never arrived")
+          Thread.sleep(100L)
+        }
+      }
+      try {
+        ms.addData(docA)
+        Thread.sleep(sleepMs)
+        // a batch with UNRELATED data: timeouts only fire for groups with
+        // no arrivals in the batch — here a's idle buckets cross the TTL
+        // and are removed; the (3,4) twin pair proves the batch committed
+        ms.addData(docC, docC2)
+        await((3L, 4L))
+        ms.addData(docB, docB2)
+        // (2,5) is emitted by the SAME batch that would pair b against a's
+        // surviving history — once visible, the (1,2) question is settled
+        await((2L, 5L))
+        spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    // control: a generous TTL keeps the (a, b) pair discoverable
+    run(ttlMs = 3600000L, sleepMs = 0L) should contain((1L, 2L))
+    // eviction: after idling past the TTL, a's buckets are gone, so b
+    // arriving later finds no history — bounded state, documented recall
+    run(ttlMs = 250L, sleepMs = 1500L) should not contain ((1L, 2L))
+  }
+
   test("batch session_window agrees with the lag-based sessionize oracle shape") {
     // R3 parity check: Spark's session merge vs gap-and-island SQL on real data
     val viaSessionWindow = SparkEntry.queries("stream_session")(spark, sf001)
