@@ -27,7 +27,15 @@ import org.apache.spark.sql.types.LongType
   *  - bound offsets must be foldable literals (post-constant-folding they
   *    are, for any `+ 300000000L` / `+ INTERVAL`-derived constant);
   *  - either orientation (the interval may anchor on the left or the
-  *    right child — the anchor side gets the two-bin explode).
+  *    right child — the anchor side gets the two-bin explode);
+  *  - RUNTIME anchor values must satisfy |anchor| ≤ 2^61: bin endpoints
+  *    compute anchor ± offset in long arithmetic, and an anchor within
+  *    2^61 of Long overflow could wrap — the ANDed bin equality would
+  *    then disagree with the original predicate and silently DROP
+  *    matching rows. Literal offsets are capped at 2^61 by `widthOk`;
+  *    the anchor bound is an ASSUMPTION on the data (µs-epoch
+  *    timestamps sit near 2^50 — eleven bits of headroom). Do not
+  *    enable the flag over columns that can exceed it.
   *
   * OFF by default; enable with `spark.graft.rangeJoin.rewrite=true`. The
   * declared `join_range` query calls the operator directly — this rule is

@@ -54,8 +54,13 @@ object Sources {
     // with engine expressions on read (no format codec at all). Tab-safe:
     // the corpus text column is space-separated words. NULL-safe: concat_ws
     // SKIPS null fields (shifting every later column on read-back), so each
-    // field is coalesced to the empty string — "" casts back to NULL for
-    // doc_id and stays a harmless empty token for the text aggregate.
+    // field is coalesced to the empty string on write and nullif'd back to
+    // NULL on read (round 7) — the round-trip is faithful for NULLs: a
+    // NULL lang groups under NULL (not ""), and an all-NULL-text group
+    // sums to NULL, matching the oracle over the original parquet. The
+    // one value this serialization cannot distinguish is a GENUINELY empty
+    // string, which round-trips to NULL — the corpus has none by
+    // construction (documents fields are non-empty words).
     "source_text" -> ((s, sf) => {
       val dir = tmp(sf, "text")
       t(s, sf, "documents")
@@ -67,8 +72,8 @@ object Sources {
       s.read.text(dir)
         .select(split(col("value"), "\t").as("f"))
         .select(element_at(col("f"), 1).cast("bigint").as("doc_id"),
-          element_at(col("f"), 2).as("lang"),
-          element_at(col("f"), 3).as("text"))
+          expr("nullif(element_at(f, 2), '')").as("lang"),
+          expr("nullif(element_at(f, 3), '')").as("text"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).cast("bigint").as("sum_chars"))
