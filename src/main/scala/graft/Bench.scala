@@ -77,13 +77,17 @@ object Bench {
     // A failed query is reported as an error, never as a (fast) timing.
     val ok = results.collect { case (n, sec, None) => n -> sec }
     val errs = results.collect { case (n, _, Some(e)) => n -> e }
-    // 2-decimal precision with trailing zeros stripped keeps the whole
-    // line under the driver's 2,000-char tail capture at 87 queries
-    // (r3's 9-decimal values pushed it to ~2.6k chars and entries were
-    // truncated away; 3-dp unstripped crossed 2.1k when the surface hit
-    // 87); error strings are capped for the same reason
+    // 1-decimal per-query precision with trailing zeros stripped keeps the
+    // whole line inside the driver's 2,000-char tail capture, which must
+    // also fit sbt's trailing "[success] ..." line (~60 chars): at 93
+    // queries the 2-dp line hit 1,949 chars — the JSON's head would have
+    // fallen out of the window and the driver's parse would silently zero
+    // the round's bench (exactly the r3/r4 failure mode, new cause).
+    // 0.1 s granularity is inside run-to-run noise anyway; BASELINE.md
+    // records the precise local timings per round. Error strings are
+    // capped for the same reason.
     def r3(v: Double): String = {
-      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      val s = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) {
         val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
         if (t.isEmpty) "0" else t
@@ -99,7 +103,10 @@ object Bench {
         .mkString("{", ",", "}")
       s""""n_errors":${errs.size},"errors":$m,"""
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$es"queries":$qs,"sf":"$sfDir"}""")
+    // sf as the basename only: the full /root/testdata prefix is 15 bytes
+    // of always-on line budget saying nothing the basename doesn't
+    val sfTag = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$es"queries":$qs,"sf":"$sfTag"}""")
     if (errs.nonEmpty) System.err.println(s"[bench] ${errs.size} queries FAILED: " +
       errs.map(_._1).mkString(", "))
     spark.stop()

@@ -43,6 +43,37 @@ object Split {
     when(key.isNull, lit(0L)).otherwise(pmod(xxhash64(key, lit(seed)), lit(k.toLong)))
   }
 
+  /** Engine-portable sibling of [[bucket]] (round 7): the first two hex
+    * chars of md5(key-as-string) — 256 uniform buckets whose assignment any
+    * engine with a standard md5 reproduces byte-for-byte (DuckDB, Trino,
+    * Python's hashlib, ...), unlike xxhash64, whose seeding is
+    * Spark-specific. Use this when split MEMBERSHIP itself must be
+    * auditable outside Spark — e.g. a train/test registry checked by a
+    * non-Spark validator, or the declared `split_hash` /
+    * `sample_stratified` queries, which are hash-verified against DuckDB on
+    * exactly this assignment. 256 buckets quantize fractions to 1/256 —
+    * ample for split work; use [[bucket]] (1e6 buckets, one codegen'd hash
+    * vs md5's bytes-and-hex detour) when resolution or per-row cost
+    * matters more than cross-engine auditability. Null keys yield a null
+    * prefix (callers decide the policy; [[portableKeep]] drops them).
+    */
+  def portableBucket(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 2)
+
+  /** Keep-predicate at ⌈frac·256⌉/256 of keys: the fixed-width lowercase
+    * hex prefix compares lexicographically exactly as it does numerically,
+    * so `prefix < '40'` is the 25% cut in every engine. Monotone in `frac`
+    * (same subset property sampleByHash has) and null keys are dropped —
+    * the same honest-sampler contract.
+    */
+  def portableKeep(key: Column, frac: Double): Column = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0, 1], got $frac")
+    val cut = math.ceil(frac * 256).toInt
+    if (cut >= 256) key.isNotNull
+    else if (cut <= 0) lit(false)
+    else key.isNotNull && portableBucket(key) < lit(f"$cut%02x")
+  }
+
   /** Deterministic stratified downsample (round 4): keep a per-stratum
     * fraction of rows, membership decided by the KEY's hash bucket — not a
     * Bernoulli RNG like `stat.sampleBy`, whose draw depends on row order

@@ -373,6 +373,52 @@ object Llm {
           countDistinct(col("source")).as("srcs"))
         .orderBy("lang")),
 
+    // deterministic train/test hash split as a DECLARED query (round 7):
+    // side = pure function of the key's md5 hex prefix
+    // ([[graft.operators.Split.portableKeep]] — engine-portable, so the
+    // oracle reproduces the EXACT membership, not just the fraction), then
+    // per-side stats prove balance and disjoint-complete coverage. Narrow
+    // until the final toy-sized aggregate: at 100 TB the split itself is a
+    // pure map-stage predicate — no shuffle, no driver state, stable under
+    // repartitioning and corpus growth (SplitSpec pins those properties).
+    "split_hash" -> ((s, sf) =>
+      t(s, sf, "orders")
+        .withColumn("side",
+          when(graft.operators.Split.portableKeep(col("o_orderkey"), 0.25), "test")
+            .otherwise("train"))
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          graft.T.dsum(col("o_totalprice"), 2).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("side")),
+
+    // deterministic stratified downsample as a DECLARED query (round 7):
+    // per-language keep-fractions (en 1/2, es 1/4, other listed-language
+    // docs 1/8) decided by the key's md5 bucket — the
+    // [[graft.operators.Split.sampleByHash]] semantics with the portable
+    // hash, so membership is oracle-verifiable cross-engine. Unlisted /
+    // null strata drop (the sampler's honest default). Pure map-stage
+    // filter at any scale; per-stratum counts + exact sums expose the
+    // realized rates.
+    "sample_stratified" -> ((s, sf) => {
+      val keep =
+        when(col("lang") === "en", graft.operators.Split.portableKeep(col("doc_id"), 0.5))
+          .when(col("lang") === "es", graft.operators.Split.portableKeep(col("doc_id"), 0.25))
+          .when(col("lang").isin("de", "fr", "zh"),
+            graft.operators.Split.portableKeep(col("doc_id"), 0.125))
+          .otherwise(lit(false))
+      t(s, sf, "documents")
+        .where(keep)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
     // 30-min-gap sessionization: flag + running sum + per-session stats
     "sessionize" -> ((s, sf) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -503,6 +549,25 @@ object Llm {
          round(avg(len(string_split(text,' '))), 6) AS avg_toks,
          count(DISTINCT source) AS srcs
          FROM documents GROUP BY lang ORDER BY lang""",
+    "split_hash" ->
+      """WITH s AS (SELECT *,
+             CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '40'
+                  THEN 'test' ELSE 'train' END AS side
+           FROM orders)
+         SELECT side, count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM s GROUP BY side ORDER BY side""",
+    "sample_stratified" ->
+      """WITH k AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hb
+                    FROM documents)
+         SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM k
+         WHERE (lang = 'en' AND hb < '80')
+            OR (lang = 'es' AND hb < '40')
+            OR (lang IN ('de','fr','zh') AND hb < '20')
+         GROUP BY lang ORDER BY lang""",
     "sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL

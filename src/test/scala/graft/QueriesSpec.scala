@@ -40,6 +40,31 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     total shouldBe expected
   }
 
+  test("split_hash and sample_stratified match an independent md5 computation") {
+    // membership recomputed from first principles (java MessageDigest, not
+    // Spark's md5) — the engine-portability claim the oracle relies on
+    def hb(key: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x"
+    }
+    val orders = T.t(spark, sf001, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val expTest = orders.count(k => hb(k) < "40").toLong
+    val split = SparkEntry.queries("split_hash")(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    split("test") shouldBe expTest
+    split("train") shouldBe orders.length - expTest
+    val docs = T.t(spark, sf001, "documents")
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val cuts = Map("en" -> "80", "es" -> "40", "de" -> "20", "fr" -> "20", "zh" -> "20")
+    val expKept = docs.filter { case (id, l) => cuts.get(l).exists(hb(id) < _) }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val strat = SparkEntry.queries("sample_stratified")(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strat shouldBe expKept
+  }
+
   test("every query result is invariant to shuffle parallelism") {
     // the distributed-correctness property (SURVEY §5.3): rerunning any
     // query with different shuffle partitioning must be bit-identical.

@@ -97,6 +97,35 @@ class SplitSpec extends AnyFunSuite with SparkFixture with Matchers {
       .filter(col("ls").isNull).count() shouldBe nNullStratum
   }
 
+  test("portable md5 split: fraction, determinism, monotone cuts, null drop") {
+    import spark.implicits._
+    val n = docs.count()
+    // ~25% of keys pass the 0.25 cut
+    val kept = docs.where(Split.portableKeep(col("doc_id"), 0.25))
+    kept.count().toDouble / n shouldBe 0.25 +- 0.08
+    // assignment is a pure key function: stable under repartitioning
+    val again = docs.repartition(7).where(Split.portableKeep(col("doc_id"), 0.25))
+    again.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      kept.select("doc_id").collect().map(_.getLong(0)).sorted
+    // monotone: a smaller fraction keeps a subset
+    val smaller = docs.where(Split.portableKeep(col("doc_id"), 0.1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    smaller.subsetOf(kept.select("doc_id").collect().map(_.getLong(0)).toSet) shouldBe true
+    // the bucket prefix matches a from-first-principles md5 (the property
+    // that makes the split auditable outside Spark — and oracle-able)
+    val row = docs.select(col("doc_id"), Split.portableBucket(col("doc_id")).as("hb"))
+      .orderBy("doc_id").head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(row.getLong(0).toString.getBytes("UTF-8"))
+    f"${md(0) & 0xff}%02x" shouldBe row.getString(1)
+    // boundary fractions and null keys
+    val withNull = Seq(Some(1L), None, Some(3L)).toDF("k")
+    withNull.where(Split.portableKeep(col("k"), 1.0)).count() shouldBe 2L
+    withNull.where(Split.portableKeep(col("k"), 0.0)).count() shouldBe 0L
+    // portable split is narrow too: pure predicate, no exchange
+    kept.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   test("split plan is narrow: no exchange") {
     val (train, _) = Split.byHash(docs, col("doc_id"), 0.2)
     val plan = train.queryExecution.executedPlan.toString
