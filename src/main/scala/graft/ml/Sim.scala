@@ -139,8 +139,9 @@ object Sim {
     // candidate stream goes straight through the two vector joins and the
     // ≥ tau cut, and only the surviving true pairs are deduped. A distinct
     // BEFORE the re-rank would shuffle the full candidate volume (measured
-    // 6.9 s → 1.9 s at bench SF: ~8M id-pairs through an exchange just to
-    // save re-scoring duplicates); a pair re-scores once per colliding band
+    // at bench SF: 6.9 s → 3.5 s in-bench, 4.2 s cold / 1.4-2.2 s warm
+    // standalone — ~8M id-pairs through an exchange just to save
+    // re-scoring duplicates); a pair re-scores once per colliding band
     // (≤ nBands, typically 1-2), and a codegen'd dot is far cheaper than
     // shuffling the row. sim is a deterministic function of the pair, so
     // the post-cut distinct collapses band-duplicates exactly.

@@ -129,6 +129,23 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     lsh shouldBe exact
   }
 
+  test("r=2 minhash banding prunes low-similarity candidates vs r=1") {
+    // the round-7 re-band rationale, pinned: with r=1 a j=0.1 garbage pair
+    // collides with p ≈ 0.81, with (b=8, r=2) p ≈ 0.08 — on this corpus
+    // the candidate set must shrink by at least 2× while still covering
+    // every exact pair (the superset test above pins coverage)
+    val tr = new graft.operators.Tracked
+    try {
+      val docs = tr.persist(
+        graft.queries.Llm.shingleArrays(T.t(spark, sf001, "documents")))
+      val r1 = graft.queries.Llm.minhashCandidates(docs, 16, 1, 4096, tr).count()
+      val r2 = graft.queries.Llm.minhashCandidates(docs, 8, 2, 4096, tr).count()
+      info(s"candidates: b=16,r=1 -> $r1; b=8,r=2 -> $r2")
+      r2 should be > 0L
+      r2 should be <= r1 / 2
+    } finally tr.release()
+  }
+
   test("minhash and simhash bucket caps bound degenerate boilerplate fan-out") {
     import spark.implicits._
     // 40 identical documents: every band of every doc lands in ONE bucket
