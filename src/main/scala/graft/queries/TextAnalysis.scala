@@ -133,6 +133,50 @@ object TextAnalysis {
           size(split(col("norm"), " ")).cast("long").as("toks_after"))
         .orderBy("doc_id")),
 
+    // PII redaction (round 7): the compliance pass every training-data
+    // pipeline runs before release. The corpus text carries no PII, so the
+    // query splices deterministic synthetic PII (an email per doc, a phone
+    // for 2/3 of docs) into the text first, then redacts with patterns in
+    // the Java-regex ∩ RE2 dialect — the redacted STRING is hash-verified
+    // against DuckDB, so substitution semantics (global replace, class
+    // ranges, bounded quantifiers) are pinned cross-engine, and the
+    // match counts expose coverage. Narrow per-row map stage at any scale.
+    "text_redact" -> ((s, sf) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+1-555-[0-9]{4}"
+      t(s, sf, "documents")
+        .withColumn("aug", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          when(pmod(col("doc_id"), lit(3)) =!= 0,
+            concat(lit(" tel +1-555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("aug"), lit(email), lit("<EMAIL>")),
+            lit(phone), lit("<PHONE>")).as("redacted"),
+          regexp_count(col("aug"), lit(email)).cast("long").as("n_email"),
+          regexp_count(col("aug"), lit(phone)).cast("long").as("n_phone"))
+        .orderBy("doc_id")
+    }),
+
+    // sliding-window token chunking (round 7): fixed 50-token chunks at
+    // stride 40 (10-token overlap) — the RAG / context-window prep step.
+    // Chunks come from one transform-over-sequence per row + posexplode:
+    // each row expands in place (narrow, no shuffle before the ordering),
+    // and chunk count is 1 + (n-1) div stride, so every token lands in at
+    // least one chunk and chunk_idx is dense from 0.
+    "chunk_text" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, (size(tk) - 1) div 40),
+            |  i -> array_join(slice(tk, i * 40 + 1, 50), ' '))""".stripMargin))
+          .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"),
+          size(split(col("chunk"), " ")).cast("long").as("n_toks"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // custom Catalyst Generator: character 3-gram counts (the §2.12
     // stretch UDTF, registered via SparkSessionExtensions)
     "udtf_char_ngrams" -> ((s, sf) =>
@@ -197,6 +241,29 @@ object TextAnalysis {
          CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_toks,
          CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS uniq_toks
          FROM documents ORDER BY doc_id""",
+    "text_redact" ->
+      """WITH a AS (SELECT doc_id, text ||
+             ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+             CASE WHEN doc_id % 3 <> 0
+                  THEN ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS aug
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(aug,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phone
+         FROM a ORDER BY doc_id""",
+    "chunk_text" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           c AS (SELECT doc_id, unnest(
+              [{'chunk_idx': i, 'chunk': array_to_string(tk[(i*40+1):(i*40+50)], ' ')}
+               for i in range(0, ((len(tk) - 1) // 40) + 1)], recursive := true)
+            FROM tok)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_toks
+         FROM c ORDER BY doc_id, chunk_idx""",
     "udtf_char_ngrams" ->
       """SELECT g, count(*) AS cnt FROM (
            SELECT unnest([substring(text, i, 3) for i in range(1, length(text) - 1)]) AS g
