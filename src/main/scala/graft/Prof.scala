@@ -1,12 +1,41 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time individual declared queries (cold + repeat) to separate
-  * real query cost from JVM/session warmup and run-to-run noise.
+  * real query cost from JVM/session warmup and run-to-run noise — and
+  * report each run's SHUFFLE traffic and spill, because at 100 TB the
+  * shuffle bytes are the cost model: two queries with equal local wall
+  * time but 10× different shuffle volume scale completely differently.
   * Usage: runMain graft.Prof <sfDir> <reps> <query> [query ...]
   */
 object Prof {
+
+  /** Accumulates stage-level shuffle/spill totals off the listener bus.
+    * Listener delivery is asynchronous; [[Prof.main]] sleeps briefly after
+    * each action before reading a delta — fine for a dev tool's ±KB
+    * accuracy, not for exact accounting.
+    */
+  private final class StageMetrics extends SparkListener {
+    val sw = new java.util.concurrent.atomic.AtomicLong
+    val sr = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null) {
+        sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spill.addAndGet(m.diskBytesSpilled)
+        stages.incrementAndGet()
+      }
+    }
+    def snap(): Array[Long] = Array(sw.get, sr.get, spill.get, stages.get)
+  }
+
+  private def mb(bytes: Long): String = f"${bytes / 1048576.0}%.1fMB"
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val reps = args(1).toInt
@@ -25,16 +54,25 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
     Bench.warmup(spark, sfDir)
     names.foreach { n =>
-      val times = (1 to reps).map { _ =>
+      val runs = (1 to reps).map { _ =>
+        Thread.sleep(300) // let the listener bus drain the previous run
+        val before = metrics.snap()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
-        sec
+        Thread.sleep(300)
+        val after = metrics.snap()
+        (sec, after.zip(before).map { case (a, b) => a - b })
       }
-      println(f"[prof] $n%-22s ${times.map(t => f"$t%.2f").mkString(" ")}")
+      val times = runs.map(_._1).map(t => f"$t%.2f").mkString(" ")
+      val d = runs.last._2 // steady-state rep: caches warm, codegen done
+      println(f"[prof] $n%-22s $times  shufW=${mb(d(0))} shufR=${mb(d(1))} " +
+        f"spill=${mb(d(2))} stages=${d(3)}")
     }
     spark.stop()
   }
