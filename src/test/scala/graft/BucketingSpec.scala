@@ -25,6 +25,46 @@ class BucketingSpec extends AnyFunSuite with SparkFixture with Matchers {
     salted.collect() shouldBe plain.collect()
   }
 
+  test("AQE splits a skewed join partition at runtime (the native salting)") {
+    import spark.implicits._
+    // the engine-side complement of Skew.saltedJoin: AQE detects an
+    // oversized post-shuffle partition and splits it into parallel reads of
+    // the same map outputs — no manual salt column, same effect. Thresholds
+    // are scaled down to make the toy hot key qualify (at 100 TB the
+    // production defaults of 256MB/factor-5 do this for real skew).
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "128KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carries ~100k rows with an incompressible payload that
+      // must FLOW THROUGH the join (an aggregate consumes it after the
+      // join, or column pruning drops it before the shuffle and the hot
+      // partition compresses under every threshold — measured: 100k bare
+      // longs coalesce instead of splitting)
+      val fact = spark.range(110000)
+        .select(when(col("id") < 100000, 0L).otherwise(col("id") % 7).as("k"),
+          md5(concat(lit("x"), col("id").cast("string"))).as("payload"))
+      val dim = (0L to 6L).map(k => (k, s"dim$k")).toDF("k", "name")
+      val j = fact.join(dim, "k")
+        .groupBy("name").agg(count(lit(1)).as("cnt"), max(col("payload")).as("mp"))
+      val rows = j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows("dim0") shouldBe 100000L + 1429L // hot key + id%7==0 tail ids
+      // the FINAL adaptive plan marks the split join legs with skew=true
+      j.queryExecution.executedPlan.toString should include("skew=true")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned writes prune partitions at the scan") {
     // the corpus ships unpartitioned (SURVEY §4: DPP inert) — demonstrate
     // the partition-pruning path by re-laying events out by event_type

@@ -207,6 +207,21 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     ap.zip(ep).foreach { case (a, e) => math.abs(a - e) should be <= 1.0 }
   }
 
+  test("HLL sketches built per group union to the global estimate") {
+    // the re-aggregation pattern behind every 100 TB distinct-count
+    // rollup: per-partition/per-day sketches persist as tiny binaries and
+    // UNION later instead of rescanning raw data. Datasketches HLL via
+    // Spark's hll_sketch_agg / hll_union_agg built-ins.
+    val docs = T.t(spark, sf001, "documents")
+    val perSrc = docs.groupBy("source")
+      .agg(expr("hll_sketch_agg(doc_id)").as("sk"))
+    perSrc.count() should be > 1L // genuinely partial sketches
+    val est = perSrc
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head().getLong(0)
+    val exact = docs.select("doc_id").distinct().count()
+    math.abs(est - exact).toDouble / exact should be < 0.05
+  }
+
   test("approx_count_distinct is within rsd of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
