@@ -101,6 +101,14 @@ object PipelineDemo {
     // stable if the pipeline re-runs on a grown corpus
     val (train, test) = graft.operators.Split.byHash(corpus, col("text"), 0.1)
     println(s"train/test: ${train.count()} / ${test.count()}")
+    // training-batch prep: pack the train split's docs into fixed-capacity
+    // token bins (per-partition first-fit-decreasing — the step after
+    // chunking that turns a corpus into dense training sequences)
+    val packed = graft.operators.Pack.firstFit(
+      train.withColumnRenamed("ws_toks", "n_toks"), "doc_id", "n_toks",
+      capacity = 512L, partitions = 8)
+    val (bins, pdocs, toks, fill) = graft.operators.Pack.fill(packed.toDF(), 512L)
+    println(f"packed $pdocs docs into $bins bins (${toks} tokens, fill ${fill * 100}%.0f%%)")
     // corpus fully consumed — release the pipeline's cached intermediates
     // (unpersist is asynchronous, so poll briefly before reporting)
     tr.release()

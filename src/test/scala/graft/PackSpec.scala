@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.Pack
+
+/** Sequence packing: capacity respected, every doc packed once,
+  * determinism under input repartitioning, oversize isolation, and a fill
+  * bound that makes the operator worth running. */
+class PackSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private val capacity = 512L
+
+  // expr, not functions.size: scalatest Matchers shadows `size`
+  private def lengths = T.t(spark, sf001, "documents")
+    .select(col("doc_id"), expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_toks"))
+
+  test("no bin exceeds capacity; every doc packed exactly once") {
+    val packed = Pack.firstFit(lengths, "doc_id", "n_toks", capacity, partitions = 8)
+    val perBin = packed.groupBy("bin").agg(sum("n_tokens").as("t"), count(lit(1)).as("d"))
+    // corpus docs are all under capacity, so every bin must respect it
+    perBin.where(col("t") > capacity).count() shouldBe 0L
+    packed.select("doc_id").distinct().count() shouldBe lengths.count()
+    packed.count() shouldBe lengths.count()
+  }
+
+  test("assignment is deterministic and invariant to input partitioning") {
+    val a = Pack.firstFit(lengths, "doc_id", "n_toks", capacity, partitions = 8)
+      .collect().sortBy(_._1)
+    val b = Pack.firstFit(lengths.repartition(3), "doc_id", "n_toks", capacity,
+        partitions = 8)
+      .collect().sortBy(_._1)
+    a shouldBe b
+  }
+
+  test("fill factor is high enough to matter") {
+    val packed = Pack.firstFit(lengths, "doc_id", "n_toks", capacity, partitions = 8)
+    val (bins, docs, toks, fill) = Pack.fill(packed.toDF(), capacity)
+    info(s"bins=$bins docs=$docs tokens=$toks fill=${math.round(fill * 100)}%")
+    docs shouldBe 500L
+    // per-partition FFD wastes at most ~the last bin of each of the 8
+    // partitions on this corpus
+    fill should be > 0.7
+  }
+
+  test("oversize docs get a bin of their own") {
+    import spark.implicits._
+    val docs = Seq((1L, 600L), (2L, 100L), (3L, 700L), (4L, 100L))
+      .toDF("doc_id", "n_toks")
+    val packed = Pack.firstFit(docs, "doc_id", "n_toks", capacity, partitions = 2)
+      .collect().map(r => r._1 -> r._3).toMap
+    // the two oversize docs may not share a bin with anything
+    val binsOf = packed.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    binsOf(packed(1L)) shouldBe Set(1L)
+    binsOf(packed(3L)) shouldBe Set(3L)
+  }
+
+  test("null and non-positive lengths are dropped, not packed") {
+    import spark.implicits._
+    val docs = Seq((1L, Some(10L)), (2L, None), (3L, Some(0L)), (4L, Some(-5L)))
+      .toDF("doc_id", "n_toks")
+    val packed = Pack.firstFit(docs, "doc_id", "n_toks", capacity, partitions = 2)
+    packed.collect().map(_._1) shouldBe Array(1L)
+  }
+}
