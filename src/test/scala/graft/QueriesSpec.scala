@@ -32,6 +32,21 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     SparkEntry.oracleSql.keySet.diff(qs) shouldBe empty
   }
 
+  test("bench JSON line fits the driver tail window at worst-case widths") {
+    // the driver captures only the LAST ~2,000 chars of Bench's stdout and
+    // sbt's trailing "[success]" line eats ~60-65 of them; if the JSON
+    // line's head falls outside the window the round's bench parse
+    // silently records null (the r3/r4 failure mode). This canary fails
+    // the moment a new declared query pushes the worst-case line (every
+    // query at 9.9 s — 1-dp format) over the budget, BEFORE the driver
+    // bench does.
+    val qs = SparkEntry.queries.keys.map(k => s""""$k":9.9""").mkString(",")
+    val line = s"""{"metric":"total","value":999.9,"unit":"sec","queries":{$qs},"sf":"sf0.1"}"""
+    withClue(s"${line.length} chars at ${SparkEntry.queries.size} queries: ") {
+      line.length should be <= 1935
+    }
+  }
+
   test("agg_group spot values: totals add up against raw scan") {
     val res = SparkEntry.queries("agg_group")(spark, sf001)
     val total = res.agg(sum("cnt")).head().getLong(0)
