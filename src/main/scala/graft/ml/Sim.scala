@@ -206,6 +206,108 @@ object Sim {
       .withColumn("sim", expr("graft_dot(ea, eb)") / (col("na") * col("nb"))), k)
   }
 
+  /** IVF-PQ approximate top-k (Jégou, Douze & Schmid, TPAMI 2011 — the
+    * product-quantization half the plain IVF path leaves on the table):
+    * residuals against the coarse centroid are cut into `m` subspaces,
+    * each quantized by its own small KMeans codebook, so every DATA vector
+    * is represented by `m` small ints. The candidate join then carries
+    * 8-byte codes instead of d×8-byte vectors — at 100 TB that is the
+    * whole point: the dominant (cell-bucketed) join's fact side shuffles
+    * and probes codes, vectors are fetched only for the final
+    * `k × refine` exact re-rank join (asymmetric distance: approximate
+    * scores rank candidates, exact cosine ranks the output, so emitted
+    * sims are TRUE sims and the only error mode is a candidate missed by
+    * coarse probing or ADC ranking).
+    *
+    * Cosine is served by L2 over L2-NORMALIZED vectors (monotone:
+    * ‖â−b̂‖² = 2−2·cos): normalize up front, quantize the normalized
+    * space, exact-refine with graft_dot on the normalized vectors.
+    * Codebooks are m×k×(d/m) doubles — constant-size, corpus-independent,
+    * embedded as a broadcast literal in the scoring expression; ADC
+    * scoring is one codegen'd higher-order aggregate over the m code
+    * slots. Training runs m + 1 bounded KMeans fits (sample-based at real
+    * scale — fit-once, like the IVF quantizer).
+    */
+  def ivfpqTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 2,
+      m: Int = 8, codebookK: Int = 16, refine: Int = 4,
+      seed: Long = 42L, maxIter: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    // normalized vectors: cosine becomes monotone L2 (zero-norm rows out,
+    // same NaN guard as cosinePairs)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e0"))
+      .withColumn("nrm", sqrt(expr("graft_dot(e0, e0)")))
+      .where(col("nrm") > 0)
+      .select(col("vec_id"),
+        zip_with(col("e0"), array_repeat(col("nrm"), size(col("e0"))), (x, n) => x / n)
+          .as("e"))
+    val dim = v.agg(coalesce(max(size(col("e"))), lit(0))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
+    val ds = dim / m
+    // coarse quantizer + per-vector residual against its cell centroid
+    val withVec = v.withColumn("fv", array_to_vector(col("e")))
+    val coarse = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(withVec)
+    val cents = spark.createDataFrame(
+        coarse.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("ccell", "cc")
+    val resid = coarse.transform(withVec)
+      .join(broadcast(cents), col("cell") === col("ccell"))
+      .select(col("vec_id"), col("e"), col("cell"),
+        zip_with(col("e"), col("cc"), (x, y) => x - y).as("r"))
+    // m per-subspace codebooks trained on the residual slices; encoding is
+    // m native KMeansModel.transform calls (no UDF), one prediction column
+    // per subspace packed into a code array
+    val sliced = (0 until m).foldLeft(resid) { (df, s) =>
+      df.withColumn(s"fv_$s", array_to_vector(slice(col("r"), s * ds + 1, ds)))
+    }
+    val books = (0 until m).map { s =>
+      new KMeans().setK(codebookK).setSeed(seed + s + 1).setMaxIter(maxIter)
+        .setFeaturesCol(s"fv_$s").setPredictionCol(s"code_$s").fit(sliced)
+    }
+    val encoded = books.zipWithIndex.foldLeft(sliced) { case (df, (b, _)) => b.transform(df) }
+      .select(col("vec_id"), col("cell"), col("e"),
+        array((0 until m).map(s => col(s"code_$s")): _*).as("codes"))
+    // the corpus-independent codebook literal: CB(s)(cid) = centroid array
+    val cb = typedLit(books.map(_.clusterCenters.map(_.toArray.toSeq).toSeq).toSeq)
+    // probes: nprobe nearest cells per query, query residual PER PROBED
+    // CELL (the residual the data in that cell was quantized against)
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("ccell").asc)
+    val probes = v.crossJoin(broadcast(cents))
+      .withColumn("d2", expr("graft_dot(e, e) - 2 * graft_dot(e, cc) + graft_dot(cc, cc)"))
+      .withColumn("pr", row_number().over(w))
+      .where(col("pr") <= nprobe)
+      .select(col("vec_id").as("a_id"), col("e").as("ea"),
+        zip_with(col("e"), col("cc"), (x, y) => x - y).as("qr"),
+        col("ccell").as("cell"))
+    // ADC scoring joins the probe rows against CODES ONLY — the data
+    // side's vectors never enter this join. adc = Σ_s ‖qr_s − CB[s][code_s]‖²
+    val items = encoded.select(col("vec_id").as("b_id"), col("cell"), col("codes"))
+    val adc = aggregate(
+      sequence(lit(0), lit(m - 1)),
+      lit(0.0),
+      (acc, s) => {
+        val sub = zip_with(
+          slice(col("qr"), s * lit(ds) + 1, lit(ds)),
+          element_at(element_at(cb, (s + 1).cast("int")),
+            (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")),
+          (x, y) => x - y)
+        acc + aggregate(sub, lit(0.0), (a2, x) => a2 + x * x)
+      })
+    val wAdc = Window.partitionBy("a_id").orderBy(col("adc").asc, col("b_id").asc)
+    val shortlist = probes.join(items, Seq("cell"))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("adc", adc)
+      .withColumn("ar", row_number().over(wAdc))
+      .where(col("ar") <= k * refine)
+      .select(col("a_id"), col("ea"), col("b_id"))
+    // exact refine: fetch true (normalized) vectors for the shortlist only
+    topKHits(shortlist
+      .join(v.select(col("vec_id").as("b_id"), col("e").as("eb")), "b_id")
+      .withColumn("sim", expr("graft_dot(ea, eb)")), k)
+  }
+
   /** Auto-dispatching top-k (the SURVEY §4 rewrite): brute force while the
     * corpus is small, IVF once `count ≥ ivfThreshold`. The one count() is
     * the same runtime-statistics move AQE makes — a scan-count job, no
