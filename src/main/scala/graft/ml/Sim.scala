@@ -309,15 +309,26 @@ object Sim {
   }
 
   /** Auto-dispatching top-k (the SURVEY §4 rewrite): brute force while the
-    * corpus is small, IVF once `count ≥ ivfThreshold`. The one count() is
-    * the same runtime-statistics move AQE makes — a scan-count job, no
-    * data movement. Both paths emit the identical (a_id, rn, b_id, sim)
-    * schema and tie-break, so the swap is transparent to callers; with
+    * corpus is small, IVF once `count ≥ ivfThreshold`, IVF-PQ once
+    * `count ≥ pqThreshold` (the memory tier: above it the candidate join
+    * must stop carrying vectors). The one count() is the same
+    * runtime-statistics move AQE makes — a scan-count job, no data
+    * movement. All paths emit the identical (a_id, rn, b_id, sim) schema
+    * and tie-break, so the swap is transparent to callers; with
     * `nprobe = nCells` the IVF path degenerates to exact (every cell
-    * probed), which is what the equivalence test pins.
+    * probed), and IVF-PQ additionally degenerates to exact when `refine`
+    * covers the probed population (the shortlist is everything, so the
+    * exact re-rank sees every candidate) — both pinned by equivalence
+    * tests.
     */
   def topK(emb: DataFrame, k: Int, auto: Boolean = false,
-      ivfThreshold: Long = 500000, nCells: Int = 16, nprobe: Int = 2): DataFrame =
-    if (auto && emb.count() >= ivfThreshold) ivfTopK(emb, k, nCells, nprobe)
-    else bruteTopK(emb, k)
+      ivfThreshold: Long = 500000, nCells: Int = 16, nprobe: Int = 2,
+      pqThreshold: Long = 50000000L): DataFrame =
+    if (!auto) bruteTopK(emb, k)
+    else {
+      val n = emb.count()
+      if (n >= pqThreshold) ivfpqTopK(emb, k, nCells, nprobe)
+      else if (n >= ivfThreshold) ivfTopK(emb, k, nCells, nprobe)
+      else bruteTopK(emb, k)
+    }
 }

@@ -49,6 +49,18 @@ class SimSpec extends AnyFunSuite with SparkFixture with Matchers {
     recall should be >= 0.7
   }
 
+  test("IVF-PQ degenerates to the exact result when refine covers the corpus") {
+    // nprobe = nCells → every item is a candidate; refine ≥ n/k → the ADC
+    // shortlist keeps them all; the exact re-rank then IS brute force.
+    // Quantization can only hurt SHORTLISTING, never the emitted sims —
+    // this pins that boundary exactly (ids and 6-dp sims both)
+    val brute = Sim.bruteTopK(emb, 5).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val pq = Sim.ivfpqTopK(emb, 5, nCells = 16, nprobe = 16, refine = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    pq shouldBe brute
+  }
+
   test("IVF-PQ emitted sims are exact and rank-consistent") {
     val rows = Sim.ivfpqTopK(emb, 5, nCells = 16, nprobe = 16).collect()
     rows should not be empty
