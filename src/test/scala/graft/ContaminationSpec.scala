@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.Contamination
+
+/** Train/eval n-gram contamination detection: planted leaks are found,
+  * fresh docs stay clean, short docs report zero windows, attribution
+  * counts the right train docs. */
+class ContaminationSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private val n = 5
+
+  test("planted leaks are detected, fresh docs are clean") {
+    import spark.implicits._
+    val train = T.t(spark, sf001, "documents").select("doc_id", "text")
+    // eval set: a verbatim window lifted from a train doc, a fresh doc
+    // sharing no 5-gram, and a doc shorter than the window size
+    val lifted = train.orderBy("doc_id").head().getString(1)
+      .split(" ").slice(2, 12).mkString(" ")
+    val eval_ = Seq(
+      (9001L, s"prefix tokens $lifted suffix tokens"),
+      (9002L, "completely novel vocabulary nowhere in corpus whatsoever truly"),
+      (9003L, "too short")
+    ).toDF("doc_id", "text")
+    val r = Contamination.ngramHits(train, eval_, n).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    r.keySet shouldBe Set(9001L, 9002L, 9003L)
+    val (w1, h1, t1, c1) = r(9001L)
+    c1 shouldBe true
+    h1 should be >= 6L // the 10-token lifted span carries 6 shared 5-grams
+    t1 should be >= 1L
+    w1 shouldBe 14L - (n - 1) // 14 tokens -> 10 windows
+    r(9002L) shouldBe ((4L, 0L, 0L, false)) // 8 tokens -> 4 windows
+    r(9003L) shouldBe ((0L, 0L, 0L, false))
+  }
+
+  test("self-contamination is total: every doc flags against itself") {
+    val docs = T.t(spark, sf001, "documents").select("doc_id", "text")
+    val r = Contamination.ngramHits(docs, docs, n)
+    // every doc with at least one window must be contaminated (by itself)
+    r.where(col("n_windows") > 0 && !col("contaminated")).count() shouldBe 0L
+    // and every window of every such doc is a hit
+    r.where(col("n_windows") > 0 && col("hits") =!= col("n_windows"))
+      .count() shouldBe 0L
+  }
+
+  test("no text crosses the join: both sides carry hashed windows only") {
+    import spark.implicits._
+    val train = T.t(spark, sf001, "documents").select("doc_id", "text")
+    val eval_ = Seq((1L, "the fast key order sort")).toDF("doc_id", "text")
+    val plan = Contamination.ngramHits(train, eval_, n)
+      .queryExecution.executedPlan.toString
+    // the join key is the xxhash64 window value; the window STRING must
+    // not appear as a join-side attribute (same discipline as the
+    // hash-compacted jaccard kernel)
+    plan should include("xxhash64")
+  }
+}
