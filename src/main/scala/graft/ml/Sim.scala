@@ -278,7 +278,7 @@ object Sim {
       .withColumn("d2", expr("graft_dot(e, e) - 2 * graft_dot(e, cc) + graft_dot(cc, cc)"))
       .withColumn("pr", row_number().over(w))
       .where(col("pr") <= nprobe)
-      .select(col("vec_id").as("a_id"), col("e").as("ea"),
+      .select(col("vec_id").as("a_id"),
         zip_with(col("e"), col("cc"), (x, y) => x - y).as("qr"),
         col("ccell").as("cell"))
     // ADC scoring joins the probe rows against CODES ONLY — the data
@@ -295,15 +295,22 @@ object Sim {
           (x, y) => x - y)
         acc + aggregate(sub, lit(0.0), (a2, x) => a2 + x * x)
       })
-    val wAdc = Window.partitionBy("a_id").orderBy(col("adc").asc, col("b_id").asc)
+    // the ADC candidate stream is projected down to (a_id, b_id, adc)
+    // IMMEDIATELY — the query vector/residual arrays must not ride the
+    // shortlist shuffle — and ranked with the bounded TopKAgg (map-side
+    // partial: only n × k·refine lean rows ever shuffle, the same
+    // discipline as sim_topk; a row_number window here would sort-exchange
+    // every candidate row instead)
     val shortlist = probes.join(items, Seq("cell"))
       .where(col("a_id") =!= col("b_id"))
-      .withColumn("adc", adc)
-      .withColumn("ar", row_number().over(wAdc))
-      .where(col("ar") <= k * refine)
-      .select(col("a_id"), col("ea"), col("b_id"))
+      .select(col("a_id"), col("b_id"), adc.as("adc"))
+      .groupBy("a_id")
+      .agg(graft.functions.Udx.topK(k * refine, -col("adc"), col("b_id")).as("hits"))
+      .select(col("a_id"), explode(col("hits")).as("hit"))
+      .select(col("a_id"), col("hit._2").as("b_id"))
     // exact refine: fetch true (normalized) vectors for the shortlist only
     topKHits(shortlist
+      .join(v.select(col("vec_id").as("a_id"), col("e").as("ea")), "a_id")
       .join(v.select(col("vec_id").as("b_id"), col("e").as("eb")), "b_id")
       .withColumn("sim", expr("graft_dot(ea, eb)")), k)
   }
