@@ -109,6 +109,23 @@ object PipelineDemo {
       capacity = 512L, partitions = 8)
     val (bins, pdocs, toks, fill) = graft.operators.Pack.fill(packed.toDF(), 512L)
     println(f"packed $pdocs docs into $bins bins (${toks} tokens, fill ${fill * 100}%.0f%%)")
+    // decontamination: no TRAIN doc may share an n-gram window with the
+    // held-out TEST split (5-gram here — the corpus vocabulary is tiny;
+    // real corpora use 10-13). Flagged train docs would be dropped before
+    // training; near-dup dedup upstream already removed most overlap.
+    val contam = graft.operators.Contamination
+      .ngramHits(train.select("doc_id", "text"), test.select("doc_id", "text"), n = 5)
+    println(s"test docs sharing a 5-gram with train: ${
+      contam.where(col("contaminated")).count()} / ${test.count()}")
+    // the release write: compacted to few byte-sized files, z-ordered on
+    // (quality, ws_toks) so 2-D selective scans (quality cut × length
+    // band) prune files by their parquet stats
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_demo_out_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.operators.Layout.zOrdered(
+        train.select("doc_id", "quality", "ws_toks", "text"),
+        Seq("quality", "ws_toks"), nFiles = 4)
+      .write.parquet(outDir)
+    println(s"release written: ${spark.read.parquet(outDir).count()} rows at $outDir")
     // corpus fully consumed — release the pipeline's cached intermediates
     // (unpersist is asynchronous, so poll briefly before reporting)
     tr.release()
