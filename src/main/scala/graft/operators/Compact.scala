@@ -35,6 +35,10 @@ object Compact {
   /** Total bytes of non-hidden data files directly under `dir` (recursive:
     * partitioned layouts count their leaf files). Metadata-only: one
     * driver-side listing, the same cost every scan's file index pays.
+    * Uses Hadoop's `FileSystem` abstraction — the filesystem API Spark
+    * itself bundles and exposes (`sparkContext.hadoopConfiguration`), so
+    * the listing works on any store Spark can read (local, HDFS, object
+    * stores).
     */
   def dataBytes(spark: SparkSession, dir: String): Long = {
     val p = new Path(dir)
