@@ -54,6 +54,24 @@ class CompactSpec extends AnyFunSuite with SparkFixture with Matchers {
     balanced.queryExecution.executedPlan.toString should include("Exchange")
   }
 
+  test("partitioned layouts compact recursively, partition values preserved") {
+    val in = tmp("part_in"); val out = tmp("part_out")
+    // a partitioned write leaves leaf files under event_type=... dirs; the
+    // byte listing must find them recursively, and the rewrite must keep
+    // the partition column's VALUES (as a data column — compaction is a
+    // physical-layout operator, the partitioning scheme itself is the
+    // caller's choice on the next write)
+    T.t(spark, sf001, "events").select("event_id", "user_id", "event_type")
+      .repartition(8).write.partitionBy("event_type").parquet(in)
+    val total = Compact.dataBytes(spark, in)
+    total should be > 0L
+    Compact.rewriteParquet(spark, in, out, targetBytes = total)
+    val a = spark.read.parquet(in).select("event_id", "user_id", "event_type")
+    val b = spark.read.parquet(out).select("event_id", "user_id", "event_type")
+    a.exceptAll(b).count() shouldBe 0L
+    b.exceptAll(a).count() shouldBe 0L
+  }
+
   test("compact-in-place is refused") {
     val in = tmp("same")
     an[IllegalArgumentException] should be thrownBy
