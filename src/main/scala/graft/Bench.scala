@@ -77,36 +77,34 @@ object Bench {
     // A failed query is reported as an error, never as a (fast) timing.
     val ok = results.collect { case (n, sec, None) => n -> sec }
     val errs = results.collect { case (n, _, Some(e)) => n -> e }
-    // 1-decimal per-query precision with trailing zeros stripped keeps the
-    // whole line inside the driver's 2,000-char tail capture, which must
-    // also fit sbt's trailing "[success] ..." line (~60 chars): at 93
-    // queries the 2-dp line hit 1,949 chars — the JSON's head would have
-    // fallen out of the window and the driver's parse would silently zero
-    // the round's bench (exactly the r3/r4 failure mode, new cause).
-    // 0.1 s granularity is inside run-to-run noise anyway; BASELINE.md
-    // records the precise local timings per round. Error strings are
-    // capped for the same reason.
     def r3(v: Double): String = {
-      val s = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+      val s = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) {
         val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
         if (t.isEmpty) "0" else t
       } else s
     }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    // error fields appear only when something failed: at 90 queries the
-    // line sits ~1900 chars against the driver's 2,000-char tail window
-    // (incl. sbt's trailing "[success]" line) — every always-on byte counts
-    val es = if (errs.isEmpty) "" else {
-      val m = errs.map { case (k, v) => "\"" + k + "\":\"" + esc(v.take(80)) + "\"" }
-        .mkString("{", ",", "}")
-      s""""n_errors":${errs.size},"errors":$m,"""
-    }
-    // sf as the basename only: the full /root/testdata prefix is 15 bytes
-    // of always-on line budget saying nothing the basename doesn't
+    // sf as the basename only
     val sfTag = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$es"queries":$qs,"sf":"$sfTag"}""")
+    // Per-query timings moved OFF the stdout line (it was at 1,915 of the
+    // driver's 2,000-char tail capture at 97 queries — the next declared
+    // query would have pushed the JSON head out of the window and zeroed
+    // the round's bench parse, the r3/r4 failure mode). Full 3-dp detail,
+    // including error strings, lives in BENCH_DETAIL.json next to the
+    // build; stdout carries only the total plus a pointer. Growth in query
+    // count no longer costs stdout bytes.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val em = errs.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},""" +
+      s""""n_errors":${errs.size},"errors":$em,"queries":$qs,"sf":"$sfTag"}"""
+    val w = new java.io.PrintWriter(detailPath, "UTF-8")
+    try w.println(detail) finally w.close()
+    val es = if (errs.isEmpty) "" else s""""n_errors":${errs.size},"""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$es"n_queries":${ok.size},"detail":"${esc(detailPath)}","sf":"$sfTag"}""")
     if (errs.nonEmpty) System.err.println(s"[bench] ${errs.size} queries FAILED: " +
       errs.map(_._1).mkString(", "))
     spark.stop()
