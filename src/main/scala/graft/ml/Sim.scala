@@ -172,20 +172,42 @@ object Sim {
   def bruteTopK(emb: DataFrame, k: Int): DataFrame =
     topKHits(cosinePairs(emb, col("a_id") =!= col("b_id")), k)
 
+  /** Bounded quantizer-training frame: when the corpus exceeds
+    * `maxTrainRows`, a seeded Bernoulli sample of ~`maxTrainRows` rows
+    * feeds the KMeans fit(s); the FULL frame is still transformed/encoded.
+    * This is the fit-once discipline at 100 TB: k-means|| init alone is
+    * multiple full passes per fit, and IVF-PQ runs m+1 fits — training on
+    * an unbounded corpus would make quantizer training dominate the query
+    * it serves. `n` is the corpus row count (callers already have it or
+    * compute it alongside another aggregate — no extra scan here).
+    */
+  private def trainSample(df: DataFrame, n: Long, maxTrainRows: Long,
+      seed: Long): DataFrame =
+    if (maxTrainRows > 0 && n > maxTrainRows)
+      df.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+    else df
+
   /** IVF approximate top-k: a KMeans coarse quantizer assigns each vector a
     * cell; each query probes its `nprobe` nearest cells and re-ranks
     * exactly. Candidate volume drops from O(n²) to O(n²·nprobe/nCells) —
     * at scale the cell id is also the shuffle/bucketing key, so each cell
-    * joins co-located.
+    * joins co-located. The quantizer fit is bounded by `maxTrainRows`
+    * (see [[trainSample]]); centroid quality from a ≥100k-row sample is
+    * statistically indistinguishable for nCells this small, and SimSpec
+    * pins recall unchanged.
     */
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 2,
-      seed: Long = 42L, maxIter: Int = 4): DataFrame = {
+      seed: Long = 42L, maxIter: Int = 4,
+      maxTrainRows: Long = 262144): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e0 = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val withVec = e0.withColumn("fv", array_to_vector(col("e")))
+    // scan-count job (column-pruned), only to size the training sample
+    val n = e0.count()
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(withVec)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(trainSample(withVec, n, maxTrainRows, seed))
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("e"), col("cell"))
     val cents = emb.sparkSession.createDataFrame(
@@ -225,12 +247,15 @@ object Sim {
     * Codebooks are m×k×(d/m) doubles — constant-size, corpus-independent,
     * embedded as a broadcast literal in the scoring expression; ADC
     * scoring is one codegen'd higher-order aggregate over the m code
-    * slots. Training runs m + 1 bounded KMeans fits (sample-based at real
-    * scale — fit-once, like the IVF quantizer).
+    * slots. Training runs m + 1 KMeans fits on a `maxTrainRows`-bounded
+    * sample (see [[trainSample]]; the sampled residual slices are
+    * persisted across the m codebook fits, then freed) — the FULL corpus
+    * is only ever transformed, never iterated by a fit.
     */
   def ivfpqTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 2,
       m: Int = 8, codebookK: Int = 16, refine: Int = 4,
-      seed: Long = 42L, maxIter: Int = 4): DataFrame = {
+      seed: Long = 42L, maxIter: Int = 4,
+      maxTrainRows: Long = 262144): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = emb.sparkSession
@@ -242,30 +267,45 @@ object Sim {
       .select(col("vec_id"),
         zip_with(col("e0"), array_repeat(col("nrm"), size(col("e0"))), (x, n) => x / n)
           .as("e"))
-    val dim = v.agg(coalesce(max(size(col("e"))), lit(0))).head().getInt(0)
+    // dim and n in ONE column-pruned aggregate job — n only sizes the
+    // training sample, it must not cost a second scan
+    val stats = v.agg(coalesce(max(size(col("e"))), lit(0)), count(lit(1))).head()
+    val dim = stats.getInt(0)
+    val n = stats.getLong(1)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
     val ds = dim / m
-    // coarse quantizer + per-vector residual against its cell centroid
+    // coarse quantizer + per-vector residual against its cell centroid;
+    // fit on the bounded sample, transform the full frame
     val withVec = v.withColumn("fv", array_to_vector(col("e")))
     val coarse = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(withVec)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(trainSample(withVec, n, maxTrainRows, seed))
     val cents = spark.createDataFrame(
         coarse.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
       .toDF("ccell", "cc")
-    val resid = coarse.transform(withVec)
+    def residOf(frame: DataFrame) = coarse.transform(frame)
       .join(broadcast(cents), col("cell") === col("ccell"))
       .select(col("vec_id"), col("e"), col("cell"),
         zip_with(col("e"), col("cc"), (x, y) => x - y).as("r"))
-    // m per-subspace codebooks trained on the residual slices; encoding is
-    // m native KMeansModel.transform calls (no UDF), one prediction column
-    // per subspace packed into a code array
-    val sliced = (0 until m).foldLeft(resid) { (df, s) =>
+    def slicedOf(frame: DataFrame) = (0 until m).foldLeft(frame) { (df, s) =>
       df.withColumn(s"fv_$s", array_to_vector(slice(col("r"), s * ds + 1, ds)))
     }
-    val books = (0 until m).map { s =>
-      new KMeans().setK(codebookK).setSeed(seed + s + 1).setMaxIter(maxIter)
-        .setFeaturesCol(s"fv_$s").setPredictionCol(s"code_$s").fit(sliced)
-    }
+    val resid = residOf(withVec)
+    // m per-subspace codebooks trained on the SAMPLED residual slices
+    // (encoding below still covers the full frame); the sample is
+    // persisted once so the m fits don't each recompute the
+    // scan→normalize→assign→residual lineage, and freed right after —
+    // bounded at maxTrainRows × dim doubles
+    val trainSlices = slicedOf(residOf(trainSample(withVec, n, maxTrainRows, seed)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books =
+      try (0 until m).map { s =>
+        new KMeans().setK(codebookK).setSeed(seed + s + 1).setMaxIter(maxIter)
+          .setFeaturesCol(s"fv_$s").setPredictionCol(s"code_$s").fit(trainSlices)
+      } finally trainSlices.unpersist(blocking = false)
+    // encoding is m native KMeansModel.transform calls (no UDF), one
+    // prediction column per subspace packed into a code array
+    val sliced = slicedOf(resid)
     val encoded = books.zipWithIndex.foldLeft(sliced) { case (df, (b, _)) => b.transform(df) }
       .select(col("vec_id"), col("cell"), col("e"),
         array((0 until m).map(s => col(s"code_$s")): _*).as("codes"))
@@ -330,11 +370,25 @@ object Sim {
     */
   def topK(emb: DataFrame, k: Int, auto: Boolean = false,
       ivfThreshold: Long = 500000, nCells: Int = 16, nprobe: Int = 2,
-      pqThreshold: Long = 50000000L): DataFrame =
+      pqThreshold: Long = 50000000L, pqM: Int = 8): DataFrame =
     if (!auto) bruteTopK(emb, k)
     else {
       val n = emb.count()
-      if (n >= pqThreshold) ivfpqTopK(emb, k, nCells, nprobe)
+      if (n >= pqThreshold) {
+        // ivfpqTopK requires dim % m == 0 — a 100- or 300-dim corpus with
+        // the fixed default m=8 would throw mid-job. Pick the largest
+        // divisor of dim in [2, pqM]; if dim is prime (or 1), m=1 PQ is a
+        // single whole-vector codebook with no subspace structure, so
+        // fall back to plain IVF instead of degenerate PQ. Same null-safe
+        // dim probe as cosineLshPairs.
+        val dim = emb.where(col("embedding").isNotNull)
+          .agg(coalesce(max(size(col("embedding"))), lit(0)))
+          .head().getInt(0)
+        (pqM to 2 by -1).find(mm => dim > 0 && dim % mm == 0) match {
+          case Some(mm) => ivfpqTopK(emb, k, nCells, nprobe, m = mm)
+          case None => ivfTopK(emb, k, nCells, nprobe)
+        }
+      }
       else if (n >= ivfThreshold) ivfTopK(emb, k, nCells, nprobe)
       else bruteTopK(emb, k)
     }

@@ -53,12 +53,52 @@ class SimSpec extends AnyFunSuite with SparkFixture with Matchers {
     // nprobe = nCells → every item is a candidate; refine ≥ n/k → the ADC
     // shortlist keeps them all; the exact re-rank then IS brute force.
     // Quantization can only hurt SHORTLISTING, never the emitted sims —
-    // this pins that boundary exactly (ids and 6-dp sims both)
+    // this pins that boundary: ids/ranks exactly, sims to a tolerance
+    // (the two paths compute cosine with different float orderings —
+    // dot of pre-normalized vectors vs dot/(na*nb) — so bit-for-bit
+    // Double equality would hinge on the 6-dp rounding landing the same
+    // side of a boundary)
     val brute = Sim.bruteTopK(emb, 5).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val pq = Sim.ivfpqTopK(emb, 5, nCells = 16, nprobe = 16, refine = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    pq shouldBe brute
+    pq.map(t => (t._1, t._2, t._3)) shouldBe brute.map(t => (t._1, t._2, t._3))
+    pq.zip(brute).foreach { case (p, b) => p._4 shouldBe (b._4 +- 1e-6) }
+  }
+
+  test("sampled quantizer training preserves the exact-at-boundary guarantee") {
+    // maxTrainRows far below the corpus size forces the Bernoulli-sampled
+    // fit path (the 100 TB posture: quantizers train on a bounded sample,
+    // the full frame is only transformed). With nprobe = nCells the coarse
+    // quantizer is lossless REGARDLESS of centroid quality, so a sampled
+    // fit must still reproduce the exact neighbour set — sampling can move
+    // centroids, never correctness at this boundary.
+    val brute = Sim.bruteTopK(emb, 5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfS = Sim.ivfTopK(emb, 5, nCells = 16, nprobe = 16, maxTrainRows = 100)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ivfS shouldBe brute
+    val pqS = Sim.ivfpqTopK(emb, 5, nCells = 16, nprobe = 16, refine = 1000,
+        maxTrainRows = 100)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pqS shouldBe brute
+  }
+
+  test("auto PQ tier adapts m to the embedding dimension") {
+    import spark.implicits._
+    // dim = 6: largest divisor <= 8 is 6 — the auto path must pick it
+    // instead of throwing on dim % 8 != 0 (the fixed-m=8 failure mode)
+    val rnd = new scala.util.Random(11)
+    val d6 = (1 to 40).map(i => (i.toLong, Array.fill(6)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val hits6 = Sim.topK(d6, 3, auto = true, pqThreshold = 1, nCells = 4, nprobe = 4)
+    hits6.count() should be > 0L
+    // dim = 7 (prime): no divisor in [2, 8] — fall back to plain IVF
+    // rather than degenerate single-subspace PQ; must not throw
+    val d7 = (1 to 40).map(i => (i.toLong, Array.fill(7)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val hits7 = Sim.topK(d7, 3, auto = true, pqThreshold = 1, nCells = 4, nprobe = 4)
+    hits7.count() should be > 0L
   }
 
   test("IVF-PQ emitted sims are exact and rank-consistent") {
