@@ -109,10 +109,12 @@ object PipelineDemo {
       capacity = 512L, partitions = 8)
     val (bins, pdocs, toks, fill) = graft.operators.Pack.fill(packed.toDF(), 512L)
     println(f"packed $pdocs docs into $bins bins (${toks} tokens, fill ${fill * 100}%.0f%%)")
-    // decontamination: no TRAIN doc may share an n-gram window with the
-    // held-out TEST split (5-gram here — the corpus vocabulary is tiny;
-    // real corpora use 10-13). Flagged train docs would be dropped before
-    // training; near-dup dedup upstream already removed most overlap.
+    // decontamination: flag each held-out TEST doc that shares an n-gram
+    // window with the TRAIN split (5-gram here — the corpus vocabulary is
+    // tiny; real corpora use 10-13). A flagged test doc is a leaked eval
+    // example: drop it from the benchmark (or, to clean the train side
+    // instead, attribute via the output's train_docs column and drop
+    // there); near-dup dedup upstream already removed most overlap.
     val contam = graft.operators.Contamination
       .ngramHits(train.select("doc_id", "text"), test.select("doc_id", "text"), n = 5)
     println(s"test docs sharing a 5-gram with train: ${

@@ -68,8 +68,30 @@ object Compact {
     */
   def rewriteParquet(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long, shuffle: Boolean = false): Int = {
-    require(new Path(inDir) != new Path(outDir),
+    // qualify BOTH paths against their FileSystem before comparing:
+    // unqualified Path equality lets different spellings of the same
+    // directory (relative vs absolute, file:/x vs /x) slip past the guard,
+    // and the SaveMode.Overwrite below would then truncate the directory
+    // being read
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(dir: String): Path = {
+      val p = new Path(dir)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val qIn = qualified(inDir)
+    val qOut = qualified(outDir)
+    require(qIn != qOut,
       "compact-in-place is not supported: write to a sibling dir and swap")
+    // a nested target corrupts the same way: out under in is truncated
+    // mid-read by the overwrite's directory prep; in under out is deleted
+    // outright by the overwrite
+    def isAncestor(a: Path, b: Path): Boolean = {
+      var cur = b.getParent
+      while (cur != null) { if (cur == a) return true; cur = cur.getParent }
+      false
+    }
+    require(!isAncestor(qIn, qOut) && !isAncestor(qOut, qIn),
+      s"in/out dirs must be disjoint, got $qIn and $qOut")
     val n = targetFileCount(dataBytes(spark, inDir), targetBytes)
     val df = spark.read.parquet(inDir)
     sized(df, n, shuffle).write.mode(SaveMode.Overwrite).parquet(outDir)

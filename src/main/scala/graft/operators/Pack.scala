@@ -66,12 +66,24 @@ object Pack {
       .toDF("doc_id", "n_tokens", "bin").as[(Long, Long, Long)]
   }
 
-  /** Packing quality summary: (bins, docs, sum_tokens, fill) where fill =
-    * sum_tokens / (bins × capacity) over non-oversize bins' capacity. */
+  /** Packing quality summary: (bins, docs, sum_tokens, fill). bins/docs/
+    * sum_tokens count EVERYTHING; fill is sum_tokens / (bins × capacity)
+    * over non-oversize bins only — an oversize singleton (one doc longer
+    * than capacity, the chunker's leftover) is not packing waste, so its
+    * bin leaves the denominator and its tokens leave the numerator. A
+    * packing that is all oversize singletons reports fill = 1.0 (no
+    * packable waste to measure).
+    */
   def fill(packed: DataFrame, capacity: Long): (Long, Long, Long, Double) = {
-    val r = packed.agg(countDistinct(col("bin")), count(lit(1)),
-      sum(col("n_tokens"))).head()
+    val perBin = packed.groupBy("bin").agg(
+      max(col("n_tokens")).as("mx"), sum(col("n_tokens")).as("tk"),
+      count(lit(1)).as("dc"))
+    val r = perBin.agg(count(lit(1)), sum(col("dc")), sum(col("tk")),
+      count(when(col("mx") <= capacity, lit(1))),
+      coalesce(sum(when(col("mx") <= capacity, col("tk"))), lit(0L))).head()
     val bins = r.getLong(0); val docs = r.getLong(1); val toks = r.getLong(2)
-    (bins, docs, toks, toks.toDouble / (bins * capacity))
+    val okBins = r.getLong(3); val okToks = r.getLong(4)
+    val f = if (okBins == 0) 1.0 else okToks.toDouble / (okBins * capacity)
+    (bins, docs, toks, f)
   }
 }

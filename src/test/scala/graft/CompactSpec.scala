@@ -77,4 +77,23 @@ class CompactSpec extends AnyFunSuite with SparkFixture with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Compact.rewriteParquet(spark, in, in, 1024L)
   }
+
+  test("in-place via a different spelling of the same dir is refused") {
+    // the guard must compare FS-qualified paths: file:/x vs /x (and
+    // trailing-slash variants) are the same directory — an unqualified
+    // Path compare would let the overwrite truncate the dir being read
+    val in = tmp("spelled")
+    an[IllegalArgumentException] should be thrownBy
+      Compact.rewriteParquet(spark, in, s"file:$in", 1024L)
+    an[IllegalArgumentException] should be thrownBy
+      Compact.rewriteParquet(spark, s"file:$in", in, 1024L)
+  }
+
+  test("nested in/out dirs are refused in both directions") {
+    val in = tmp("nested")
+    an[IllegalArgumentException] should be thrownBy
+      Compact.rewriteParquet(spark, in, s"$in/compacted", 1024L)
+    an[IllegalArgumentException] should be thrownBy
+      Compact.rewriteParquet(spark, s"$in/part", in, 1024L)
+  }
 }

@@ -56,6 +56,26 @@ class PackSpec extends AnyFunSuite with SparkFixture with Matchers {
     binsOf(packed(3L)) shouldBe Set(3L)
   }
 
+  test("fill excludes oversize singleton bins from the ratio") {
+    import spark.implicits._
+    // two oversize docs (their bins are the chunker's leftovers, not
+    // packing waste) + two that pack one bin exactly full: fill must be
+    // computed over the non-oversize bins only → exactly 1.0 here, while
+    // bins/docs/sum_tokens still count everything
+    val docs = Seq((1L, 600L), (2L, 900L), (3L, 300L), (4L, 212L))
+      .toDF("doc_id", "n_toks")
+    val packed = Pack.firstFit(docs, "doc_id", "n_toks", capacity, partitions = 1)
+    val (bins, nDocs, toks, fill) = Pack.fill(packed.toDF(), capacity)
+    bins shouldBe 3L
+    nDocs shouldBe 4L
+    toks shouldBe 2012L
+    fill shouldBe 1.0
+    // all-oversize packing: no packable waste to measure → fill = 1.0
+    val allBig = Seq((1L, 600L), (2L, 900L)).toDF("doc_id", "n_toks")
+    Pack.fill(Pack.firstFit(allBig, "doc_id", "n_toks", capacity,
+      partitions = 1).toDF(), capacity)._4 shouldBe 1.0
+  }
+
   test("null and non-positive lengths are dropped, not packed") {
     import spark.implicits._
     val docs = Seq((1L, Some(10L)), (2L, None), (3L, Some(0L)), (4L, Some(-5L)))
