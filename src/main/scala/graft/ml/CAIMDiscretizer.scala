@@ -82,19 +82,65 @@ class CAIMDiscretizer(override val uid: String)
       .groupBy("fidx", "v", "y").agg(count(lit(1)).as("cnt"))
 
     // Candidate compression: features whose distinct-value count exceeds
-    // maxCandidates get an equal-frequency value grid (ntile over the
-    // DISTINCT values, represented by each bucket's max).
+    // maxCandidates get an equal-frequency value grid (ntile semantics
+    // over the DISTINCT values, represented by each bucket's max).
+    //
+    // DISTRIBUTED equal-frequency (round 8): a plain
+    // `ntile().over(Window.partitionBy("fidx").orderBy("v"))` funnels every
+    // distinct value of one feature through a single task's sort — at
+    // 100 TB a high-cardinality double feature has billions of distinct
+    // values, a one-task sort before the compression that exists to avoid
+    // exactly that. Instead: range-partition the distinct values on
+    // (fidx, v), rank locally per partition, and recompose EXACT global
+    // ranks from per-(fidx, partition) row-count offsets (a tiny driver
+    // aggregate, ≤ partitions × features rows — the same bounded-collect
+    // discipline as the histogram itself). The ntile bucket is then pure
+    // arithmetic on (rank, nDistinct): first nd % n buckets get
+    // ⌈nd/n⌉ values, the rest ⌊nd/n⌋ — byte-identical to the window
+    // ntile, so fitted boundaries are unchanged, but the widest stage is
+    // now a per-range-slice sort instead of a per-feature one.
     val nDistinct = hist0.groupBy("fidx").agg(countDistinct(col("v")).as("nd"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val needsCap = nDistinct.exists(_._2 > $(maxCandidates))
+    // the range-partitioned distinct-value frame feeds two jobs (slice
+    // counts, then the ranked grid inside the histogram collect below) —
+    // persisted across both, freed right after the collect
+    var toFree: Option[DataFrame] = None
     val hist =
       if (!needsCap) hist0
       else {
-        val w = Window.partitionBy("fidx").orderBy("v")
-        val rep = hist0.select("fidx", "v").distinct()
-          .withColumn("b", ntile($(maxCandidates)).over(w))
+        val parted = hist0.select("fidx", "v").distinct()
+          .repartitionByRange(col("fidx"), col("v"))
+          .withColumn("pid", spark_partition_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // per-(fidx, pid) counts → cumulative offset of each slice within
+        // its feature's global (fidx, v) order
+        val sliceCounts = parted.groupBy("fidx", "pid").count().collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+        val offsets: Map[Long, Long] = sliceCounts.groupBy(_._1._1).flatMap {
+          case (f, slices) =>
+            var acc = 0L
+            slices.sortBy(_._1._2).map { case ((_, p), c) =>
+              val o = acc; acc += c; ((f.toLong << 32) | p.toLong, o)
+            }
+        }
+        val offMap = typedLit(offsets)
+        val ndMap = typedLit(nDistinct.map { case (f, nd) => (f, nd) })
+        val localW = Window.partitionBy("fidx", "pid").orderBy("v")
+        val n = $(maxCandidates).toLong
+        val rep = parted
+          .withColumn("r", row_number().over(localW).cast("long") +
+            element_at(offMap, shiftleft(col("fidx").cast("long"), 32)
+              .bitwiseOR(col("pid").cast("long"))))
+          .withColumn("nd", element_at(ndMap, col("fidx")))
+          .withColumn("b", expr(
+            s"""CASE WHEN r <= (nd % $n) * ((nd DIV $n) + 1)
+                THEN (r - 1) DIV ((nd DIV $n) + 1) + 1
+                ELSE (nd % $n) + (r - 1 - (nd % $n) * ((nd DIV $n) + 1)) DIV (nd DIV $n) + 1
+                END"""))
           .withColumn("vrep", max("v").over(Window.partitionBy("fidx", "b")))
           .select("fidx", "v", "vrep")
+        toFree = Some(parted)
         hist0.join(rep, Seq("fidx", "v"))
           .groupBy(col("fidx"), col("vrep").as("v"), col("y"))
           .agg(sum("cnt").as("cnt"))
@@ -102,6 +148,7 @@ class CAIMDiscretizer(override val uid: String)
 
     // Executor→driver boundary: only the compressed histogram crosses.
     val rows = hist.collect()
+    toFree.foreach(_.unpersist(blocking = false))
     val labels = rows.map(_.getString(2)).distinct.sorted
     val labelIdx = labels.zipWithIndex.toMap
     val nClasses = labels.length

@@ -106,6 +106,23 @@ class CaimSpec extends AnyFunSuite with SparkFixture with Matchers {
     model.boundaries(0).sliding(2).foreach { case Array(x, y) => x should be < y }
   }
 
+  test("capped fit is invariant to input partitioning (distributed grid)") {
+    // the round-8 distributed equal-frequency grid recomposes EXACT global
+    // ranks from per-(feature, range-slice) offsets — boundaries must not
+    // depend on how the input happens to be partitioned, even though the
+    // range partitioner's slice boundaries do
+    val e = T.t(spark, sf001, "embeddings")
+      .select(element_at(col("embedding"), 1).cast("double").as("e0"), col("label"))
+    def boundsOf(df: org.apache.spark.sql.DataFrame) = new CAIMDiscretizer()
+      .setInputCols(Array("e0")).setOutputCols(Array("b0"))
+      .setLabelCol("label").setMaxCandidates(16).fit(df).boundaries(0)
+    val base = boundsOf(e)
+    base.length should be >= 2
+    boundsOf(e.repartition(7)) shouldBe base
+    boundsOf(e.repartition(1)) shouldBe base
+    boundsOf(e.orderBy(rand(seed = 5))) shouldBe base
+  }
+
   test("knn classify: deterministic majority vote for every vector") {
     val emb = T.t(spark, sf001, "embeddings")
     val out = graft.ml.Knn.classify(emb, k = 5)
