@@ -28,14 +28,13 @@ import org.apache.spark.sql.types.LongType
   *    are, for any `+ 300000000L` / `+ INTERVAL`-derived constant);
   *  - either orientation (the interval may anchor on the left or the
   *    right child — the anchor side gets the two-bin explode);
-  *  - RUNTIME anchor values must satisfy |anchor| ≤ 2^61: bin endpoints
-  *    compute anchor ± offset in long arithmetic, and an anchor within
-  *    2^61 of Long overflow could wrap — the ANDed bin equality would
-  *    then disagree with the original predicate and silently DROP
-  *    matching rows. Literal offsets are capped at 2^61 by `widthOk`;
-  *    the anchor bound is an ASSUMPTION on the data (µs-epoch
-  *    timestamps sit near 2^50 — eleven bits of headroom). Do not
-  *    enable the flag over columns that can exceed it.
+  *  - RUNTIME anchor values are guarded, not assumed (round 8): bin
+  *    endpoints compute anchor ± offset in long arithmetic, which wraps
+  *    for |anchor| ≥ 2^61 — so anchors outside (−2^61, 2^61) are routed
+  *    to a residual union leg that joins with the ORIGINAL predicate
+  *    instead of the bin equi-key. Literal offsets are capped at 2^61 by
+  *    `widthOk`; µs-epoch timestamps sit near 2^50, so on real data the
+  *    residual leg is empty and AQE collapses it at runtime.
   *
   * OFF by default; enable with `spark.graft.rangeJoin.rewrite=true`. The
   * declared `join_range` query calls the operator directly — this rule is
@@ -158,6 +157,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val w = hi - lo
           val anchorOnLeft = low0.anchor.references.subsetOf(l.outputSet)
           val (anchorChild, valueChild) = if (anchorOnLeft) (l, r) else (r, l)
+          // RUNTIME anchor guard (round 8): bin endpoints compute
+          // anchor ± offset in long arithmetic, which wraps for
+          // |anchor| ≥ 2^61 — the scaladoc previously documented this as
+          // an assumption on the data; now it is enforced. Anchor rows
+          // inside the safe range take the banded equi-join; rows outside
+          // it (or with a NULL anchor, which can never satisfy the
+          // original predicate anyway) take a RESIDUAL leg that joins
+          // with the original, un-rewritten condition. The two legs are
+          // unioned, so the rewrite is total: no anchor value can be
+          // silently dropped. On real data (µs-epoch ≈ 2^51) the residual
+          // leg's filter keeps nothing and AQE collapses the empty join.
+          val cap = 1L << 61
+          val inRange = And(GreaterThan(low0.anchor, Literal(-cap)),
+            LessThan(low0.anchor, Literal(cap)))
           // anchor side: explode to the (at most two) candidate bins
           val binL = AttributeReference(BinL, LongType, nullable = false)()
           val gen = Generate(
@@ -169,14 +182,27 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               fdiv(Add(low0.anchor, Literal(hi)), w), None,
               Some(SQLConf.get.sessionLocalTimeZone))),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(binL), child = anchorChild)
+            generatorOutput = Seq(binL), child = Filter(inRange, anchorChild))
           // value side: its single bin
           val binR = Alias(fdiv(low0.value, w), BinR)()
           val proj = Project(valueChild.output :+ binR, valueChild)
           val (nl, nr) = if (anchorOnLeft) (gen: LogicalPlan, proj: LogicalPlan)
             else (proj: LogicalPlan, gen: LogicalPlan)
           val newCond = And(EqualTo(binL, binR.toAttribute), cond)
-          Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+          val mainLeg = Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+          // residual leg: out-of-range/null anchors, original predicate.
+          // The "__graft_bin"-prefixed marker column trips the fixed-point
+          // guard above so the optimizer's next pass doesn't re-rewrite
+          // this leg into an endless nest. Sharing subtrees (and output
+          // exprIds) across union legs is the df.union(df) shape — legs
+          // are independent scopes, no cross-references.
+          val resMark = Alias(Literal(0L), "__graft_bin_res")()
+          val resChild = Project(anchorChild.output :+ resMark,
+            Filter(Or(IsNull(low0.anchor), Not(inRange)), anchorChild))
+          val (rl, rr) = if (anchorOnLeft) (resChild: LogicalPlan, valueChild)
+            else (valueChild, resChild: LogicalPlan)
+          val resLeg = Project(j.output, Join(rl, rr, Inner, Some(cond), hint))
+          Union(Seq(mainLeg, resLeg))
         }
         rewritten.getOrElse(j)
     }

@@ -97,8 +97,13 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
       val pure = e1.join(e2, col("bv") > col("av") &&
           col("bv") <= col("av") + lit(60000000L))
       val purePlan = pure.queryExecution.executedPlan.toString
-      purePlan should not include "BroadcastNestedLoopJoin"
       purePlan should include("__graft_bin")
+      // the data path is the banded equi-join; the only nested-loop node
+      // allowed is the residual out-of-range-anchor leg (round 8), which
+      // is runtime-empty on µs-epoch data and collapsed by AQE
+      "BroadcastNestedLoopJoin".r.findAllIn(purePlan).size should be <= 1
+      (purePlan.contains("SortMergeJoin") || purePlan.contains("ShuffledHashJoin") ||
+        purePlan.contains("BroadcastHashJoin")) shouldBe true
     } finally spark.conf.unset("spark.graft.rangeJoin.rewrite")
     // flag off: untouched
     naive.queryExecution.optimizedPlan.toString should not include "__graft_bin"
@@ -129,6 +134,42 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
       collectPairs(q1) shouldBe off1
       collectPairs(q2) shouldBe off2
     } finally spark.conf.unset("spark.graft.rangeJoin.rewrite")
+  }
+
+  test("optimizer rule keeps anchors at Long extremes (residual leg, no dropped rows)") {
+    import spark.implicits._
+    // anchors beyond |2^61| would wrap the bin-endpoint arithmetic and
+    // silently drop their rows from the rewritten join; the round-8 guard
+    // routes them through the residual (non-rewritten) union leg. The
+    // contract is EQUIVALENCE: flag-on must return exactly the flag-off
+    // result. ANSI mode would make the original predicate itself throw on
+    // anchor+offset overflow (equivalently in both modes), so the
+    // equivalence is pinned with ANSI off, where the failure mode the
+    // guard exists for — silent wrap → dropped rows — is live.
+    val lv = Seq(1L -> 100L, 2L -> (1L << 61), 3L -> (Long.MaxValue - 3L),
+      4L -> (-(1L << 61) - 7L), 5L -> Long.MinValue, 6L -> 150L)
+    val rv = Seq(10L -> 105L, 11L -> ((1L << 61) + 5L), 12L -> (Long.MaxValue - 1L),
+      13L -> (-(1L << 61) - 2L), 14L -> (Long.MinValue + 4L), 15L -> 155L)
+    val l = lv.toDF("lid", "av")
+    val r = rv.toDF("rid", "bv")
+    def q = l.join(r, col("bv") > col("av") && col("bv") <= col("av") + lit(10L))
+      .select("lid", "rid")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val off = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      // matches that exist ONLY via out-of-range anchors — the rows the
+      // unguarded rewrite would have dropped
+      off should contain allOf ((2L, 11L), (4L, 13L), (5L, 14L))
+      off should contain ((1L, 10L))
+      spark.conf.set("spark.graft.rangeJoin.rewrite", "true")
+      val plan = q.queryExecution.optimizedPlan.toString
+      plan should include("__graft_bin")
+      plan should include("Union")
+      q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet shouldBe off
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.rewrite")
+      spark.conf.unset("spark.sql.ansi.enabled")
+    }
   }
 
   test("values above 2^53 bin exactly (no double round-trip in the bin key)") {
