@@ -419,6 +419,42 @@ object Llm {
         .orderBy("lang")
     }),
 
+    // sequence packing as a DECLARED query (round 8, binding the round-7
+    // [[graft.operators.Pack]] operator): whitespace token counts per doc
+    // feed per-partition first-fit-decreasing into 512-token bins. The
+    // assignment is a pure function of (doc ids, lengths, partitions) —
+    // partitions pinned to 8 so the output is machine-independent
+    // (PackSpec pins determinism + invariance to INPUT partitioning).
+    // Rows-only by design: FFD bin ids are a greedy artifact with no
+    // SQL-expressible oracle; the spec pins the invariants (capacity
+    // respected, each doc exactly once, oversize isolation, fill > 0.7).
+    // At 100 TB: one exchange + in-partition sort, no driver state.
+    "pack_bins" -> ((s, sf) =>
+      graft.operators.Pack.firstFit(
+          t(s, sf, "documents")
+            .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks")),
+          "doc_id", "n_toks", capacity = 512L, partitions = 8)
+        .toDF().orderBy("doc_id")),
+
+    // train/eval n-gram decontamination as a DECLARED query (round 8,
+    // binding the round-7 [[graft.operators.Contamination]] operator):
+    // the held-out eval split is the md5-portable 20% of doc_ids (same
+    // deterministic membership primitive split_hash oracles), train is
+    // the complement; each eval doc reports its 5-gram windows, windows
+    // also present anywhere in train, distinct train docs sharing one,
+    // and the contaminated flag. Rows-only by design: the window
+    // inverted index joins on xxhash64, which no oracle engine
+    // reproduces; ContaminationSpec pins the semantics and the
+    // hashed-join plan shape. At 100 TB the join ships bare longs and
+    // is never all-pairs.
+    "contamination_check" -> ((s, sf) => {
+      val docs = t(s, sf, "documents").select(col("doc_id"), col("text"))
+      val isEval = graft.operators.Split.portableKeep(col("doc_id"), 0.2)
+      graft.operators.Contamination.ngramHits(
+          docs.where(!isEval), docs.where(isEval), n = 5)
+        .orderBy("doc_id")
+    }),
+
     // 30-min-gap sessionization: flag + running sum + per-session stats
     "sessionize" -> ((s, sf) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)

@@ -32,18 +32,17 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     SparkEntry.oracleSql.keySet.diff(qs) shouldBe empty
   }
 
-  test("bench JSON line fits the driver tail window at worst-case widths") {
-    // the driver captures only the LAST ~2,000 chars of Bench's stdout and
-    // sbt's trailing "[success]" line eats ~60-65 of them; if the JSON
-    // line's head falls outside the window the round's bench parse
-    // silently records null (the r3/r4 failure mode). This canary fails
-    // the moment a new declared query pushes the worst-case line (every
-    // query at 9.9 s — 1-dp format) over the budget, BEFORE the driver
-    // bench does.
-    val qs = SparkEntry.queries.keys.map(k => s""""$k":9.9""").mkString(",")
-    val line = s"""{"metric":"total","value":999.9,"unit":"sec","queries":{$qs},"sf":"sf0.1"}"""
+  test("bench stdout line is constant-size regardless of declared-query count") {
+    // the driver captures only the LAST ~2,000 chars of Bench's stdout
+    // (minus sbt's trailing "[success]" line). Round 8 moved per-query
+    // timings to BENCH_DETAIL.json, so the stdout line no longer grows
+    // with the query count — this canary pins the worst-case line (big
+    // total, error count present, long detail path) far inside the
+    // window, where it stays for ANY number of future declarations.
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","n_errors":99,""" +
+      s""""n_queries":${SparkEntry.queries.size},"detail":"BENCH_DETAIL.json","sf":"sf0.001"}"""
     withClue(s"${line.length} chars at ${SparkEntry.queries.size} queries: ") {
-      line.length should be <= 1935
+      line.length should be <= 500
     }
   }
 
