@@ -82,6 +82,27 @@ object Scalars {
           count(lit(1)).as("cnt"))
         .orderBy("event_type")),
 
+    // URL decomposition (round 8) — the web-corpus provenance op (domain
+    // aggregation, path routing, tracking-param handling all hang off
+    // it). The corpus carries no real URLs, so a deterministic synthetic
+    // URL is spliced per doc from its own fields (the text_redact
+    // pattern: fabricate the PII-like value, then operate on it), parsed
+    // back with Spark's native parse_url. The oracle rebuilds the same
+    // URL and extracts the parts with common-dialect regexes, so HOST /
+    // PATH / QUERY(key) semantics are cross-validated, not assumed.
+    // Narrow per-row map stage at any scale. NULL lang/source → NULL url
+    // → NULL parts, identically in both engines.
+    "fn_url" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/doc-"), col("doc_id"),
+          lit("?ref=r"), pmod(col("doc_id"), lit(7))))
+        .select(col("doc_id"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
+        .orderBy("doc_id")),
+
     // regex surface beyond fn_string's extract/replace: occurrence counts,
     // boolean match, global substitution. Patterns stay in the common
     // Java-regex ∩ RE2 dialect (char classes, \b, alternation) so the
@@ -152,6 +173,16 @@ object Scalars {
          round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
          count(*) AS cnt
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "fn_url" ->
+      """WITH u AS (SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc-' ||
+             CAST(doc_id AS VARCHAR) || '?ref=r' || CAST(doc_id % 7 AS VARCHAR) AS url
+           FROM documents)
+         SELECT doc_id, url,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'ref=(.*)$', 1) AS ref
+         FROM u ORDER BY doc_id""",
     "fn_regexp" ->
       """SELECT doc_id,
          regexp_extract(text, '(s[a-z]+)', 1) AS first_s,

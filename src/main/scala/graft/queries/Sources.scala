@@ -80,6 +80,24 @@ object Sources {
         .orderBy("lang")
     }),
 
+    // XML (round 8): Spark 4 ships the former spark-xml as a BUILT-IN
+    // source — one row per rowTag element, attribute/element escaping
+    // handled by the codec, explicit schema on read (no inference pass).
+    // The remaining feed format a real ingest estate carries that the
+    // §2.1 family didn't cover; Avro stays environmental (no connector
+    // jar in the sandbox, SURVEY §2.1).
+    "source_xml" -> ((s, sf) => {
+      val dir = tmp(sf, "xml")
+      t(s, sf, "part").write.mode("overwrite")
+        .option("rootTag", "parts").option("rowTag", "part").format("xml").save(dir)
+      s.read.schema("p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, p_size INT, p_retailprice DOUBLE")
+        .option("rowTag", "part").format("xml").load(dir)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"), min(col("p_name")).as("first_name"),
+          graft.T.dsum(col("p_retailprice"), 2).as("sum_price"))
+        .orderBy("p_brand")
+    }),
+
     // ORC (Spark-native columnar source, round 4): binary round-trip —
     // types survive exactly (no text parsing), predicates and column
     // pruning push into the ORC reader the same way they do for parquet
@@ -107,6 +125,10 @@ object Sources {
     "source_orc" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-         FROM customer GROUP BY 1 ORDER BY c_mktsegment"""
+         FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
+    "source_xml" ->
+      """SELECT p_brand, count(*) AS n_parts, min(p_name) AS first_name,
+                CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM part GROUP BY 1 ORDER BY p_brand"""
   )
 }

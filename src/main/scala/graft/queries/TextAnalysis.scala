@@ -177,6 +177,31 @@ object TextAnalysis {
           size(split(col("chunk"), " ")).cast("long").as("n_toks"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // intra-document repetition signals (round 8) — the Gopher/C4-style
+    // quality cut a training pipeline applies before dedup: per doc, the
+    // duplicated-3-gram fraction (1 − distinct/total windows) and the
+    // highest single-window multiplicity. Shape: explode(sequence) +
+    // per-row slice-concat (the Contamination window idiom — exploding a
+    // computed transform(...) array would make codegen re-derive the
+    // whole window list per element, the documented O(L²) trap), then a
+    // two-level hash agg: (doc, window) counts → per-doc totals. Narrow
+    // map + map-side-combined aggs at any scale; docs under 3 tokens have
+    // no windows and drop, like the other window operators.
+    "text_repetition" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .where(size(col("tk")) >= 3)
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(0, size(tk) - 3)")).as("i"))
+        .select(col("doc_id"), expr("concat_ws(' ', slice(tk, i + 1, 3))").as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          round(lit(1.0) - count(lit(1)) / sum(col("c")), 6).as("dup_frac"),
+          max(col("c")).as("top_rep"))
+        .orderBy("doc_id")),
+
     // custom Catalyst Generator: character 3-gram counts (the §2.12
     // stretch UDTF, registered via SparkSessionExtensions)
     "udtf_char_ngrams" -> ((s, sf) =>
@@ -264,6 +289,17 @@ object TextAnalysis {
          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk,
            CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_toks
          FROM c ORDER BY doc_id, chunk_idx""",
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           g AS (SELECT doc_id, unnest(
+                   [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)]) AS w
+                 FROM tok),
+           c AS (SELECT doc_id, w, count(*) AS c FROM g GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_frac,
+           CAST(max(c) AS BIGINT) AS top_rep
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     "udtf_char_ngrams" ->
       """SELECT g, count(*) AS cnt FROM (
            SELECT unnest([substring(text, i, 3) for i in range(1, length(text) - 1)]) AS g
