@@ -132,13 +132,10 @@ object Llm {
     */
   private[graft] def minhashCandidates(docs: DataFrame, nBands: Int,
       rowsPerBand: Int, maxBucket: Int, tr: graft.operators.Tracked): DataFrame = {
-    val k = nBands * rowsPerBand
-    val sh = docs.select(col("doc_id"), explode(col("ss")).as("s"))
-    val mins = sh.groupBy("doc_id")
-      .agg(array((0 until k).map(i => min(xxhash64(col("s"), lit(i)))): _*).as("mh"))
-    val bands0 = mins.select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(0, ${nBands - 1}), b -> xxhash64(slice(mh, b * $rowsPerBand + 1, $rowsPerBand)))"))
-      .as(Seq("band", "bv")))
+    // band math lives in the operator (round 8): the same band table backs
+    // the incremental batch-vs-index path, and sharing the code is what
+    // makes the incremental candidate set provably the full rebuild's
+    val bands0 = graft.operators.DedupIndex.bandTable(docs, nBands, rowsPerBand)
     // bucket-size cap: one window count partitioned on the SAME (band, bv)
     // key the candidate join shuffles on — the exchange is shared work, and
     // the filter runs before any pair is generated
