@@ -416,6 +416,26 @@ object Llm {
         .orderBy("lang")
     }),
 
+    // incremental batch-vs-index dedup as a DECLARED query (round 8,
+    // binding [[graft.operators.DedupIndex]]): the md5-portable 20% of
+    // docs play the "new batch", the complement's band table plays the
+    // persisted historical index, and the output is each batch doc's
+    // candidate near-dups — against history AND within the batch —
+    // found without touching corpus text (bare-long band joins).
+    // Rows-only by design (xxhash64 banding has no oracle engine);
+    // DedupIndexSpec pins incremental ≡ full-rebuild-restricted-to-batch.
+    "dedup_index_inc" -> ((s, sf) => {
+      val tr = new graft.operators.Tracked
+      val docs = t(s, sf, "documents").select(col("doc_id"), col("text"))
+      val isBatch = graft.operators.Split.portableKeep(col("doc_id"), 0.2)
+      val sh = tr.persist(shingleArrays(docs))
+      val cand = graft.operators.DedupIndex.candidates(
+        graft.operators.DedupIndex.bandTable(sh.where(isBatch)),
+        graft.operators.DedupIndex.bandTable(sh.where(!isBatch)),
+        maxBucket = 4096, tr = tr)
+      tr.seal(cand).orderBy("a_id", "b_id")
+    }),
+
     // sequence packing as a DECLARED query (round 8, binding the round-7
     // [[graft.operators.Pack]] operator): whitespace token counts per doc
     // feed per-partition first-fit-decreasing into 512-token bins. The
