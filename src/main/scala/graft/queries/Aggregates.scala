@@ -106,6 +106,31 @@ object Aggregates {
                 sqrt(col("spp") - col("sp") * col("sp") / col("n"))), 6).as("corr_qp"))
         .orderBy("l_returnflag")),
 
+    // one-pass table profiling (round 8) — the corpus QC report a
+    // pipeline runs before anything else: per column, null count,
+    // distinct count, min, max (as strings, so heterogeneous columns
+    // share one long-format schema). ALL columns profile in a single
+    // aggregate over one scan (the multi-countDistinct plans through one
+    // Expand — corpus read once, not once per column), then stack()
+    // unpivots the wide row. The oracle pays four scans instead (UNION
+    // ALL per column) — at 100 TB that difference is the point of the
+    // operator shape.
+    "profile_table" -> ((s, sf) => {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__nv"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx")))
+      val allAggs = count(lit(1)).as("n_rows") +: aggs
+      t(s, sf, "documents")
+        .agg(allAggs.head, allAggs.tail: _*)
+        .selectExpr(s"stack(${cols.size}, " + cols.map(c =>
+          s"'$c', n_rows, n_rows - ${c}__nv, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ") +
+          ") AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)")
+        .orderBy("col_name")
+    }),
+
     // §2.4 exact percentiles (linear interpolation — same formula as the
     // oracle's quantile_cont); quantities are small integers so the
     // interpolated values are exact in binary and survive round(6)
@@ -307,6 +332,21 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "profile_table" ->
+      """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_null, count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
+         FROM documents
+         UNION ALL
+         SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+         UNION ALL
+         SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+         UNION ALL
+         SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+         ORDER BY col_name""",
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
