@@ -84,4 +84,55 @@ class SourcesSpec extends AnyFunSuite with SparkFixture with Matchers {
     back.schema shouldBe src.schema
     back.orderBy("c_custkey").collect() shouldBe src.orderBy("c_custkey").collect()
   }
+
+  test("schema evolution: mergeSchema reads a drifted directory, nulls backfilled") {
+    // the ingest-directory reality at 100 TB: files written over months
+    // drift (a column added); a merged read must surface the union schema
+    // with NULL backfill for old files instead of failing or silently
+    // dropping the new column (footer-sampled default picks ONE file's
+    // schema — nondeterministic on a drifted dir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString + "/d"
+    val v1 = T.t(spark, sf001, "nation").select("n_nationkey", "n_name")
+    val v2 = T.t(spark, sf001, "nation")
+      .select(col("n_nationkey") + 1000, col("n_name"), col("n_regionkey"))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    v1.write.parquet(dir)
+    v2.write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    merged.columns.toSet shouldBe Set("n_nationkey", "n_name", "n_regionkey")
+    merged.count() shouldBe v1.count() + v2.count()
+    // old files' rows surface the new column as NULL
+    merged.where(col("n_nationkey") < 1000 && col("n_regionkey").isNull)
+      .count() shouldBe v1.count()
+    merged.where(col("n_nationkey") >= 1000 && col("n_regionkey").isNotNull)
+      .count() shouldBe v2.count()
+  }
+
+  test("ignoreCorruptFiles skips a truncated parquet part, keeps the rest") {
+    // object-store reality: a failed writer leaves a torn file; the batch
+    // must degrade to the readable parts under the flag instead of dying
+    // (and must FAIL LOUDLY without it — both directions pinned)
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString + "/d"
+    T.t(spark, sf001, "nation").repartition(4).write.parquet(dir)
+    val whole = spark.read.parquet(dir).count()
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).minBy(_.getName)
+    // truncate to half: valid magic header, torn footer
+    val raf = new java.io.RandomAccessFile(part, "rw")
+    try raf.setLength(raf.length() / 2) finally raf.close()
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+    ex.getMessage.toLowerCase should include regex "corrupt|footer|parquet"
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      // explicit schema: the flag governs SCAN-time corruption, not the
+      // footer-sampling schema inference (which would still die on the
+      // torn footer) — production readers carry their schema anyway
+      val kept = spark.read.schema(T.t(spark, sf001, "nation").schema)
+        .parquet(dir).count()
+      kept should be < whole
+      kept should be > 0L
+    } finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+  }
 }
