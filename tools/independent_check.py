@@ -8,7 +8,8 @@ Covers: sessionize (30-min gap islands), dedup_jaccard (3-gram shingle
 set Jaccard), caim_criterion (20-bin quanta + CAIM), join_asof (latest
 signup at-or-before each purchase), stream_join (view->purchase interval
 join), agg_percentile (linear-interpolated quantiles), agg_stats
-(decimal-co-moment mean/stddev/corr).
+(decimal-co-moment mean/stddev/corr), text_repetition (3-gram window
+multiset stats), profile_table (per-column null/distinct/min/max).
 
 Usage: python3 tools/independent_check.py <sfDir> <verifyOutDir>
 (run graft.Verify into <verifyOutDir> first). Verified green 2026-08-12 at
@@ -163,4 +164,37 @@ ok = {f: (n, round(m, 6), round(s, 6), round(c, 6))
 print(f"agg_stats: {'OK' if ok else 'MISMATCH'} ({len(exp_stats)} groups)")
 fails += 0 if ok else 1
 
+# text_repetition: per-doc 3-gram window multiset stats (round 8)
+rep_exp = {}
+for did, text in zip(docs["doc_id"], docs["text"]):
+    tk = text.split(" ")
+    if len(tk) < 3:
+        continue
+    wins = [" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)]
+    cnt = collections.Counter(wins)
+    tot, dis = len(wins), len(cnt)
+    rep_exp[did] = (tot, dis, round(1.0 - dis * 1.0 / tot, 6), max(cnt.values()))
+got = sparkres("text_repetition")
+ok = {d: (g, n, round(f, 6), t) for d, g, n, f, t in
+      zip(got["doc_id"], got["n_grams"], got["n_distinct"],
+          got["dup_frac"], got["top_rep"])} == rep_exp
+print(f"text_repetition: {'OK' if ok else 'MISMATCH'} ({len(rep_exp)} docs)")
+fails += 0 if ok else 1
+
+# profile_table: per-column null/distinct/min/max (round 8)
+prof_exp = {}
+for c in ("doc_id", "lang", "source", "n_chars"):
+    vals = docs[c]
+    nn = sum(1 for v in vals if v is None)
+    nonnull = [v for v in vals if v is not None]
+    prof_exp[c] = (len(vals), nn, len(set(nonnull)),
+                   str(min(nonnull)), str(max(nonnull)))
+got = sparkres("profile_table")
+ok = {c: (r, n, d, mn, mx) for c, r, n, d, mn, mx in
+      zip(got["col_name"], got["n_rows"], got["n_null"], got["n_distinct"],
+          got["min_val"], got["max_val"])} == prof_exp
+print(f"profile_table: {'OK' if ok else 'MISMATCH'} ({len(prof_exp)} columns)")
+fails += 0 if ok else 1
+
 sys.exit(1 if fails else 0)
+
