@@ -50,7 +50,8 @@ class LeakSpec extends AnyFunSuite with SparkFixture with Matchers {
   test("declared dedup queries pin only their sealed result, freed by clearCache") {
     val before = storedIds
     for (q <- Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash", "dedup_clusters",
-        "dedup_survivors", "dedup_embed_clusters", "dedup_embed_lsh")) {
+        "dedup_survivors", "dedup_embed_clusters", "dedup_embed_lsh",
+        "dedup_index_inc")) {
       SparkEntry.queries(q)(spark, sf001).count() should be > 0L
       // the only surviving storage is the operator's own sealed result —
       // intermediates (shingles, candidate pairs, propagation rounds) are
