@@ -478,6 +478,32 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // data-mixture upsampling as a DECLARED query (round 8) — the
+    // "wiki×2.5, web×0.5" source-weighting step a training pipeline runs
+    // last: per-stratum mixture weights realized as floor(w) full copies
+    // plus one fractional copy decided by the key's md5-portable bucket
+    // (so 2.5 means every en doc twice and a deterministic half of them a
+    // third time — membership reproducible cross-engine AND monotone in
+    // w, like the downsampler). Weights: en 2.5, es 1.25, de/fr/zh 0.5,
+    // anything else 0. Pure map stage + constant-factor explode at any
+    // scale; copy_idx makes replication itself hash-verifiable.
+    "sample_mixture" -> ((s, sf) => {
+      val base = when(col("lang") === "en", 2)
+        .when(col("lang") === "es", 1)
+        .when(col("lang").isin("de", "fr", "zh"), 0)
+      val extra = when(col("lang") === "es",
+          graft.operators.Split.portableKeep(col("doc_id"), 0.25))
+        .otherwise(graft.operators.Split.portableKeep(col("doc_id"), 0.5))
+        .cast("int")
+      t(s, sf, "documents")
+        .withColumn("copies", base + extra)
+        .where(col("copies") > 0)
+        .select(col("doc_id"), explode(expr("sequence(1, copies)")).as("copy_idx"),
+          col("lang"))
+        .select(col("doc_id"), col("copy_idx").cast("long").as("copy_idx"), col("lang"))
+        .orderBy("doc_id", "copy_idx")
+    }),
+
     // 30-min-gap sessionization: flag + running sum + per-session stats
     "sessionize" -> ((s, sf) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -608,6 +634,16 @@ object Llm {
          round(avg(len(string_split(text,' '))), 6) AS avg_toks,
          count(DISTINCT source) AS srcs
          FROM documents GROUP BY lang ORDER BY lang""",
+    "sample_mixture" ->
+      """WITH w AS (SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 2 WHEN lang = 'es' THEN 1
+                  WHEN lang IN ('de', 'fr', 'zh') THEN 0 END
+             + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                         (CASE WHEN lang = 'es' THEN '40' ELSE '80' END)
+                    THEN 1 ELSE 0 END AS copies
+           FROM documents WHERE lang IN ('en', 'es', 'de', 'fr', 'zh'))
+         SELECT doc_id, CAST(unnest([i for i in range(1, copies + 1)]) AS BIGINT) AS copy_idx, lang
+         FROM w WHERE copies > 0 ORDER BY doc_id, copy_idx""",
     "split_hash" ->
       """WITH s AS (SELECT *,
              CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '40'
