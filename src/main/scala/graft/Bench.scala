@@ -101,10 +101,21 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},""" +
       s""""n_errors":${errs.size},"errors":$em,"queries":$qs,"sf":"$sfTag"}"""
-    val w = new java.io.PrintWriter(detailPath, "UTF-8")
-    try w.println(detail) finally w.close()
+    // a failed detail write (read-only cwd, whatever) must NOT take the
+    // stdout line down with it — the line is the driver's only signal,
+    // and by this point every query has already run and been paid for
+    val detailTag =
+      try {
+        val w = new java.io.PrintWriter(detailPath, "UTF-8")
+        try w.println(detail) finally w.close()
+        detailPath
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] detail write failed: ${e.toString.take(200)}")
+          "unwritable"
+      }
     val es = if (errs.isEmpty) "" else s""""n_errors":${errs.size},"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$es"n_queries":${ok.size},"detail":"${esc(detailPath)}","sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$es"n_queries":${ok.size},"detail":"${esc(detailTag)}","sf":"$sfTag"}""")
     if (errs.nonEmpty) System.err.println(s"[bench] ${errs.size} queries FAILED: " +
       errs.map(_._1).mkString(", "))
     spark.stop()
