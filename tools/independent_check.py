@@ -9,7 +9,8 @@ set Jaccard), caim_criterion (20-bin quanta + CAIM), join_asof (latest
 signup at-or-before each purchase), stream_join (view->purchase interval
 join), agg_percentile (linear-interpolated quantiles), agg_stats
 (decimal-co-moment mean/stddev/corr), text_repetition (3-gram window
-multiset stats), profile_table (per-column null/distinct/min/max).
+multiset stats), profile_table (per-column null/distinct/min/max),
+caim_fit (the full greedy CAIM fit, ported line-for-line).
 
 Usage: python3 tools/independent_check.py <sfDir> <verifyOutDir>
 (run graft.Verify into <verifyOutDir> first). Verified green 2026-08-12 at
@@ -196,5 +197,78 @@ ok = {c: (r, n, d, mn, mx) for c, r, n, d, mn, mx in
 print(f"profile_table: {'OK' if ok else 'MISMATCH'} ({len(prof_exp)} columns)")
 fails += 0 if ok else 1
 
+# caim_fit: the FULL greedy CAIM fit recomputed in pure Python (round 8) —
+# a faithful port of CAIMDiscretizer.greedySelect (prefix-sum terms,
+# ascending-position argmax with strict >, accept while caim improves or
+# k < n_classes, midpoint cuts, order-preserving distinct)
+def greedy_select(values, counts, n_classes):
+    m = len(values)
+    if m <= 1:
+        v0 = values[0] if values else 0.0
+        return [v0, v0]
+    S = max(n_classes, 1)
+    prefix = [[0] * S]
+    for i in range(m):
+        prefix.append([prefix[-1][s] + counts[i][s] for s in range(S)])
+    def term(lo, hi):
+        mx, tot = 0, 0
+        for s in range(S):
+            cns = prefix[hi][s] - prefix[lo][s]
+            if cns > mx:
+                mx = cns
+            tot += cns
+        return 0.0 if tot == 0 else float(mx) * mx / tot
+    import bisect
+    accepted = [0, m]
+    sum_terms = term(0, m)
+    k, global_caim = 1, 0.0
+    remaining = sorted(range(1, m))
+    while remaining:
+        best_p, best_sum, best_caim = -1, 0.0, float("-inf")
+        for p in remaining:
+            j = bisect.bisect_left(accepted, p)
+            lo, hi = accepted[j - 1], accepted[j]
+            cand = sum_terms - term(lo, hi) + term(lo, p) + term(p, hi)
+            caim = cand / (k + 1)
+            if caim > best_caim:
+                best_caim, best_sum, best_p = caim, cand, p
+        if best_p >= 0 and (best_caim > global_caim or k < S):
+            bisect.insort(accepted, best_p)
+            remaining.remove(best_p)
+            sum_terms, global_caim, k = best_sum, best_caim, k + 1
+        else:
+            break
+    cuts = [(values[p - 1] + values[p]) / 2 for p in accepted if 0 < p < m]
+    res = [values[0]] + cuts + [values[-1]]
+    out = []
+    for x in res:
+        if x not in out:
+            out.append(x)
+    return out
+
+embt = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding", "label"]).to_pydict()
+n_classes = len(set(embt["label"]))
+fit_exp = []
+for fi in range(4):
+    hist = collections.Counter()
+    for e, y in zip(embt["embedding"], embt["label"]):
+        hist[(float(e[fi]), y)] += 1
+    values = sorted({v for v, _ in hist})
+    labels = sorted({str(y) for _, y in hist})
+    vidx = {v: i for i, v in enumerate(values)}
+    lidx = {l: i for i, l in enumerate(labels)}
+    counts = [[0] * len(labels) for _ in values]
+    for (v, y), cnt in hist.items():
+        counts[vidx[v]][lidx[str(y)]] += cnt
+    for bi, b in enumerate(greedy_select(values, counts, n_classes)):
+        fit_exp.append((f"f{fi + 1}", bi, round(b, 6)))
+got = sparkres("caim_fit")
+fit_got = [(f, b, round(x, 6)) for f, b, x in
+           zip(got["feature"], got["bin_idx"], got["boundary"])]
+ok = sorted(fit_got) == sorted(fit_exp)
+print(f"caim_fit: {'OK' if ok else 'MISMATCH'} ({len(fit_exp)} boundaries)")
+fails += 0 if ok else 1
+
 sys.exit(1 if fails else 0)
+
 
