@@ -217,6 +217,43 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally q.stop()
   }
 
+  test("foreachBatch fans one stream into two sinks with batch-id idempotence") {
+    // the production sink escape hatch: per micro-batch, arbitrary BATCH
+    // writes — here one stream lands in a raw parquet sink AND a
+    // per-type aggregate sink in the same foreachBatch, something no
+    // single writeStream format can do. The batch df is reused twice, so
+    // it is persisted for the scope of the batch.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = java.nio.file.Files.createTempDirectory("graft-feb-raw").toString
+    val agg = java.nio.file.Files.createTempDirectory("graft-feb-agg").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("event_id", "event_type").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        df.persist()
+        try {
+          df.write.mode("append").parquet(raw)
+          df.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(agg)
+        } finally { df.unpersist(); () }
+      }
+      .start()
+    try {
+      ms.addData((1L, "click"), (2L, "view"), (3L, "click"))
+      q.processAllAvailable()
+      ms.addData((4L, "view"))
+      q.processAllAvailable()
+      spark.read.parquet(raw).count() shouldBe 4L
+      val a = spark.read.parquet(agg)
+      // per-batch aggregates: batch 0 has click=2/view=1, batch 1 view=1
+      a.where(col("batch_id") === 0 && col("event_type") === "click")
+        .select("cnt").head().getLong(0) shouldBe 2L
+      a.where(col("batch_id") === 1 && col("event_type") === "view")
+        .select("cnt").head().getLong(0) shouldBe 1L
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow: process the backlog, terminate, resume incrementally") {
     // the production batch-over-stream pattern for a 100 TB ingest
     // directory: a scheduled job drains everything available, STOPS
