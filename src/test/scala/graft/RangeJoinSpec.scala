@@ -172,6 +172,33 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("optimizer rule converges on parquet-backed tables (no plan explosion)") {
+    // regression: the residual leg's fixed-point marker was an
+    // unreferenced projected column, which ColumnPruning (same optimizer
+    // batch) stripped — the rule then re-rewrote the residual join on
+    // EVERY batch iteration until the 100-iteration cap: ~200 Generate
+    // nodes and ~1600 plan lines for a two-table join. LocalRelation
+    // inputs hid it (ConvertToLocalRelation folds the residual leg), so
+    // this spec pins the parquet-backed shape the production path uses.
+    val dir = java.nio.file.Files.createTempDirectory("graft-rjconv").toString
+    val (e1r, e2r) = sides
+    e1r.select(col("a_id"), unix_micros(col("a_ts")).as("av")).write.parquet(s"$dir/a")
+    e2r.select(col("b_id"), unix_micros(col("b_ts")).as("bv")).write.parquet(s"$dir/b")
+    val a = spark.read.parquet(s"$dir/a")
+    val b = spark.read.parquet(s"$dir/b")
+    def q = a.join(b, col("bv") > col("av") && col("bv") <= col("av") + lit(60000000L))
+      .select("a_id", "b_id")
+    val off = q.count()
+    spark.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    try {
+      val plan = q.queryExecution.optimizedPlan.toString
+      plan should include("__graft_bin")
+      "Generate".r.findAllIn(plan).size shouldBe 1
+      "Join ".r.findAllIn(plan).size should be <= 2
+      q.count() shouldBe off
+    } finally spark.conf.unset("spark.graft.rangeJoin.rewrite")
+  }
+
   test("values above 2^53 bin exactly (no double round-trip in the bin key)") {
     import spark.implicits._
     // nanosecond-epoch magnitude: a quotient computed through double
