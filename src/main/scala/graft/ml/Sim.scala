@@ -203,8 +203,9 @@ object Sim {
     import org.apache.spark.ml.functions.array_to_vector
     val e0 = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val withVec = e0.withColumn("fv", array_to_vector(col("e")))
-    // scan-count job (column-pruned), only to size the training sample
-    val n = e0.count()
+    // scan-count job (column-pruned), only to size the training sample —
+    // skipped entirely when sampling is disabled (maxTrainRows <= 0)
+    val n = if (maxTrainRows > 0) e0.count() else 0L
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(trainSample(withVec, n, maxTrainRows, seed))
@@ -373,18 +374,24 @@ object Sim {
       pqThreshold: Long = 50000000L, pqM: Int = 8): DataFrame =
     if (!auto) bruteTopK(emb, k)
     else {
-      val n = emb.count()
+      // ONE column-pruned stats job decides the whole dispatch: row count
+      // for the tier, dim for the PQ subspace split (null-safe, like
+      // cosineLshPairs' probe) — separate count() and dim jobs would scan
+      // the corpus twice for statistics one aggregate carries
+      val stats = emb.agg(count(lit(1)),
+        coalesce(max(size(col("embedding"))), lit(0))).head()
+      val n = stats.getLong(0)
+      val dim = stats.getInt(1)
       if (n >= pqThreshold) {
         // ivfpqTopK requires dim % m == 0 — a 100- or 300-dim corpus with
         // the fixed default m=8 would throw mid-job. Pick the largest
-        // divisor of dim in [2, pqM]; if dim is prime (or 1), m=1 PQ is a
-        // single whole-vector codebook with no subspace structure, so
-        // fall back to plain IVF instead of degenerate PQ. Same null-safe
-        // dim probe as cosineLshPairs.
-        val dim = emb.where(col("embedding").isNotNull)
-          .agg(coalesce(max(size(col("embedding"))), lit(0)))
-          .head().getInt(0)
-        (pqM to 2 by -1).find(mm => dim > 0 && dim % mm == 0) match {
+        // divisor of dim in [2, min(pqM, dim/2)]: the dim/2 cap keeps
+        // every subspace at >= 2 dimensions, so a prime dim — or any dim
+        // whose only divisor <= pqM is itself — falls back to plain IVF
+        // instead of degenerate scalar-quantized "PQ" (m = dim, 1-dim
+        // subspaces: no product structure, just a worse IVF).
+        (math.min(pqM.toLong, dim / 2).toInt to 2 by -1)
+          .find(mm => dim % mm == 0) match {
           case Some(mm) => ivfpqTopK(emb, k, nCells, nprobe, m = mm)
           case None => ivfTopK(emb, k, nCells, nprobe)
         }

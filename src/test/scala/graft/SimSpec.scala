@@ -86,15 +86,17 @@ class SimSpec extends AnyFunSuite with SparkFixture with Matchers {
 
   test("auto PQ tier adapts m to the embedding dimension") {
     import spark.implicits._
-    // dim = 6: largest divisor <= 8 is 6 — the auto path must pick it
-    // instead of throwing on dim % 8 != 0 (the fixed-m=8 failure mode)
+    // dim = 6: divisor search runs [2, min(pqM, dim/2)] = [2, 3] → m = 3
+    // (2-dim subspaces) — the auto path must pick it instead of throwing
+    // on dim % 8 != 0 (the fixed-m=8 failure mode)
     val rnd = new scala.util.Random(11)
     val d6 = (1 to 40).map(i => (i.toLong, Array.fill(6)(rnd.nextFloat() - 0.5f)))
       .toDF("vec_id", "embedding")
     val hits6 = Sim.topK(d6, 3, auto = true, pqThreshold = 1, nCells = 4, nprobe = 4)
     hits6.count() should be > 0L
-    // dim = 7 (prime): no divisor in [2, 8] — fall back to plain IVF
-    // rather than degenerate single-subspace PQ; must not throw
+    // dim = 7 (prime): no divisor in [2, min(8, 3)] — the dim/2 cap is
+    // what keeps m = dim (1-dim "subspaces", no product structure) out,
+    // so this genuinely exercises the IVF fallback branch; must not throw
     val d7 = (1 to 40).map(i => (i.toLong, Array.fill(7)(rnd.nextFloat() - 0.5f)))
       .toDF("vec_id", "embedding")
     val hits7 = Sim.topK(d7, 3, auto = true, pqThreshold = 1, nCells = 4, nprobe = 4)
