@@ -46,10 +46,14 @@ object DedupIndex {
   }
 
   /** Candidate near-dup pairs between a new batch and an existing index,
-    * plus pairs WITHIN the batch: (a_id, b_id) with a_id from the batch.
-    * Cross pairs keep both orientations' ids as (batch, index); batch
-    * self-pairs are a_id < b_id. Docs present in both frames (re-ingest)
-    * self-pair suppress on id equality.
+    * plus pairs WITHIN the batch, as UNORDERED pairs normalized to
+    * a_id < b_id. Normalization matters when a doc is present in both
+    * frames (re-ingest): the batch×index join finds the pair in
+    * (batch, index) orientation and the batch self-join finds the same
+    * pair reversed — without least/greatest the distinct keeps both and
+    * every downstream exact re-rank scores the pair twice. Docs
+    * self-pair suppress on id equality; callers needing batch/index
+    * attribution join membership back on the ids.
     *
     * `maxBucket` caps the COMBINED (batch + index) bucket membership
     * before any pair is generated — the same skew contract as
@@ -74,7 +78,8 @@ object DedupIndex {
     val cross = b.as("a").join(ix.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
     val within = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

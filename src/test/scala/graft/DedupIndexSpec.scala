@@ -54,6 +54,24 @@ class DedupIndexSpec extends AnyFunSuite with SparkFixture with Matchers {
     a shouldBe b
   }
 
+  test("re-ingested docs emit each unordered pair exactly once") {
+    import spark.implicits._
+    // doc 4 lives in BOTH frames (re-ingest): the batch×index join finds
+    // (5,4) while the batch self-join finds (4,5) — without least/greatest
+    // normalization distinct() keeps both orientations and downstream
+    // re-ranks score the pair twice
+    val txt = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(1L, 4L, 5L).map(i => (i, txt)).toDF("doc_id", "text")
+    val sh = graft.queries.Llm.shingleArrays(d)
+    val batch = DedupIndex.bandTable(sh.where(col("doc_id") >= 4))
+    val index = DedupIndex.bandTable(sh.where(col("doc_id") <= 4))
+    val got = DedupIndex.candidates(batch, index).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (a, b) => a should be < b }
+    got.toSet shouldBe Set((1L, 4L), (1L, 5L), (4L, 5L))
+    got.length shouldBe 3
+  }
+
   test("bucket cap bounds combined batch+index fan-out") {
     import spark.implicits._
     // 20 identical docs split 15 index / 5 batch: every band collapses to
