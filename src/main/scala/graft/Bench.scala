@@ -104,10 +104,13 @@ object Bench {
     // a failed detail write (read-only cwd, whatever) must NOT take the
     // stdout line down with it — the line is the driver's only signal,
     // and by this point every query has already run and been paid for
+    // Files.write, not PrintWriter: PrintWriter swallows IO errors into an
+    // internal flag, so a partial write (disk full) would leave truncated
+    // JSON while stdout advertises the path as valid
     val detailTag =
       try {
-        val w = new java.io.PrintWriter(detailPath, "UTF-8")
-        try w.println(detail) finally w.close()
+        java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+          (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         detailPath
       } catch {
         case e: Exception =>

@@ -260,6 +260,28 @@ for fi in range(4):
     counts = [[0] * len(labels) for _ in values]
     for (v, y), cnt in hist.items():
         counts[vidx[v]][lidx[str(y)]] += cnt
+    # CAIMDiscretizer compresses candidates to a maxCandidates (32768)
+    # equal-frequency grid over the distinct values before the greedy —
+    # mirror it (same ntile arithmetic, bucket represented by its max)
+    # or the port silently diverges at SFs where a feature exceeds the cap
+    MAXC = 32768
+    if len(values) > MAXC:
+        nd = len(values)
+        basec, rem = divmod(nd, MAXC)
+        def bucket_of(r):
+            if r <= rem * (basec + 1):
+                return (r - 1) // (basec + 1) + 1
+            return rem + (r - 1 - rem * (basec + 1)) // basec + 1
+        merged = {}
+        for i, v in enumerate(values):
+            bkt = bucket_of(i + 1)
+            slot = merged.setdefault(bkt, [v, [0] * len(labels)])
+            slot[0] = v  # ascending scan: last write is the bucket max
+            for s in range(len(labels)):
+                slot[1][s] += counts[i][s]
+        ordered = [merged[bkt] for bkt in sorted(merged)]
+        values = [v for v, _ in ordered]
+        counts = [cs for _, cs in ordered]
     for bi, b in enumerate(greedy_select(values, counts, n_classes)):
         fit_exp.append((f"f{fi + 1}", bi, round(b, 6)))
 got = sparkres("caim_fit")
