@@ -76,6 +76,52 @@ class PackSpec extends AnyFunSuite with SparkFixture with Matchers {
       partitions = 1).toDF(), capacity)._4 shouldBe 1.0
   }
 
+  test("property: invariants hold on random corpora, capacities, partitionings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // random doc-length distributions (uniform short, heavy-tailed, with
+    // oversize spikes), random capacities and partition counts: capacity
+    // respected for non-oversize bins, every doc packed exactly once,
+    // oversize docs isolated, assignment deterministic
+    val caseGen: Gen[(List[Long], Long, Int)] = for {
+      cap <- Gen.choose(16L, 400L)
+      n <- Gen.choose(1, 120)
+      docs <- Gen.listOfN(n, Gen.frequency(
+        7 -> Gen.choose(1L, cap),
+        2 -> Gen.choose(1L, math.max(1L, cap / 8)),
+        1 -> Gen.choose(cap, cap * 3)))
+      parts <- Gen.choose(1, 6)
+    } yield (docs, cap, parts)
+    val params = Gen.Parameters.default
+    var run = 0
+    var seedNo = 0L
+    while (run < 25 && seedNo < 500) {
+      caseGen.apply(params, Seed(seedNo)).foreach { case (docLens, cap, parts) =>
+        val df = docLens.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "n_toks")
+        val packed = Pack.firstFit(df, "doc_id", "n_toks", cap, partitions = parts)
+          .collect()
+        withClue(s"seed=$seedNo cap=$cap parts=$parts: ") {
+          // exactly once
+          packed.map(_._1).sorted shouldBe docLens.indices.map(_.toLong).toArray
+          val byBin = packed.groupBy(_._3)
+          byBin.values.foreach { bin =>
+            val tot = bin.map(_._2).sum
+            if (bin.exists(_._2 >= cap)) bin.length shouldBe 1 // oversize isolated
+            else tot should be <= cap
+          }
+          // deterministic under re-partitioned input
+          Pack.firstFit(df.repartition(3), "doc_id", "n_toks", cap,
+            partitions = parts).collect().sortBy(_._1) shouldBe packed.sortBy(_._1)
+        }
+        run += 1
+      }
+      seedNo += 1
+    }
+    run should be >= 20
+  }
+
   test("null and non-positive lengths are dropped, not packed") {
     import spark.implicits._
     val docs = Seq((1L, Some(10L)), (2L, None), (3L, Some(0L)), (4L, Some(-5L)))
