@@ -46,6 +46,57 @@ class ContaminationSpec extends AnyFunSuite with SparkFixture with Matchers {
       .count() shouldBe 0L
   }
 
+  test("property: hits/attribution equal an in-memory brute force on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // tiny vocabulary forces real window collisions between random docs;
+    // expected values come from a direct set computation independent of
+    // the hashed-inverted-index dataflow
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij")
+    val docGen = Gen.choose(1, 14).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val caseGen: Gen[(List[String], List[String], Int)] = for {
+      nTrain <- Gen.choose(1, 10)
+      nEval <- Gen.choose(1, 8)
+      train <- Gen.listOfN(nTrain, docGen)
+      ev <- Gen.listOfN(nEval, docGen)
+      ng <- Gen.choose(2, 4)
+    } yield (train, ev, ng)
+    val params = Gen.Parameters.default
+    var run = 0
+    var seedNo = 0L
+    while (run < 20 && seedNo < 400) {
+      caseGen.apply(params, Seed(seedNo)).foreach { case (trainTxt, evalTxt, ng) =>
+        def windows(t: String): Seq[Seq[String]] =
+          t.split(" ").toSeq.sliding(ng).filter(_.length == ng).toSeq
+        val trainW = trainTxt.zipWithIndex.flatMap { case (t, i) =>
+          windows(t).map(w => w -> i.toLong)
+        }
+        val trainByW = trainW.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val expected = evalTxt.zipWithIndex.map { case (t, i) =>
+          val ws = windows(t)
+          val hits = ws.distinct.filter(trainByW.contains)
+          val attrib = hits.flatMap(trainByW(_)).toSet
+          (i.toLong + 100, ws.length.toLong, hits.length.toLong,
+            attrib.size.toLong, hits.nonEmpty)
+        }.sortBy(_._1)
+        val trainDf = trainTxt.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val evalDf = evalTxt.zipWithIndex.map { case (t, i) => (i.toLong + 100, t) }
+          .toDF("doc_id", "text")
+        val got = Contamination.ngramHits(trainDf, evalDf, ng)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getBoolean(4))).toSeq
+        withClue(s"seed=$seedNo n=$ng: ") { got shouldBe expected }
+        run += 1
+      }
+      seedNo += 1
+    }
+    run should be >= 15
+  }
+
   test("no text crosses the join: both sides carry hashed windows only") {
     import spark.implicits._
     val train = T.t(spark, sf001, "documents").select("doc_id", "text")
