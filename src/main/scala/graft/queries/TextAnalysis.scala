@@ -202,6 +202,39 @@ object TextAnalysis {
           max(col("c")).as("top_rep"))
         .orderBy("doc_id")),
 
+    // corpus-level boilerplate signal (round 8) — the CCNet/RefinedWeb cut
+    // neither text_repetition (within-doc multiplicity) nor
+    // contamination_check (directional train→eval) covers: per doc, the
+    // share of its DISTINCT 5-gram windows that also occur in at least one
+    // OTHER document. Plan: window explode (the Contamination slice idiom)
+    // → per-doc distinct windows (persisted once, read by both consumers)
+    // → doc-frequency hash agg keyed on the window → equi-join back on the
+    // SAME key, so the probe reuses the DF agg's shuffle partitioning and
+    // the join adds no extra exchange. df >= 2 means "seen in another doc"
+    // because the window table is distinct per (doc, w). At 100 TB the
+    // identical plan runs keyed on xxhash64(w) (the minhashCandidates
+    // payload compaction — 8-byte keys instead of window text in both
+    // exchanges); the declared query keys on the window text so the DuckDB
+    // oracle is value-identical by construction, not modulo hash collisions.
+    "text_boilerplate" -> ((s, sf) => {
+      val tr = new graft.operators.Tracked
+      val win = tr.persist(t(s, sf, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .where(size(col("tk")) >= 5)
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(0, size(tk) - 5)")).as("i"))
+        .select(col("doc_id"), expr("concat_ws(' ', slice(tk, i + 1, 5))").as("w"))
+        .distinct())
+      val docFreq = win.groupBy("w").agg(count(lit(1)).as("df"))
+      tr.seal(win.join(docFreq, "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"),
+            round(sum(when(col("df") >= 2, 1L).otherwise(0L)) / count(lit(1)), 6)
+              .as("shared_frac")))
+        .orderBy("doc_id")
+    }),
+
     // custom Catalyst Generator: character 3-gram counts (the §2.12
     // stretch UDTF, registered via SparkSessionExtensions)
     "udtf_char_ngrams" -> ((s, sf) =>
@@ -300,6 +333,20 @@ object TextAnalysis {
            round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_frac,
            CAST(max(c) AS BIGINT) AS top_rep
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "text_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents WHERE len(string_split(text, ' ')) >= 5),
+           win AS (SELECT DISTINCT doc_id, w FROM (
+                     SELECT doc_id, unnest(
+                       [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+                        for i in range(1, len(tk) - 3)]) AS w
+                     FROM tok)),
+           df AS (SELECT w, count(*) AS df FROM win GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS shared_frac
+         FROM win JOIN df USING (w)
+         GROUP BY doc_id ORDER BY doc_id""",
     "udtf_char_ngrams" ->
       """SELECT g, count(*) AS cnt FROM (
            SELECT unnest([substring(text, i, 3) for i in range(1, length(text) - 1)]) AS g

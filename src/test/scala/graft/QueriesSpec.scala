@@ -79,6 +79,27 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     strat shouldBe expKept
   }
 
+  test("text_boilerplate matches an in-memory brute force over the corpus") {
+    // independent recompute: Scala collections, no Spark dataflow — the
+    // distinct-window DF join has to agree with a direct set computation
+    val docs = T.t(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val wins = docs.collect { case (id, tk) if tk.length >= 5 =>
+      id -> (0 to tk.length - 5).map(i => tk.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val df = wins.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val exp = wins.map { case (id, ws) =>
+      val shared = ws.count(df(_) >= 2)
+      (id, ws.size.toLong, shared.toLong,
+        BigDecimal(shared.toDouble / ws.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("text_boilerplate")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    got shouldBe exp
+  }
+
   test("every query result is invariant to shuffle parallelism") {
     // the distributed-correctness property (SURVEY §5.3): rerunning any
     // query with different shuffle partitioning must be bit-identical.
