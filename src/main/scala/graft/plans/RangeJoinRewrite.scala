@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -115,49 +115,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def fdiv(x: Expression, w: Long): Expression =
     IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))
 
-  /** Fixed-point guard, part 2: a join child produced by THIS rule. The
-    * bin-attribute check below covers the main (banded) leg, but the
-    * residual leg's output is indistinguishable from the original join's
-    * after ColumnPruning strips any unreferenced marker column — an
-    * output-based marker is NOT stable across the operator-optimization
-    * batch's own rules, and a stripped marker meant the residual leg was
-    * re-rewritten on every batch iteration until the 100-iteration cap
-    * (~100 duplicated join legs; correct results, exploded plan). Instead
-    * the guard keys on something the rewrite itself plants and no
-    * optimizer rule removes: a Filter mentioning the ±2^61 anchor-cap
-    * literals, which exists in BOTH legs' anchor children (in-range on the
-    * banded leg, out-of-range on the residual). A user query filtering on
-    * exactly ±2^61 also declines the rewrite — acceptable: that query is
-    * already playing at the overflow boundary the rewrite must avoid.
-    * The subtree search is deliberately DEEP (predicate pushdown can sink
-    * the planted filter arbitrarily far down), which makes the guard
-    * conservative: in a multi-join query, an outer band join whose child
-    * already contains a rewritten join declines its own rewrite and runs
-    * as written. Safe-by-default for a flag-gated rule — an exploded plan
-    * is worse than one unrewritten join.
-    */
-  private def hasAnchorCapFilter(p: LogicalPlan): Boolean = {
-    val cap = 1L << 61
-    p.exists {
-      case f: Filter => f.condition.exists {
-        case Literal(v: Long, LongType) => v == cap || v == -cap
-        case _ => false
-      }
-      case _ => false
-    }
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!SQLConf.get.getConfString(Flag, "false").toBoolean) return plan
     plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), hint)
-          // fixed-point guard: the rewrite keeps the original conjuncts as
-          // residual, so a rewritten join still matches the pattern — the
-          // bin attributes mark the banded leg, the anchor-cap filter
-          // marks both legs (see hasAnchorCapFilter)
+          // Fixed-point guard: the rewrite keeps the original conjuncts as
+          // residual predicates, so both produced joins still contain the
+          // band pattern — each leg carries its own terminal marker.
+          // Banded leg: the bin attributes in its children's output
+          // (referenced by the join condition, so ColumnPruning keeps
+          // them). Residual leg: its join TYPE is Cross — semantically
+          // identical to Inner under the same condition (physical
+          // planning, predicate pushdown, and empty-relation propagation
+          // all treat InnerLike uniformly), but this rule matches Inner
+          // only, so the leg can never re-enter the rewrite. The type
+          // marker lives on the node itself, which every optimizer rule
+          // preserves when reconstructing joins — unlike the round-8
+          // planted-filter marker, whose deep subtree search made an
+          // outer band join above an already-rewritten join decline its
+          // own rewrite. Multi-join queries now rewrite every eligible
+          // band join (RangeJoinSpec pins the chained shape).
           if !j.children.exists(c =>
-            c.output.exists(_.name.startsWith("__graft_bin")) ||
-              hasAnchorCapFilter(c)) =>
+            c.output.exists(_.name.startsWith("__graft_bin"))) =>
         // a lower bound `value > anchor + lo` paired with an upper bound
         // `value <= anchor + hi` over the SAME (anchor, value) expressions,
         // anchor and value each sided entirely on one (opposite) child
@@ -225,18 +204,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             else (proj: LogicalPlan, gen: LogicalPlan)
           val newCond = And(EqualTo(binL, binR.toAttribute), cond)
           val mainLeg = Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
-          // residual leg: out-of-range/null anchors, original predicate.
-          // Its out-of-range Filter carries the ±2^61 cap literals, which
-          // is what trips hasAnchorCapFilter on the next batch iteration —
-          // a marker COLUMN would be stripped by ColumnPruning (it is
-          // unreferenced above) and the leg would be re-rewritten every
-          // iteration until the fixed-point cap. Sharing subtrees (and
-          // output exprIds) across union legs is the df.union(df) shape —
-          // legs are independent scopes, no cross-references.
+          // residual leg: out-of-range/null anchors, original predicate —
+          // UNCHANGED long arithmetic, so flag-on reproduces flag-off
+          // exactly even where anchor+offset wraps (non-ANSI) or throws
+          // (ANSI). Joined as Cross: same semantics as Inner with this
+          // condition, but terminal for this rule (see the match guard).
+          // Sharing subtrees (and output exprIds) across union legs is
+          // the df.union(df) shape — legs are independent scopes, no
+          // cross-references.
           val resChild = Filter(Or(IsNull(low0.anchor), Not(inRange)), anchorChild)
           val (rl, rr) = if (anchorOnLeft) (resChild: LogicalPlan, valueChild)
             else (valueChild, resChild: LogicalPlan)
-          val resLeg = Project(j.output, Join(rl, rr, Inner, Some(cond), hint))
+          val resLeg = Project(j.output, Join(rl, rr, Cross, Some(cond), hint))
           Union(Seq(mainLeg, resLeg))
         }
         rewritten.getOrElse(j)

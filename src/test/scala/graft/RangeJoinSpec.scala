@@ -172,6 +172,44 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("optimizer rule rewrites EVERY band join in a multi-join chain") {
+    // round-8 limitation lifted: the old planted-filter fixed-point marker
+    // was searched arbitrarily deep, so an outer band join above an
+    // already-rewritten join declined its own rewrite. The residual leg is
+    // now typed Cross (semantically Inner, but unmatchable by the rule),
+    // the deep search is gone, and a chained a⋈b⋈c band query must show
+    // TWO banded joins — two Generates — while still converging and
+    // returning the naive result.
+    val (e1r, e2r) = sides
+    val e1 = e1r.select(col("a_id"), col("user_id"), unix_micros(col("a_ts")).as("av"))
+    val e2 = e2r.select(col("b_id"), col("u2"), unix_micros(col("b_ts")).as("bv"))
+    val e3 = events.select(col("event_id").as("c_id"), col("user_id").as("u3"),
+      unix_micros(col("ts")).as("cv"))
+    def q = e1.join(e2, col("user_id") === col("u2") &&
+        col("bv") > col("av") && col("bv") <= col("av") + lit(7200000000L))
+      .join(e3, col("u2") === col("u3") &&
+        col("cv") > col("bv") && col("cv") <= col("bv") + lit(7200000000L))
+      .select("a_id", "b_id", "c_id")
+    val off = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    off should not be empty
+    spark.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    try {
+      val plan = q.queryExecution.optimizedPlan.toString
+      // both joins banded; the outer residual leg duplicates the inner
+      // Union subtree (the df.union(df) shape), so the inner Generate
+      // appears twice: 1 outer + 2 inner copies. Plan size is 2^k legs
+      // for k chained band joins — but each residual copy carries the
+      // out-of-range anchor filter pushed to its scans, so the duplicate
+      // legs are runtime-empty and AQE-collapsed; data cost stays linear.
+      "Generate".r.findAllIn(plan).size shouldBe 3
+      "Join Cross".r.findAllIn(plan).size shouldBe 3
+      // terminal: 6 joins total (outer banded+residual, inner pair ×2
+      // copies) — NOT the ~100-leg fixed-point-cap explosion
+      "Join ".r.findAllIn(plan).size shouldBe 6
+      q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe off
+    } finally spark.conf.unset("spark.graft.rangeJoin.rewrite")
+  }
+
   test("optimizer rule converges on parquet-backed tables (no plan explosion)") {
     // regression: the residual leg's fixed-point marker was an
     // unreferenced projected column, which ColumnPruning (same optimizer
