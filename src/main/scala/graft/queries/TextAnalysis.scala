@@ -209,8 +209,11 @@ object TextAnalysis {
     // OTHER document. Plan: window explode (the Contamination slice idiom)
     // → per-doc distinct windows (persisted once, read by both consumers)
     // → doc-frequency hash agg keyed on the window → equi-join back on the
-    // SAME key, so the probe reuses the DF agg's shuffle partitioning and
-    // the join adds no extra exchange. df >= 2 means "seen in another doc"
+    // SAME key: the DF-agg side enters the join exchange-free (already
+    // w-partitioned); the probe side pays one hash exchange on w. The DF
+    // is a COUNT, not a collected doc set — a boilerplate window shared by
+    // a billion docs costs a long, not a bag (the collect_set one-shuffle
+    // alternative is the skew trap). df >= 2 means "seen in another doc"
     // because the window table is distinct per (doc, w). At 100 TB the
     // identical plan runs keyed on xxhash64(w) (the minhashCandidates
     // payload compaction — 8-byte keys instead of window text in both
