@@ -9,7 +9,8 @@ set Jaccard), caim_criterion (20-bin quanta + CAIM), join_asof (latest
 signup at-or-before each purchase), stream_join (view->purchase interval
 join), agg_percentile (linear-interpolated quantiles), agg_stats
 (decimal-co-moment mean/stddev/corr), text_repetition (3-gram window
-multiset stats), profile_table (per-column null/distinct/min/max),
+multiset stats), text_boilerplate (corpus-level shared-5-gram fraction),
+profile_table (per-column null/distinct/min/max),
 caim_fit (the full greedy CAIM fit, ported line-for-line).
 
 Usage: python3 tools/independent_check.py <sfDir> <verifyOutDir>
@@ -180,6 +181,24 @@ ok = {d: (g, n, round(f, 6), t) for d, g, n, f, t in
       zip(got["doc_id"], got["n_grams"], got["n_distinct"],
           got["dup_frac"], got["top_rep"])} == rep_exp
 print(f"text_repetition: {'OK' if ok else 'MISMATCH'} ({len(rep_exp)} docs)")
+fails += 0 if ok else 1
+
+# text_boilerplate: corpus-level shared-5-gram-window fraction (round 8)
+bp_wins = {}
+for did, text in zip(docs["doc_id"], docs["text"]):
+    tk = text.split(" ")
+    if len(tk) >= 5:
+        bp_wins[did] = set(" ".join(tk[i:i + 5]) for i in range(len(tk) - 4))
+bp_df = collections.Counter(w for ws in bp_wins.values() for w in ws)
+bp_exp = {}
+for did, ws in bp_wins.items():
+    shared = sum(1 for w in ws if bp_df[w] >= 2)
+    bp_exp[did] = (len(ws), shared, round(shared * 1.0 / len(ws), 6))
+got = sparkres("text_boilerplate")
+ok = {d: (w, s, round(f, 6)) for d, w, s, f in
+      zip(got["doc_id"], got["n_windows"], got["n_shared"],
+          got["shared_frac"])} == bp_exp
+print(f"text_boilerplate: {'OK' if ok else 'MISMATCH'} ({len(bp_exp)} docs)")
 fails += 0 if ok else 1
 
 # profile_table: per-column null/distinct/min/max (round 8)
