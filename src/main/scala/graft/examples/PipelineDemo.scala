@@ -10,6 +10,7 @@ import graft.queries.{Llm, TextAnalysis}
   * — the "switch from the reference" usage demonstration:
   *
   *   documents ─ exact dedup ─ near-dup dedup (jaccard survivors)
+  *             ─ boilerplate cut (shared-window fraction, hashed path)
   *             ─ quality filter ─ language-ID ─ token counts/fingerprint
   *   embeddings ─ CAIM-discretized features joined on doc cardinality
   *
@@ -40,6 +41,19 @@ object PipelineDemo {
       .where(col("doc_id") === col("keep"))
       .drop("h", "keep")
 
+    // 1b. corpus-level boilerplate signal (the hashed 100 TB path of
+    // text_boilerplate). Computed FIRST on the shared Tracked:
+    // boilerplateStats SEALS its result, and seal frees every
+    // intermediate registered so far — so it must run before the
+    // jaccard/cluster kernels register caches the later stages still
+    // read (the Tracked contract: one handle, sequential stages only).
+    // Docs whose distinct 5-gram windows are ≳95% shared with other
+    // docs are near-total boilerplate that pairwise near-dup can miss
+    // below its τ; they are cut in the final filter below.
+    val bp = TextAnalysis.boilerplateStats(docs.select("doc_id", "text"),
+      hashKeys = true, tr)
+      .select(col("doc_id"), col("shared_frac"))
+
     // 2. near-dup dedup, TRANSITIVE: jaccard pairs → connected components →
     // survivor materialization, all through the library kernels with the
     // CALLER's Tracked (chains (a,b),(b,c) collapse to ONE survivor, which
@@ -59,7 +73,11 @@ object PipelineDemo {
 
     deduped
       .join(quality, "doc_id").join(lang, "doc_id").join(toks, "doc_id").join(fp, "doc_id")
-      .where(col("quality") >= 0.3)
+      // LEFT join: docs under 5 tokens have no windows, hence no bp row —
+      // no 5-gram evidence means "not boilerplate", never a silent drop
+      .join(bp, Seq("doc_id"), "left")
+      .withColumn("shared_frac", coalesce(col("shared_frac"), lit(0.0)))
+      .where(col("quality") >= 0.3 && col("shared_frac") < 0.95)
       .orderBy("doc_id")
   }
 

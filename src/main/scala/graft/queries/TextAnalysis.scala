@@ -62,6 +62,38 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Corpus-level shared-5-gram-window stats — the kernel behind
+    * `text_boilerplate`. `hashKeys = false` keys every exchange on the
+    * window TEXT (declared-query mode: the DuckDB oracle is
+    * value-identical by construction). `hashKeys = true` is the 100 TB
+    * sibling: windows collapse to `xxhash64(w)` BEFORE the distinct, so
+    * all three exchanges (distinct, doc-frequency agg, join probe) carry
+    * only longs — the same payload compaction as the Jaccard kernel.
+    * A 64-bit collision can merge two windows (ANN-style tolerance,
+    * vanishing at 2^-64 per pair); QueriesSpec pins value-identity of
+    * the two paths on the fixture corpus and long-only exchanges.
+    */
+  private[graft] def boilerplateStats(docs: org.apache.spark.sql.DataFrame,
+      hashKeys: Boolean, tr: graft.operators.Tracked): org.apache.spark.sql.DataFrame = {
+    val winText = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 5)
+      .select(col("doc_id"), col("tk"),
+        explode(expr("sequence(0, size(tk) - 5)")).as("i"))
+      .select(col("doc_id"), expr("concat_ws(' ', slice(tk, i + 1, 5))").as("w"))
+    val keyed =
+      if (hashKeys) winText.select(col("doc_id"), xxhash64(col("w")).as("w"))
+      else winText
+    val win = tr.persist(keyed.distinct())
+    val docFreq = win.groupBy("w").agg(count(lit(1)).as("df"))
+    tr.seal(win.join(docFreq, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"),
+        round(sum(when(col("df") >= 2, 1L).otherwise(0L)) / count(lit(1)), 6)
+          .as("shared_frac")))
+  }
+
   val queries: Map[String, Q] = Map(
     // language-ID: occurrence counts against per-language marker sets,
     // deterministic fixed-order argmax
@@ -221,20 +253,7 @@ object TextAnalysis {
     // oracle is value-identical by construction, not modulo hash collisions.
     "text_boilerplate" -> ((s, sf) => {
       val tr = new graft.operators.Tracked
-      val win = tr.persist(t(s, sf, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .where(size(col("tk")) >= 5)
-        .select(col("doc_id"), col("tk"),
-          explode(expr("sequence(0, size(tk) - 5)")).as("i"))
-        .select(col("doc_id"), expr("concat_ws(' ', slice(tk, i + 1, 5))").as("w"))
-        .distinct())
-      val docFreq = win.groupBy("w").agg(count(lit(1)).as("df"))
-      tr.seal(win.join(docFreq, "w")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_windows"),
-            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"),
-            round(sum(when(col("df") >= 2, 1L).otherwise(0L)) / count(lit(1)), 6)
-              .as("shared_frac")))
+      boilerplateStats(t(s, sf, "documents"), hashKeys = false, tr)
         .orderBy("doc_id")
     }),
 

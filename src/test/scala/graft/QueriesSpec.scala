@@ -100,6 +100,48 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     got shouldBe exp
   }
 
+  test("hashed boilerplate path: identical values, long-only exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val trA = new graft.operators.Tracked
+    val trB = new graft.operators.Tracked
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = T.t(spark, sf001, "documents")
+      val text = graft.queries.TextAnalysis
+        .boilerplateStats(docs, hashKeys = false, trA)
+      val hashed = graft.queries.TextAnalysis
+        .boilerplateStats(docs, hashKeys = true, trB)
+      // the scale sibling must agree value-for-value on the fixture (no
+      // 64-bit collisions on this corpus — the documented tolerance)
+      hashed.orderBy("doc_id").collect() shouldBe
+        text.orderBy("doc_id").collect()
+      // and the ~25-byte window strings never cross an exchange: the
+      // distinct, the doc-frequency agg, and the join probe all shuffle
+      // bare longs (the dominant shuffle on a real corpus). The sealed
+      // result and the window table are persisted, so the real plan
+      // hides behind InMemoryTableScan nodes — recurse through cached
+      // plans to reach every exchange in the dataflow.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def allExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p.collect {
+        case e: ShuffleExchangeExec => Seq(e)
+        case s: InMemoryTableScanExec => allExchanges(s.relation.cachedPlan)
+      }.flatten
+      val exchanges = allExchanges(hashed.queryExecution.executedPlan)
+      exchanges should not be empty
+      exchanges.foreach { e =>
+        withClue(s"exchange ${e.output.map(_.name)}: ") {
+          e.output.exists(_.dataType == StringType) shouldBe false
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      trA.release(); trB.release()
+    }
+  }
+
   test("every query result is invariant to shuffle parallelism") {
     // the distributed-correctness property (SURVEY §5.3): rerunning any
     // query with different shuffle partitioning must be bit-identical.
