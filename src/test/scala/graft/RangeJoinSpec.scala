@@ -266,6 +266,53 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
     got shouldBe Set((1L, 10L), (2L, 11L))
   }
 
+  test("property: flag-on rewrite equals wrap-exact brute force at any magnitude") {
+    import spark.implicits._
+    // the rewrite's total contract: flag-on returns exactly what the
+    // naive join returns, for anchors ANYWHERE in long range — banded
+    // leg inside (−2^61, 2^61), residual (Cross) leg outside it. The
+    // expected side recomputes the predicate with plain Scala Long
+    // arithmetic, which WRAPS exactly like Spark's non-ANSI Add — so
+    // this pins wrap-for-wrap equivalence, not mathematical comparison
+    // (the decimal-residual design this round rejected would fail here).
+    val caseGen: Gen[(List[Long], List[Long], Long, Long)] = for {
+      scale <- Gen.oneOf(0L, 1000000L, (1L << 61) - 30L, -(1L << 61) - 30L,
+        Long.MaxValue - 60L, Long.MinValue + 60L)
+      lvs <- Gen.listOfN(10, Gen.choose(-50L, 50L).map(x => scale + x))
+      rvs <- Gen.listOfN(10, Gen.choose(-50L, 50L).map(x => scale + x))
+      lo <- Gen.choose(-20L, 15L)
+      span <- Gen.choose(1L, 40L)
+    } yield (lvs, rvs, lo, lo + span)
+    val params = Gen.Parameters.default
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    try {
+      var run = 0
+      var seedNo = 0L
+      while (run < 45 && seedNo < 1000) {
+        caseGen.apply(params, Seed(seedNo)).foreach { case (lvs, rvs, lo, hi) =>
+          val l = lvs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "av")
+          val r = rvs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "bv")
+          val got = l.join(r,
+              col("bv") > col("av") + lit(lo) && col("bv") <= col("av") + lit(hi))
+            .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+          val want = (for {
+            (lv, li) <- lvs.zipWithIndex
+            (rv, ri) <- rvs.zipWithIndex
+            if rv > lv + lo && rv <= lv + hi // Long wrap, like non-ANSI Add
+          } yield (li.toLong, ri.toLong)).toSet
+          withClue(s"seed=$seedNo lo=$lo hi=$hi: ") { got shouldBe want }
+          run += 1
+        }
+        seedNo += 1
+      }
+      run should be >= 40
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.rewrite")
+      spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
   test("property: banded join equals the in-memory brute force on random inputs") {
     import spark.implicits._
     // random magnitudes mix small, NEGATIVE (the -1M scale — values are
