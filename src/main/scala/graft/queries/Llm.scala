@@ -176,6 +176,40 @@ object Llm {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
         .orderBy("h")),
 
+    // URL-canonicalization dedup (round 8) — the provenance-level dedup a
+    // web corpus runs BEFORE any content pass: the same page crawled as
+    // http:// vs https://, mixed-case host, tracking params (utm_*), or a
+    // fragment is one document. Synthetic URLs are fabricated per doc with
+    // all four noise axes (the text_redact fabricate-then-operate
+    // pattern), canonicalized by rebuild — forced https, lowercased host,
+    // path kept verbatim, content param p kept, tracking/fragment dropped
+    // — then collapsed to the min-doc_id survivor per canonical URL.
+    // Pure map stage + one count-only hash agg: at 100 TB this is the
+    // cheapest dedup tier (no text ever shuffles, just short URLs), which
+    // is WHY crawl pipelines run it first. Regexes stay in the common
+    // Java-regex ∩ RE2 dialect so the oracle is semantics-identical.
+    "dedup_url" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .withColumn("url", concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("http://"))
+            .otherwise(lit("https://")),
+          when(pmod(col("doc_id"), lit(3)) === 0, upper(col("source")))
+            .otherwise(col("source")),
+          lit(".Example.COM/"), col("lang"), lit("/doc-"),
+          pmod(col("doc_id"), lit(50)),
+          lit("?p="), pmod(col("doc_id"), lit(5)),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("&utm_source=feed"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("#frag"))
+            .otherwise(lit(""))))
+        .withColumn("canon", concat(lit("https://"),
+          lower(regexp_extract(col("url"), "^https?://([^/]+)/", 1)),
+          regexp_extract(col("url"), "^https?://[^/]+(/[^?#]*)", 1),
+          lit("?p="), regexp_extract(col("url"), "[?&]p=([0-9]+)", 1)))
+        .groupBy("canon")
+        .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_dups"))
+        .orderBy("canon")),
+
     // exact n-gram (3-shingle) Jaccard near-dup pairs, tau = 0.5 (kernel:
     // [[jaccardPairs]]). Sealed BEFORE the oracle's global sort so the
     // range-partition sampling job reads the cache instead of re-running
@@ -526,6 +560,23 @@ object Llm {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
          FROM documents GROUP BY 1 ORDER BY h""",
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
+           (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+           '.Example.COM/' || lang || '/doc-' || CAST(doc_id % 50 AS VARCHAR) ||
+           '?p=' || CAST(doc_id % 5 AS VARCHAR) ||
+           (CASE WHEN doc_id % 4 = 0 THEN '&utm_source=feed' ELSE '' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+         FROM documents),
+       c AS (SELECT doc_id,
+           'https://' || lower(regexp_extract(url, '^https?://([^/]+)/', 1)) ||
+           regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) ||
+           '?p=' || regexp_extract(url, '[?&]p=([0-9]+)', 1) AS canon
+         FROM u)
+       SELECT canon, CAST(min(doc_id) AS BIGINT) AS survivor,
+         CAST(count(*) AS BIGINT) AS n_dups
+       FROM c GROUP BY canon ORDER BY canon""",
     "dedup_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
            sh AS (SELECT doc_id, unnest(list_distinct(

@@ -92,6 +92,22 @@ object Scalars {
     // PATH / QUERY(key) semantics are cross-validated, not assumed.
     // Narrow per-row map stage at any scale. NULL lang/source → NULL url
     // → NULL parts, identically in both engines.
+    // struct construction / field access / ordered-struct aggregation
+    // (round 8): the deterministic arg-max idiom — max over a struct
+    // compares field-by-field in declaration order, so (price, key) picks
+    // the highest-price order per customer with ties broken by key,
+    // where max_by alone is tie-nondeterministic (§5.4 would forbid it).
+    // One map-side-combined hash agg carrying a 16-byte struct buffer.
+    "fn_struct" -> ((s, sf) =>
+      t(s, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+            .as("best"),
+          count(lit(1)).as("n"))
+        .select(col("o_custkey"), col("best.p").as("best_price"),
+          col("best.k").as("best_order"), col("n"))
+        .orderBy("o_custkey")),
+
     "fn_url" -> ((s, sf) =>
       t(s, sf, "documents")
         .withColumn("url", concat(lit("https://"), col("source"),
@@ -173,6 +189,14 @@ object Scalars {
          round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
          count(*) AS cnt
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "fn_struct" ->
+      """WITH b AS (SELECT o_custkey,
+           max(struct_pack(p := o_totalprice, k := o_orderkey)) AS best,
+           count(*) AS n
+         FROM orders GROUP BY 1)
+       SELECT o_custkey, best.p AS best_price, CAST(best.k AS BIGINT) AS best_order,
+         CAST(n AS BIGINT) AS n
+       FROM b ORDER BY o_custkey""",
     "fn_url" ->
       """WITH u AS (SELECT doc_id,
              'https://' || source || '.example.com/' || lang || '/doc-' ||
