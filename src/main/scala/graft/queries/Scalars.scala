@@ -92,6 +92,22 @@ object Scalars {
     // PATH / QUERY(key) semantics are cross-validated, not assumed.
     // Narrow per-row map stage at any scale. NULL lang/source → NULL url
     // → NULL parts, identically in both engines.
+    // binary / encoding surface (round 8) — the provenance toolkit for
+    // opaque binary columns (multimodal payload manifests, content
+    // addressing): base64 + round-trip decode, hex, md5 content hash,
+    // byte length. Both engines emit uppercase hex and lowercase md5, so
+    // the columns are hash-comparable verbatim; corpus text is ASCII, so
+    // byte and char offsets agree on the substring probes.
+    "fn_binary" -> ((s, sf) =>
+      t(s, sf, "documents").select(col("doc_id"),
+        base64(substring(col("text"), 1, 12).cast("binary")).as("b64"),
+        decode(unbase64(base64(substring(col("text"), 1, 12).cast("binary"))),
+          "UTF-8").as("rt"),
+        hex(substring(col("text"), 1, 4).cast("binary")).as("hx"),
+        md5(col("text").cast("binary")).as("m5"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")),
+
     // struct construction / field access / ordered-struct aggregation
     // (round 8): the deterministic arg-max idiom — max over a struct
     // compares field-by-field in declaration order, so (price, key) picks
@@ -189,6 +205,14 @@ object Scalars {
          round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
          count(*) AS cnt
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "fn_binary" ->
+      """SELECT doc_id,
+         base64(CAST(substring(text, 1, 12) AS BLOB)) AS b64,
+         decode(from_base64(base64(CAST(substring(text, 1, 12) AS BLOB)))) AS rt,
+         hex(CAST(substring(text, 1, 4) AS BLOB)) AS hx,
+         md5(text) AS m5,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY doc_id""",
     "fn_struct" ->
       """WITH b AS (SELECT o_custkey,
            max(struct_pack(p := o_totalprice, k := o_orderkey)) AS best,
