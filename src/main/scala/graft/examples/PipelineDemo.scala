@@ -41,19 +41,6 @@ object PipelineDemo {
       .where(col("doc_id") === col("keep"))
       .drop("h", "keep")
 
-    // 1b. corpus-level boilerplate signal (the hashed 100 TB path of
-    // text_boilerplate). Computed FIRST on the shared Tracked:
-    // boilerplateStats SEALS its result, and seal frees every
-    // intermediate registered so far — so it must run before the
-    // jaccard/cluster kernels register caches the later stages still
-    // read (the Tracked contract: one handle, sequential stages only).
-    // Docs whose distinct 5-gram windows are ≳95% shared with other
-    // docs are near-total boilerplate that pairwise near-dup can miss
-    // below its τ; they are cut in the final filter below.
-    val bp = TextAnalysis.boilerplateStats(docs.select("doc_id", "text"),
-      hashKeys = true, tr)
-      .select(col("doc_id"), col("shared_frac"))
-
     // 2. near-dup dedup, TRANSITIVE: jaccard pairs → connected components →
     // survivor materialization, all through the library kernels with the
     // CALLER's Tracked (chains (a,b),(b,c) collapse to ONE survivor, which
@@ -63,6 +50,20 @@ object PipelineDemo {
     val pairs = Llm.clusterEdges(docs, 0.5, tr)
     val clusters = graft.operators.Components.connected(pairs, "da", "db", tr)
     val deduped = graft.operators.Dedup.survivors(exactSurvivors, clusters)
+
+    // 2b. corpus-level boilerplate cut (the hashed 100 TB path of
+    // text_boilerplate) — on the DEDUPED corpus, not the raw one: before
+    // dedup, every window of an exact/near-dup survivor is also in its
+    // removed copies, so raw-corpus doc frequency would mark the survivor
+    // itself ≥95% shared and the final filter would delete the cluster's
+    // only remaining representative. Measured on survivors, shared_frac
+    // catches genuine residual boilerplate BELOW the near-dup τ.
+    // Ordering is Tracked-safe: connected() sealed above, which freed all
+    // registered intermediates, so this stage's own seal reclaims only
+    // its window table (sequential stages, one handle).
+    val bp = TextAnalysis.boilerplateStats(deduped.select("doc_id", "text"),
+      hashKeys = true, tr)
+      .select(col("doc_id"), col("shared_frac"))
 
     // 3. quality + language + token annotations (reuse the declared ops)
     val quality = TextAnalysis.queries("text_quality")(s, sf)

@@ -29,21 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** (doc_id, w) hashed window stream. Shaped as explode(sequence) +
-    * per-row slice-hash — O(windows × n) by construction; exploding a
-    * computed `transform(...)` array instead would make codegen re-derive
-    * the whole window array per emitted element (the O(L²) trap the
-    * jaccard kernel documents). Window duplicates within a doc pass
-    * through — downstream counts are countDistinct, so they cannot
-    * inflate results.
+  /** (doc_id, w) hashed window stream over the shared
+    * [[graft.functions.TextWindows]] kernel (the O(L²)-safe
+    * explode+slice idiom), collapsed to xxhash64 so the join frames
+    * below carry 8-byte longs, never text. Window duplicates within a
+    * doc pass through — downstream counts are countDistinct, so they
+    * cannot inflate results.
     */
   private def windows(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .where(size(col("tk")) >= n)
-      .select(col("doc_id"), col("tk"),
-        explode(expr(s"sequence(0, size(tk) - $n)")).as("i"))
-      .select(col("doc_id"),
-        expr(s"xxhash64(array_join(slice(tk, i + 1, $n), ' '))").as("w"))
+    graft.functions.TextWindows.wordWindows(docs, n)
+      .select(col("doc_id"), xxhash64(col("w")).as("w"))
 
   def ngramHits(train: DataFrame, eval_ : DataFrame, n: Int = 13): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")

@@ -115,6 +115,25 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def fdiv(x: Expression, w: Long): Expression =
     IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))
 
+  /** Plan-size budget for NESTED rewrites: a chained band join's rewrite
+    * duplicates its already-rewritten child subtree into the banded +
+    * residual union legs, so k nested rewrites cost 2^k plan legs —
+    * runtime-cheap (the duplicates carry out-of-range anchor filters
+    * pushed to their scans and AQE collapses them empty) but
+    * compile-time real: an unbounded 20-join chain would hand the
+    * optimizer and codegen a ~2^20-leg plan. A child subtree already
+    * carrying ≥ 15 banded Generates (= 4 nested rewrites, 16 legs)
+    * declines further rewriting and the outer join runs as written —
+    * graceful degradation to pre-lift behavior, never an exponential
+    * plan. Parallel (non-nested) band joins see only their own subtree's
+    * count, so any number of them rewrite independently.
+    */
+  private val MaxNestedGenerates = 15
+
+  private def binGenerates(p: LogicalPlan): Int = p.collect {
+    case g: Generate if g.generatorOutput.exists(_.name == BinL) => g
+  }.size
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!SQLConf.get.getConfString(Flag, "false").toBoolean) return plan
     plan.transformUp {
@@ -134,9 +153,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // planted-filter marker, whose deep subtree search made an
           // outer band join above an already-rewritten join decline its
           // own rewrite. Multi-join queries now rewrite every eligible
-          // band join (RangeJoinSpec pins the chained shape).
+          // band join (RangeJoinSpec pins the chained shape), bounded by
+          // the nested-rewrite budget (see MaxNestedGenerates).
           if !j.children.exists(c =>
-            c.output.exists(_.name.startsWith("__graft_bin"))) =>
+            c.output.exists(_.name.startsWith("__graft_bin"))) &&
+            j.children.iterator.map(binGenerates).sum < MaxNestedGenerates =>
         // a lower bound `value > anchor + lo` paired with an upper bound
         // `value <= anchor + hi` over the SAME (anchor, value) expressions,
         // anchor and value each sided entirely on one (opposite) child

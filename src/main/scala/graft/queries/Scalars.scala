@@ -92,6 +92,17 @@ object Scalars {
     // PATH / QUERY(key) semantics are cross-validated, not assumed.
     // Narrow per-row map stage at any scale. NULL lang/source → NULL url
     // → NULL parts, identically in both engines.
+    "fn_url" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/doc-"), col("doc_id"),
+          lit("?ref=r"), pmod(col("doc_id"), lit(7))))
+        .select(col("doc_id"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
+        .orderBy("doc_id")),
+
     // binary / encoding surface (round 8) — the provenance toolkit for
     // opaque binary columns (multimodal payload manifests, content
     // addressing): base64 + round-trip decode, hex, md5 content hash,
@@ -123,17 +134,6 @@ object Scalars {
         .select(col("o_custkey"), col("best.p").as("best_price"),
           col("best.k").as("best_order"), col("n"))
         .orderBy("o_custkey")),
-
-    "fn_url" -> ((s, sf) =>
-      t(s, sf, "documents")
-        .withColumn("url", concat(lit("https://"), col("source"),
-          lit(".example.com/"), col("lang"), lit("/doc-"), col("doc_id"),
-          lit("?ref=r"), pmod(col("doc_id"), lit(7))))
-        .select(col("doc_id"), col("url"),
-          parse_url(col("url"), lit("HOST")).as("host"),
-          parse_url(col("url"), lit("PATH")).as("path"),
-          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
-        .orderBy("doc_id")),
 
     // regex surface beyond fn_string's extract/replace: occurrence counts,
     // boolean match, global substitution. Patterns stay in the common

@@ -75,12 +75,7 @@ object TextAnalysis {
     */
   private[graft] def boilerplateStats(docs: org.apache.spark.sql.DataFrame,
       hashKeys: Boolean, tr: graft.operators.Tracked): org.apache.spark.sql.DataFrame = {
-    val winText = docs
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .where(size(col("tk")) >= 5)
-      .select(col("doc_id"), col("tk"),
-        explode(expr("sequence(0, size(tk) - 5)")).as("i"))
-      .select(col("doc_id"), expr("concat_ws(' ', slice(tk, i + 1, 5))").as("w"))
+    val winText = graft.functions.TextWindows.wordWindows(docs, 5)
     val keyed =
       if (hashKeys) winText.select(col("doc_id"), xxhash64(col("w")).as("w"))
       else winText
@@ -220,12 +215,7 @@ object TextAnalysis {
     // map + map-side-combined aggs at any scale; docs under 3 tokens have
     // no windows and drop, like the other window operators.
     "text_repetition" -> ((s, sf) =>
-      t(s, sf, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .where(size(col("tk")) >= 3)
-        .select(col("doc_id"), col("tk"),
-          explode(expr("sequence(0, size(tk) - 3)")).as("i"))
-        .select(col("doc_id"), expr("concat_ws(' ', slice(tk, i + 1, 3))").as("w"))
+      graft.functions.TextWindows.wordWindows(t(s, sf, "documents"), 3)
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(sum(col("c")).as("n_grams"),

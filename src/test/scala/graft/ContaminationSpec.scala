@@ -69,7 +69,9 @@ class ContaminationSpec extends AnyFunSuite with SparkFixture with Matchers {
     while (run < 20 && seedNo < 400) {
       caseGen.apply(params, Seed(seedNo)).foreach { case (trainTxt, evalTxt, ng) =>
         def windows(t: String): Seq[Seq[String]] =
-          t.split(" ").toSeq.sliding(ng).filter(_.length == ng).toSeq
+          // limit -1 keeps trailing empty tokens like Spark's split()
+          // (generated texts have none — rigor against future generators)
+          t.split(" ", -1).toSeq.sliding(ng).filter(_.length == ng).toSeq
         val trainW = trainTxt.zipWithIndex.flatMap { case (t, i) =>
           windows(t).map(w => w -> i.toLong)
         }

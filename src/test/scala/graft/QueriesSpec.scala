@@ -84,7 +84,9 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     // distinct-window DF join has to agree with a direct set computation
     val docs = T.t(spark, sf001, "documents")
       .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+      // limit -1: keep trailing empty tokens, matching Spark's split()
+      // and the DuckDB oracle (Scala's default drops them)
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
     val wins = docs.collect { case (id, tk) if tk.length >= 5 =>
       id -> (0 to tk.length - 5).map(i => tk.slice(i, i + 5).mkString(" ")).toSet
     }

@@ -210,6 +210,37 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally spark.conf.unset("spark.graft.rangeJoin.rewrite")
   }
 
+  test("nested-rewrite budget caps a deep band-join chain at 4 rewrites") {
+    import spark.implicits._
+    // 6 chained band joins: nested rewrites double the child subtree per
+    // level (2^k legs), so the budget must stop at 4 — Generate count
+    // follows G(k) = 2^k − 1: exactly 15, never 31 — while results stay
+    // equal to flag-off. Parquet-backed inputs: LocalRelation lets
+    // ConvertToLocalRelation fold the runtime-empty residual legs
+    // mid-batch, which would both hide the duplication this budget
+    // bounds and re-open the budget for later iterations. Tiny values,
+    // all in one band — only the PLAN shape is under test.
+    val dir = java.nio.file.Files.createTempDirectory("graft-rjbudget").toString
+    val ts = (0 to 5).map { i =>
+      Seq(1L, 2L, 3L).toDF(s"id$i").withColumn(s"v$i", col(s"id$i") + lit(i))
+        .write.parquet(s"$dir/t$i")
+      spark.read.parquet(s"$dir/t$i")
+    }
+    def chain = ts.reduceLeft { (acc, next) =>
+      val i = next.columns.head.stripPrefix("id").toInt
+      acc.join(next,
+        col(s"v$i") > col(s"v${i - 1}") && col(s"v$i") <= col(s"v${i - 1}") + lit(10L))
+    }
+    val off = chain.count()
+    off should be > 0L
+    spark.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    try {
+      val plan = chain.queryExecution.optimizedPlan.toString
+      "Generate".r.findAllIn(plan).size shouldBe 15
+      chain.count() shouldBe off
+    } finally spark.conf.unset("spark.graft.rangeJoin.rewrite")
+  }
+
   test("optimizer rule converges on parquet-backed tables (no plan explosion)") {
     // regression: the residual leg's fixed-point marker was an
     // unreferenced projected column, which ColumnPruning (same optimizer
