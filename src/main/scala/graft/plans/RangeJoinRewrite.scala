@@ -34,7 +34,10 @@ import org.apache.spark.sql.types.LongType
   *    to a residual union leg that joins with the ORIGINAL predicate
   *    instead of the bin equi-key. Literal offsets are capped at 2^61 by
   *    `widthOk`; µs-epoch timestamps sit near 2^50, so on real data the
-  *    residual leg is empty and AQE collapses it at runtime.
+  *    residual leg keeps no rows — its out-of-range filter is PUSHED
+  *    to the scan, so parquet row-group stats prune the read and the
+  *    leg streams zero rows (no exchange exists in the keyless leg, so
+  *    this scan-level pruning, not AQE, is what makes it free).
   *
   * OFF by default; enable with `spark.graft.rangeJoin.rewrite=true`. The
   * declared `join_range` query calls the operator directly — this rule is
@@ -119,7 +122,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * duplicates its already-rewritten child subtree into the banded +
     * residual union legs, so k nested rewrites cost 2^k plan legs —
     * runtime-cheap (the duplicates carry out-of-range anchor filters
-    * pushed to their scans and AQE collapses them empty) but
+    * pushed to their scans, so row-group stats prune the read and the
+    * legs stream zero rows) but
     * compile-time real: an unbounded 20-join chain would hand the
     * optimizer and codegen a ~2^20-leg plan. A child subtree already
     * carrying ≥ 15 banded Generates (= 4 nested rewrites, 16 legs)
@@ -202,7 +206,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // with the original, un-rewritten condition. The two legs are
           // unioned, so the rewrite is total: no anchor value can be
           // silently dropped. On real data (µs-epoch ≈ 2^51) the residual
-          // leg's filter keeps nothing and AQE collapses the empty join.
+          // leg's filter keeps nothing: pushed to the scan, it prunes
+          // every row group, and the leg streams zero rows (scan-level
+          // pruning — the keyless leg has no exchange for AQE to act on).
           val cap = 1L << 61
           val inRange = And(GreaterThan(low0.anchor, Literal(-cap)),
             LessThan(low0.anchor, Literal(cap)))

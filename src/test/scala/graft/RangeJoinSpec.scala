@@ -100,7 +100,7 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
       purePlan should include("__graft_bin")
       // the data path is the banded equi-join; the only nested-loop node
       // allowed is the residual out-of-range-anchor leg (round 8), which
-      // is runtime-empty on µs-epoch data and collapsed by AQE
+      // is runtime-empty on µs-epoch data (scan-level filter pruning)
       "BroadcastNestedLoopJoin".r.findAllIn(purePlan).size should be <= 1
       (purePlan.contains("SortMergeJoin") || purePlan.contains("ShuffledHashJoin") ||
         purePlan.contains("BroadcastHashJoin")) shouldBe true
@@ -200,7 +200,8 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
       // appears twice: 1 outer + 2 inner copies. Plan size is 2^k legs
       // for k chained band joins — but each residual copy carries the
       // out-of-range anchor filter pushed to its scans, so the duplicate
-      // legs are runtime-empty and AQE-collapsed; data cost stays linear.
+      // legs are runtime-empty (pushed-filter scan pruning); data cost
+      // stays linear.
       "Generate".r.findAllIn(plan).size shouldBe 3
       "Join Cross".r.findAllIn(plan).size shouldBe 3
       // terminal: 6 joins total (outer banded+residual, inner pair ×2
@@ -265,6 +266,50 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
       "Generate".r.findAllIn(plan).size shouldBe 1
       "Join ".r.findAllIn(plan).size should be <= 2
       q.count() shouldBe off
+    } finally spark.conf.unset("spark.graft.rangeJoin.rewrite")
+  }
+
+  test("residual leg is scan-pruned free on real-magnitude data") {
+    // the documented claim behind the residual-union design: on µs-epoch
+    // anchors (~2^51, far inside ±2^61) the residual leg costs nothing —
+    // its out-of-range filter is PUSHED to the parquet scan (row-group
+    // stats prune the read) and the leg's join streams zero rows. Note
+    // this is scan pruning, not AQE: the keyless leg has no exchange, so
+    // there is no query-stage boundary where AQE could even observe
+    // emptiness.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-rjaqe").toString
+    val (e1r, e2r) = sides
+    e1r.select(col("a_id"), unix_micros(col("a_ts")).as("av")).write.parquet(s"$dir/a")
+    e2r.select(col("b_id"), unix_micros(col("b_ts")).as("bv")).write.parquet(s"$dir/b")
+    val a = spark.read.parquet(s"$dir/a")
+    val b = spark.read.parquet(s"$dir/b")
+    def q = a.join(b, col("bv") > col("av") && col("bv") <= col("av") + lit(60000000L))
+      .select("a_id", "b_id")
+    spark.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    try {
+      val df = q
+      // execute THIS DataFrame's own QueryExecution (count() would build
+      // a separate one and leave df's metrics untouched)
+      df.collect().length should be > 0
+      // unwrap the adaptive root and every query-stage wrapper: both keep
+      // their subtree as internal state, not as children, so a plain
+      // collect() sees nothing below them
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def bnljs(p: SparkPlan): Seq[BroadcastNestedLoopJoinExec] = p match {
+        case a: AdaptiveSparkPlanExec => bnljs(a.executedPlan)
+        case q: QueryStageExec => bnljs(q.plan)
+        case j: BroadcastNestedLoopJoinExec => j +: j.children.flatMap(bnljs)
+        case other => other.children.flatMap(bnljs)
+      }
+      // the out-of-range anchor filter reached the residual scan
+      df.queryExecution.executedPlan.toString should
+        include("PushedFilters: [Or(IsNull(av)")
+      // and the residual nested-loop emitted nothing at runtime
+      val residual = bnljs(df.queryExecution.executedPlan)
+      residual should have size 1
+      residual.head.metrics("numOutputRows").value shouldBe 0L
     } finally spark.conf.unset("spark.graft.rangeJoin.rewrite")
   }
 
