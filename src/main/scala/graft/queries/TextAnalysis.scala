@@ -204,6 +204,31 @@ object TextAnalysis {
           size(split(col("chunk"), " ")).cast("long").as("n_toks"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // chunk-granularity exact dedup (round 8) — the RAG-prep sibling of
+    // dedup_exact: chunks from the chunk_text tiling (50 tokens, stride
+    // 40) are content-hashed and collapsed to the lexicographically
+    // first (doc_id, chunk_idx) survivor via ordered-struct min (the
+    // fn_struct arg-min idiom — bare min_by is tie-nondeterministic and
+    // §5.4-forbidden). Same transform+posexplode tiling as chunk_text
+    // (few chunks per doc — not the many-window explode path). Map stage
+    // + one count agg: only 32-char hashes and id structs cross the
+    // exchange, never chunk text.
+    "dedup_chunks" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, (size(tk) - 1) div 40),
+            |  i -> array_join(slice(tk, i * 40 + 1, 50), ' '))""".stripMargin))
+          .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          md5(col("chunk").cast("binary")).as("h"))
+        .groupBy("h")
+        .agg(min(struct(col("doc_id").as("d"), col("chunk_idx").as("i"))).as("m"),
+          count(lit(1)).as("cnt"))
+        .select(col("h"), col("m.d").as("keep_doc"), col("m.i").as("keep_idx"),
+          col("cnt"))
+        .orderBy("h")),
+
     // intra-document repetition signals (round 8) — the Gopher/C4-style
     // quality cut a training pipeline applies before dedup: per doc, the
     // duplicated-3-gram fraction (1 − distinct/total windows) and the
@@ -345,6 +370,17 @@ object TextAnalysis {
            round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_frac,
            CAST(max(c) AS BIGINT) AS top_rep
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           c AS (SELECT doc_id, unnest(
+              [{'chunk_idx': i, 'chunk': array_to_string(tk[(i*40+1):(i*40+50)], ' ')}
+               for i in range(0, ((len(tk) - 1) // 40) + 1)], recursive := true)
+            FROM tok),
+           h AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, md5(chunk) AS h FROM c)
+         SELECT h, min(struct_pack(d := doc_id, i := chunk_idx)).d AS keep_doc,
+           CAST(min(struct_pack(d := doc_id, i := chunk_idx)).i AS BIGINT) AS keep_idx,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM h GROUP BY h ORDER BY h""",
     "text_boilerplate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
                       FROM documents WHERE len(string_split(text, ' ')) >= 5),
