@@ -433,6 +433,26 @@ object Llm {
     // null strata drop (the sampler's honest default). Pure map-stage
     // filter at any scale; per-stratum counts + exact sums expose the
     // realized rates.
+    // deterministic FIXED-SIZE per-stratum sample (round 8) — the
+    // eval-set prep step sample_stratified's fractional rates cannot
+    // express ("exactly 10 docs per language"): rank docs inside each
+    // stratum by the md5 of their key (both engines compute identical
+    // md5 hex, so the order is portable), keep rank <= 10, doc_id as the
+    // total tie-break. The declared shape is the per-stratum window
+    // sort; its 100 TB sibling is topk_per_group's bounded TopKAgg
+    // (partial top-k inside map tasks — only n_strata × k rows shuffle),
+    // same contract as the dedup exact/scale sibling pairs.
+    "sample_fixed" -> ((s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, sf, "documents")
+        .withColumn("hk", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))).cast("long"))
+        .where(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("doc_id"), col("hk"))
+        .orderBy("lang", "rk")
+    }),
+
     "sample_stratified" -> ((s, sf) => {
       val keep =
         when(col("lang") === "en", graft.operators.Split.portableKeep(col("doc_id"), 0.5))
@@ -704,6 +724,13 @@ object Llm {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM s GROUP BY side ORDER BY side""",
+    "sample_fixed" ->
+      """WITH r AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk,
+             CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+           FROM documents)
+         SELECT lang, rk, doc_id, hk FROM r WHERE rk <= 10
+         ORDER BY lang, rk""",
     "sample_stratified" ->
       """WITH k AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hb
                     FROM documents)
