@@ -234,6 +234,17 @@ object Aggregates {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
 
+    // §2.4 boolean aggregates (round 8): count_if + bool_and/bool_or —
+    // all commutative/associative, so map-side partial aggregation
+    // applies and the one-bit agg buffers shuffle instead of rows
+    "agg_bool" -> ((s, sf) =>
+      t(s, sf, "orders").groupBy("o_orderpriority")
+        .agg(count_if(col("o_totalprice") > 150000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_pos"),
+          bool_or(col("o_orderstatus") === "F").as("any_f"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
     // §2.4 heavy hitters via the built-in Count–Min sketch aggregate
     // (Cormode & Muthukrishnan 2005): one distributed mergeable-sketch
     // pass, then the driver queries the 31-word vocabulary against the
@@ -431,6 +442,13 @@ object Aggregates {
          bit_and(l_orderkey) AS band, bit_or(l_orderkey) AS bor,
          bit_xor(l_orderkey) AS bxor, count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_bool" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+         bool_and(o_totalprice > 0) AS all_pos,
+         bool_or(o_orderstatus = 'F') AS any_f,
+         CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "agg_mode" ->
       """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
            SELECT l_returnflag, l_quantity, count(*) AS cnt,

@@ -125,6 +125,25 @@ object Relational {
         .select("r_regionkey", "r_name", "n_nationkey", "n_name")
         .orderBy("r_regionkey", "n_nationkey")),
 
+    // §2.3 null-safe equality join (round 8): <=> treats NULL as a
+    // joinable value (SQL IS NOT DISTINCT FROM) where = drops every
+    // NULL-keyed row — the semantics a pipeline needs when a nullable
+    // provenance key (here: a fabricated sometimes-NULL lang) must still
+    // pair up. Still a hash-partitionable equi-join at any scale: the
+    // null-safe comparison is an equi-key for shuffle purposes (NULLs
+    // co-locate in one partition), never a nested loop. Aggregated to
+    // per-key pair counts; NULLS FIRST pinned on both engines.
+    "join_nullsafe" -> ((s, sf) => {
+      val a = t(s, sf, "documents").select(col("doc_id").as("a_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(null)).otherwise(col("lang")).as("la"))
+      val b = t(s, sf, "documents").select(col("doc_id").as("b_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(null)).otherwise(col("lang")).as("lb"))
+      a.join(b, col("la") <=> col("lb"))
+        .groupBy("la")
+        .agg(count(lit(1)).as("n_pairs"), countDistinct(col("b_id")).as("n_b"))
+        .orderBy(asc_nulls_first("la"))
+    }),
+
     // §2.3 range/interval join: same-user event pairs within (0, 5 min]
     // Executed through the banded operator [[graft.operators.RangeJoin]]:
     // an equi-join on (user, 5-min time bin) + exact residual, so one hot
@@ -289,6 +308,15 @@ object Relational {
     "join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
          FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey""",
+    "join_nullsafe" ->
+      """WITH a AS (SELECT doc_id AS a_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS la FROM documents),
+           b AS (SELECT doc_id AS b_id,
+             CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lb FROM documents)
+         SELECT la, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(count(DISTINCT b_id) AS BIGINT) AS n_b
+         FROM a JOIN b ON la IS NOT DISTINCT FROM lb
+         GROUP BY la ORDER BY la NULLS FIRST""",
     "join_range" ->
       """SELECT e1.event_id AS a_id, e2.event_id AS b_id
          FROM events e1 JOIN events e2
