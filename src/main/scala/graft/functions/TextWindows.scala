@@ -24,4 +24,25 @@ object TextWindows {
       .select(col("doc_id"),
         expr(s"concat_ws(' ', slice(tk, i + 1, $n))").as("w"))
   }
+
+  /** Fixed-size token tiling: (doc_id, chunk_idx, chunk) with `size`-token
+    * chunks at `stride` (overlap = size − stride); chunk count is
+    * 1 + (n−1) div stride, so every token lands in ≥1 chunk and chunk_idx
+    * is dense from 0. Unlike [[wordWindows]] this explodes a computed
+    * transform(...) array — fine here because chunks per doc are FEW
+    * (n/stride, single digits), not the many-window O(L²) path. ONE
+    * definition for the two tiling consumers (chunk_text, dedup_chunks),
+    * so chunk geometry can never silently diverge between them.
+    */
+  def chunkTiles(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(tk) - 1) div $stride),
+           |  i -> array_join(slice(tk, i * $stride + 1, $size), ' '))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"))
+  }
 }

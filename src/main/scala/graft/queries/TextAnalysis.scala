@@ -193,14 +193,8 @@ object TextAnalysis {
     // and chunk count is 1 + (n-1) div stride, so every token lands in at
     // least one chunk and chunk_idx is dense from 0.
     "chunk_text" -> ((s, sf) =>
-      t(s, sf, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), posexplode(expr(
-          """transform(sequence(0, (size(tk) - 1) div 40),
-            |  i -> array_join(slice(tk, i * 40 + 1, 50), ' '))""".stripMargin))
-          .as(Seq("chunk_idx", "chunk")))
-        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-          col("chunk"),
+      graft.functions.TextWindows.chunkTiles(t(s, sf, "documents"), 50, 40)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"),
           size(split(col("chunk"), " ")).cast("long").as("n_toks"))
         .orderBy("doc_id", "chunk_idx")),
 
@@ -214,13 +208,8 @@ object TextAnalysis {
     // + one count agg: only 32-char hashes and id structs cross the
     // exchange, never chunk text.
     "dedup_chunks" -> ((s, sf) =>
-      t(s, sf, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), posexplode(expr(
-          """transform(sequence(0, (size(tk) - 1) div 40),
-            |  i -> array_join(slice(tk, i * 40 + 1, 50), ' '))""".stripMargin))
-          .as(Seq("chunk_idx", "chunk")))
-        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+      graft.functions.TextWindows.chunkTiles(t(s, sf, "documents"), 50, 40)
+        .select(col("doc_id"), col("chunk_idx"),
           md5(col("chunk").cast("binary")).as("h"))
         .groupBy("h")
         .agg(min(struct(col("doc_id").as("d"), col("chunk_idx").as("i"))).as("m"),
