@@ -198,14 +198,18 @@ object Sim {
     */
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 2,
       seed: Long = 42L, maxIter: Int = 4,
-      maxTrainRows: Long = 262144): DataFrame = {
+      maxTrainRows: Long = 262144, nRows: Long = -1L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e0 = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val withVec = e0.withColumn("fv", array_to_vector(col("e")))
-    // scan-count job (column-pruned), only to size the training sample —
-    // skipped entirely when sampling is disabled (maxTrainRows <= 0)
-    val n = if (maxTrainRows > 0) e0.count() else 0L
+    // training-sample sizing: callers that already hold the row count
+    // (topK's dispatch stats) pass it via nRows so this path costs zero
+    // extra jobs; only a standalone call with sampling enabled pays the
+    // one column-pruned count
+    val n = if (maxTrainRows <= 0) 0L
+            else if (nRows >= 0) nRows
+            else e0.count()
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(trainSample(withVec, n, maxTrainRows, seed))
@@ -393,10 +397,10 @@ object Sim {
         (math.min(pqM.toLong, dim / 2).toInt to 2 by -1)
           .find(mm => dim % mm == 0) match {
           case Some(mm) => ivfpqTopK(emb, k, nCells, nprobe, m = mm)
-          case None => ivfTopK(emb, k, nCells, nprobe)
+          case None => ivfTopK(emb, k, nCells, nprobe, nRows = n)
         }
       }
-      else if (n >= ivfThreshold) ivfTopK(emb, k, nCells, nprobe)
+      else if (n >= ivfThreshold) ivfTopK(emb, k, nCells, nprobe, nRows = n)
       else bruteTopK(emb, k)
     }
 }

@@ -118,6 +118,61 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def fdiv(x: Expression, w: Long): Expression =
     IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))
 
+  /** Defensive fixed-point backstop (round 9). The residual leg's primary
+    * terminal marker is its Cross join type: this rule matches Inner only,
+    * and no current Spark optimizer rule normalizes one InnerLike subtype
+    * to the other inside the operator-optimization batch — but that is
+    * cross-version BEHAVIOR, not an API contract. If a future Spark
+    * release ever canonicalized Cross-with-condition back to Inner, the
+    * residual leg would re-match this rule every fixed-point iteration
+    * (its subtree carries no banded Generate, so the MaxNestedGenerates
+    * budget never trips) and the batch would only stop at its iteration
+    * cap, with the plan growing a redundant leg per iteration. This check
+    * recognizes the rule's OWN residual leg structurally — the anchor-side
+    * child is the guard Filter planted below, whose top-level conjunct is
+    * `IsNull(anchor) OR NOT (anchor > −2^61 AND anchor < 2^61)` for the
+    * same anchor expression — and declines the rewrite. Top-node check
+    * only, on purpose: the round-8 deep-subtree marker search made an
+    * outer band join above a rewritten child decline its own rewrite
+    * (anchors can be the same attribute across chained joins), so this
+    * backstop inspects just the shape this rule itself emits. Keep
+    * RangeJoinSpec's convergence case running against each Spark upgrade.
+    */
+  private def isOwnResidualLeg(anchorChild: LogicalPlan,
+      anchor: Expression): Boolean = anchorChild match {
+    case Filter(fc, _) =>
+      val cap = 1L << 61
+      // the guard as planted, and as BooleanSimplification (same batch)
+      // progressively normalizes it: NOT(a > −cap AND a < cap)
+      // → De Morgan (NOT a > −cap OR NOT a < cap)
+      // → negated comparisons (a ≤ −cap OR a ≥ cap)
+      def lowCap(e: Expression): Boolean = e match {
+        case Not(GreaterThan(b, Literal(lo: Long, LongType))) =>
+          lo == -cap && b.semanticEquals(anchor)
+        case LessThanOrEqual(b, Literal(lo: Long, LongType)) =>
+          lo == -cap && b.semanticEquals(anchor)
+        case _ => false
+      }
+      def highCap(e: Expression): Boolean = e match {
+        case Not(LessThan(c, Literal(hi: Long, LongType))) =>
+          hi == cap && c.semanticEquals(anchor)
+        case GreaterThanOrEqual(c, Literal(hi: Long, LongType)) =>
+          hi == cap && c.semanticEquals(anchor)
+        case _ => false
+      }
+      def outOfRange(e: Expression): Boolean = e match {
+        case Not(And(a, b)) => lowCap(Not(a)) && highCap(Not(b))
+        case Or(a, b) => lowCap(a) && highCap(b)
+        case _ => false
+      }
+      splitConjunctivePredicates(fc).exists {
+        case Or(IsNull(a), rest) => a.semanticEquals(anchor) && outOfRange(rest)
+        case Or(rest, IsNull(a)) => a.semanticEquals(anchor) && outOfRange(rest)
+        case _ => false
+      }
+    case _ => false
+  }
+
   /** Plan-size budget for NESTED rewrites: a chained band join's rewrite
     * duplicates its already-rewritten child subtree into the banded +
     * residual union legs, so k nested rewrites cost 2^k plan legs —
@@ -190,7 +245,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             b.kind == Upper && (b.src ne low0.src) && widthOk(low0.offset, b.offset) &&
               b.anchor.semanticEquals(low0.anchor) && b.value.semanticEquals(low0.value)
           }.map(low0 -> _)
-        }.headOption.map { case (low0, high0) =>
+        }.headOption.filterNot { case (low0, _) =>
+          // decline re-rewriting our own residual leg even if its Cross
+          // marker were ever normalized away (see isOwnResidualLeg)
+          val aChild = if (low0.anchor.references.subsetOf(l.outputSet)) l else r
+          isOwnResidualLeg(aChild, low0.anchor)
+        }.map { case (low0, high0) =>
           val lo = low0.offset
           val hi = high0.offset
           val w = hi - lo

@@ -208,7 +208,10 @@ object Llm {
           lit("?p="), regexp_extract(col("url"), "[?&]p=([0-9]+)", 1)))
         .groupBy("canon")
         .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_dups"))
-        .orderBy("canon")),
+        // NULLS FIRST pinned on both sides: a NULL canon group (possible if
+        // lang/source ever arrive NULL) must sort identically cross-engine —
+        // Spark defaults NULLS FIRST, DuckDB NULLS LAST.
+        .orderBy(asc_nulls_first("canon"))),
 
     // exact n-gram (3-shingle) Jaccard near-dup pairs, tau = 0.5 (kernel:
     // [[jaccardPairs]]). Sealed BEFORE the oracle's global sort so the
@@ -596,7 +599,7 @@ object Llm {
          FROM u)
        SELECT canon, CAST(min(doc_id) AS BIGINT) AS survivor,
          CAST(count(*) AS BIGINT) AS n_dups
-       FROM c GROUP BY canon ORDER BY canon""",
+       FROM c GROUP BY canon ORDER BY canon NULLS FIRST""",
     "dedup_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
            sh AS (SELECT doc_id, unnest(list_distinct(

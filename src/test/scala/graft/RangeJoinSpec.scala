@@ -269,6 +269,36 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally spark.conf.unset("spark.graft.rangeJoin.rewrite")
   }
 
+  test("rule declines its own residual-leg shape even without the Cross marker") {
+    // round-9 backstop: the residual leg's terminal marker is its Cross
+    // join type — an implicit cross-version assumption (no current rule
+    // normalizes InnerLike subtypes, but no contract forbids it). If that
+    // ever changed, the structural check must recognize the leg by its
+    // planted guard filter and decline. This spec builds the exact
+    // residual shape with an INNER join — the worst case the backstop
+    // exists for — and pins that the rule leaves it alone, while the same
+    // join without the guard still rewrites.
+    val cap = 1L << 61
+    val dir = java.nio.file.Files.createTempDirectory("graft-rjres").toString
+    val (e1r, e2r) = sides
+    e1r.limit(50).select(col("a_id"), unix_micros(col("a_ts")).as("av"))
+      .write.parquet(s"$dir/a")
+    e2r.limit(50).select(col("b_id"), unix_micros(col("b_ts")).as("bv"))
+      .write.parquet(s"$dir/b")
+    val a = spark.read.parquet(s"$dir/a")
+    val b = spark.read.parquet(s"$dir/b")
+    val bandCond = col("bv") > col("av") && col("bv") <= col("av") + lit(60000000L)
+    val residualShaped = a
+      .filter(col("av").isNull || !(col("av") > lit(-cap) && col("av") < lit(cap)))
+      .join(b, bandCond)
+    val plain = a.join(b, bandCond)
+    spark.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    try {
+      residualShaped.queryExecution.optimizedPlan.toString should not include "__graft_bin"
+      plain.queryExecution.optimizedPlan.toString should include("__graft_bin")
+    } finally spark.conf.unset("spark.graft.rangeJoin.rewrite")
+  }
+
   test("residual leg is scan-pruned free on real-magnitude data") {
     // the documented claim behind the residual-union design: on µs-epoch
     // anchors (~2^51, far inside ±2^61) the residual leg costs nothing —
