@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE-style upsert for parquet-backed corpora — the incremental-update
+  * primitive plain Spark-on-parquet lacks (Delta/Iceberg ship it as MERGE
+  * INTO): a delta frame's rows REPLACE same-key target rows, and new keys
+  * append.
+  *
+  * Shape and scale posture: one anti-join of the target against the
+  * delta's KEY SET (keys only — the delta payload never enters the join),
+  * then a narrow unionByName with the delta. The key set is delta-sized,
+  * so at corpus scale the anti-join broadcasts (size-based, no hint) and
+  * the target side never shuffles; the full-outer-join formulation this
+  * replaces would shuffle the entire target on every merge. For a
+  * partitioned corpus, compose with dynamic partition overwrite
+  * (`partitionOverwriteMode=dynamic`, the round-8 capability): write
+  * `merge(...)` filtered to the delta's partitions and only touched
+  * directories rewrite.
+  *
+  * Semantics (UpsertSpec): delta wins on key collision; one output row
+  * per target∪delta key (the delta must be key-unique — enforce upstream
+  * with dedup_exact/dropDuplicates, the usual CDC compaction step);
+  * re-applying the same delta is idempotent.
+  */
+object Upsert {
+
+  /** Delta rows replace same-key target rows; unmatched delta rows append. */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(source)
+  }
+
+  /** CDC apply: `changes` carries an op column with I/U/D markers. Upserts
+    * (I/U) merge like [[merge]]; D rows delete their target key and emit
+    * nothing. One anti-join against ALL touched keys (so a deleted key
+    * vanishes and an upserted key is replaced), then the surviving
+    * change rows append.
+    */
+  def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "applyChanges needs at least one key column")
+    target.join(changes.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(changes.where(col(opCol) =!= "D").drop(opCol))
+  }
+}

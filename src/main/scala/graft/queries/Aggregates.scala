@@ -143,6 +143,31 @@ object Aggregates {
           round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
         .orderBy("l_returnflag")),
 
+    // winsorized robust stats (round 9) — the outlier-clamp feature-
+    // engineering pass: per group, values clamped into [p05, p95] before
+    // the mean, so a corrupt extreme row moves the statistic by at most
+    // the boundary. Two-phase: exact per-group percentiles (one agg, 3
+    // groups), joined back to the rows (constant-size side → broadcast),
+    // clamp via least/greatest, exact decimal sum of the clamped values.
+    // Boundaries are rounded to 6 dp BEFORE clamping on BOTH engines so
+    // the clamp compares the same doubles; quantities are small integers
+    // with heavy ties, so the interpolated percentiles are exact in
+    // binary (the agg_percentile precedent) and the round is a no-op
+    // safety net, not a semantics change.
+    "agg_winsorize" -> ((s, sf) => {
+      val li = t(s, sf, "lineitem")
+      val q = li.groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.05)"), 6).as("p05"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
+      li.join(broadcast(q), "l_returnflag")
+        .withColumn("wq", least(greatest(col("l_quantity"), col("p05")), col("p95")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+          T.dsum(col("wq"), 6).as("w_sum"),
+          round(T.dsum(col("wq"), 6) / count(lit(1)), 6).as("w_avg"))
+        .orderBy("l_returnflag")
+    }),
+
     // §2.4 pivot to the quanta-matrix shape (explicit pivot values)
     "agg_pivot" -> ((s, sf) => {
       val p = t(s, sf, "events").groupBy("user_id")
@@ -389,6 +414,18 @@ object Aggregates {
          round(quantile_cont(l_quantity, 0.5), 6) AS p50,
          round(quantile_cont(l_quantity, 0.95), 6) AS p95
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_winsorize" ->
+      """WITH q AS (SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.05), 6) AS p05,
+             round(quantile_cont(l_quantity, 0.95), 6) AS p95
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n, q.p05, q.p95,
+           CAST(sum(CAST(least(greatest(l_quantity, q.p05), q.p95)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS w_sum,
+           round(CAST(sum(CAST(least(greatest(l_quantity, q.p05), q.p95)
+                         AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS w_avg
+         FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+         GROUP BY l.l_returnflag, q.p05, q.p95 ORDER BY l.l_returnflag""",
     "agg_count_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS cust_cnt, count(*) AS cnt
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.T.{Q, t}
+
+/** Event-analytics operators (round 9) — the product-analytics tier of the
+  * engine surface: ordered funnels, cohort retention, and gap-filled
+  * time-series resampling over the `events` table. All three are the
+  * canonical warehouse workloads a corpus/user-events pipeline runs next
+  * to its training-data passes, and all three stay exact and
+  * hash-oracle-checkable.
+  *
+  * Scale posture, per query:
+  *  - `events_funnel`: three unbounded window aggregates over ONE
+  *    user-hash exchange (stage k's minimum is a per-partition constant
+  *    stage k+1 references — no self-joins, no per-stage shuffles), then
+  *    one map-side-combined groupBy on the same key.
+  *  - `retention_cohort`: one agg for first-touch, one equi-join back on
+  *    user_id (both sides hash on the same key), offsets by pure integer
+  *    µs arithmetic — no calendar/week-boundary semantics to disagree
+  *    cross-engine.
+  *  - `ts_fill_gaps`: the dense day grid comes from explode(sequence)
+  *    bounded by each user's OWN [min, max] day span — fan-out rides the
+  *    time range, never the corpus; the left join lands on the same
+  *    (user, day) key both sides already aggregate on.
+  */
+object Events {
+
+  private val DayUs = 86400000000L
+  private val WeekUs = 7L * DayUs
+
+  val queries: Map[String, Q] = Map(
+    // ordered conversion funnel signup → view → purchase with a 24-hour
+    // conversion window per stage: per user, the first signup, the first
+    // view within (s1, s1+24h], and the first purchase within
+    // (s2, s2+24h] — strictly ordered (each stage's clock starts at the
+    // previous stage's event) and windowed, the semantics product
+    // funnels mean and naive per-type minima get wrong. Three window
+    // minima over one user partition; stage k's column is constant per
+    // partition so stage k+1's conditional min can reference it without
+    // a join.
+    "events_funnel" -> ((s, sf) => {
+      val byUser = Window.partitionBy("user_id")
+      t(s, sf, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("s1",
+          min(when(col("event_type") === "signup", col("us"))).over(byUser))
+        .withColumn("s2",
+          min(when(col("event_type") === "view" && col("us") > col("s1") &&
+            col("us") <= col("s1") + lit(DayUs), col("us"))).over(byUser))
+        .withColumn("s3",
+          min(when(col("event_type") === "purchase" && col("us") > col("s2") &&
+            col("us") <= col("s2") + lit(DayUs), col("us"))).over(byUser))
+        .groupBy("user_id")
+        .agg(min("s1").as("signup_us"), min("s2").as("view_us"),
+          min("s3").as("purchase_us"))
+        .withColumn("stage",
+          when(col("purchase_us").isNotNull, 3)
+            .when(col("view_us").isNotNull, 2)
+            .when(col("signup_us").isNotNull, 1)
+            .otherwise(0).cast("long"))
+        .orderBy("user_id")
+    }),
+
+    // weekly cohort retention: users cohorted by their first-touch day
+    // (first event of any type), counted distinct in each whole-week
+    // offset any of their later events falls into. Week offsets are
+    // integer µs arithmetic from the user's own first touch
+    // ((us − t0) div week), not calendar weeks — exact, engine-portable,
+    // and the per-user alignment retention curves actually want
+    // (calendar weeks smear a Sunday first touch across two buckets).
+    "retention_cohort" -> ((s, sf) => {
+      val e = t(s, sf, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val first = e.groupBy("user_id").agg(min(col("us")).as("t0"))
+      e.join(first, "user_id")
+        .withColumn("cohort_day", expr(s"(t0 div $DayUs) * $DayUs"))
+        .withColumn("wk", expr(s"(us - t0) div $WeekUs"))
+        .groupBy("cohort_day", "wk")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "wk")
+    }),
+
+    // gap-filled daily resample: each user's event series densified to
+    // one row per day over the user's own [first, last] day span, with
+    // empty days materialized as explicit zero rows — the downsample/
+    // zero-fill step every time-series feature pipeline runs before
+    // windowed models, and the step a plain groupBy silently gets wrong
+    // (missing days just don't exist). Day ids are epoch-µs integer
+    // division; the grid is explode(sequence(lo, hi)) — fan-out bounded
+    // by the span in days, never by event volume.
+    "ts_fill_gaps" -> ((s, sf) => {
+      val e = t(s, sf, "events")
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"),
+          col("value"))
+      val daily = e.groupBy("user_id", "d")
+        .agg(count(lit(1)).as("n_events"), T.dsum(col("value"), 2).as("sum_value"))
+      val grid = e.groupBy("user_id")
+        .agg(min(col("d")).as("dlo"), max(col("d")).as("dhi"))
+        .select(col("user_id"), explode(sequence(col("dlo"), col("dhi"))).as("d"))
+      grid.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          round(coalesce(col("sum_value"), lit(0.0)), 2).as("sum_value"))
+        .orderBy("user_id", "d")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS us1 FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+           s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS us2 FROM events e
+                  JOIN s1 ON e.user_id = s1.user_id
+                  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.us1
+                    AND epoch_us(e.ts) <= s1.us1 + 86400000000 GROUP BY 1),
+           s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS us3 FROM events e
+                  JOIN s2 ON e.user_id = s2.user_id
+                  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.us2
+                    AND epoch_us(e.ts) <= s2.us2 + 86400000000 GROUP BY 1),
+           u AS (SELECT DISTINCT user_id FROM events)
+         SELECT u.user_id, s1.us1 AS signup_us, s2.us2 AS view_us,
+           s3.us3 AS purchase_us,
+           CAST(CASE WHEN s3.us3 IS NOT NULL THEN 3
+                     WHEN s2.us2 IS NOT NULL THEN 2
+                     WHEN s1.us1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage
+         FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+                LEFT JOIN s2 ON u.user_id = s2.user_id
+                LEFT JOIN s3 ON u.user_id = s3.user_id
+         ORDER BY u.user_id""",
+    "retention_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+           f AS (SELECT user_id, min(us) AS t0 FROM e GROUP BY 1)
+         SELECT CAST((t0 // 86400000000) * 86400000000 AS BIGINT) AS cohort_day,
+           CAST((us - t0) // 604800000000 AS BIGINT) AS wk,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM e JOIN f ON e.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY cohort_day, wk""",
+    "ts_fill_gaps" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value FROM events),
+           daily AS (SELECT user_id, d, count(*) AS n,
+                       sum(CAST(value AS DECIMAL(18,2))) AS sv
+                     FROM e GROUP BY 1, 2),
+           span AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM e GROUP BY 1),
+           grid AS (SELECT user_id, unnest([lo + x for x in range(0, hi - lo + 1)]) AS d
+                    FROM span)
+         SELECT g.user_id, CAST(g.d AS BIGINT) AS d,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           round(CAST(coalesce(sv, 0) AS DOUBLE), 2) AS sum_value
+         FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
+         ORDER BY g.user_id, g.d"""
+  )
+}

@@ -247,7 +247,31 @@ object Relational {
     "set_except" -> ((s, sf) =>
       t(s, sf, "customer").select(col("c_nationkey").as("nk"))
         .except(t(s, sf, "supplier").select(col("s_nationkey").as("nk")))
-        .orderBy("nk"))
+        .orderBy("nk")),
+
+    // MERGE-style upsert (round 9, [[graft.operators.Upsert]]): a
+    // deterministic synthetic delta — every 10th customer's balance
+    // updated (+1000), every 7th customer re-keyed into a fabricated
+    // insert — merged into the base table, then rolled up per segment
+    // with an inserted-row count so update-wins, insert-appends, and
+    // untouched-survives are all hash-pinned. Plan: the target
+    // anti-joins the delta's KEY SET (delta-sized → broadcast at scale;
+    // the target itself never shuffles) + a narrow union.
+    "upsert_merge" -> ((s, sf) => {
+      val base = t(s, sf, "customer")
+      val updates = base.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+      val inserts = base.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+          concat(lit("new-"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_nationkey"), lit(100.0).as("c_acctbal"), col("c_mktsegment"))
+      graft.operators.Upsert.merge(base, updates.unionByName(inserts), Seq("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c_custkey") >= 10000000L, 1L).otherwise(0L)).as("n_inserted"),
+          T.dsum(col("c_acctbal"), 2).as("acctbal_sum"))
+        .orderBy("c_mktsegment")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -355,6 +379,24 @@ object Relational {
          INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""",
     "set_except" ->
       """SELECT c_nationkey AS nk FROM customer
-         EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk"""
+         EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""",
+    "upsert_merge" ->
+      """WITH delta AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+                  c_mktsegment
+           FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 10000000, 'new-' || CAST(c_custkey AS VARCHAR),
+                  c_nationkey, 100.0, c_mktsegment
+           FROM customer WHERE c_custkey % 7 = 0),
+         merged AS (
+           SELECT * FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = c.c_custkey)
+           UNION ALL SELECT * FROM delta)
+         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN c_custkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+         FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

@@ -261,6 +261,49 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // token-distribution Shannon entropy per doc (round 9) — the
+    // lowest-order "is this gibberish or boilerplate" signal (a doc
+    // repeating one token has entropy 0; a uniform draw over v tokens has
+    // log2 v): H = log2(n) − (Σ c·log2 c)/n over exact integer token
+    // counts, one explode + two map-side-combined hash aggs. The only
+    // floats are the per-distinct-token log terms summed per doc —
+    // dozens of bounded terms, so round(…,6) absorbs order noise (the
+    // fn_math discipline; no decimal detour needed).
+    "text_entropy" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          round(log2(sum(col("c"))) -
+            sum(col("c") * log2(col("c"))) / sum(col("c")), 6).as("entropy"))
+        .orderBy("doc_id")),
+
+    // corpus-unigram language-model scoring (round 9) — the CCNet-style
+    // perplexity quality cut with the corpus itself as the LM: per doc,
+    // the mean surprisal −(Σ log2 p(tk))/n where p(tk) = corpus count /
+    // corpus total. Plan: ONE token explode persisted and read three ways
+    // (vocabulary frequencies, the 1-row total, the per-doc probe);
+    // frequencies join back on the token (vocabulary-sized side — at
+    // 100 TB a size-based broadcast or a bucketed equi-join, never a
+    // corpus-sized shuffle), the total rides a 1-row broadcast cross
+    // join (the scalar-subquery shape, constant build side by
+    // construction — PlanGuardSpec-exempted like filter_subquery).
+    "quality_lm" -> ((s, sf) => {
+      val tr = new graft.operators.Tracked
+      val tok = tr.persist(t(s, sf, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk")))
+      val freq = tok.groupBy("tk").agg(count(lit(1)).as("cf"))
+      val tot = tok.agg(count(lit(1)).as("nn"))
+      tr.seal(tok.join(freq, "tk").crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(-sum(log2(col("cf").cast("double") / col("nn"))) / count(lit(1)), 6)
+              .as("avg_surprisal")))
+        .orderBy("doc_id")
+    }),
+
     // custom Catalyst Generator: character 3-gram counts (the §2.12
     // stretch UDTF, registered via SparkSessionExtensions)
     "udtf_char_ngrams" -> ((s, sf) =>
@@ -289,6 +332,21 @@ object TextAnalysis {
     markers.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+           c AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "quality_lm" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+           f AS (SELECT tk, count(*) AS cf FROM tok GROUP BY 1),
+           tt AS (SELECT count(*) AS nn FROM tok)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-sum(log2(CAST(cf AS DOUBLE) / nn)) / count(*), 6) AS avg_surprisal
+         FROM tok JOIN f ON tok.tk = f.tk CROSS JOIN tt
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_normalize" ->
       """WITH n AS (SELECT doc_id, text,
            trim(regexp_replace(regexp_replace(text, '\b(a|the)\b', '', 'g'),

@@ -33,11 +33,14 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
   //     bounded by cluster parallelism, never by data volume
   //   filter_subquery — the uncorrelated scalar subquery's single-row
   //     result joining onto the outer side
+  //   quality_lm — the corpus-total 1-row aggregate cross-joined onto the
+  //     token stream (the same scalar-subquery shape, built with an
+  //     explicit broadcast)
   private val constantSideByConstruction = Set(
     "dedup_embed_lsh", "sim_ann_ivf",
     "caim_candidates", "caim_criterion", "caim_quanta",
     "disc_equal_freq", "disc_equal_width",
-    "filter_subquery")
+    "filter_subquery", "quality_lm")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.Upsert
+
+/** MERGE-style upsert (round 9): delta wins on key collision, new keys
+  * append, untouched rows survive byte-identical, reapplication is
+  * idempotent, and the plan is the anti-join + union shape (never a
+  * nested loop; the target side joins the delta's key set only).
+  */
+class UpsertSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private def base = {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal")
+  }
+
+  test("delta rows replace same-key rows and new keys append") {
+    import spark.implicits._
+    val delta = Seq((2L, "b2", 99.0), (9L, "i", 1.0)).toDF("k", "name", "bal")
+    val out = Upsert.merge(base, delta, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L, 9L)
+    out(2L) shouldBe ("b2", 99.0) // update wins
+    out(9L) shouldBe ("i", 1.0)   // insert appended
+    out(1L) shouldBe ("a", 10.0)  // untouched survives
+  }
+
+  test("merge is idempotent under delta reapplication") {
+    import spark.implicits._
+    val delta = Seq((3L, "c9", 7.0)).toDF("k", "name", "bal")
+    val once = Upsert.merge(base, delta, Seq("k"))
+    val twice = Upsert.merge(once, delta, Seq("k"))
+    twice.orderBy("k").collect().toSeq shouldBe once.orderBy("k").collect().toSeq
+  }
+
+  test("applyChanges deletes D keys, upserts the rest") {
+    import spark.implicits._
+    val changes = Seq((1L, "x", 0.0, "D"), (2L, "b2", 99.0, "U"), (9L, "i", 1.0, "I"))
+      .toDF("k", "name", "bal", "op")
+    val out = Upsert.applyChanges(base, changes, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.keySet shouldBe Set(2L, 3L, 4L, 9L) // 1 deleted, 9 inserted
+    out(2L) shouldBe "b2"
+  }
+
+  test("plan: target anti-joins the key set, no nested loop, no target-payload shuffle of the delta") {
+    import spark.implicits._
+    val delta = Seq((2L, "b2", 99.0)).toDF("k", "name", "bal")
+    val plan = Upsert.merge(base, delta, Seq("k")).queryExecution.executedPlan.toString
+    plan should include("LeftAnti")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("composite keys merge on the full key tuple") {
+    import spark.implicits._
+    val t2 = Seq((1L, "en", 1.0), (1L, "de", 2.0)).toDF("k", "lang", "v")
+    val d2 = Seq((1L, "de", 9.0)).toDF("k", "lang", "v")
+    val out = Upsert.merge(t2, d2, Seq("k", "lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    out shouldBe Map((1L, "en") -> 1.0, (1L, "de") -> 9.0)
+  }
+}
