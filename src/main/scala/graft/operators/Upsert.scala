@@ -45,4 +45,37 @@ object Upsert {
     target.join(changes.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(changes.where(col(opCol) =!= "D").drop(opCol))
   }
+
+  /** SCD Type-2 history merge — versioned upsert for dimensions whose
+    * past must stay queryable (as-of joins over provenance/metadata
+    * tables): `history` carries validity columns (`validTo` NULL = the
+    * key's current version); each delta row CLOSES its key's current
+    * version at the delta's effective timestamp and appends as the new
+    * open version. Closed versions are never touched, so point-in-time
+    * reads (`valid_from ≤ t < coalesce(valid_to, ∞)`) see exactly the
+    * version that was current at t.
+    *
+    * Plan: one left join of the history against the delta's (key,
+    * effective-from) pairs — delta-sized side, broadcast at scale, the
+    * history never shuffles — plus a narrow union of the new versions.
+    * The delta must be key-unique (one new version per key per apply;
+    * compact upstream like [[merge]]).
+    */
+  def scd2(history: DataFrame, delta: DataFrame, keys: Seq[String],
+      effectiveFrom: String, validFrom: String = "valid_from_us",
+      validTo: String = "valid_to_us"): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    val newFrom = delta
+      .select((keys.map(col) :+ col(effectiveFrom).as("__new_from")): _*)
+    val closed = history.join(newFrom, keys, "left")
+      .withColumn(validTo,
+        when(col(validTo).isNull && col("__new_from").isNotNull, col("__new_from"))
+          .otherwise(col(validTo)))
+      .drop("__new_from")
+    val fresh = delta
+      .withColumn(validFrom, col(effectiveFrom))
+      .withColumn(validTo, lit(null).cast("long"))
+      .select(closed.columns.map(col): _*)
+    closed.unionByName(fresh)
+  }
 }

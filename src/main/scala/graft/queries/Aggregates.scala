@@ -106,6 +106,40 @@ object Aggregates {
                 sqrt(col("spp") - col("sp") * col("sp") / col("n"))), 6).as("corr_qp"))
         .orderBy("l_returnflag")),
 
+    // higher-moment shape stats (round 9) — skewness and excess kurtosis
+    // per group from EXACT integer power sums: l_quantity is integral, so
+    // Σq..Σq⁴ in DECIMAL are order-independent exactly (the agg_stats
+    // discipline one moment further — the built-in skewness/kurtosis
+    // merge central-moment buffers in partial order, last-bit
+    // nondeterministic); one map-side-combined aggregate, then both
+    // engines run the identical raw-moment → central-moment double
+    // formula and round. Powers of ≤2-digit ints cap at decimal(33,0) —
+    // inside the 38-digit ceiling, no silent precision loss.
+    "agg_moments" -> ((s, sf) =>
+      t(s, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(expr("CAST(l_quantity AS DECIMAL(23,0))")).cast("double").as("s1"),
+          sum(expr("CAST(l_quantity*l_quantity AS DECIMAL(23,0))")).cast("double").as("s2"),
+          sum(expr("CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(23,0))"))
+            .cast("double").as("s3"),
+          sum(expr("CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(33,0))"))
+            .cast("double").as("s4"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round((col("s3") / col("n") -
+              lit(3.0) * (col("s1") / col("n")) * (col("s2") / col("n")) +
+              lit(2.0) * pow(col("s1") / col("n"), 3)) /
+            pow(col("s2") / col("n") - pow(col("s1") / col("n"), 2), 1.5), 6)
+            .as("skewness"),
+          round((col("s4") / col("n") -
+              lit(4.0) * (col("s1") / col("n")) * (col("s3") / col("n")) +
+              lit(6.0) * pow(col("s1") / col("n"), 2) * (col("s2") / col("n")) -
+              lit(3.0) * pow(col("s1") / col("n"), 4)) /
+            pow(col("s2") / col("n") - pow(col("s1") / col("n"), 2), 2) - lit(3.0), 6)
+            .as("kurtosis"))
+        .orderBy("l_returnflag")),
+
     // one-pass table profiling (round 8) — the corpus QC report a
     // pipeline runs before anything else: per column, null count,
     // distinct count, min, max (as strings, so heterogeneous columns
@@ -414,6 +448,23 @@ object Aggregates {
          round(quantile_cont(l_quantity, 0.5), 6) AS p50,
          round(quantile_cont(l_quantity, 0.95), 6) AS p95
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_moments" ->
+      """WITH a AS (SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(23,0))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(23,0))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(23,0)))
+                  AS DOUBLE) AS s3,
+             CAST(sum(CAST(l_quantity*l_quantity*l_quantity*l_quantity
+                  AS DECIMAL(33,0))) AS DOUBLE) AS s4
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*pow(s1/n, 3))
+                 / pow(s2/n - pow(s1/n, 2), 1.5), 6) AS skewness,
+           round((s4/n - 4.0*(s1/n)*(s3/n) + 6.0*pow(s1/n, 2)*(s2/n)
+                  - 3.0*pow(s1/n, 4))
+                 / pow(s2/n - pow(s1/n, 2), 2) - 3.0, 6) AS kurtosis
+         FROM a ORDER BY l_returnflag""",
     "agg_winsorize" ->
       """WITH q AS (SELECT l_returnflag,
              round(quantile_cont(l_quantity, 0.05), 6) AS p05,

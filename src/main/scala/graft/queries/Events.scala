@@ -31,6 +31,28 @@ object Events {
   private val DayUs = 86400000000L
   private val WeekUs = 7L * DayUs
 
+  /** Dense per-user daily grid with zero-fill — the kernel behind
+    * `ts_fill_gaps` and the precondition for `ts_rolling_avg` (a ROWS
+    * frame over a sparse series spans arbitrary wall-clock time; over the
+    * densified grid, 7 rows ARE 7 days). Day ids are epoch-µs integer
+    * division; the grid explode is bounded by each user's own span.
+    */
+  private def dailyGrid(s: org.apache.spark.sql.SparkSession,
+      sf: String): org.apache.spark.sql.DataFrame = {
+    val e = t(s, sf, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"),
+        col("value"))
+    val daily = e.groupBy("user_id", "d")
+      .agg(count(lit(1)).as("n_events"), T.dsum(col("value"), 2).as("sum_value"))
+    val grid = e.groupBy("user_id")
+      .agg(min(col("d")).as("dlo"), max(col("d")).as("dhi"))
+      .select(col("user_id"), explode(sequence(col("dlo"), col("dhi"))).as("d"))
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(coalesce(col("sum_value"), lit(0.0)), 2).as("sum_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ordered conversion funnel signup → view → purchase with a 24-hour
     // conversion window per stage: per user, the first signup, the first
@@ -91,19 +113,21 @@ object Events {
     // (missing days just don't exist). Day ids are epoch-µs integer
     // division; the grid is explode(sequence(lo, hi)) — fan-out bounded
     // by the span in days, never by event volume.
-    "ts_fill_gaps" -> ((s, sf) => {
-      val e = t(s, sf, "events")
-        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"),
-          col("value"))
-      val daily = e.groupBy("user_id", "d")
-        .agg(count(lit(1)).as("n_events"), T.dsum(col("value"), 2).as("sum_value"))
-      val grid = e.groupBy("user_id")
-        .agg(min(col("d")).as("dlo"), max(col("d")).as("dhi"))
-        .select(col("user_id"), explode(sequence(col("dlo"), col("dhi"))).as("d"))
-      grid.join(daily, Seq("user_id", "d"), "left")
-        .select(col("user_id"), col("d"),
-          coalesce(col("n_events"), lit(0L)).as("n_events"),
-          round(coalesce(col("sum_value"), lit(0.0)), 2).as("sum_value"))
+    "ts_fill_gaps" -> ((s, sf) =>
+      dailyGrid(s, sf).orderBy("user_id", "d")),
+
+    // trailing 7-day rolling mean per user over the DENSIFIED grid (round
+    // 9) — the smoothing pass behind any per-entity trend feature, and
+    // the reason ts_fill_gaps exists as a kernel: on the dense series a
+    // 7-ROW frame is exactly 7 days, so the window is a rows frame (one
+    // sort within the already-user-partitioned exchange), not a
+    // range-join. The frame holds ≤7 bounded doubles; round(6) absorbs
+    // the frame-sum order noise (fn_math discipline).
+    "ts_rolling_avg" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-6, 0)
+      dailyGrid(s, sf)
+        .withColumn("avg7", round(avg(col("sum_value")).over(w), 6))
+        .withColumn("n7", count(lit(1)).over(w))
         .orderBy("user_id", "d")
     })
   )
@@ -151,6 +175,24 @@ object Events {
            CAST(coalesce(n, 0) AS BIGINT) AS n_events,
            round(CAST(coalesce(sv, 0) AS DOUBLE), 2) AS sum_value
          FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
-         ORDER BY g.user_id, g.d"""
+         ORDER BY g.user_id, g.d""",
+    "ts_rolling_avg" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value FROM events),
+           daily AS (SELECT user_id, d, count(*) AS n,
+                       sum(CAST(value AS DECIMAL(18,2))) AS sv
+                     FROM e GROUP BY 1, 2),
+           span AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM e GROUP BY 1),
+           grid AS (SELECT user_id, unnest([lo + x for x in range(0, hi - lo + 1)]) AS d
+                    FROM span),
+           filled AS (SELECT g.user_id, g.d,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+               round(CAST(coalesce(sv, 0) AS DOUBLE), 2) AS sum_value
+             FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d)
+         SELECT user_id, CAST(d AS BIGINT) AS d, n_events, sum_value,
+           round(avg(sum_value) OVER (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg7,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
+         FROM filled ORDER BY user_id, d"""
   )
 }

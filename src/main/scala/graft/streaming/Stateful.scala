@@ -6,6 +6,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class UserEvent(user_id: Long, event_id: Long)
 case class UserCount(user_id: Long, events: Long)
 
+case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+case class FunnelState(user_id: Long, signup_us: Option[Long],
+    view_us: Option[Long], purchase_us: Option[Long], stage: Long)
+
 /** SURVEY.md §2.11 arbitrary-state capability: running per-user event
   * counters via flatMapGroupsWithState. State lives in the per-partition
   * StateStore on executors (checkpointed); the driver never sees it —
@@ -47,5 +51,43 @@ object Stateful {
     implicit val ucEnc = Encoders.product[UserCount]
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming complement of the batch `events_funnel` query: a per-user
+    * funnel state machine (signup → view within the window → purchase
+    * within the window) advanced incrementally across micro-batches —
+    * window functions don't run on streams, so the batch query's three
+    * conditional window minima become one keyed fMGWS fold whose state is
+    * just the three stage timestamps (24 bytes/user, StateStore-resident,
+    * checkpointed). Emits the updated funnel row per touched user per
+    * batch. On in-order event delivery the greedy fold picks the same
+    * minima the batch windows do (StreamingSpec pins batch ≡ streaming on
+    * the corpus); out-of-order delivery within a batch is handled by the
+    * per-batch sort, across batches by the usual watermark discipline of
+    * the caller.
+    */
+  def funnel(events: Dataset[FunnelEvent],
+      windowUs: Long = 86400000000L): Dataset[FunnelState] = {
+    implicit val stEnc = Encoders.product[(Option[Long], Option[Long], Option[Long])]
+    implicit val outEnc = Encoders.product[FunnelState]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[FunnelEvent],
+            state: GroupState[(Option[Long], Option[Long], Option[Long])]) => {
+          var (s1, s2, s3) = state.getOption.getOrElse(
+            (Option.empty[Long], Option.empty[Long], Option.empty[Long]))
+          // group iterators arrive in shuffle order — restore event-time
+          // order inside the batch so the greedy fold takes minima
+          it.toSeq.sortBy(_.us).foreach { e =>
+            if (e.event_type == "signup" && s1.isEmpty) s1 = Some(e.us)
+            else if (e.event_type == "view" && s2.isEmpty && s1.exists(t =>
+              e.us > t && e.us <= t + windowUs)) s2 = Some(e.us)
+            else if (e.event_type == "purchase" && s3.isEmpty && s2.exists(t =>
+              e.us > t && e.us <= t + windowUs)) s3 = Some(e.us)
+          }
+          state.update((s1, s2, s3))
+          Iterator(FunnelState(uid, s1, s2, s3,
+            Seq(s1, s2, s3).count(_.isDefined).toLong))
+        })
   }
 }

@@ -78,7 +78,8 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
 
   test("new round-9 queries are distribution invariant (shuffle partitions)") {
     val names = Seq("events_funnel", "retention_cohort", "ts_fill_gaps",
-      "text_entropy", "quality_lm", "agg_winsorize", "upsert_merge")
+      "ts_rolling_avg", "text_entropy", "quality_lm", "agg_winsorize",
+      "agg_moments", "upsert_merge")
     val before = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf001).collect().toSeq).toMap
     val old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -159,6 +159,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("streaming funnel state machine equals the batch events_funnel query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the corpus events in event-time order, split across three
+    // micro-batches — in-order delivery, the contract under which the
+    // greedy fMGWS fold must reproduce the batch window minima exactly
+    val ordered = T.t(spark, sf001, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .orderBy("us").as[graft.streaming.FunnelEvent].collect()
+    val ms = MemoryStream[graft.streaming.FunnelEvent]
+    val q = graft.streaming.Stateful.funnel(ms.toDS()).writeStream
+      .format("memory").queryName("funnel").outputMode("update").start()
+    try {
+      ordered.grouped(math.max(1, ordered.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // latest emitted state per user (stage is monotone, timestamps only
+      // ever fill in — max(stage) row is the final state)
+      val streamed = spark.table("funnel")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy(col("stage").desc)))
+        .where(col("rn") === 1)
+        .select("user_id", "signup_us", "view_us", "purchase_us", "stage")
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getLong(4)))).toMap
+      val batch = SparkEntry.queries("events_funnel")(spark, sf001)
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getLong(4)))).toMap
+      // streamed covers every user the batch query reports (untouched
+      // users emit at stage 0 too — same key set)
+      streamed.keySet shouldBe batch.keySet
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -56,6 +56,36 @@ class UpsertSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("scd2: delta closes the current version, appends the new one, history immutable") {
+    import spark.implicits._
+    // key 1 has a closed v1 and an open v2; key 2 has one open version
+    val history = Seq(
+      (1L, "v1", 100L, Some(200L)),
+      (1L, "v2", 200L, None),
+      (2L, "w1", 150L, None)
+    ).toDF("k", "payload", "valid_from_us", "valid_to_us")
+    val delta = Seq((1L, "v3", 500L)).toDF("k", "payload", "eff_us")
+    val out = Upsert.scd2(history, delta, Seq("k"), "eff_us")
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong)))
+    rows.length shouldBe 4
+    // the open v2 closed at the delta's effective ts
+    rows should contain ((1L, "v2", 200L, Some(500L)))
+    // the new version is open from the effective ts
+    rows should contain ((1L, "v3", 500L, None))
+    // closed history and untouched keys byte-identical
+    rows should contain ((1L, "v1", 100L, Some(200L)))
+    rows should contain ((2L, "w1", 150L, None))
+    // invariant: at most one open version per key
+    out.where(col("valid_to_us").isNull).groupBy("k").count()
+      .collect().foreach(_.getLong(1) shouldBe 1L)
+    // point-in-time read at t=300 sees v2 for key 1
+    val asOf300 = out.where(col("valid_from_us") <= 300L &&
+        (col("valid_to_us").isNull || col("valid_to_us") > 300L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    asOf300 shouldBe Map(1L -> "v2", 2L -> "w1")
+  }
+
   test("composite keys merge on the full key tuple") {
     import spark.implicits._
     val t2 = Seq((1L, "en", 1.0), (1L, "de", 2.0)).toDF("k", "lang", "v")
