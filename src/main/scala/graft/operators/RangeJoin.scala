@@ -80,4 +80,40 @@ object RangeJoin {
           rightVal <= leftVal + lit(highInclusive))
       .drop("__graft_bin_l", "__graft_bin_r")
   }
+
+  /** INTERVAL × INTERVAL overlap join (where [[within]] is point × band):
+    * all (left, right) pairs with `keyEq` satisfied whose half-open
+    * intervals `[leftStart, leftEnd)` and `[rightStart, rightEnd)`
+    * overlap (`ls < re && rs < le`) — temporal containment/overlap, the
+    * session-vs-session / availability-window join class.
+    *
+    * Exactly-once without a distinct: BOTH sides explode to the bins
+    * their interval covers, but a pair is accepted only in the single
+    * bin containing the overlap's START `greatest(ls, rs)` — a point
+    * both intervals cover whenever the overlap is non-empty — so every
+    * overlapping pair is emitted by exactly one bin match and the
+    * candidate stream never needs the dedup shuffle a naive multi-bin
+    * join would.
+    *
+    * Fan-out per row = interval length / binWidth + 1: pick `binWidth`
+    * near the typical interval length (the within() trade-off, on both
+    * sides). Zero/negative-length intervals cannot overlap under
+    * half-open semantics and are filtered before the explode (Spark's
+    * `sequence` would reject a descending range).
+    */
+  def overlaps(left: DataFrame, right: DataFrame, keyEq: Column,
+      leftStart: Column, leftEnd: Column,
+      rightStart: Column, rightEnd: Column, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val w = binWidth
+    val lb = left.where(leftEnd > leftStart).withColumn("__graft_bin_l",
+      explode(sequence(binOf(leftStart, w), binOf(leftEnd - 1, w), lit(w))))
+    val rb = right.where(rightEnd > rightStart).withColumn("__graft_bin_r",
+      explode(sequence(binOf(rightStart, w), binOf(rightEnd - 1, w), lit(w))))
+    lb.join(rb,
+        col("__graft_bin_l") === col("__graft_bin_r") && keyEq &&
+          col("__graft_bin_l") === binOf(greatest(leftStart, rightStart), w) &&
+          leftStart < rightEnd && rightStart < leftEnd)
+      .drop("__graft_bin_l", "__graft_bin_r")
+  }
 }

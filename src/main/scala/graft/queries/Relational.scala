@@ -249,6 +249,30 @@ object Relational {
         .except(t(s, sf, "supplier").select(col("s_nationkey").as("nk")))
         .orderBy("nk")),
 
+    // interval-OVERLAP join (round 9, [[graft.operators.RangeJoin.overlaps]])
+    // — interval × interval where join_range is point × band: synthetic
+    // per-event availability windows (length 1–3 h, a pure function of
+    // event_id) on view vs purchase events of the same user, paired when
+    // the windows overlap. Executes as an equi-join on (user, bin) with
+    // each pair accepted only in the bin holding the overlap's start —
+    // exactly-once by construction, no dedup shuffle, no nested loop.
+    "join_overlap" -> ((s, sf) => {
+      val e = t(s, sf, "events")
+      def iv(typ: String, ida: String, ukey: String, sCol: String, eCol: String) =
+        e.where(col("event_type") === typ)
+          .select(col("user_id").as(ukey), col("event_id").as(ida),
+            unix_micros(col("ts")).as(sCol),
+            (unix_micros(col("ts")) +
+              (lit(3600L) + pmod(col("event_id"), lit(7200L))) * lit(1000000L)).as(eCol))
+      val v = iv("view", "a_id", "user_id", "ls", "le")
+      val p = iv("purchase", "b_id", "u2", "rs", "re")
+      graft.operators.RangeJoin.overlaps(v, p, col("user_id") === col("u2"),
+          col("ls"), col("le"), col("rs"), col("re"), binWidth = 10800000000L)
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          (least(col("le"), col("re")) - greatest(col("ls"), col("rs"))).as("overlap_us"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // MERGE-style upsert (round 9, [[graft.operators.Upsert]]): a
     // deterministic synthetic delta — every 10th customer's balance
     // updated (+1000), every 7th customer re-keyed into a fabricated
@@ -380,6 +404,17 @@ object Relational {
     "set_except" ->
       """SELECT c_nationkey AS nk FROM customer
          EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""",
+    "join_overlap" ->
+      """WITH v AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS ls,
+             epoch_us(ts) + (3600 + event_id % 7200) * 1000000 AS le
+           FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id AS u2, event_id AS b_id, epoch_us(ts) AS rs,
+             epoch_us(ts) + (3600 + event_id % 7200) * 1000000 AS re
+           FROM events WHERE event_type = 'purchase')
+         SELECT v.user_id, a_id, b_id,
+           CAST(least(le, re) - greatest(ls, rs) AS BIGINT) AS overlap_us
+         FROM v JOIN p ON v.user_id = p.u2 AND ls < re AND rs < le
+         ORDER BY a_id, b_id""",
     "upsert_merge" ->
       """WITH delta AS (
            SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,

@@ -269,6 +269,44 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally spark.conf.unset("spark.graft.rangeJoin.rewrite")
   }
 
+  test("interval-overlap join equals the naive inequality join, exactly once, no nested loop") {
+    val e = events
+    def iv(typ: String, ida: String, ukey: String, sCol: String, eCol: String) =
+      e.where(col("event_type") === typ)
+        .select(col("user_id").as(ukey), col("event_id").as(ida),
+          unix_micros(col("ts")).as(sCol),
+          (unix_micros(col("ts")) +
+            (lit(3600L) + pmod(col("event_id"), lit(7200L))) * lit(1000000L)).as(eCol))
+    val v = iv("view", "a_id", "user_id", "ls", "le")
+    val p = iv("purchase", "b_id", "u2", "rs", "re")
+    val naive = v.join(p, col("user_id") === col("u2") &&
+        col("ls") < col("re") && col("rs") < col("le"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val banded = RangeJoin.overlaps(v, p, col("user_id") === col("u2"),
+        col("ls"), col("le"), col("rs"), col("re"), binWidth = 10800000000L)
+    val got = banded.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    got.toSet shouldBe naive.toSet
+    naive should not be empty
+    // exactly-once: no pair is emitted from two bins
+    got.length shouldBe got.toSet.size
+    val plan = banded.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("interval-overlap join: edge semantics and degenerate intervals") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 10L), (2L, 20L, 30L), (3L, 50L, 50L)).toDF("lid", "ls", "le")
+    val r = Seq((10L, 10L, 15L), (11L, 29L, 40L), (12L, 45L, 60L)).toDF("rid", "rs", "re")
+    val got = RangeJoin.overlaps(l, r, lit(true),
+        col("ls"), col("le"), col("rs"), col("re"), binWidth = 7L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // [0,10) vs [10,15): touching endpoints do NOT overlap (half-open);
+    // [20,30) vs [29,40): one-unit overlap does; [50,50) is empty — never
+    got shouldBe Set((2L, 11L))
+  }
+
   test("rule declines its own residual-leg shape even without the Cross marker") {
     // round-9 backstop: the residual leg's terminal marker is its Cross
     // join type — an implicit cross-version assumption (no current rule
