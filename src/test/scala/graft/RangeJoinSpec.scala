@@ -457,6 +457,51 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("property: overlap join equals the in-memory brute force on random intervals") {
+    import spark.implicits._
+    // random interval sets: mixed magnitudes incl. negative starts (pmod
+    // floor bins), zero-length and inverted intervals (must vanish),
+    // lengths straddling the bin width in both directions. Exactly-once
+    // is asserted via multiset size — a pair emitted by two bins would
+    // show as a duplicate even when the SET matches.
+    val caseGen: Gen[(List[(Long, Long)], List[(Long, Long)], Long)] = for {
+      scale <- Gen.oneOf(-1000000L, 0L, 1000000L)
+      mkIv = for {
+        st <- Gen.choose(-60L, 60L)
+        len <- Gen.choose(-2L, 25L) // negative/zero length: degenerate
+      } yield (scale + st, scale + st + len)
+      lvs <- Gen.listOfN(10, mkIv)
+      rvs <- Gen.listOfN(10, mkIv)
+      bw <- Gen.oneOf(1L, 4L, 9L, 64L)
+    } yield (lvs, rvs, bw)
+    val params = Gen.Parameters.default
+    var run = 0
+    var seedNo = 0L
+    while (run < 60 && seedNo < 1000) {
+      caseGen.apply(params, Seed(seedNo)).foreach { case (lvs, rvs, bw) =>
+        val l = lvs.zipWithIndex.map { case ((s0, e0), i) => (i.toLong, s0, e0) }
+          .toDF("lid", "ls", "le")
+        val r = rvs.zipWithIndex.map { case ((s0, e0), i) => (i.toLong, s0, e0) }
+          .toDF("rid", "rs", "re")
+        val got = RangeJoin.overlaps(l, r, lit(true),
+            col("ls"), col("le"), col("rs"), col("re"), bw)
+          .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+        val want = (for {
+          ((ls, le), li) <- lvs.zipWithIndex
+          ((rs, re), ri) <- rvs.zipWithIndex
+          if le > ls && re > rs && ls < re && rs < le
+        } yield (li.toLong, ri.toLong)).toSet
+        withClue(s"seed=$seedNo bw=$bw: ") {
+          got.toSet shouldBe want
+          got.length shouldBe want.size // exactly-once, no double-bin emits
+        }
+        run += 1
+      }
+      seedNo += 1
+    }
+    run should be >= 50
+  }
+
   test("property: banded join equals the in-memory brute force on random inputs") {
     import spark.implicits._
     // random magnitudes mix small, NEGATIVE (the -1M scale — values are
