@@ -37,13 +37,15 @@ object Upsert {
     * (I/U) merge like [[merge]]; D rows delete their target key and emit
     * nothing. One anti-join against ALL touched keys (so a deleted key
     * vanishes and an upserted key is replaced), then the surviving
-    * change rows append.
+    * change rows append. Only a LITERAL "D" deletes: the comparison is
+    * null-safe, so a malformed NULL op row upserts (visibly wrong data)
+    * instead of silently deleting its key (invisibly lost data).
     */
   def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String],
       opCol: String = "op"): DataFrame = {
     require(keys.nonEmpty, "applyChanges needs at least one key column")
     target.join(changes.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      .unionByName(changes.where(col(opCol) =!= "D").drop(opCol))
+      .unionByName(changes.where(!(col(opCol) <=> "D")).drop(opCol))
   }
 
   /** SCD Type-2 history merge — versioned upsert for dimensions whose
@@ -55,9 +57,22 @@ object Upsert {
     * reads (`valid_from ≤ t < coalesce(valid_to, ∞)`) see exactly the
     * version that was current at t.
     *
-    * Plan: one left join of the history against the delta's (key,
-    * effective-from) pairs — delta-sized side, broadcast at scale, the
-    * history never shuffles — plus a narrow union of the new versions.
+    * MONOTONE apply: a delta row takes effect only when its
+    * `effectiveFrom` is STRICTLY later than the key's open version's
+    * `validFrom` (new keys always apply). A late-arriving delta (older
+    * than the current version) and a re-applied delta (a job retry —
+    * same effectiveFrom) are both no-ops instead of history corruption:
+    * without the guard, a retry would close the just-written version at
+    * its own valid_from (an empty interval) and append a duplicate, and
+    * a late delta would write a version whose validity range is
+    * inverted. Out-of-order history RECONSTRUCTION (inserting a version
+    * into the middle of the timeline) is deliberately out of scope —
+    * that is a rebuild (sort + window over all versions), not an
+    * incremental apply.
+    *
+    * Plan: two joins of delta-sized sides (the open-version keys and the
+    * accepted-delta keys — both broadcast at corpus scale; the history
+    * itself never shuffles) plus a narrow union of the new versions.
     * The delta must be key-unique (one new version per key per apply;
     * compact upstream like [[merge]]).
     */
@@ -65,14 +80,20 @@ object Upsert {
       effectiveFrom: String, validFrom: String = "valid_from_us",
       validTo: String = "valid_to_us"): DataFrame = {
     require(keys.nonEmpty, "scd2 needs at least one key column")
-    val newFrom = delta
+    // each key's open-version start — the monotonicity watermark
+    val openFrom = history.where(col(validTo).isNull)
+      .select((keys.map(col) :+ col(validFrom).as("__open_from")): _*)
+    val accepted = delta.join(openFrom, keys, "left")
+      .where(col("__open_from").isNull || col(effectiveFrom) > col("__open_from"))
+      .drop("__open_from")
+    val newFrom = accepted
       .select((keys.map(col) :+ col(effectiveFrom).as("__new_from")): _*)
     val closed = history.join(newFrom, keys, "left")
       .withColumn(validTo,
         when(col(validTo).isNull && col("__new_from").isNotNull, col("__new_from"))
           .otherwise(col(validTo)))
       .drop("__new_from")
-    val fresh = delta
+    val fresh = accepted
       .withColumn(validFrom, col(effectiveFrom))
       .withColumn(validTo, lit(null).cast("long"))
       .select(closed.columns.map(col): _*)

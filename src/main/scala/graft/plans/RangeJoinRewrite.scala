@@ -140,6 +140,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def isOwnResidualLeg(anchorChild: LogicalPlan,
       anchor: Expression): Boolean = anchorChild match {
+    // one optional interposed Project: in the hypothetical future this
+    // backstop guards against, ColumnPruning routinely inserts Project
+    // between the residual join and its guard Filter — still not a deep
+    // search (one fixed level, so the round-8 outer-join regression
+    // cannot recur)
+    case Project(_, f: Filter) => isOwnResidualLeg(f, anchor)
     case Filter(fc, _) =>
       val cap = 1L << 61
       // the guard as planted, and as BooleanSimplification (same batch)

@@ -65,21 +65,41 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
-  test("quality_lm: surprisal positive, bounded by log2(corpus tokens), rare-token doc scores higher") {
+  test("quality_lm: equals an in-memory brute-force unigram LM recompute") {
     val rows = SparkEntry.queries("quality_lm")(spark, sf001).collect()
     rows should not be empty
-    val total = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    // third opinion: recompute corpus unigram frequencies and per-doc
+    // mean surprisal from the raw text on the driver — catches a
+    // frequency-join bug (every doc scoring the corpus mean) or a sign/
+    // ratio swap that the positivity+bound assertions alone would pass
+    val docs = T.t(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val freq = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = freq.values.sum.toDouble
+    def log2(x: Double) = math.log(x) / math.log(2)
     rows.foreach { r =>
-      val sLm = r.getAs[Double]("avg_surprisal")
-      sLm should be > 0.0
-      sLm should be <= (math.log(total) / math.log(2) + 1e-6)
+      val id = r.getAs[Long]("doc_id")
+      val toks = docs(id)
+      r.getAs[Long]("n_tokens") shouldBe toks.size.toLong
+      val want = -toks.map(tk => log2(freq(tk) / total)).sum / toks.size
+      r.getAs[Double]("avg_surprisal") shouldBe (math.rint(want * 1e6) / 1e6 +- 1e-6)
+      r.getAs[Double]("avg_surprisal") should be > 0.0
     }
+    // and the ordering property the signal exists for: the doc with the
+    // rarest average token scores above the doc with the most common one
+    val byScore = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_surprisal"))
+    val meanRarity = docs.view.mapValues(tks =>
+      -tks.map(tk => log2(freq(tk) / total)).sum / tks.size).toMap
+    val rarest = meanRarity.maxBy(_._2)._1
+    val commonest = meanRarity.minBy(_._2)._1
+    byScore.toMap.apply(rarest) should be > byScore.toMap.apply(commonest)
   }
 
   test("new round-9 queries are distribution invariant (shuffle partitions)") {
     val names = Seq("events_funnel", "retention_cohort", "ts_fill_gaps",
       "ts_rolling_avg", "text_entropy", "quality_lm", "agg_winsorize",
-      "agg_moments", "upsert_merge")
+      "agg_moments", "upsert_merge", "join_overlap")
     val before = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf001).collect().toSeq).toMap
     val old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -86,6 +86,38 @@ class UpsertSpec extends AnyFunSuite with SparkFixture with Matchers {
     asOf300 shouldBe Map(1L -> "v2", 2L -> "w1")
   }
 
+  test("scd2 monotone apply: retries and late deltas are no-ops, not corruption") {
+    import spark.implicits._
+    val history = Seq((1L, "v2", 200L, None: Option[Long]))
+      .toDF("k", "payload", "valid_from_us", "valid_to_us")
+    val delta = Seq((1L, "v3", 500L)).toDF("k", "payload", "eff_us")
+    val once = Upsert.scd2(history, delta, Seq("k"), "eff_us")
+    // a job retry re-applies the identical delta: eff == open valid_from
+    // is NOT strictly newer, so nothing closes and nothing appends
+    val retried = Upsert.scd2(once, delta, Seq("k"), "eff_us")
+    retried.orderBy("valid_from_us").collect().toSeq shouldBe
+      once.orderBy("valid_from_us").collect().toSeq
+    // a late delta older than the open version is ignored — no inverted
+    // validity range, no version that was never current
+    val late = Seq((1L, "v1-late", 100L)).toDF("k", "payload", "eff_us")
+    val afterLate = Upsert.scd2(once, late, Seq("k"), "eff_us")
+    afterLate.orderBy("valid_from_us").collect().toSeq shouldBe
+      once.orderBy("valid_from_us").collect().toSeq
+    // sanity: validity ranges are never inverted
+    afterLate.where(col("valid_to_us").isNotNull &&
+      col("valid_to_us") <= col("valid_from_us")).count() shouldBe 0L
+  }
+
+  test("applyChanges: only a literal D deletes — a NULL op upserts, never silently drops") {
+    import spark.implicits._
+    val changes = Seq((2L, "b2", 99.0, null.asInstanceOf[String]))
+      .toDF("k", "name", "bal", "op")
+    val out = Upsert.applyChanges(base, changes, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L) // key 2 upserted, NOT deleted
+    out(2L) shouldBe "b2"
+  }
+
   test("composite keys merge on the full key tuple") {
     import spark.implicits._
     val t2 = Seq((1L, "en", 1.0), (1L, "de", 2.0)).toDF("k", "lang", "v")
