@@ -398,7 +398,54 @@ object Aggregates {
       t(s, sf, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+
+    // §2.4 exact Pearson correlation per group (round 9) — the
+    // feature-screening statistic, from EXACT decimal cross/power sums
+    // (Σx, Σy, Σx², Σy², Σxy) exactly like agg_moments: the built-in
+    // corr() merges co-moment buffers in partial order (last-bit
+    // nondeterministic across partitionings), the raw-sum form is
+    // order-independent exactly, and the closed-form finish is one
+    // identical double expression on both engines. One map-side-combined
+    // aggregate, one 3-row shuffle. l_quantity/l_extendedprice carry ≤2
+    // decimals so the decimal products are exact.
+    "agg_corr" -> ((s, sf) =>
+      t(s, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).cast("double").as("sx"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double").as("sy"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))"))
+            .cast("double").as("sxx"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
+            .cast("double").as("syy"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
+            .cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")),
+
+    // §2.5 distribution window functions (round 9): cume_dist — the
+    // empirical CDF position, i.e. percentile features computed in
+    // place — and nth_value with an explicit running frame. The
+    // compound (acctbal, custkey) ordering makes every row its own
+    // peer group, so cume_dist is rank/n exactly and deterministic on
+    // both engines; one segment-hash exchange, one sort, both
+    // functions share it.
+    "win_distribution" -> ((s, sf) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, sf, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("c_name"), 3)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("third_name"))
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -590,6 +637,29 @@ object Aggregates {
     "udtf_posexplode" ->
       """SELECT doc_id, unnest(range(len(string_split(text,' ')))) AS pos,
          unnest(string_split(text,' ')) AS token
-         FROM documents ORDER BY doc_id, pos"""
+         FROM documents ORDER BY doc_id, pos""",
+    "agg_corr" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((n*sxy - sx*sy)
+                 / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price
+         FROM s ORDER BY l_returnflag""",
+    "win_distribution" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+           round(cume_dist() OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey), 6) AS cd,
+           nth_value(c_name, 3) OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_name
+         FROM customer ORDER BY c_mktsegment, c_acctbal, c_custkey"""
   )
 }

@@ -129,6 +129,55 @@ object Events {
         .withColumn("avg7", round(avg(col("sum_value")).over(w), 6))
         .withColumn("n7", count(lit(1)).over(w))
         .orderBy("user_id", "d")
+    }),
+
+    // event-type transition matrix (round 9) — the first-order Markov
+    // view of user behavior (what follows what), the input to
+    // next-action models and funnel diagnostics. One lead() over each
+    // user's time-ordered sequence (event_id is the unique tiebreak for
+    // same-µs events, so the sequence — and the hash — is deterministic
+    // on both engines), then a map-side-combined count on the (from,
+    // to) pair. One user-hash exchange for the window + one tiny pair
+    // shuffle; transitions never leave their user's partition.
+    "events_markov" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      t(s, sf, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // incremental aggregate maintenance (round 9,
+    // [[graft.operators.Mview]]) — DECLARED as: maintain a per-user
+    // events aggregate (count / exact decimal sum / day min / day max)
+    // incrementally — state built from days < 19740, then ONE
+    // delta-sized refresh folds the remaining days in — and the result
+    // is hash-checked against the oracle's single full-corpus
+    // aggregate. That equality (state ∪ agg(delta) re-agged ≡
+    // agg(base ∪ delta)) is the materialized-view refresh contract;
+    // at 100 TB the refresh reads |state| + |delta|, never the base.
+    "agg_incremental" -> ((s, sf) => {
+      val cutDay = 19740L
+      val e = t(s, sf, "events").select(col("user_id"),
+        expr(s"unix_micros(ts) div ${86400000000L}").as("d"),
+        col("value").cast("decimal(18,2)").as("v"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id").agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("v")).as("sv"), min(col("d")).as("d_min"),
+          max(col("d")).as("d_max"))
+      val state = partial(e.where(col("d") < cutDay))
+      val deltaPartial = partial(e.where(col("d") >= cutDay))
+      graft.operators.Mview.combine(state, deltaPartial, Seq("user_id"),
+          Map("n_events" -> "sum", "sv" -> "sum",
+            "d_min" -> "min", "d_max" -> "max"))
+        .select(col("user_id"), col("n_events"),
+          round(col("sv").cast("double"), 2).as("sum_value"),
+          col("d_min"), col("d_max"))
+        .orderBy("user_id")
     })
   )
 
@@ -193,6 +242,24 @@ object Events {
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg7,
            CAST(count(*) OVER (PARTITION BY user_id ORDER BY d
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
-         FROM filled ORDER BY user_id, d"""
+         FROM filled ORDER BY user_id, d""",
+    "events_markov" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+             FROM events),
+           nx AS (SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS to_type
+             FROM e)
+         SELECT from_type, to_type, count(*) AS n
+         FROM nx WHERE to_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "agg_incremental" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value
+             FROM events)
+         SELECT user_id, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_value,
+           CAST(min(d) AS BIGINT) AS d_min, CAST(max(d) AS BIGINT) AS d_max
+         FROM e GROUP BY 1 ORDER BY 1"""
   )
 }

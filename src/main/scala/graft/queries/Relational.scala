@@ -295,6 +295,62 @@ object Relational {
           sum(when(col("c_custkey") >= 10000000L, 1L).otherwise(0L)).as("n_inserted"),
           T.dsum(col("c_acctbal"), 2).as("acctbal_sum"))
         .orderBy("c_mktsegment")
+    }),
+
+    // §2.3 three-table selective join (round 9, the TPC-H Q3 shape):
+    // filtered customer ⋈ filtered orders ⋈ filtered lineitem, exact
+    // decimal revenue, top 10. The query the optimizer stack exists
+    // for: all three filters push to their parquet scans, the customer
+    // dimension broadcasts (no fact shuffle for that join), lineitem ⋈
+    // orders hashes on the shared orderkey, and the top-10 is a
+    // TakeOrderedAndProject (per-partition heap + driver merge of 10
+    // rows/task — never a full sort). At 100 TB the plan is identical;
+    // only the orderkey shuffle scales, and AQE sizes it.
+    "join_multiway" -> ((s, sf) => {
+      val cut = lit("1998-07-01").cast("timestamp")
+      val c = t(s, sf, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = t(s, sf, "orders")
+        .filter(col("o_orderdate").cast("timestamp") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = t(s, sf, "lineitem")
+        .filter(col("l_shipdate").cast("timestamp") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"),
+          col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // §2.3 blocked fuzzy self-join (round 9): entity-resolution's
+    // candidate-pair shape — exact blocking on stable attributes
+    // (brand + the name's last token), edit-distance scoring only
+    // inside a block. The blocking key is what makes fuzzy matching
+    // scale: the join is a plain hash equi-join on (brand, noun) and
+    // the quadratic levenshtein work is confined to each block
+    // (candidate pairs ∝ Σ block², never corpus²) — the same
+    // bucket-then-score discipline as minhashCandidates. Aggregated to
+    // per-block candidate/close-pair counts so the declared result is
+    // small and hash-pinned at any SF.
+    "join_fuzzy" -> ((s, sf) => {
+      val p = t(s, sf, "part").select(col("p_partkey"), col("p_brand"),
+        col("p_name"), element_at(split(col("p_name"), " "), -1).as("noun"))
+      val a = p.select(col("p_brand"), col("noun"),
+        col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+      val b = p.select(col("p_brand"), col("noun"),
+        col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+      a.join(b, Seq("p_brand", "noun"))
+        .filter(col("a_key") < col("b_key"))
+        .groupBy("p_brand", "noun")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(levenshtein(col("a_name"), col("b_name")) <= 3, 1L)
+            .otherwise(0L)).as("n_close"))
+        .orderBy("p_brand", "noun")
     })
   )
 
@@ -432,6 +488,25 @@ object Relational {
            CAST(sum(CASE WHEN c_custkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_inserted,
            CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
-         FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment"""
-  )
+         FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_multiway" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-07-01'
+           AND l_shipdate > TIMESTAMP '1998-07-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "join_fuzzy" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name,
+             split_part(p_name, ' ', -1) AS noun FROM part)
+         SELECT a.p_brand, a.noun, CAST(count(*) AS BIGINT) AS n_cand,
+           CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) <= 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+         FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.noun = b.noun
+           AND a.p_partkey < b.p_partkey
+         GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -99,7 +99,9 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
   test("new round-9 queries are distribution invariant (shuffle partitions)") {
     val names = Seq("events_funnel", "retention_cohort", "ts_fill_gaps",
       "ts_rolling_avg", "text_entropy", "quality_lm", "agg_winsorize",
-      "agg_moments", "upsert_merge", "join_overlap")
+      "agg_moments", "upsert_merge", "join_overlap", "events_markov",
+      "agg_incremental", "agg_corr", "win_distribution", "join_multiway",
+      "join_fuzzy")
     val before = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf001).collect().toSeq).toMap
     val old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -109,5 +111,93 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
         SparkEntry.queries(n)(spark, sf001).collect().toSeq shouldBe before(n)
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  test("events_markov: transitions conserve mass (rows − users) and are complete") {
+    val e = T.t(spark, sf001, "events")
+    val total = e.count()
+    val users = e.select("user_id").distinct().count()
+    val rows = SparkEntry.queries("events_markov")(spark, sf001).collect()
+    rows should not be empty
+    // every event except each user's last contributes exactly one transition
+    rows.map(_.getAs[Long]("n")).sum shouldBe (total - users)
+    rows.foreach(_.getAs[Long]("n") should be > 0L)
+  }
+
+  test("agg_incremental equals the non-incremental full aggregate") {
+    // the declared query IS the incremental path; recompute the same
+    // aggregate in one pass and require bit-identity (the oracle pins
+    // this against DuckDB too — this is the Spark-internal third opinion)
+    val full = T.t(spark, sf001, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("v")).cast("double"), 2).as("sum_value"),
+        min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+      .orderBy("user_id")
+    SparkEntry.queries("agg_incremental")(spark, sf001).collect().toSeq shouldBe
+      full.collect().toSeq
+  }
+
+  test("agg_corr: exact-sum correlation within 1e-6 of the built-in and in [-1, 1]") {
+    val got = SparkEntry.queries("agg_corr")(spark, sf001).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("corr_qty_price"))
+      .toMap
+    got should not be empty
+    val builtin = T.t(spark, sf001, "lineitem").groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c")).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("c")).toMap
+    got.foreach { case (k, v) =>
+      v should (be >= -1.0 and be <= 1.0)
+      v shouldBe (builtin(k) +- 1e-6)
+    }
+  }
+
+  test("win_distribution: cume_dist is the exact empirical CDF per segment") {
+    val rows = SparkEntry.queries("win_distribution")(spark, sf001).collect()
+    rows should not be empty
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, seg) =>
+      val n = seg.length.toDouble
+      // sorted by (acctbal, custkey): row i (1-based) has cd = i/n exactly
+      // (to the declared 6-dp rounding), and third_name starts at row 3
+      seg.zipWithIndex.foreach { case (r, i) =>
+        r.getAs[Double]("cd") shouldBe
+          (math.rint((i + 1) / n * 1e6) / 1e6 +- 1e-9)
+        // the running frame sees no 3rd row before index 2; from there on
+        // the value is the constant 3rd-row name for the whole segment
+        if (i < 2) r.getAs[String]("third_name") shouldBe null
+        else {
+          r.getAs[String]("third_name") should not be null
+          r.getAs[String]("third_name") shouldBe seg(2).getAs[String]("third_name")
+        }
+      }
+    }
+  }
+
+  test("join_fuzzy: blocking is effective and close counts match a brute force") {
+    val p = T.t(spark, sf001, "part")
+      .select("p_partkey", "p_brand", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def noun(s: String) = s.substring(s.lastIndexOf(' ') + 1)
+    val brute = p.flatMap { case (k1, br1, n1) => p.collect {
+      case (k2, br2, n2) if k1 < k2 && br1 == br2 && noun(n1) == noun(n2) =>
+        ((br1, noun(n1)), if (lev(n1, n2) <= 3) 1L else 0L)
+    } }.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    val got = SparkEntry.queries("join_fuzzy")(spark, sf001).collect()
+      .map(r => ((r.getAs[String]("p_brand"), r.getAs[String]("noun")),
+        (r.getAs[Long]("n_cand"), r.getAs[Long]("n_close")))).toMap
+    got shouldBe brute
+    // blocking must prune: candidate pairs well under the all-pairs count
+    val allPairs = p.length.toLong * (p.length - 1) / 2
+    got.values.map(_._1).sum should be < allPairs / 5
   }
 }

@@ -67,4 +67,21 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
       .queryExecution.executedPlan.toString
     bj should include("BroadcastHashJoin")
   }
+
+  test("join_multiway plans the Q3 shape: pushdown + broadcast dim + top-k") {
+    // the three-table join is the optimizer showcase — assert the three
+    // plan properties that make it survive 100 TB: every filter reaches
+    // its scan, the customer dimension broadcasts (the fact side never
+    // shuffles for that join), and the final top-10 is a bounded
+    // TakeOrderedAndProject (per-partition heap), never a full sort.
+    val plan = SparkEntry.queries("join_multiway")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // TakeOrderedAndProject bounds the limit (no global Sort+Limit stage)
+    plan should include("TakeOrderedAndProject")
+    plan should include("BroadcastHashJoin")
+    // all three scans carry non-empty pushed filters
+    val pushed = plan.split("PushedFilters: ").drop(1)
+    pushed.length should be >= 3
+    all(pushed.map(_.takeWhile(_ != ']'))) should not be "["
+  }
 }

@@ -459,5 +459,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
       viaLag.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
   }
 
+  test("streaming CDC: foreachBatch + Upsert.merge maintains a keyed table") {
+    // the streaming MERGE sink plain parquet lacks: every micro-batch of
+    // change rows merges into the current table state via Upsert.merge
+    // and lands as a new immutable version directory (v<batchId> — the
+    // read-then-overwrite hazard never exists, and batch-id versioning
+    // makes replays idempotent at the directory level). The final state
+    // must equal one batch merge of the compacted deltas — the same
+    // state ∪ delta contract Mview pins for aggregates, here for rows.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    Seq((1L, "a", 1.0), (2L, "b", 1.0)).toDF("k", "name", "bal")
+      .write.parquet(s"$root/v_base")
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = ms.toDF().toDF("k", "name", "bal").writeStream
+      .foreachBatch { (delta: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val cur = if (batchId == 0) s"$root/v_base" else s"$root/v${batchId - 1}"
+        graft.operators.Upsert.merge(
+            spark.read.parquet(cur), delta, Seq("k"))
+          .write.mode("overwrite").parquet(s"$root/v$batchId")
+        ()
+      }
+      .start()
+    try {
+      ms.addData((2L, "b2", 9.0), (3L, "c", 2.0)) // update k=2, insert k=3
+      q.processAllAvailable()
+      ms.addData((3L, "c2", 5.0)) // update the key batch 0 inserted
+      q.processAllAvailable()
+      val afterB0 = spark.read.parquet(s"$root/v0").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      afterB0 shouldBe Map(1L -> ("a", 1.0), 2L -> ("b2", 9.0), 3L -> ("c", 2.0))
+      val finalState = spark.read.parquet(s"$root/v1").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      finalState shouldBe Map(1L -> ("a", 1.0), 2L -> ("b2", 9.0), 3L -> ("c2", 5.0))
+      // ≡ one batch merge of the key-compacted deltas over the base
+      val compacted = Seq((2L, "b2", 9.0), (3L, "c2", 5.0)).toDF("k", "name", "bal")
+      val oneShot = graft.operators.Upsert.merge(
+          spark.read.parquet(s"$root/v_base"), compacted, Seq("k")).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      finalState shouldBe oneShot
+    } finally q.stop()
+  }
+
   private def unixMicros(s: String): Long = Instant.parse(s).toEpochMilli * 1000L
 }
