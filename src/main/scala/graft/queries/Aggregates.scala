@@ -428,6 +428,20 @@ object Aggregates {
             .as("corr_qty_price"))
         .orderBy("l_returnflag")),
 
+    // §2.4 fixed-width histogram (round 9) — the distribution-profiling
+    // primitive behind any QC dashboard: integer bin = floor(x / width)
+    // (engine-portable — no width_bucket in DuckDB 1.0, and floor of an
+    // exact-2-dp double over a power-of-ten width is float-safe), count
+    // + exact observed [lo, hi] per bin. One map-side-combined hash agg;
+    // bins in flight ∝ distinct bins, never rows.
+    "agg_hist" -> ((s, sf) =>
+      t(s, sf, "orders")
+        .groupBy(floor(col("o_totalprice") / lit(50000)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("bin")),
+
     // §2.5 distribution window functions (round 9): cume_dist — the
     // empirical CDF position, i.e. percentile features computed in
     // place — and nth_value with an explicit running frame. The
@@ -653,6 +667,12 @@ object Aggregates {
            round((n*sxy - sx*sy)
                  / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price
          FROM s ORDER BY l_returnflag""",
+    "agg_hist" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(min(o_totalprice) AS DOUBLE), 2) AS lo,
+           round(CAST(max(o_totalprice) AS DOUBLE), 2) AS hi
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "win_distribution" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
            round(cume_dist() OVER (PARTITION BY c_mktsegment

@@ -151,6 +151,59 @@ object Events {
         .orderBy("from_type", "to_type")
     }),
 
+    // second-order sequence patterns (round 9) — the top event-type
+    // TRIGRAMS across all user journeys, where events_markov stops at
+    // first-order pairs: two stacked lead()s over the same
+    // (us, event_id)-ordered user window (ONE exchange + one sort feed
+    // both — Spark collapses same-spec window functions into a single
+    // Window operator), then a map-side-combined count and a bounded
+    // top-20 (TakeOrderedAndProject; count-desc with full lexicographic
+    // tiebreak so the cut is deterministic on both engines).
+    "events_ngrams" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      t(s, sf, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type").as("t1"))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("t3", lead(col("t1"), 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
+
+    // rolling z-score anomaly flag (round 9) — the per-entity outlier
+    // detector over the DENSIFIED grid (ts_fill_gaps' kernel): each
+    // (user, day)'s value scored against its own trailing 7-day mean/std,
+    // flagged beyond 2σ. Mean and variance come from EXACT decimal frame
+    // sums (Σv, Σv² over the 7-row frame — order-independent exactly;
+    // a windowed stddev_samp would merge float buffers in frame order),
+    // finished by one identical double formula on both engines; days
+    // with fewer than 3 observations or zero variance emit NULL rather
+    // than a fabricated score. Same single user-hash exchange + sort as
+    // ts_rolling_avg; the two decimal frame sums share it.
+    "ts_zscore" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-6, 0)
+      dailyGrid(s, sf)
+        .withColumn("n7", count(lit(1)).over(w))
+        .withColumn("s1",
+          sum(col("sum_value").cast("decimal(18,2)")).over(w).cast("double"))
+        .withColumn("s2",
+          sum((col("sum_value").cast("decimal(18,2)") *
+            col("sum_value").cast("decimal(18,2)"))).over(w).cast("double"))
+        .withColumn("vr", // guarded: ANSI mode throws on n7=1's zero divisor
+          when(col("n7") >= 2,
+            (col("s2") - col("s1") * col("s1") / col("n7")) / (col("n7") - lit(1))))
+        .withColumn("z",
+          when(col("n7") >= 3 && col("vr") > 0,
+            round((col("sum_value") - col("s1") / col("n7")) / sqrt(col("vr")), 6)))
+        .select(col("user_id"), col("d"), col("sum_value"), col("z"),
+          when(col("z").isNotNull && abs(col("z")) > 2.0, true)
+            .otherwise(false).as("anomaly"))
+        .orderBy("user_id", "d")
+    }),
+
     // incremental aggregate maintenance (round 9,
     // [[graft.operators.Mview]]) — DECLARED as: maintain a per-user
     // events aggregate (count / exact decimal sum / day min / day max)
@@ -260,6 +313,46 @@ object Events {
            round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
              AS sum_value,
            CAST(min(d) AS BIGINT) AS d_min, CAST(max(d) AS BIGINT) AS d_max
-         FROM e GROUP BY 1 ORDER BY 1"""
+         FROM e GROUP BY 1 ORDER BY 1""",
+    "events_ngrams" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+             FROM events),
+           w AS (SELECT event_type AS t1,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS t2,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS t3
+             FROM e)
+         SELECT t1, t2, t3, count(*) AS n FROM w
+         WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+         GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
+    "ts_zscore" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value FROM events),
+           daily AS (SELECT user_id, d, count(*) AS n,
+                       sum(CAST(value AS DECIMAL(18,2))) AS sv
+                     FROM e GROUP BY 1, 2),
+           span AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM e GROUP BY 1),
+           grid AS (SELECT user_id, unnest([lo + x for x in range(0, hi - lo + 1)]) AS d
+                    FROM span),
+           filled AS (SELECT g.user_id, CAST(g.d AS BIGINT) AS d,
+               round(CAST(coalesce(sv, 0) AS DOUBLE), 2) AS sum_value
+             FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d),
+           fr AS (SELECT user_id, d, sum_value,
+               count(*) OVER w AS n7,
+               CAST(sum(CAST(sum_value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+               CAST(sum(CAST(sum_value AS DECIMAL(18,2))
+                        * CAST(sum_value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+             FROM filled
+             WINDOW w AS (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+           zs AS (SELECT user_id, d, sum_value,
+               CASE WHEN n7 >= 3 AND (s2 - s1*s1/n7) / (n7 - 1) > 0
+                    THEN round((sum_value - s1/n7)
+                               / sqrt((s2 - s1*s1/n7) / (n7 - 1)), 6) END AS z
+             FROM fr)
+         SELECT user_id, d, sum_value, z,
+           CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN true ELSE false END
+             AS anomaly
+         FROM zs ORDER BY user_id, d"""
   )
 }

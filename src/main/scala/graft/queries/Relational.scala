@@ -351,6 +351,35 @@ object Relational {
           sum(when(levenshtein(col("a_name"), col("b_name")) <= 3, 1L)
             .otherwise(0L)).as("n_close"))
         .orderBy("p_brand", "noun")
+    }),
+
+    // §2.3 five-table star join (round 9, the TPC-H Q5 shape): region →
+    // nation → customer → orders → lineitem, region filter + order-date
+    // range, revenue per nation. The deep-join-tree case join_multiway's
+    // three tables don't exercise: THREE dimension hops broadcast in
+    // sequence (region 1 row, nation 25, then the customer side), the
+    // only repartitioning fact-side is the lineitem ⋈ orders orderkey
+    // hash — one shuffle for a 5-table query. The region filter prunes
+    // 4/5 of nations before any fact row is touched; at 100 TB with CBO
+    // stats the optimizer proves that cardinality collapse itself.
+    "join_star" -> ((s, sf) => {
+      val r = t(s, sf, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, sf, "nation")
+      val c = t(s, sf, "customer")
+      val o = t(s, sf, "orders")
+        .filter(col("o_orderdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate").cast("timestamp") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, sf, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c.join(broadcast(n.join(broadcast(r),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
     })
   )
 
@@ -508,5 +537,17 @@ object Relational {
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_close
          FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.noun = b.noun
            AND a.p_partkey < b.p_partkey
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "join_star" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+         FROM region JOIN nation ON n_regionkey = r_regionkey
+           JOIN customer ON c_nationkey = n_nationkey
+           JOIN orders ON o_custkey = c_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY 1""")
 }

@@ -101,7 +101,7 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       "ts_rolling_avg", "text_entropy", "quality_lm", "agg_winsorize",
       "agg_moments", "upsert_merge", "join_overlap", "events_markov",
       "agg_incremental", "agg_corr", "win_distribution", "join_multiway",
-      "join_fuzzy")
+      "join_fuzzy", "join_star", "events_ngrams", "ts_zscore", "agg_hist")
     val before = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf001).collect().toSeq).toMap
     val old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -199,5 +199,71 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
     // blocking must prune: candidate pairs well under the all-pairs count
     val allPairs = p.length.toLong * (p.length - 1) / 2
     got.values.map(_._1).sum should be < allPairs / 5
+  }
+
+  test("events_ngrams: trigram counts are bounded by their markov pair margins") {
+    // each (t1,t2,t3) journey contains the (t1,t2) transition, so no
+    // trigram can outnumber its first-order margin — a cross-query
+    // consistency check between the two sequence views
+    val pairs = SparkEntry.queries("events_markov")(spark, sf001).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n")).toMap
+    val tri = SparkEntry.queries("events_ngrams")(spark, sf001).collect()
+    tri should not be empty
+    tri.length should be <= 20
+    tri.foreach { r =>
+      val n = r.getAs[Long]("n")
+      n should be <= pairs((r.getAs[String]("t1"), r.getAs[String]("t2")))
+      n should be <= pairs((r.getAs[String]("t2"), r.getAs[String]("t3")))
+    }
+    // and the list arrives count-descending
+    tri.map(_.getAs[Long]("n")).toSeq shouldBe
+      tri.map(_.getAs[Long]("n")).toSeq.sorted.reverse
+  }
+
+  test("ts_zscore equals a driver-side brute-force recompute") {
+    val rows = SparkEntry.queries("ts_zscore")(spark, sf001).collect()
+    rows should not be empty
+    // brute force: densify each user's series and score trailing 7-day
+    // frames with exact arithmetic on the 2-dp values
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, seq) =>
+      val days = seq.map(_.getAs[Long]("d"))
+      days.toSeq shouldBe (days.min to days.max).toSeq // dense grid
+      val vals = seq.map(_.getAs[Double]("sum_value"))
+      seq.zipWithIndex.foreach { case (r, i) =>
+        val frame = vals.slice(math.max(0, i - 6), i + 1)
+        val n = frame.length
+        val s1 = frame.map(v => math.rint(v * 100).toLong).sum / 100.0
+        val s2 = frame.map(v => math.rint(v * 100).toLong)
+          .map(c => c * c).sum / 10000.0
+        val vr = if (n >= 2) (s2 - s1 * s1 / n) / (n - 1) else Double.NaN
+        val zGot = Option(r.getAs[java.lang.Double]("z"))
+        if (n >= 3 && vr > 0) {
+          val want = math.rint((r.getAs[Double]("sum_value") - s1 / n) /
+            math.sqrt(vr) * 1e6) / 1e6
+          zGot.map(_.doubleValue()) shouldBe Some(want)
+          r.getAs[Boolean]("anomaly") shouldBe (math.abs(want) > 2.0)
+        } else {
+          zGot shouldBe None
+          r.getAs[Boolean]("anomaly") shouldBe false
+        }
+      }
+    }
+    // the 2σ gate must actually fire somewhere on the corpus
+    rows.count(_.getAs[Boolean]("anomaly")) should be > 0
+  }
+
+  test("agg_hist: bins partition the rows and bounds sit inside their bin") {
+    val rows = SparkEntry.queries("agg_hist")(spark, sf001).collect()
+    rows should not be empty
+    val total = T.t(spark, sf001, "orders").count()
+    rows.map(_.getAs[Long]("n")).sum shouldBe total
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      r.getAs[Double]("lo") should be >= bin * 50000.0
+      r.getAs[Double]("hi") should be < (bin + 1) * 50000.0
+      r.getAs[Double]("lo") should be <= r.getAs[Double]("hi")
+    }
   }
 }

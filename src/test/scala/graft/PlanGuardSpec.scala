@@ -84,4 +84,16 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     pushed.length should be >= 3
     all(pushed.map(_.takeWhile(_ != ']'))) should not be "["
   }
+
+  test("join_star: one fact-side shuffle, every dimension hop broadcast") {
+    // the Q5 shape: 5 tables, but the only repartitioning join is
+    // lineitem ⋈ orders on the orderkey — region/nation/customer all
+    // ride broadcasts, so a 100 TB fact side pays exactly one shuffle
+    val exec = SparkEntry.queries("join_star")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    exec.split("BroadcastHashJoin").length - 1 should be >= 3
+    // shuffles: the orderkey join's two sides + the final 5-row agg —
+    // never one per dimension hop
+    exec.split("Exchange hashpartitioning").length - 1 should be <= 3
+  }
 }
