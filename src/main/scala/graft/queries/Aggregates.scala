@@ -442,6 +442,64 @@ object Aggregates {
           round(max(col("o_totalprice")), 2).as("hi"))
         .orderBy("bin")),
 
+    // §2.4 share-of-total / ratio-to-report (round 9) — the window-over-
+    // aggregate composition every revenue dashboard runs: group to
+    // (status, priority) cells, then each cell's share of its status
+    // total via a window sum OVER THE AGGREGATED result (15 rows at any
+    // SF — the window never touches fact rows, so its exchange is free).
+    // Numerator and denominator are both exact decimal sums; one IEEE
+    // division at the end is bit-identical cross-engine.
+    "agg_ratio" -> ((s, sf) => {
+      val a = t(s, sf, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      a.select(col("status"), col("priority"), col("n"),
+          round(col("rev").cast("double"), 2).as("revenue"),
+          round(col("rev").cast("double") /
+            sum(col("rev")).over(Window.partitionBy("status")).cast("double"),
+            6).as("share"))
+        .orderBy("status", "priority")
+    }),
+
+    // §2.4 multi-column exact distinct counts (round 9) — the
+    // cardinality-profiling shape that exercises Spark's Expand operator:
+    // two COUNT(DISTINCT ...) on different columns + plain aggregates in
+    // ONE statement. Spark rewrites to an Expand (3 rows per input: one
+    // per distinct-group + one for the plain aggs) feeding a two-level
+    // aggregate — one logical pass over the fact table instead of a
+    // self-join per distinct column.
+    "agg_distinct_multi" -> ((s, sf) =>
+      t(s, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_qty"))
+        .orderBy("l_returnflag")),
+
+    // §2.4 robust dispersion: median absolute deviation (round 9) — the
+    // outlier-resistant complement to ts_zscore's mean/σ: per-group
+    // median, then the median of |x − median|. Two exact interpolated
+    // percentile aggregations (the agg_percentile contract) bridged by a
+    // 3-row broadcast of the group medians — the fact side is scanned
+    // twice but never shuffled beyond its two group-key aggregates.
+    "agg_mad" -> ((s, sf) => {
+      val o = t(s, sf, "orders").select(col("o_orderstatus"), col("o_totalprice"))
+      val m = o.groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med0"))
+      o.join(broadcast(m), "o_orderstatus")
+        .select(col("o_orderstatus"), col("med0"),
+          abs(col("o_totalprice") - col("med0")).as("ad"))
+        .groupBy("o_orderstatus")
+        .agg(round(max(col("med0")), 6).as("med"),
+          round(expr("percentile(ad, 0.5)"), 6).as("mad"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // §2.5 distribution window functions (round 9): cume_dist — the
     // empirical CDF position, i.e. percentile features computed in
     // place — and nth_value with an explicit running frame. The
@@ -673,6 +731,34 @@ object Aggregates {
            round(CAST(min(o_totalprice) AS DOUBLE), 2) AS lo,
            round(CAST(max(o_totalprice) AS DOUBLE), 2) AS hi
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "agg_ratio" ->
+      """WITH a AS (SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1, 2)
+         SELECT status, priority, CAST(n AS BIGINT) AS n,
+           round(CAST(rev AS DOUBLE), 2) AS revenue,
+           round(CAST(rev AS DOUBLE)
+                 / CAST(sum(rev) OVER (PARTITION BY status) AS DOUBLE), 6)
+             AS share
+         FROM a ORDER BY 1, 2""",
+    "agg_distinct_multi" ->
+      """SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_mad" ->
+      """WITH m AS (SELECT o_orderstatus, median(o_totalprice) AS med0
+             FROM orders GROUP BY 1),
+           d AS (SELECT o.o_orderstatus, med0,
+               abs(o_totalprice - med0) AS ad
+             FROM orders o JOIN m USING (o_orderstatus))
+         SELECT o_orderstatus, round(CAST(max(med0) AS DOUBLE), 6) AS med,
+           round(CAST(median(ad) AS DOUBLE), 6) AS mad,
+           CAST(count(*) AS BIGINT) AS n
+         FROM d GROUP BY 1 ORDER BY 1""",
     "win_distribution" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
            round(cume_dist() OVER (PARTITION BY c_mktsegment

@@ -204,6 +204,86 @@ object Events {
         .orderBy("user_id", "d")
     }),
 
+    // longest-streak gaps-and-islands (round 9) — the engagement metric
+    // over ACTIVE days (not the zero-filled grid): distinct (user, day),
+    // island id = day − row_number (consecutive days share it), then
+    // per-user streak stats. One explicit user-hash repartition up front
+    // lets every downstream step reuse the same exchange: the (user, day)
+    // distinct, the window, and both per-user aggregates are all
+    // satisfied by hashpartitioning(user_id) — a 4-stage pipeline on ONE
+    // shuffle of (user_id, day) pairs, never raw events.
+    "win_streak" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy("d")
+      t(s, sf, "events")
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .repartition(col("user_id"))
+        .distinct()
+        .withColumn("isl", col("d") - row_number().over(w))
+        .groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"), max("len").as("longest"),
+          sum("len").as("active_days"))
+        .orderBy("user_id")
+    }),
+
+    // last-touch attribution (round 9) — the marketing-analytics join of
+    // conversions to the most recent preceding touchpoint: for each
+    // purchase, the latest view/click strictly before it (within a 7-day
+    // lookback), credited by count and exact decimal value. Both the
+    // touch type (last ignore-nulls) and its timestamp (max of a
+    // conditional — null rows vanish from the aggregate) come from ONE
+    // window spec over the user-ordered event stream — no self-join of
+    // purchases back against touches, so the fact table shuffles once.
+    "events_attribution" -> ((s, sf) => {
+      val isTouch = col("event_type").isin("view", "click")
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, sf, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"), col("value"))
+        .withColumn("touch",
+          last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("touch_us", max(when(isTouch, col("us"))).over(w))
+        .filter(col("event_type") === "purchase" && col("touch").isNotNull &&
+          col("us") - col("touch_us") <= lit(7L * DayUs))
+        .groupBy(col("touch").as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("attributed_value"))
+        .orderBy("touch_type")
+    }),
+
+    // top session paths (round 9) — journey analysis over the sessionize
+    // kernel: 30-min-gap sessions, each session's first ≤3 event types
+    // joined "a>b>c", global top-10 paths. The lag flag and running
+    // session id share one window spec (one exchange + sort); the
+    // row_number and per-session collect reuse that user partitioning
+    // (subset-key distribution — no new exchange); only the final path
+    // count re-shuffles, on ≤|sessions| short strings. The in-session
+    // concat goes through array_sort(struct(rn, t)) so the path order is
+    // the deterministic (us, event_id) event order, not collect order.
+    "events_path" -> ((s, sf) => {
+      val wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+      t(s, sf, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .withColumn("brk",
+          when(lag(col("us"), 1).over(wo).isNotNull &&
+            col("us") - lag(col("us"), 1).over(wo) >= 1800000000L, 1).otherwise(0))
+        .withColumn("sess", sum(col("brk")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "sess").orderBy("us", "event_id")))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id", "sess")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"),
+            col("event_type").as("t")))), x => x.getField("t")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path"))
+        .limit(10)
+    }),
+
     // incremental aggregate maintenance (round 9,
     // [[graft.operators.Mview]]) — DECLARED as: maintain a per-user
     // events aggregate (count / exact decimal sum / day min / day max)
@@ -353,6 +433,54 @@ object Events {
          SELECT user_id, d, sum_value, z,
            CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN true ELSE false END
              AS anomaly
-         FROM zs ORDER BY user_id, d"""
+         FROM zs ORDER BY user_id, d""",
+    "win_streak" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+             FROM events),
+           i AS (SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl
+             FROM e),
+           s AS (SELECT user_id, isl, count(*) AS len FROM i GROUP BY 1, 2)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest,
+           CAST(sum(len) AS BIGINT) AS active_days
+         FROM s GROUP BY 1 ORDER BY 1""",
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+             value FROM events),
+           m AS (SELECT user_id, us, event_type, value,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                 THEN event_type END IGNORE NULLS) OVER w AS touch,
+               max(CASE WHEN event_type IN ('view', 'click') THEN us END)
+                 OVER w AS touch_us
+             FROM e
+             WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT touch AS touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS attributed_value
+         FROM m
+         WHERE event_type = 'purchase' AND touch IS NOT NULL
+           AND us - touch_us <= 7 * 86400000000
+         GROUP BY 1 ORDER BY 1""",
+    "events_path" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+             FROM events),
+           g AS (SELECT *, CASE WHEN lag(us) OVER w IS NOT NULL
+                    AND us - lag(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+             FROM g),
+           r AS (SELECT user_id, sess, event_type,
+               row_number() OVER (PARTITION BY user_id, sess
+                 ORDER BY us, event_id) AS rn
+             FROM s),
+           p AS (SELECT user_id, sess,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+             FROM r WHERE rn <= 3 GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""
   )
 }

@@ -101,7 +101,9 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       "ts_rolling_avg", "text_entropy", "quality_lm", "agg_winsorize",
       "agg_moments", "upsert_merge", "join_overlap", "events_markov",
       "agg_incremental", "agg_corr", "win_distribution", "join_multiway",
-      "join_fuzzy", "join_star", "events_ngrams", "ts_zscore", "agg_hist")
+      "join_fuzzy", "join_star", "events_ngrams", "ts_zscore", "agg_hist",
+      "agg_ratio", "agg_distinct_multi", "agg_mad", "win_streak",
+      "events_attribution", "events_path")
     val before = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf001).collect().toSeq).toMap
     val old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -252,6 +254,132 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
     // the 2σ gate must actually fire somewhere on the corpus
     rows.count(_.getAs[Boolean]("anomaly")) should be > 0
+  }
+
+  test("win_streak equals a driver-side streak recompute") {
+    val got = SparkEntry.queries("win_streak")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("n_streaks"),
+        r.getAs[Long]("longest"), r.getAs[Long]("active_days")))).toMap
+    got should not be empty
+    val days = T.t(spark, sf001, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).sorted.toSeq }
+    got.keySet shouldBe days.keySet
+    days.foreach { case (u, ds) =>
+      // split the sorted day list into runs of consecutive days
+      val runs = ds.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (h :: t), d) if d == h.head + 1 => (d :: h) :: t
+        case (acc, d) => List(d) :: acc
+      }
+      got(u) shouldBe ((runs.length.toLong,
+        runs.map(_.length).max.toLong, ds.length.toLong))
+    }
+  }
+
+  test("events_attribution equals a driver-side last-touch recompute") {
+    val got = SparkEntry.queries("events_attribution")(spark, sf001).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        ((r.getAs[Long]("n_purchases"), r.getAs[Double]("attributed_value"))))
+      .toMap
+    got.keySet shouldBe Set("view", "click")
+    val ev = T.t(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val acc = collection.mutable.Map.empty[String, (Long, Long)] // n, cents
+    ev.groupBy(_._1).values.foreach { rows =>
+      var lastTouch: Option[(String, Long)] = None
+      rows.sortBy(r => (r._3, r._2)).foreach { case (_, _, us, t, v) =>
+        if (t == "purchase") lastTouch.foreach { case (tt, tus) =>
+          if (us - tus <= 7L * 86400000000L) {
+            val (n, c) = acc.getOrElse(tt, (0L, 0L))
+            acc(tt) = (n + 1, c + math.rint(v * 100).toLong)
+          }
+        }
+        if (t == "view" || t == "click") lastTouch = Some((t, us))
+      }
+    }
+    acc.foreach { case (tt, (n, cents)) =>
+      got(tt) shouldBe ((n, cents / 100.0))
+    }
+  }
+
+  test("events_path equals a driver-side session-path recompute") {
+    val got = SparkEntry.queries("events_path")(spark, sf001).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n"))).toSeq
+    got should not be empty
+    val ev = T.t(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = collection.mutable.Map.empty[String, Long]
+    ev.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      var sess = List.empty[List[String]]
+      var lastUs = Long.MinValue
+      ordered.foreach { case (_, _, us, t) =>
+        if (sess.isEmpty || us - lastUs >= 1800000000L) sess ::= List(t)
+        else sess = (t :: sess.head) :: sess.tail
+        lastUs = us
+      }
+      sess.foreach { s =>
+        val p = s.reverse.take(3).mkString(">")
+        paths(p) = paths.getOrElse(p, 0L) + 1
+      }
+    }
+    val want = paths.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    got shouldBe want
+  }
+
+  test("agg_ratio: shares within each status sum to one") {
+    val rows = SparkEntry.queries("agg_ratio")(spark, sf001).collect()
+    rows should not be empty
+    rows.groupBy(_.getAs[String]("status")).foreach { case (_, rs) =>
+      rs.map(_.getAs[Double]("share")).sum shouldBe 1.0 +- 1e-5
+      rs.foreach(_.getAs[Double]("share") should be > 0.0)
+    }
+  }
+
+  test("agg_distinct_multi equals separately computed distinct counts") {
+    val rows = SparkEntry.queries("agg_distinct_multi")(spark, sf001).collect()
+    rows should not be empty
+    val li = T.t(spark, sf001, "lineitem")
+      .select("l_returnflag", "l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val f = r.getAs[String]("l_returnflag")
+      val mine = li.filter(_._1 == f)
+      r.getAs[Long]("n_orders") shouldBe mine.map(_._2).distinct.length.toLong
+      r.getAs[Long]("n_supps") shouldBe mine.map(_._3).distinct.length.toLong
+      r.getAs[Long]("n_rows") shouldBe mine.length.toLong
+    }
+  }
+
+  test("agg_mad equals a driver-side interpolated-median recompute") {
+    def medInterp(sorted: Array[Double]): Double = {
+      val pos = 0.5 * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo + 1 < sorted.length)
+        sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+      else sorted(lo)
+    }
+    val rows = SparkEntry.queries("agg_mad")(spark, sf001).collect()
+    rows should not be empty
+    val byStatus = T.t(spark, sf001, "orders")
+      .select("o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    rows.foreach { r =>
+      val vals = byStatus(r.getAs[String]("o_orderstatus")).map(_._2)
+      val med = medInterp(vals.sorted)
+      val mad = medInterp(vals.map(v => math.abs(v - med)).sorted)
+      r.getAs[Long]("n") shouldBe vals.length.toLong
+      r.getAs[Double]("med") shouldBe med +- 1e-6
+      r.getAs[Double]("mad") shouldBe mad +- 1e-6
+    }
   }
 
   test("agg_hist: bins partition the rows and bounds sit inside their bin") {

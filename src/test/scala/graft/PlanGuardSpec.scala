@@ -96,4 +96,22 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // never one per dimension hop
     exec.split("Exchange hashpartitioning").length - 1 should be <= 3
   }
+
+  test("agg_distinct_multi: one Expand pass, not a join per distinct column") {
+    // two COUNT(DISTINCT) on different columns must plan as Spark's
+    // Expand + two-level aggregate — a single pass over the fact table
+    val exec = SparkEntry.queries("agg_distinct_multi")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    exec should include ("Expand")
+    exec should not include ("Join")
+  }
+
+  test("win_streak: the whole gaps-and-islands pipeline rides one hash exchange") {
+    // distinct (user, day), the island window, and both per-user aggs are
+    // all satisfied by the single up-front hashpartitioning(user_id) —
+    // only the presentation ORDER BY adds a range exchange
+    val exec = SparkEntry.queries("win_streak")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    exec.split("Exchange hashpartitioning").length - 1 shouldBe 1
+  }
 }
