@@ -284,6 +284,76 @@ object Events {
         .limit(10)
     }),
 
+    // RFM segmentation (round 9) — the user-value cube behind retention
+    // marketing: per user recency (days since last event vs the corpus
+    // max day), frequency (purchase count), monetary (exact decimal
+    // purchase value), each bucketed into quartiles. The scale-clean
+    // bucketing: exact interpolated percentile boundaries computed ONCE
+    // (a 1-row broadcast, the agg_winsorize pattern), then quartile =
+    // 1 + Σ(v > qᵢ) per row — never a global ntile window, which would
+    // funnel every user through one partition. Output is the 4×4×4
+    // segment histogram.
+    "events_rfm" -> ((s, sf) => {
+      val e = t(s, sf, "events").select(col("user_id"),
+        expr(s"unix_micros(ts) div $DayUs").as("d"),
+        col("event_type"), col("value"))
+      val u = e.groupBy("user_id").agg(
+        max(col("d")).as("dmaxu"),
+        count(when(col("event_type") === "purchase", 1)).as("freq"),
+        coalesce(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("mon"))
+      val mx = e.agg(max(col("d")).as("dmax"))
+      val u2 = u.crossJoin(broadcast(mx))
+        .select(col("user_id"), (col("dmax") - col("dmaxu")).as("rec"),
+          col("freq"), col("mon"))
+      val q = u2.agg(
+        expr("percentile(rec, 0.25)").as("r1"),
+        expr("percentile(rec, 0.5)").as("r2"),
+        expr("percentile(rec, 0.75)").as("r3"),
+        expr("percentile(freq, 0.25)").as("f1"),
+        expr("percentile(freq, 0.5)").as("f2"),
+        expr("percentile(freq, 0.75)").as("f3"),
+        expr("percentile(mon, 0.25)").as("m1"),
+        expr("percentile(mon, 0.5)").as("m2"),
+        expr("percentile(mon, 0.75)").as("m3"))
+      def bucket(v: org.apache.spark.sql.Column, b1: String, b2: String,
+          b3: String) =
+        (lit(1) + (v > col(b1)).cast("int") + (v > col(b2)).cast("int") +
+          (v > col(b3)).cast("int")).cast("long")
+      u2.crossJoin(broadcast(q))
+        .select(bucket(col("rec"), "r1", "r2", "r3").as("r_q"),
+          bucket(col("freq"), "f1", "f2", "f3").as("f_q"),
+          bucket(col("mon"), "m1", "m2", "m3").as("m_q"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r_q", "f_q", "m_q")
+    }),
+
+    // weekly OHLC resample (round 9) — the financial downsample shape
+    // over each user's value stream: per (user, week) the first/max/min/
+    // last value plus count and exact decimal volume. First/last ride
+    // min_by/max_by over a ZERO-PADDED (µs, event_id) string key —
+    // lexicographic order equals numeric order, ties impossible
+    // (event_id unique), so the pick is deterministic on both engines
+    // without a sort or window. One map-side-combined hash agg; state ∝
+    // (user, week) cells.
+    "ts_ohlc" -> ((s, sf) =>
+      t(s, sf, "events")
+        .select(col("user_id"), expr(s"unix_micros(ts) div $WeekUs").as("wk"),
+          concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+            lpad(col("event_id").cast("string"), 12, "0")).as("okey"),
+          col("value"))
+        .groupBy("user_id", "wk")
+        .agg(count(lit(1)).as("n"),
+          round(min_by(col("value"), col("okey")), 2).as("open"),
+          round(max(col("value")), 2).as("high"),
+          round(min(col("value")), 2).as("low"),
+          round(max_by(col("value"), col("okey")), 2).as("close"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("vsum"))
+        .orderBy("user_id", "wk")),
+
     // incremental aggregate maintenance (round 9,
     // [[graft.operators.Mview]]) — DECLARED as: maintain a per-user
     // events aggregate (count / exact decimal sum / day min / day max)
@@ -434,6 +504,42 @@ object Events {
            CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN true ELSE false END
              AS anomaly
          FROM zs ORDER BY user_id, d""",
+    "events_rfm" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+             event_type, value FROM events),
+           mx AS (SELECT max(d) AS dmax FROM e),
+           u AS (SELECT user_id,
+               (SELECT dmax FROM mx) - max(d) AS rec,
+               count(*) FILTER (WHERE event_type = 'purchase') AS freq,
+               CAST(coalesce(sum(CAST(value AS DECIMAL(18,2)))
+                 FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE) AS mon
+             FROM e GROUP BY 1),
+           q AS (SELECT quantile_cont(rec, 0.25) r1, quantile_cont(rec, 0.5) r2,
+               quantile_cont(rec, 0.75) r3,
+               quantile_cont(freq, 0.25) f1, quantile_cont(freq, 0.5) f2,
+               quantile_cont(freq, 0.75) f3,
+               quantile_cont(mon, 0.25) m1, quantile_cont(mon, 0.5) m2,
+               quantile_cont(mon, 0.75) m3 FROM u)
+         SELECT CAST(1 + (rec > r1)::INT + (rec > r2)::INT + (rec > r3)::INT
+               AS BIGINT) AS r_q,
+           CAST(1 + (freq > f1)::INT + (freq > f2)::INT + (freq > f3)::INT
+               AS BIGINT) AS f_q,
+           CAST(1 + (mon > m1)::INT + (mon > m2)::INT + (mon > m3)::INT
+               AS BIGINT) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM u, q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "ts_ohlc" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey,
+             value FROM events)
+         SELECT user_id, wk, CAST(count(*) AS BIGINT) AS n,
+           round(arg_min(value, okey), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(arg_max(value, okey), 2) AS close,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS vsum
+         FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
     "win_streak" ->
       """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
              FROM events),

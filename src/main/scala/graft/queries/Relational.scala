@@ -353,6 +353,53 @@ object Relational {
         .orderBy("p_brand", "noun")
     }),
 
+    // §2.3 agg-then-probe join (round 9, the TPC-H Q18 shape): orders
+    // whose line items sum past a quantity threshold, joined back to
+    // orders + customer. The distinct plan shape: a FULL fact-table
+    // aggregate feeds the join as a (filtered, now small) build side —
+    // the HAVING collapse happens before any wide row moves, so the
+    // expensive side of the join is the one that was already
+    // aggregate-shuffled on the same orderkey (no second fact shuffle;
+    // AQE sizes the collapsed side into a broadcast at runtime).
+    "join_agg_semi" -> ((s, sf) => {
+      val big = t(s, sf, "lineitem").groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .filter(col("qty") > 300)
+      t(s, sf, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, sf, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("qty").cast("double").as("total_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.7 multiset set ops (round 9): EXCEPT ALL / INTERSECT ALL — bag
+    // semantics where set_except/set_intersect deduplicate. Spark plans
+    // both as a count-compare aggregate (sum of +1/−1 tags), one
+    // shuffle on the value — never a join per duplicate.
+    "set_except_all" -> ((s, sf) =>
+      t(s, sf, "customer").select(col("c_nationkey").as("nk"))
+        .exceptAll(t(s, sf, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    "set_intersect_all" -> ((s, sf) =>
+      t(s, sf, "customer").select(col("c_nationkey").as("nk"))
+        .intersectAll(t(s, sf, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    // §2.2 correlated scalar subquery (round 9) — the SQL front-end
+    // surface the DataFrame rows can't show: per customer, the max of a
+    // correlated aggregate over orders, written as a subquery in the
+    // SELECT list and decorrelated by Catalyst into one orderless
+    // custkey-agg + left join (never a per-row probe). Tables are bound
+    // by direct parquet path (no temp-view session state).
+    "subquery_scalar" -> ((s, sf) => s.sql(
+      s"""SELECT c_custkey,
+            round((SELECT max(o_totalprice) FROM parquet.`$sf/orders.parquet` o
+                   WHERE o.o_custkey = c.c_custkey), 2) AS max_price
+          FROM parquet.`$sf/customer.parquet` c ORDER BY c_custkey""")),
+
     // §2.3 five-table star join (round 9, the TPC-H Q5 shape): region →
     // nation → customer → orders → lineitem, region filter + order-date
     // range, revenue per nation. The deep-join-tree case join_multiway's
@@ -538,6 +585,27 @@ object Relational {
          FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.noun = b.noun
            AND a.p_partkey < b.p_partkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "join_agg_semi" ->
+      """WITH big AS (SELECT l_orderkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+         SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           CAST(qty AS DOUBLE) AS total_qty
+         FROM big JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+         ORDER BY o_orderkey""",
+    "set_except_all" ->
+      """SELECT c_nationkey AS nk FROM customer
+         EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY nk""",
+    "set_intersect_all" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY nk""",
+    "subquery_scalar" ->
+      """SELECT c_custkey,
+           round((SELECT max(o_totalprice) FROM orders o
+                  WHERE o.o_custkey = c.c_custkey), 2) AS max_price
+         FROM customer c ORDER BY c_custkey""",
     "join_star" ->
       """SELECT n_name,
            CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))

@@ -160,6 +160,36 @@ object TextAnalysis {
           size(split(col("norm"), " ")).cast("long").as("toks_after"))
         .orderBy("doc_id")),
 
+    // composite quality-filter cascade (round 9) — the C4-style cleaning
+    // decision as ONE case-when pass with first-match-wins reason codes:
+    // too_short (chars), too_few_tokens, low_stopword (the junk-page
+    // heuristic — pages whose stopword ratio is implausibly low), then
+    // repetitive (distinct-token ratio — cheap proxy for the n-gram
+    // repetition scan text_repetition runs in full). Thresholds sit at
+    // the corpus's own low-percentile tails so every branch is live at
+    // test SFs. Ratios compare RAW (identical float expressions both
+    // engines — rounding before a threshold could flip a branch on one
+    // side only). Single narrow map + one tiny groupBy(reason): the
+    // 100 TB shape is a full-scan filter that shuffles 5 counter rows.
+    "filter_pipeline" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("tk")).cast("long").as("tok_cnt"),
+          (markerCount(enM).cast("double") /
+            greatest(size(col("tk")), lit(1))).as("stop_ratio"),
+          (size(array_distinct(col("tk"))).cast("double") /
+            greatest(size(col("tk")), lit(1))).as("distinct_ratio"))
+        .withColumn("reason",
+          when(col("n_chars") < 100, "too_short")
+            .when(col("tok_cnt") < 20, "too_few_tokens")
+            .when(col("stop_ratio") < 0.05, "low_stopword")
+            .when(col("distinct_ratio") < 0.30, "repetitive")
+            .otherwise("kept"))
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("reason")),
+
     // PII redaction (round 7): the compliance pass every training-data
     // pipeline runs before release. The corpus text carries no PII, so the
     // query splices deterministic synthetic PII (an email per doc, a phone
@@ -383,6 +413,24 @@ object TextAnalysis {
          CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_toks,
          CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS uniq_toks
          FROM documents ORDER BY doc_id""",
+    "filter_pipeline" ->
+      s"""WITH s AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+             FROM documents),
+           q AS (SELECT doc_id, n_chars,
+               CAST(len(tk) AS BIGINT) AS tok_cnt,
+               CAST(len(list_filter(tk, t -> list_contains(${markerSql(enM)}, t)))
+                    AS DOUBLE) / greatest(len(tk), 1) AS stop_ratio,
+               CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1)
+                 AS distinct_ratio
+             FROM s),
+           r AS (SELECT *, CASE WHEN n_chars < 100 THEN 'too_short'
+               WHEN tok_cnt < 20 THEN 'too_few_tokens'
+               WHEN stop_ratio < 0.05 THEN 'low_stopword'
+               WHEN distinct_ratio < 0.30 THEN 'repetitive'
+               ELSE 'kept' END AS reason FROM q)
+         SELECT reason, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM r GROUP BY 1 ORDER BY 1""",
     "text_redact" ->
       """WITH a AS (SELECT doc_id, text ||
              ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||

@@ -103,7 +103,9 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       "agg_incremental", "agg_corr", "win_distribution", "join_multiway",
       "join_fuzzy", "join_star", "events_ngrams", "ts_zscore", "agg_hist",
       "agg_ratio", "agg_distinct_multi", "agg_mad", "win_streak",
-      "events_attribution", "events_path")
+      "events_attribution", "events_path", "join_agg_semi",
+      "set_except_all", "set_intersect_all", "subquery_scalar",
+      "filter_pipeline", "events_rfm", "ts_ohlc")
     val before = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf001).collect().toSeq).toMap
     val old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -380,6 +382,143 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       r.getAs[Double]("med") shouldBe med +- 1e-6
       r.getAs[Double]("mad") shouldBe mad +- 1e-6
     }
+  }
+
+  test("join_agg_semi equals a driver-side HAVING recompute") {
+    val got = SparkEntry.queries("join_agg_semi")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        ((r.getAs[Long]("c_custkey"), r.getAs[Double]("total_qty"))))
+      .toMap
+    got should not be empty
+    val sums = T.t(spark, sf001, "lineitem")
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 100).toLong))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val custOf = T.t(spark, sf001, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = sums.filter(_._2 > 30000)
+      .map { case (ok, cents) => ok -> ((custOf(ok), cents / 100.0)) }
+    got shouldBe want
+  }
+
+  test("multiset set ops: per-key counts are exact bag difference / intersection") {
+    def hist(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.get(0).asInstanceOf[Number].longValue)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c = hist(T.t(spark, sf001, "customer").select("c_nationkey").collect())
+    val s = hist(T.t(spark, sf001, "supplier").select("s_nationkey").collect())
+    val exc = hist(SparkEntry.queries("set_except_all")(spark, sf001).collect())
+    val int = hist(SparkEntry.queries("set_intersect_all")(spark, sf001).collect())
+    (c.keySet ++ s.keySet).foreach { k =>
+      val (nc, ns) = (c.getOrElse(k, 0L), s.getOrElse(k, 0L))
+      exc.getOrElse(k, 0L) shouldBe math.max(0L, nc - ns)
+      int.getOrElse(k, 0L) shouldBe math.min(nc, ns)
+    }
+  }
+
+  test("subquery_scalar equals a driver-side correlated-max recompute") {
+    val got = SparkEntry.queries("subquery_scalar")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        Option(r.getAs[java.lang.Double]("max_price")).map(_.doubleValue()))
+      .toMap
+    val maxes = T.t(spark, sf001, "orders")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> math.rint(vs.map(_._2).max * 100) / 100.0 }
+    val custs = T.t(spark, sf001, "customer").select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    got.keySet shouldBe custs
+    custs.foreach { ck => got(ck) shouldBe maxes.get(ck) }
+  }
+
+  test("filter_pipeline equals a driver-side cascade recompute") {
+    val got = SparkEntry.queries("filter_pipeline")(spark, sf001).collect()
+      .map(r => r.getAs[String]("reason") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars")))).toMap
+    val markers = Set("the", "a", "order", "data")
+    val acc = collection.mutable.Map.empty[String, (Long, Long)]
+    T.t(spark, sf001, "documents").select("text", "n_chars").collect()
+      .foreach { r =>
+        val (text, nChars) = (r.getString(0), r.getLong(1))
+        val tk = text.split(" ", -1)
+        val stopR = tk.count(markers) .toDouble / math.max(tk.length, 1)
+        val distR = tk.distinct.length.toDouble / math.max(tk.length, 1)
+        val reason =
+          if (nChars < 100) "too_short"
+          else if (tk.length < 20) "too_few_tokens"
+          else if (stopR < 0.05) "low_stopword"
+          else if (distR < 0.30) "repetitive"
+          else "kept"
+        val (n, c) = acc.getOrElse(reason, (0L, 0L))
+        acc(reason) = (n + 1, c + nChars)
+      }
+    got shouldBe acc.toMap
+    // the cascade must actually discriminate on the corpus
+    got.keySet.size should be >= 4
+    got.keySet should contain ("kept")
+  }
+
+  test("events_rfm equals a driver-side quartile recompute") {
+    def pctl(sorted: Array[Double], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo + 1 < sorted.length)
+        sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+      else sorted(lo)
+    }
+    val got = SparkEntry.queries("events_rfm")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("r_q"), r.getAs[Long]("f_q"),
+        r.getAs[Long]("m_q")) -> r.getAs[Long]("n_users")).toMap
+    val ev = T.t(spark, sf001, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val dmax = ev.map(_._2).max
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      val p = rows.filter(_._3 == "purchase")
+      (u, (dmax - rows.map(_._2).max).toDouble, p.length.toDouble,
+        p.map(r => math.rint(r._4 * 100).toLong).sum / 100.0)
+    }.toArray
+    def qs(vs: Array[Double]) = {
+      val s = vs.sorted
+      (pctl(s, 0.25), pctl(s, 0.5), pctl(s, 0.75))
+    }
+    val (rq, fq, mq) = (qs(users.map(_._2)), qs(users.map(_._3)),
+      qs(users.map(_._4)))
+    def bucket(v: Double, q: (Double, Double, Double)): Long =
+      1L + (if (v > q._1) 1 else 0) + (if (v > q._2) 1 else 0) +
+        (if (v > q._3) 1 else 0)
+    val want = users.groupBy { case (_, r, f, m) =>
+      (bucket(r, rq), bucket(f, fq), bucket(m, mq)) }
+      .map { case (k, us) => k -> us.length.toLong }
+    got shouldBe want
+    got.values.sum shouldBe users.length.toLong
+  }
+
+  test("ts_ohlc equals a driver-side resample recompute") {
+    val got = SparkEntry.queries("ts_ohlc")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("wk")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"),
+          r.getAs[Double]("vsum")))).toMap
+    val ev = T.t(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = ev.groupBy(r => (r._1, r._3 / 604800000000L)).map {
+      case (k, rows) =>
+        val ordered = rows.sortBy(r => (r._3, r._2))
+        val vs = rows.map(_._4)
+        k -> ((rows.length.toLong,
+          math.rint(ordered.head._4 * 100) / 100.0,
+          math.rint(vs.max * 100) / 100.0,
+          math.rint(vs.min * 100) / 100.0,
+          math.rint(ordered.last._4 * 100) / 100.0,
+          rows.map(r => math.rint(r._4 * 100).toLong).sum / 100.0))
+    }
+    got shouldBe want
   }
 
   test("agg_hist: bins partition the rows and bounds sit inside their bin") {

@@ -36,11 +36,15 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
   //   quality_lm — the corpus-total 1-row aggregate cross-joined onto the
   //     token stream (the same scalar-subquery shape, built with an
   //     explicit broadcast)
+  //   events_rfm — TWO of the same shape: the corpus max-day 1-row agg
+  //     onto the per-user rollup, then the 1-row percentile-boundary agg
+  //     back onto it (both explicit broadcasts; build sides are exactly
+  //     one row at any corpus size)
   private val constantSideByConstruction = Set(
     "dedup_embed_lsh", "sim_ann_ivf",
     "caim_candidates", "caim_criterion", "caim_quanta",
     "disc_equal_freq", "disc_equal_width",
-    "filter_subquery", "quality_lm")
+    "filter_subquery", "quality_lm", "events_rfm")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
