@@ -354,6 +354,76 @@ object Events {
             .as("vsum"))
         .orderBy("user_id", "wk")),
 
+    // linear gap interpolation (round 9) — the time-series repair step
+    // zero-fill (ts_fill_gaps) is wrong for: missing days get the line
+    // between their surrounding observations, leading/trailing gaps get
+    // forward/backward fill, and every row carries its provenance
+    // ('obs'/'interp'/'ffill'/'bfill'). Surrounding observations come
+    // from two frames over ONE (user, day) sort — last/max ignore-nulls
+    // backward, first/min ignore-nulls forward — so the repair adds no
+    // exchange beyond the grid join's. The interpolation arithmetic is
+    // one identically-associated expression on both engines.
+    "ts_interpolate" -> ((s, sf) => {
+      val e = t(s, sf, "events").select(col("user_id"),
+        expr(s"unix_micros(ts) div $DayUs").as("d"), col("value"))
+      val daily = e.groupBy("user_id", "d")
+        .agg(round(T.dsum(col("value"), 2), 2).as("v"))
+      val grid = e.groupBy("user_id")
+        .agg(min("d").as("dlo"), max("d").as("dhi"))
+        .select(col("user_id"), explode(sequence(col("dlo"), col("dhi"))).as("d"))
+      val wb = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(daily, Seq("user_id", "d"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
+        .withColumn("pd", max(when(col("v").isNotNull, col("d"))).over(wb))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+        .withColumn("nd", min(when(col("v").isNotNull, col("d"))).over(wf))
+        .select(col("user_id"), col("d"), col("v"),
+          round(when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) * (col("d") - col("pd")) /
+                (col("nd") - col("pd")))
+            .when(col("pv").isNotNull, col("pv"))
+            .otherwise(col("nv")), 6).as("v_interp"),
+          when(col("v").isNotNull, "obs")
+            .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
+            .when(col("pv").isNotNull, "ffill").otherwise("bfill").as("src"))
+        .orderBy("user_id", "d")
+    }),
+
+    // behavioral entropy (round 9) — text_entropy's information measure
+    // turned on the event stream: each user's event-type distribution
+    // scored as Shannon entropy (0 = monomaniac, log2(5) = uniform over
+    // the five types). Same exact-count algebra: H = log2(n) − Σc·log2(c)/n,
+    // two stacked map-side-combined aggregates, state ∝ (user, type).
+    "events_entropy" -> ((s, sf) =>
+      t(s, sf, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c")).cast("long").as("n_events"),
+          count(lit(1)).as("n_types"),
+          round(log2(sum(col("c"))) -
+            sum(col("c") * log2(col("c"))) / sum(col("c")), 6).as("entropy"))
+        .orderBy("user_id")),
+
+    // cumulative unique users (round 9) — the growth-dashboard counter
+    // done the scale-correct way: distinct-to-date is NOT a running
+    // count-distinct over an ever-growing set; each user collapses to
+    // their FIRST day (one agg), days roll up to new-user counts (one
+    // agg), and the running total is a window over ≤ #days rows — the
+    // 100 TB corpus never passes through the window.
+    "ts_cum_users" -> ((s, sf) =>
+      t(s, sf, "events")
+        .groupBy("user_id")
+        .agg(min(expr(s"unix_micros(ts) div $DayUs")).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users",
+          sum(col("new_users")).over(Window.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("d")),
+
     // incremental aggregate maintenance (round 9,
     // [[graft.operators.Mview]]) — DECLARED as: maintain a per-user
     // events aggregate (count / exact decimal sum / day min / day max)
@@ -504,6 +574,52 @@ object Events {
            CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN true ELSE false END
              AS anomaly
          FROM zs ORDER BY user_id, d""",
+    "ts_interpolate" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value
+             FROM events),
+           daily AS (SELECT user_id, d,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS v
+             FROM e GROUP BY 1, 2),
+           span AS (SELECT user_id, min(d) lo, max(d) hi FROM e GROUP BY 1),
+           grid AS (SELECT user_id,
+               unnest([lo + x for x in range(0, hi - lo + 1)]) AS d FROM span),
+           filled AS (SELECT g.user_id, CAST(g.d AS BIGINT) AS d, v
+             FROM grid g LEFT JOIN daily
+               ON g.user_id = daily.user_id AND g.d = daily.d),
+           w2 AS (SELECT user_id, d, v,
+               last_value(v IGNORE NULLS) OVER wb AS pv,
+               max(CASE WHEN v IS NOT NULL THEN d END) OVER wb AS pd,
+               first_value(v IGNORE NULLS) OVER wf AS nv,
+               min(CASE WHEN v IS NOT NULL THEN d END) OVER wf AS nd
+             FROM filled
+             WINDOW wb AS (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, d, v,
+           round(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (d - pd) / (nd - pd)
+             WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS v_interp,
+           CASE WHEN v IS NOT NULL THEN 'obs'
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+             WHEN pv IS NOT NULL THEN 'ffill' ELSE 'bfill' END AS src
+         FROM w2 ORDER BY user_id, d""",
+    "events_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events
+             GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+         FROM c GROUP BY 1 ORDER BY 1""",
+    "ts_cum_users" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS d0
+             FROM events GROUP BY 1),
+           nd AS (SELECT d0 AS d, count(*) AS new_users FROM f GROUP BY 1)
+         SELECT CAST(d AS BIGINT) AS d, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
+         FROM nd ORDER BY d""",
     "events_rfm" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
              event_type, value FROM events),

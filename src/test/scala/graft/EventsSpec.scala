@@ -105,7 +105,8 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       "agg_ratio", "agg_distinct_multi", "agg_mad", "win_streak",
       "events_attribution", "events_path", "join_agg_semi",
       "set_except_all", "set_intersect_all", "subquery_scalar",
-      "filter_pipeline", "events_rfm", "ts_ohlc")
+      "filter_pipeline", "events_rfm", "ts_ohlc", "ts_interpolate",
+      "events_entropy", "ts_cum_users")
     val before = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf001).collect().toSeq).toMap
     val old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -519,6 +520,79 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
           rows.map(r => math.rint(r._4 * 100).toLong).sum / 100.0))
     }
     got shouldBe want
+  }
+
+  test("ts_interpolate equals a driver-side interpolation recompute") {
+    val got = SparkEntry.queries("ts_interpolate")(spark, sf001).collect()
+    got should not be empty
+    got.map(_.getAs[String]("src")).toSet shouldBe
+      Set("obs", "interp") // sf0.001 has no leading/trailing gaps
+    val ev = T.t(spark, sf001, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val daily = ev.groupBy(r => (r._1, r._2)).map { case (k, rows) =>
+      k -> rows.map(r => math.rint(r._3 * 100).toLong).sum / 100.0 }
+    got.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rows) =>
+      val days = rows.map(_.getAs[Long]("d"))
+      days.toSeq shouldBe (days.min to days.max).toSeq
+      val obsDays = days.filter(d => daily.contains((u, d))).sorted
+      rows.foreach { r =>
+        val d = r.getAs[Long]("d")
+        val vi = r.getAs[Double]("v_interp")
+        daily.get((u, d)) match {
+          case Some(v) =>
+            r.getAs[String]("src") shouldBe "obs"
+            vi shouldBe v
+          case None =>
+            r.getAs[String]("src") shouldBe "interp"
+            val pd = obsDays.filter(_ < d).max
+            val nd = obsDays.filter(_ > d).min
+            val (pv, nv) = (daily((u, pd)), daily((u, nd)))
+            val want = math.rint(
+              (pv + (nv - pv) * (d - pd) / (nd - pd).toDouble) * 1e6) / 1e6
+            vi shouldBe want +- 1e-6
+        }
+      }
+    }
+  }
+
+  test("events_entropy equals the exact-count entropy formula") {
+    val got = SparkEntry.queries("events_entropy")(spark, sf001).collect()
+    got should not be empty
+    val counts = T.t(spark, sf001, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> rows.groupBy(_._2).map(_._2.length.toLong).toArray }
+    got.foreach { r =>
+      val cs = counts(r.getAs[Long]("user_id"))
+      val n = cs.sum.toDouble
+      r.getAs[Long]("n_events") shouldBe cs.sum
+      r.getAs[Long]("n_types") shouldBe cs.length.toLong
+      val h = math.log(n) / math.log(2) -
+        cs.map(c => c * math.log(c.toDouble) / math.log(2)).sum / n
+      r.getAs[Double]("entropy") shouldBe h +- 1e-5
+      r.getAs[Double]("entropy") should be <=
+        math.log(cs.length.toDouble) / math.log(2) + 1e-9
+      r.getAs[Double]("entropy") should be >= 0.0
+    }
+  }
+
+  test("ts_cum_users: running total is monotone and lands on the user count") {
+    val rows = SparkEntry.queries("ts_cum_users")(spark, sf001).collect()
+    rows should not be empty
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    cums.toSeq shouldBe cums.sorted
+    rows.map(_.getAs[Long]("new_users")).sum shouldBe cums.last
+    cums.last shouldBe
+      T.t(spark, sf001, "events").select("user_id").distinct().count()
+    // prefix-sum law: cum(i) = cum(i-1) + new(i)
+    rows.sliding(2).foreach {
+      case Array(a, b) => b.getAs[Long]("cum_users") shouldBe
+        a.getAs[Long]("cum_users") + b.getAs[Long]("new_users")
+      case _ =>
+    }
   }
 
   test("agg_hist: bins partition the rows and bounds sit inside their bin") {
