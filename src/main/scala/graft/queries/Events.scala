@@ -424,6 +424,20 @@ object Events {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy("d")),
 
+    // rolling 7-day MEDIAN (round 9) — ts_rolling_avg's robust sibling:
+    // the trailing-frame median over the densified grid shrugs off the
+    // single-day spikes ts_zscore flags. Exact interpolated percentile
+    // as a WINDOW aggregate (both engines sort the same 7 doubles and
+    // interpolate identically — the agg_percentile contract, framed);
+    // shares the one user-hash exchange + sort every grid query rides.
+    "ts_rolling_median" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-6, 0)
+      dailyGrid(s, sf)
+        .select(col("user_id"), col("d"),
+          round(expr("percentile(sum_value, 0.5)").over(w), 6).as("med7"))
+        .orderBy("user_id", "d")
+    }),
+
     // incremental aggregate maintenance (round 9,
     // [[graft.operators.Mview]]) — DECLARED as: maintain a per-user
     // events aggregate (count / exact decimal sum / day min / day max)
@@ -574,6 +588,23 @@ object Events {
            CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN true ELSE false END
              AS anomaly
          FROM zs ORDER BY user_id, d""",
+    "ts_rolling_median" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value
+             FROM events),
+           daily AS (SELECT user_id, d,
+               sum(CAST(value AS DECIMAL(18,2))) AS sv FROM e GROUP BY 1, 2),
+           span AS (SELECT user_id, min(d) lo, max(d) hi FROM e GROUP BY 1),
+           grid AS (SELECT user_id,
+               unnest([lo + x for x in range(0, hi - lo + 1)]) AS d FROM span),
+           filled AS (SELECT g.user_id, CAST(g.d AS BIGINT) AS d,
+               round(CAST(coalesce(sv, 0) AS DOUBLE), 2) AS v
+             FROM grid g LEFT JOIN daily
+               ON g.user_id = daily.user_id AND g.d = daily.d)
+         SELECT user_id, d,
+           round(CAST(quantile_cont(v, 0.5) OVER (PARTITION BY user_id
+               ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 6) AS med7
+         FROM filled ORDER BY user_id, d""",
     "ts_interpolate" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value
              FROM events),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.T.{Q, t}
 
@@ -189,6 +190,23 @@ object TextAnalysis {
         .groupBy("reason")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("reason")),
+
+    // per-doc keyword extraction (round 9) — top-3 tokens by frequency
+    // with a full deterministic tiebreak (count desc, token asc): the
+    // cheap tf-style salience signal. Token counts are one exploded
+    // map-side-combined agg; the top-3 cut is a row_number over the
+    // (doc, token) count table — state ∝ distinct tokens per doc, the
+    // window partitions on doc_id so no token crosses documents.
+    "text_top_tokens" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("c"), col("tk"))))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("tk"), col("c"))
+        .orderBy("doc_id", "rnk")),
 
     // PII redaction (round 7): the compliance pass every training-data
     // pipeline runs before release. The corpus text carries no PII, so the
@@ -413,6 +431,14 @@ object TextAnalysis {
          CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_toks,
          CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS uniq_toks
          FROM documents ORDER BY doc_id""",
+    "text_top_tokens" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+             FROM documents),
+           c AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+           r AS (SELECT doc_id, tk, c, row_number() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, tk) AS rnk FROM c)
+         SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tk, CAST(c AS BIGINT) AS c
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "filter_pipeline" ->
       s"""WITH s AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk
              FROM documents),

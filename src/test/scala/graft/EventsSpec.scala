@@ -106,7 +106,8 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       "events_attribution", "events_path", "join_agg_semi",
       "set_except_all", "set_intersect_all", "subquery_scalar",
       "filter_pipeline", "events_rfm", "ts_ohlc", "ts_interpolate",
-      "events_entropy", "ts_cum_users")
+      "events_entropy", "ts_cum_users", "ts_rolling_median",
+      "text_top_tokens")
     val before = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf001).collect().toSeq).toMap
     val old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -592,6 +593,57 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       case Array(a, b) => b.getAs[Long]("cum_users") shouldBe
         a.getAs[Long]("cum_users") + b.getAs[Long]("new_users")
       case _ =>
+    }
+  }
+
+  test("ts_rolling_median equals a driver-side frame-median recompute") {
+    def medInterp7(frame: Seq[Double]): Double = {
+      val s = frame.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = pos.toInt
+      val m = if (lo + 1 < s.length) s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+              else s(lo)
+      math.rint(m * 1e6) / 1e6
+    }
+    val med = SparkEntry.queries("ts_rolling_median")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("d")) ->
+        r.getAs[Double]("med7")).toMap
+    med should not be empty
+    val grid = SparkEntry.queries("ts_fill_gaps")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("d"),
+        r.getAs[Double]("sum_value")))
+    grid.groupBy(_._1).foreach { case (u, rows) =>
+      val ordered = rows.sortBy(_._2)
+      ordered.zipWithIndex.foreach { case ((_, d, _), i) =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1).map(_._3).toSeq
+        med((u, d)) shouldBe medInterp7(frame) +- 1e-6
+      }
+    }
+  }
+
+  test("text_top_tokens: ranks are dense, counts ordered, tiebreak lexicographic") {
+    val rows = SparkEntry.queries("text_top_tokens")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk"),
+        r.getAs[String]("tk"), r.getAs[Long]("c")))
+    rows should not be empty
+    val docs = T.t(spark, sf001, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_._2)
+      byRank.map(_._2).toSeq shouldBe (1L to byRank.length)
+      // counts non-increasing; equal counts must be token-ascending
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          a._4 should be >= b._4
+          if (a._4 == b._4) a._3 should be < b._3
+        case _ =>
+      }
+      // each (token, count) matches the raw text's occurrence count
+      val counts = docs(doc).split(" ", -1).groupBy(identity)
+        .map { case (t, o) => t -> o.length.toLong }
+      byRank.foreach { case (_, _, tk, c) => counts(tk) shouldBe c }
+      // rank-1 token really is a modal token of the doc
+      byRank.head._4 shouldBe counts.values.max
     }
   }
 
