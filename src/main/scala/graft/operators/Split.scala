@@ -107,4 +107,25 @@ object Split {
     }
     df.filter(key.isNotNull && bucket(key, seed) < cut)
   }
+
+  /** Weighted deterministic keep (round 9): accept a row iff its key's
+    * portable 256-bucket hash fraction falls below weight / maxWeight —
+    * the hash-split discipline extended to importance sampling.
+    * Membership is a pure function of (key, weight): re-runs,
+    * repartitionings, and corpus growth keep the same rows, and raising
+    * a row's weight only ever ADDS it (the subset-monotone law
+    * [[portableKeep]] has in `frac`, here per row in `weight`).
+    * Quantized to 1/256 by ceil — weight == maxWeight keeps certainly,
+    * any positive weight keeps ≥ 1/256 of its keys. The per-row cut
+    * compares as a fixed-width lowercase hex string (Spark `hex` and
+    * DuckDB `to_hex` are both uppercase — lower() on each side keeps the
+    * comparison engine-portable against md5's lowercase output).
+    * Non-positive weights and null keys drop.
+    */
+  def keepWeighted(key: Column, weight: Column, maxWeight: Double): Column = {
+    require(maxWeight > 0, s"maxWeight must be positive, got $maxWeight")
+    val cut = ceil(weight * lit(256.0) / lit(maxWeight)).cast("int")
+    key.isNotNull && weight > lit(0) &&
+      ((cut >= lit(256)) || portableBucket(key) < lpad(lower(hex(cut)), 2, "0"))
+  }
 }

@@ -456,6 +456,26 @@ object Llm {
         .orderBy("lang", "rk")
     }),
 
+    // weighted deterministic sampling (round 9,
+    // [[graft.operators.Split.keepWeighted]]): importance sampling where
+    // membership is a pure function of (key, weight) — lineitem rows kept
+    // proportionally to their quantity (w/50), so heavy rows survive the
+    // downsample and the kept set is reproducible and subset-monotone in
+    // the weight. Narrow map + filter, one tiny groupBy; the md5-portable
+    // hash makes the exact kept multiset hash-checkable in DuckDB.
+    "sample_weighted" -> ((s, sf) =>
+      t(s, sf, "lineitem")
+        .withColumn("k", concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")))
+        .withColumn("kept", graft.operators.Split.keepWeighted(
+          col("k"), col("l_quantity"), 50.0))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          round(sum(when(col("kept"), col("l_quantity").cast("decimal(18,2)")))
+            .cast("double"), 2).as("qty_kept"))
+        .orderBy("l_returnflag")),
+
     "sample_stratified" -> ((s, sf) => {
       val keep =
         when(col("lang") === "en", graft.operators.Split.portableKeep(col("doc_id"), 0.5))
@@ -734,6 +754,23 @@ object Llm {
            FROM documents)
          SELECT lang, rk, doc_id, hk FROM r WHERE rk <= 10
          ORDER BY lang, rk""",
+    "sample_weighted" ->
+      """WITH s AS (SELECT l_returnflag, l_quantity,
+             CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) AS k,
+             CAST(ceil(l_quantity * 256.0 / 50.0) AS INT) AS cut
+           FROM lineitem),
+           t2 AS (SELECT l_returnflag, l_quantity,
+             (l_quantity > 0 AND (cut >= 256
+                OR substr(md5(k), 1, 2) < lpad(lower(to_hex(cut)), 2, '0')))
+               AS kept
+           FROM s)
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(sum(CASE WHEN kept
+               THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+             AS qty_kept
+         FROM t2 GROUP BY 1 ORDER BY 1""",
     "sample_stratified" ->
       """WITH k AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hb
                     FROM documents)

@@ -7,6 +7,11 @@ case class UserEvent(user_id: Long, event_id: Long)
 case class UserCount(user_id: Long, events: Long)
 
 case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+
+case class TouchEvent(user_id: Long, event_id: Long, event_type: String,
+    us: Long, value: Double)
+case class Attributed(user_id: Long, purchase_id: Long, touch_type: String,
+    touch_us: Long, us: Long, value: Double)
 case class FunnelState(user_id: Long, signup_us: Option[Long],
     view_us: Option[Long], purchase_us: Option[Long], stage: Long)
 
@@ -88,6 +93,42 @@ object Stateful {
           state.update((s1, s2, s3))
           Iterator(FunnelState(uid, s1, s2, s3,
             Seq(s1, s2, s3).count(_.isDefined).toLong))
+        })
+  }
+
+  /** Streaming complement of the batch `events_attribution` query: each
+    * purchase credited to the user's most recent preceding view/click
+    * within the lookback, as the events arrive. The batch query's
+    * ignore-nulls window becomes 16 bytes of keyed state — the LAST touch
+    * (type, µs) per user — so an unbounded stream attributes in O(1)
+    * state per user where a naive purchases⋈touches stream join would
+    * buffer the whole lookback window of touches. Emitted rows are
+    * append-only facts (a purchase's attribution never changes once its
+    * event time passes — touches are strictly earlier), which is what
+    * makes the sink exactly-once under replay. In-order delivery per
+    * user across batches is the caller's watermark contract, as with
+    * [[funnel]]; within a batch the fold re-sorts by (us, event_id).
+    */
+  def attribution(events: Dataset[TouchEvent],
+      lookbackUs: Long = 7L * 86400000000L): Dataset[Attributed] = {
+    implicit val stEnc = Encoders.product[(String, Long)]
+    implicit val outEnc = Encoders.product[Attributed]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[TouchEvent],
+            state: GroupState[(String, Long)]) => {
+          var last = state.getOption
+          val out = Seq.newBuilder[Attributed]
+          it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase") last.foreach { case (tt, tus) =>
+              if (e.us - tus <= lookbackUs)
+                out += Attributed(uid, e.event_id, tt, tus, e.us, e.value)
+            }
+            if (e.event_type == "view" || e.event_type == "click")
+              last = Some((e.event_type, e.us))
+          }
+          last.foreach(state.update)
+          out.result().iterator
         })
   }
 }

@@ -107,7 +107,7 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       "set_except_all", "set_intersect_all", "subquery_scalar",
       "filter_pipeline", "events_rfm", "ts_ohlc", "ts_interpolate",
       "events_entropy", "ts_cum_users", "ts_rolling_median",
-      "text_top_tokens")
+      "text_top_tokens", "sample_weighted")
     val before = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf001).collect().toSeq).toMap
     val old = spark.conf.get("spark.sql.shuffle.partitions")

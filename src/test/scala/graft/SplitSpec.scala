@@ -131,4 +131,32 @@ class SplitSpec extends AnyFunSuite with SparkFixture with Matchers {
     val plan = train.queryExecution.executedPlan.toString
     plan should not include "Exchange"
   }
+
+  test("weighted keep: exact md5 membership, monotone in weight, boundaries") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(k => (k, (k % 50 + 1).toDouble)).toDF("k", "w")
+    val kept = rows.where(Split.keepWeighted(col("k"), col("w"), 50.0))
+      .select("k").collect().map(_.getLong(0)).toSet
+    // exact driver-side md5 recompute of the acceptance rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1L to 2000L).foreach { k =>
+      val w = (k % 50 + 1).toDouble
+      val cut = math.ceil(w * 256.0 / 50.0).toInt
+      val hb = f"${md.digest(k.toString.getBytes("UTF-8"))(0) & 0xff}%02x"
+      val want = cut >= 256 || hb < f"$cut%02x"
+      kept.contains(k) shouldBe want
+    }
+    // subset-monotone: every key kept at weight w is kept at any w' >= w
+    val low = rows.where(Split.keepWeighted(col("k"), col("w"), 100.0))
+      .select("k").collect().map(_.getLong(0)).toSet
+    low.subsetOf(kept) shouldBe true
+    // boundaries: max weight keeps everything, non-positive drops, null drops
+    rows.where(Split.keepWeighted(col("k"), lit(50.0), 50.0)).count() shouldBe 2000L
+    rows.where(Split.keepWeighted(col("k"), lit(0.0), 50.0)).count() shouldBe 0L
+    Seq[Option[Long]](Some(1L), None).toDF("k")
+      .where(Split.keepWeighted(col("k"), lit(50.0), 50.0)).count() shouldBe 1L
+    // narrow plan: pure predicate
+    rows.where(Split.keepWeighted(col("k"), col("w"), 50.0))
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
 }

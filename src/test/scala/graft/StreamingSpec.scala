@@ -198,6 +198,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally q.stop()
   }
 
+  test("streaming last-touch attribution equals the batch events_attribution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ordered = T.t(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .orderBy("us", "event_id").as[graft.streaming.TouchEvent].collect()
+    val ms = MemoryStream[graft.streaming.TouchEvent]
+    val q = graft.streaming.Stateful.attribution(ms.toDS()).writeStream
+      .format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      ordered.grouped(math.max(1, ordered.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // roll the append-only attribution facts up to the batch query's
+      // (touch_type, n, value) shape — must match EXACTLY
+      val streamed = spark.table("attrib")
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("attributed_value"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val batch = SparkEntry.queries("events_attribution")(spark, sf001)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      streamed shouldBe batch
+      // every attributed purchase is unique (append-only, no revision)
+      spark.table("attrib").groupBy("purchase_id").count()
+        .where(col("count") > 1).count() shouldBe 0L
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
