@@ -424,6 +424,27 @@ object Events {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy("d")),
 
+    // DAU / WAU / stickiness (round 9) — the growth-dashboard triple:
+    // daily actives, trailing-7-day actives, and their ratio, per
+    // observed day. WAU is NOT a windowed count-distinct over raw events
+    // (distinct doesn't decompose over frames): each distinct (user, day)
+    // activity expands to the ≤7 window-END days it supports, then ONE
+    // exact count-distinct per day — shuffle ∝ 7 × |user-days| (already
+    // deduped), never 7 × |events|.
+    "events_dau_wau" -> ((s, sf) => {
+      val ud = t(s, sf, "events")
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .distinct()
+      val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(sequence(col("d"), col("d") + lit(6))).as("d"))
+        .groupBy("d").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, "d")
+        .select(col("d"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy("d")
+    }),
+
     // rolling 7-day MEDIAN (round 9) — ts_rolling_avg's robust sibling:
     // the trailing-frame median over the densified grid shrugs off the
     // single-day spikes ts_zscore flags. Exact interpolated percentile
@@ -588,6 +609,18 @@ object Events {
            CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN true ELSE false END
              AS anomaly
          FROM zs ORDER BY user_id, d""",
+    "events_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+             FROM events),
+           dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+           ex AS (SELECT user_id, unnest([d + x for x in range(0, 7)]) AS d7
+             FROM ud),
+           wau AS (SELECT d7 AS d, count(DISTINCT user_id) AS wau FROM ex
+             GROUP BY 1)
+         SELECT CAST(dau.d AS BIGINT) AS d, CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau,
+           round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+         FROM dau JOIN wau ON dau.d = wau.d ORDER BY 1""",
     "ts_rolling_median" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value
              FROM events),

@@ -353,6 +353,44 @@ object Relational {
         .orderBy("p_brand", "noun")
     }),
 
+    // §2.3 NEAREST as-of join (round 9): each purchase matched to its
+    // closest signup in EITHER direction (ties → the earlier one) — the
+    // sensor-alignment semantics backward/forward as-of can't express
+    // alone. Composes both ordered-window-merge kernels over ONE user-hash
+    // exchange (two sorts, asc + desc, no pair fan-out), then an O(1)
+    // per-row pick of the nearer candidate. Inner semantics: purchases
+    // with no signup on either side drop.
+    "join_asof_near" -> ((s, sf) => {
+      val e = t(s, sf, "events")
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          (col("event_type") === "purchase").cast("int").as("is_p"))
+      val wb = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("is_p").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("is_p").asc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("back_us",
+          last(when(col("is_p") === 0, col("us")), ignoreNulls = true).over(wb))
+        .withColumn("fwd_us",
+          last(when(col("is_p") === 0, col("us")), ignoreNulls = true).over(wf))
+        .where(col("is_p") === 1 &&
+          (col("back_us").isNotNull || col("fwd_us").isNotNull))
+        .select(col("event_id").as("p_id"), col("user_id"),
+          when(col("fwd_us").isNull, col("back_us"))
+            .when(col("back_us").isNull, col("fwd_us"))
+            .when(col("us") - col("back_us") <= col("fwd_us") - col("us"),
+              col("back_us"))
+            .otherwise(col("fwd_us")).as("signup_us"),
+          (when(col("fwd_us").isNull, col("back_us"))
+            .when(col("back_us").isNull, col("fwd_us"))
+            .when(col("us") - col("back_us") <= col("fwd_us") - col("us"),
+              col("back_us"))
+            .otherwise(col("fwd_us")) - col("us")).as("delta_us"))
+        .orderBy("p_id")
+    }),
+
     // §2.3 agg-then-probe join (round 9, the TPC-H Q18 shape): orders
     // whose line items sum past a quantity threshold, joined back to
     // orders + customer. The distinct plan shape: a FULL fact-table
@@ -585,6 +623,31 @@ object Relational {
          FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.noun = b.noun
            AND a.p_partkey < b.p_partkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "join_asof_near" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+             CAST(event_type = 'purchase' AS INT) AS is_p
+           FROM events WHERE event_type IN ('purchase', 'signup')),
+           w2 AS (SELECT *,
+               last_value(CASE WHEN is_p = 0 THEN us END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                   ORDER BY us ASC, is_p ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS back_us,
+               last_value(CASE WHEN is_p = 0 THEN us END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                   ORDER BY us DESC, is_p ASC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS fwd_us
+             FROM e),
+           p AS (SELECT event_id AS p_id, user_id, us,
+               CASE WHEN fwd_us IS NULL THEN back_us
+                 WHEN back_us IS NULL THEN fwd_us
+                 WHEN us - back_us <= fwd_us - us THEN back_us
+                 ELSE fwd_us END AS signup_us
+             FROM w2 WHERE is_p = 1
+               AND (back_us IS NOT NULL OR fwd_us IS NOT NULL))
+         SELECT p_id, user_id, signup_us, signup_us - us AS delta_us
+         FROM p ORDER BY p_id""",
     "join_agg_semi" ->
       """WITH big AS (SELECT l_orderkey,
              sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty

@@ -208,6 +208,31 @@ object TextAnalysis {
           col("tk"), col("c"))
         .orderBy("doc_id", "rnk")),
 
+    // TF-IDF keyword (round 9) — text_top_tokens' corpus-aware upgrade:
+    // each doc's single highest tf·idf token (idf = ln((N+1)/(df+1)),
+    // the smoothed form), tiebreak score-desc then token-asc. Document
+    // frequency is a count over the DISTINCT (doc, token) pairs — a
+    // vocabulary-sized table that broadcasts onto the tf table at this SF
+    // and becomes a token-hash equi-join at corpus scale (the quality_lm
+    // discipline); N rides a 1-row broadcast. ln on both engines (DuckDB
+    // `log` is log10 — `ln` is the portable spelling).
+    "text_tfidf" -> ((s, sf) => {
+      val tok = t(s, sf, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      val tf = tok.groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val df = tok.distinct().groupBy("tk").agg(count(lit(1)).as("df"))
+      val n = t(s, sf, "documents").agg(count(lit(1)).as("n"))
+      tf.join(df, "tk").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("score"), col("tk"))))
+        .where(col("rnk") === 1)
+        .select(col("doc_id"), col("tk"), col("tf"), col("df"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction (round 7): the compliance pass every training-data
     // pipeline runs before release. The corpus text carries no PII, so the
     // query splices deterministic synthetic PII (an email per doc, a phone
@@ -431,6 +456,21 @@ object TextAnalysis {
          CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_toks,
          CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS uniq_toks
          FROM documents ORDER BY doc_id""",
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+             FROM documents),
+           tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+           df AS (SELECT tk, count(*) AS df
+             FROM (SELECT DISTINCT doc_id, tk FROM tok) GROUP BY 1),
+           nn AS (SELECT count(*) AS n FROM documents),
+           sc AS (SELECT doc_id, tf.tk, tf, df,
+               tf * ln((n + 1.0) / (df + 1.0)) AS score
+             FROM tf JOIN df ON tf.tk = df.tk, nn),
+           r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, tk) AS rnk FROM sc)
+         SELECT doc_id, tk, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(score, 6) AS score
+         FROM r WHERE rnk = 1 ORDER BY doc_id""",
     "text_top_tokens" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
              FROM documents),

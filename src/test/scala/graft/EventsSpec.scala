@@ -107,7 +107,8 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       "set_except_all", "set_intersect_all", "subquery_scalar",
       "filter_pipeline", "events_rfm", "ts_ohlc", "ts_interpolate",
       "events_entropy", "ts_cum_users", "ts_rolling_median",
-      "text_top_tokens", "sample_weighted")
+      "text_top_tokens", "sample_weighted", "events_dau_wau",
+      "join_asof_near", "text_tfidf")
     val before = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf001).collect().toSeq).toMap
     val old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -644,6 +645,77 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       byRank.foreach { case (_, _, tk, c) => counts(tk) shouldBe c }
       // rank-1 token really is a modal token of the doc
       byRank.head._4 shouldBe counts.values.max
+    }
+  }
+
+  test("events_dau_wau equals a driver-side window recompute") {
+    val got = SparkEntry.queries("events_dau_wau")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("d") -> ((r.getAs[Long]("dau"),
+        r.getAs[Long]("wau"), r.getAs[Double]("stickiness")))).toMap
+    got should not be empty
+    val ud = T.t(spark, sf001, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byDay = ud.groupBy(_._2)
+    byDay.foreach { case (d, rows) =>
+      val dau = rows.length.toLong
+      val wau = ud.filter { case (_, da) => da >= d - 6 && da <= d }
+        .map(_._1).distinct.length.toLong
+      got(d) shouldBe ((dau, wau, math.rint(dau.toDouble / wau * 1e6) / 1e6))
+      wau should be >= dau
+    }
+    got.keySet shouldBe byDay.keySet
+  }
+
+  test("join_asof_near picks the closer signup with earlier-wins ties") {
+    val got = SparkEntry.queries("join_asof_near")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("p_id") ->
+        ((r.getAs[Long]("signup_us"), r.getAs[Long]("delta_us")))).toMap
+    got should not be empty
+    val ev = T.t(spark, sf001, "events")
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._2)
+    val want = collection.mutable.Map.empty[Long, (Long, Long)]
+    byUser.values.foreach { rows =>
+      val signups = rows.filter(_._4 == "signup").map(_._3).sorted
+      rows.filter(_._4 == "purchase").foreach { case (pid, _, us, _) =>
+        val back = signups.filter(_ <= us).lastOption
+        val fwd = signups.filter(_ >= us).headOption
+        val pick = (back, fwd) match {
+          case (Some(b), Some(f)) => Some(if (us - b <= f - us) b else f)
+          case (b, f) => b.orElse(f)
+        }
+        pick.foreach(su => want(pid) = (su, su - us))
+      }
+    }
+    got shouldBe want.toMap
+  }
+
+  test("text_tfidf: the reported token maximizes the smoothed tf-idf score") {
+    val rows = SparkEntry.queries("text_tfidf")(spark, sf001).collect()
+    rows should not be empty
+    val docs = T.t(spark, sf001, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = docs.size
+    val tfAll = docs.map { case (id, text) =>
+      id -> text.split(" ", -1).groupBy(identity)
+        .map { case (t, o) => t -> o.length.toLong } }
+    val df = tfAll.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    rows.length shouldBe n // exactly one keyword per doc
+    rows.foreach { r =>
+      val (doc, tk) = (r.getAs[Long]("doc_id"), r.getAs[String]("tk"))
+      val tf = tfAll(doc)
+      r.getAs[Long]("tf") shouldBe tf(tk)
+      r.getAs[Long]("df") shouldBe df(tk)
+      def score(t: String) = tf(t) * math.log((n + 1.0) / (df(t) + 1.0))
+      r.getAs[Double]("score") shouldBe score(tk) +- 1e-6
+      // argmax with score-desc, token-asc tiebreak
+      val best = tf.keys.minBy(t => (-score(t), t))
+      tk shouldBe best
     }
   }
 

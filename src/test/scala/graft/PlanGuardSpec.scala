@@ -40,11 +40,13 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
   //     onto the per-user rollup, then the 1-row percentile-boundary agg
   //     back onto it (both explicit broadcasts; build sides are exactly
   //     one row at any corpus size)
+  //   text_tfidf — the corpus-size N as a 1-row broadcast onto the tf
+  //     table (quality_lm's corpus-total shape)
   private val constantSideByConstruction = Set(
     "dedup_embed_lsh", "sim_ann_ivf",
     "caim_candidates", "caim_criterion", "caim_quanta",
     "disc_equal_freq", "disc_equal_width",
-    "filter_subquery", "quality_lm", "events_rfm")
+    "filter_subquery", "quality_lm", "events_rfm", "text_tfidf")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
