@@ -500,6 +500,71 @@ object Aggregates {
         .orderBy("o_orderstatus")
     }),
 
+    // §2.4 string aggregation (round 9) — LISTAGG, the report-friendly
+    // collapse of a group's values into one delimited string: per
+    // priority the sorted distinct status set. collect_set's arrival
+    // order is partition-dependent, so the sort happens explicitly
+    // (array_sort) before the join — determinism comes from the data,
+    // never the schedule.
+    "agg_listagg" -> ((s, sf) =>
+      t(s, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // §2.4 calendar-month rollup (round 9) — real calendar semantics
+    // (month lengths, year boundaries) where the events tier deliberately
+    // uses pure integer day/week ids: date_trunc('month') is the one
+    // calendar primitive both engines define identically on a timestamp.
+    "ts_monthly" -> ((s, sf) =>
+      t(s, sf, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("revenue"))
+        .orderBy("m")),
+
+    // §2.4 hypothesis testing (round 9) — Welch's two-sample t statistic
+    // per order priority against its complement ("does this segment
+    // spend differently?"), the A/B-test primitive computed entirely
+    // from MERGEABLE sufficient statistics: per-group (n, Σc, Σc²) over
+    // integer cents (2dp price × 100, rint'd — exact), complement stats
+    // by subtracting the group row from the broadcast global totals
+    // (decimal arithmetic, exact), then ONE identical chain of double
+    // ops on both engines (ts_zscore discipline: exact sums in, one
+    // closed formula out, round before compare). The t statistic is
+    // scale-invariant so cents never need un-scaling; only the reported
+    // mean divides by 100. One scan, one 5-row broadcast — no second
+    // pass, no window.
+    "agg_ttest" -> ((s, sf) => {
+      val g = t(s, sf, "orders")
+        .select(col("o_orderpriority"),
+          expr("CAST(rint(o_totalprice * 100) AS BIGINT)").as("c"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("sv"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("sq"))
+      val tot = g.agg(sum(col("n")).as("tn"),
+        sum(col("sv")).as("tsv"), sum(col("sq")).as("tsq"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("mu", col("sv").cast("double") / col("n"))
+        .withColumn("ex2", col("sq").cast("double") / col("n"))
+        .withColumn("nc", col("tn") - col("n"))
+        .withColumn("muc", (col("tsv") - col("sv")).cast("double") / col("nc"))
+        .withColumn("ex2c", (col("tsq") - col("sq")).cast("double") / col("nc"))
+        .select(col("o_orderpriority"), col("n"),
+          round(col("mu") / 100.0, 2).as("mean"),
+          round((col("mu") - col("muc")) /
+            sqrt((col("ex2") - col("mu") * col("mu")) * col("n")
+                / (col("n") - lit(1)) / col("n") +
+              (col("ex2c") - col("muc") * col("muc")) * col("nc")
+                / (col("nc") - lit(1)) / col("nc")), 6)
+            .as("t"))
+        .orderBy("o_orderpriority")
+    }),
+
     // §2.5 distribution window functions (round 9): cume_dist — the
     // empirical CDF position, i.e. percentile features computed in
     // place — and nth_value with an explicit running frame. The
@@ -731,6 +796,36 @@ object Aggregates {
            round(CAST(min(o_totalprice) AS DOUBLE), 2) AS lo,
            round(CAST(max(o_totalprice) AS DOUBLE), 2) AS hi
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "agg_listagg" ->
+      """SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "ts_monthly" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "agg_ttest" ->
+      """WITH o AS (SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+           g AS (SELECT o_orderpriority, count(*) AS n,
+               sum(c) AS sv, sum(c * c) AS sq FROM o GROUP BY 1),
+           tot AS (SELECT sum(n) AS tn, sum(sv) AS tsv, sum(sq) AS tsq FROM g),
+           m AS (SELECT o_orderpriority, n,
+               CAST(sv AS DOUBLE) / n AS mu,
+               CAST(sq AS DOUBLE) / n AS ex2,
+               tn - n AS nc,
+               CAST(tsv - sv AS DOUBLE) / (tn - n) AS muc,
+               CAST(tsq - sq AS DOUBLE) / (tn - n) AS ex2c
+             FROM g, tot)
+         SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           round(mu / 100.0, 2) AS mean,
+           round((mu - muc) / sqrt((ex2 - mu * mu) * n / (n - 1) / n
+             + (ex2c - muc * muc) * nc / (nc - 1) / nc), 6) AS t
+         FROM m ORDER BY 1""",
     "agg_ratio" ->
       """WITH a AS (SELECT o_orderstatus AS status, o_orderpriority AS priority,
              count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

@@ -459,6 +459,142 @@ object Events {
         .orderBy("user_id", "d")
     }),
 
+    // within-session co-occurrence (round 9) — the market-basket matrix
+    // over sessions: which event types appear TOGETHER in one sitting.
+    // Sessions from the sessionize kernel, then distinct (session, type)
+    // and a same-session self-join with t1 < t2 — the pair fan-out is
+    // bounded by the type vocabulary (≤ C(5,2) = 10 pairs per session),
+    // never by session length, and the join is co-partitioned on the
+    // (user, session) key both sides already hash for their distinct.
+    "events_cooccur" -> ((s, sf) => {
+      val wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val st = t(s, sf, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .withColumn("brk",
+          when(lag(col("us"), 1).over(wo).isNotNull &&
+            col("us") - lag(col("us"), 1).over(wo) >= 1800000000L, 1).otherwise(0))
+        .withColumn("sess", sum(col("brk")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "sess", "event_type").distinct()
+      st.select(col("user_id"), col("sess"), col("event_type").as("t1"))
+        .join(st.select(col("user_id").as("u2"), col("sess").as("s2"),
+            col("event_type").as("t2")),
+          col("user_id") === col("u2") && col("sess") === col("s2") &&
+            col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+        .orderBy("t1", "t2")
+    }),
+
+    // trailing-8-day EWMA per user over the densified grid (round 9) —
+    // ts_rolling_avg's recency-weighted sibling, the smoothing every
+    // trend feature actually ships. The recursive EWMA definition does
+    // not decompose over partitions, so this is the FRAME-BOUNDED form:
+    // ewma(d) = Σₖ wₖ·v(d−k) / Σₖ wₖ over k = 0..7 with wₖ = 0.5ᵏ.
+    // Exactness is engineered, not hoped for: v enters as integer cents
+    // (the 2dp daily sum × 100, rint'd), and every weight is a power of
+    // TWO — cents · 2⁻ᵏ is an exact double (mantissa shift), every term
+    // is a multiple of 2⁻⁷ far below 2⁵³, so the frame sum is exact in
+    // ANY accumulation order and both engines' divisions see identical
+    // operands. Spark computes it as one collect_list over the same
+    // user-hash window ts_rolling_avg already sorts (frame order is the
+    // window order — deterministic), folded by a codegen'd higher-order
+    // aggregate; the oracle uses an equivalent dense-grid range
+    // self-join. Σwₖ closes to 2 − 0.5^(m−1) for an m-row frame.
+    "ts_ewma" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-7, 0)
+      dailyGrid(s, sf)
+        .withColumn("cents", expr("CAST(rint(sum_value * 100) AS BIGINT)"))
+        .withColumn("vs", collect_list(col("cents")).over(w))
+        .select(col("user_id"), col("d"), col("n_events"), col("sum_value"),
+          round(expr(
+            """aggregate(zip_with(vs, sequence(size(vs) - 1, 0, -1),
+               (v, k) -> v * pow(0.5d, k)), 0d, (a, x) -> a + x)""")
+            / (lit(2.0) - expr("pow(0.5d, size(vs) - 1)")) / 100.0, 6)
+            .as("ewma"))
+        .orderBy("user_id", "d")
+    }),
+
+    // day-of-week seasonality profile (round 9) — the weekly-rhythm
+    // rollup behind staffing/capacity features: per day-of-week slot
+    // (day id mod 7 — pure integer arithmetic, no calendar/locale
+    // first-day-of-week semantics to disagree cross-engine), total
+    // events, active user-days, and the average event value. Two
+    // map-side-combined aggregates (events → user-days → 7 slots); the
+    // value average divides the exact decimal sum by the exact count in
+    // ONE IEEE division, so the 6dp round is deterministic.
+    "ts_seasonality" -> ((s, sf) => {
+      val daily = t(s, sf, "events")
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"),
+          col("value"))
+        .groupBy("user_id", "d")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+      daily.groupBy(pmod(col("d"), lit(7)).cast("long").as("dow"))
+        .agg(sum(col("n")).as("n_events"),
+          count(lit(1)).as("user_days"),
+          round(sum(col("sv")).cast("double") / sum(col("n")), 6)
+            .as("avg_value"))
+        .orderBy("dow")
+    }),
+
+    // volume-concentration deciles (round 9) — the Pareto/Lorenz view of
+    // user activity ("do 10% of users generate 80% of events?"): users
+    // bucketed by event count into deciles via exact interpolated
+    // percentile BOUNDARIES (the events_rfm pattern — a 1-row broadcast
+    // and a per-row Σ(n > qᵢ), never a global ntile window that would
+    // funnel every user through one partition), then per decile: users,
+    // events, and each decile's share of all events. Counts stay BIGINT
+    // to the end; share is one IEEE division of exact longs.
+    "events_pareto" -> ((s, sf) => {
+      val u = t(s, sf, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val qs = (1 to 9).map(i => expr(s"percentile(n, 0.$i)").as(s"q$i"))
+      val q = u.agg(qs.head, qs.tail: _*)
+      val tot = u.agg(sum(col("n")).as("tot"))
+      def dec(v: org.apache.spark.sql.Column) =
+        (1 to 9).foldLeft(lit(1))((acc, i) =>
+          acc + (v > col(s"q$i")).cast("int")).cast("long")
+      u.crossJoin(broadcast(q)).crossJoin(broadcast(tot))
+        .select(dec(col("n")).as("decile"), col("n"), col("tot"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+          round(sum(col("n")).cast("double") / max(col("tot")), 6)
+            .as("share"))
+        .orderBy("decile")
+    }),
+
+    // session-length histogram (round 9) — the engagement distribution
+    // over the sessionize kernel: sessions keyed by their event count,
+    // each length bucket reporting how many sessions, their mean
+    // duration, and the longest. The kernel's lag flag + running id
+    // share one user-hash window (one exchange + sort); the per-session
+    // rollup reuses that partitioning (subset key), and only the
+    // ≤|sessions| (length, duration) pairs re-shuffle into the ≤ max-
+    // session-length histogram. Durations are integer µs; the mean is
+    // one IEEE division of exact longs, rounded at 2.
+    "events_session_stats" -> ((s, sf) => {
+      val wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+      t(s, sf, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("brk",
+          when(lag(col("us"), 1).over(wo).isNotNull &&
+            col("us") - lag(col("us"), 1).over(wo) >= 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess", sum(col("brk")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("len"),
+          (max(col("us")) - min(col("us"))).as("dur_us"))
+        .groupBy("len")
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("dur_us")).cast("double") / count(lit(1)), 2)
+            .as("avg_dur_us"),
+          max(col("dur_us")).as("max_dur_us"))
+        .orderBy("len")
+    }),
+
     // incremental aggregate maintenance (round 9,
     // [[graft.operators.Mview]]) — DECLARED as: maintain a per-user
     // events aggregate (count / exact decimal sum / day min / day max)
@@ -609,6 +745,86 @@ object Events {
            CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN true ELSE false END
              AS anomaly
          FROM zs ORDER BY user_id, d""",
+    "events_cooccur" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+             FROM events),
+           g AS (SELECT *, CASE WHEN lag(us) OVER w IS NOT NULL
+                    AND us - lag(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+             FROM g),
+           st AS (SELECT DISTINCT user_id, sess, event_type FROM s)
+         SELECT a.event_type AS t1, b.event_type AS t2,
+           CAST(count(*) AS BIGINT) AS n
+         FROM st a JOIN st b ON a.user_id = b.user_id AND a.sess = b.sess
+           AND a.event_type < b.event_type
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ts_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value
+             FROM events),
+           daily AS (SELECT user_id, d, count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,2))) AS sv
+             FROM e GROUP BY 1, 2),
+           span AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM e GROUP BY 1),
+           grid AS (SELECT user_id, unnest([lo + x for x in range(0, hi - lo + 1)]) AS d
+                    FROM span),
+           filled AS (SELECT g.user_id, g.d,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+               round(CAST(coalesce(sv, 0) AS DOUBLE), 2) AS sum_value,
+               CAST(round(round(CAST(coalesce(sv, 0) AS DOUBLE), 2) * 100)
+                 AS BIGINT) AS cents
+             FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id
+               AND g.d = daily.d)
+         SELECT a.user_id, CAST(a.d AS BIGINT) AS d, a.n_events, a.sum_value,
+           round(sum(b.cents * pow(0.5, a.d - b.d))
+             / (2.0 - pow(0.5, count(*) - 1)) / 100.0, 6) AS ewma
+         FROM filled a JOIN filled b ON a.user_id = b.user_id
+           AND b.d >= a.d - 7 AND b.d <= a.d
+         GROUP BY a.user_id, a.d, a.n_events, a.sum_value
+         ORDER BY 1, 2""",
+    "ts_seasonality" ->
+      """WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sv
+           FROM events GROUP BY 1, 2)
+         SELECT CAST(d % 7 AS BIGINT) AS dow,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS user_days,
+           round(CAST(sum(sv) AS DOUBLE) / sum(n), 6) AS avg_value
+         FROM daily GROUP BY 1 ORDER BY 1""",
+    "events_pareto" ->
+      """WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+           q AS (SELECT quantile_cont(n, 0.1) q1, quantile_cont(n, 0.2) q2,
+               quantile_cont(n, 0.3) q3, quantile_cont(n, 0.4) q4,
+               quantile_cont(n, 0.5) q5, quantile_cont(n, 0.6) q6,
+               quantile_cont(n, 0.7) q7, quantile_cont(n, 0.8) q8,
+               quantile_cont(n, 0.9) q9 FROM u),
+           tot AS (SELECT sum(n) AS tot FROM u)
+         SELECT CAST(1 + (n > q1)::INT + (n > q2)::INT + (n > q3)::INT
+             + (n > q4)::INT + (n > q5)::INT + (n > q6)::INT + (n > q7)::INT
+             + (n > q8)::INT + (n > q9)::INT AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(CAST(sum(n) AS DOUBLE) / max(tot), 6) AS share
+         FROM u, q, tot GROUP BY 1 ORDER BY 1""",
+    "events_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           g AS (SELECT *, CASE WHEN lag(us) OVER w IS NOT NULL
+                    AND us - lag(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+             FROM g),
+           per AS (SELECT user_id, sess, count(*) AS len,
+               max(us) - min(us) AS dur_us
+             FROM s GROUP BY 1, 2)
+         SELECT CAST(len AS BIGINT) AS len,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           round(CAST(sum(dur_us) AS DOUBLE) / count(*), 2) AS avg_dur_us,
+           CAST(max(dur_us) AS BIGINT) AS max_dur_us
+         FROM per GROUP BY 1 ORDER BY 1""",
     "events_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
              FROM events),

@@ -108,7 +108,9 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       "filter_pipeline", "events_rfm", "ts_ohlc", "ts_interpolate",
       "events_entropy", "ts_cum_users", "ts_rolling_median",
       "text_top_tokens", "sample_weighted", "events_dau_wau",
-      "join_asof_near", "text_tfidf")
+      "join_asof_near", "text_tfidf", "agg_listagg", "ts_monthly",
+      "events_cooccur", "ts_ewma", "ts_seasonality", "events_pareto",
+      "events_session_stats", "agg_ttest")
     val before = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf001).collect().toSeq).toMap
     val old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -716,6 +718,186 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       // argmax with score-desc, token-asc tiebreak
       val best = tf.keys.minBy(t => (-score(t), t))
       tk shouldBe best
+    }
+  }
+
+  test("agg_listagg: delimited sets are sorted and equal the distinct values") {
+    val rows = SparkEntry.queries("agg_listagg")(spark, sf001).collect()
+    rows should not be empty
+    val want = T.t(spark, sf001, "orders")
+      .select("o_orderpriority", "o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getString(1))).groupBy(_._1)
+    rows.foreach { r =>
+      val p = r.getAs[String]("o_orderpriority")
+      val got = r.getAs[String]("statuses").split(",").toSeq
+      got shouldBe got.sorted
+      got.toSet shouldBe want(p).map(_._2).toSet
+      r.getAs[Long]("n") shouldBe want(p).length.toLong
+    }
+  }
+
+  test("ts_monthly: calendar months partition the orders and sums are exact") {
+    val rows = SparkEntry.queries("ts_monthly")(spark, sf001).collect()
+    rows should not be empty
+    val orders = T.t(spark, sf001, "orders")
+      .select(col("o_orderdate").cast("date").cast("string"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    rows.map(_.getAs[Long]("n")).sum shouldBe orders.length.toLong
+    rows.foreach { r =>
+      val m = r.getAs[java.sql.Date]("m").toString // yyyy-mm-01
+      m.endsWith("-01") shouldBe true
+      val mine = orders.filter(_._1.substring(0, 7) == m.substring(0, 7))
+      r.getAs[Long]("n") shouldBe mine.length.toLong
+      r.getAs[Double]("revenue") shouldBe
+        mine.map(o => math.rint(o._2 * 100).toLong).sum / 100.0
+    }
+  }
+
+  test("events_cooccur equals a driver-side session-pair recompute") {
+    val got = SparkEntry.queries("events_cooccur")(spark, sf001).collect()
+      .map(r => (r.getAs[String]("t1"), r.getAs[String]("t2")) ->
+        r.getAs[Long]("n")).toMap
+    got should not be empty
+    got.keys.foreach { case (t1, t2) => t1 should be < t2 }
+    val ev = T.t(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = collection.mutable.Map.empty[(String, String), Long]
+    ev.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      var sess = List.empty[Set[String]]
+      var lastUs = Long.MinValue
+      ordered.foreach { case (_, _, us, t) =>
+        if (sess.isEmpty || us - lastUs >= 1800000000L) sess ::= Set(t)
+        else sess = (sess.head + t) :: sess.tail
+        lastUs = us
+      }
+      sess.foreach { types =>
+        types.toSeq.sorted.combinations(2).foreach { case Seq(a, b) =>
+          pairs((a, b)) = pairs.getOrElse((a, b), 0L) + 1
+        }
+      }
+    }
+    got shouldBe pairs.toMap
+  }
+
+  test("ts_ewma equals a driver-side exact-cents recompute") {
+    val got = SparkEntry.queries("ts_ewma")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("ewma")).toMap
+    got should not be empty
+    val daily = T.t(spark, sf001, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((u, d), rows) =>
+        (u, d) -> math.rint(rows.map(r =>
+          BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble * 100).toLong }
+    val want = daily.keys.groupBy(_._1).flatMap { case (u, ks) =>
+      val lo = ks.map(_._2).min; val hi = ks.map(_._2).max
+      (lo to hi).map { d =>
+        val frame = (math.max(lo, d - 7) to d)
+          .map(k => daily.getOrElse((u, k), 0L))
+        val m = frame.length
+        val num = frame.reverse.zipWithIndex
+          .map { case (v, k) => v * math.pow(0.5, k) }.sum
+        (u, d) -> BigDecimal(num / (2.0 - math.pow(0.5, m - 1)) / 100.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    got.keySet shouldBe want.keySet
+    got.foreach { case (k, v) => v shouldBe want(k) }
+  }
+
+  test("ts_seasonality: slots partition the user-days and events total") {
+    val rows = SparkEntry.queries("ts_seasonality")(spark, sf001).collect()
+    rows should not be empty
+    rows.map(_.getAs[Long]("dow")).toSet.subsetOf((0L to 6L).toSet) shouldBe true
+    val e = T.t(spark, sf001, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.map(_.getAs[Long]("n_events")).sum shouldBe e.length.toLong
+    rows.map(_.getAs[Long]("user_days")).sum shouldBe e.distinct.length.toLong
+    val wantByDow = e.groupBy(_._2 % 7)
+    rows.foreach { r =>
+      r.getAs[Long]("n_events") shouldBe
+        wantByDow(r.getAs[Long]("dow")).length.toLong
+    }
+  }
+
+  test("events_pareto: deciles partition users and shares are ordered") {
+    val rows = SparkEntry.queries("events_pareto")(spark, sf001).collect()
+    rows should not be empty
+    val e = T.t(spark, sf001, "events")
+    rows.map(_.getAs[Long]("n_users")).sum shouldBe
+      e.select("user_id").distinct().count()
+    rows.map(_.getAs[Long]("n_events")).sum shouldBe e.count()
+    rows.foreach(r => r.getAs[Long]("decile") should (be >= 1L and be <= 10L))
+    // threshold bucketing orders buckets by event-count range, so the
+    // per-user mean volume is strictly increasing with decile
+    val avg = rows.sortBy(_.getAs[Long]("decile")).map(r =>
+      r.getAs[Long]("n_events").toDouble / r.getAs[Long]("n_users"))
+    avg.zip(avg.tail).foreach { case (a, b) => b should be > a }
+    math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) should be < 1e-4
+  }
+
+  test("events_session_stats equals a driver-side session recompute") {
+    val got = SparkEntry.queries("events_session_stats")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("len") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Double]("avg_dur_us"),
+         r.getAs[Long]("max_dur_us"))).toMap
+    got should not be empty
+    val ev = T.t(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    ev.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      var cur = collection.mutable.ArrayBuffer.empty[Long]
+      var lastUs = Long.MinValue
+      ordered.foreach { case (_, _, us) =>
+        if (cur.nonEmpty && us - lastUs >= 1800000000L) {
+          sessions += ((cur.length.toLong, cur.max - cur.min)); cur.clear()
+        }
+        cur += us; lastUs = us
+      }
+      if (cur.nonEmpty) sessions += ((cur.length.toLong, cur.max - cur.min))
+    }
+    val want = sessions.groupBy(_._1).map { case (len, ss) =>
+      len -> (ss.length.toLong,
+        BigDecimal(ss.map(_._2).sum.toDouble / ss.length)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        ss.map(_._2).max)
+    }
+    got shouldBe want
+  }
+
+  test("agg_ttest equals a driver-side Welch recompute") {
+    val rows = SparkEntry.queries("agg_ttest")(spark, sf001).collect()
+    rows should not be empty
+    val o = T.t(spark, sf001, "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), math.rint(r.getDouble(1) * 100).toLong))
+    rows.map(_.getAs[Long]("n")).sum shouldBe o.length.toLong
+    val by = o.groupBy(_._1)
+    val (tn, tsv, tsq) = (o.length.toLong,
+      o.map(x => BigInt(x._2)).sum, o.map(x => BigInt(x._2) * x._2).sum)
+    rows.foreach { r =>
+      val p = r.getAs[String]("o_orderpriority")
+      val cs = by(p).map(_._2)
+      val n = cs.length.toLong
+      val sv = cs.map(BigInt(_)).sum; val sq = cs.map(c => BigInt(c) * c).sum
+      val mu = sv.toDouble / n; val ex2 = sq.toDouble / n
+      val nc = tn - n
+      val muc = (tsv - sv).toDouble / nc; val ex2c = (tsq - sq).toDouble / nc
+      val t = (mu - muc) / math.sqrt(
+        (ex2 - mu * mu) * n / (n - 1) / n + (ex2c - muc * muc) * nc / (nc - 1) / nc)
+      r.getAs[Long]("n") shouldBe n
+      r.getAs[Double]("t") shouldBe
+        BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
   }
 
