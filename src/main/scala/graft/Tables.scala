@@ -18,16 +18,35 @@ object T {
 
   /** Load one corpus table (TESTDATA.md): `$sf/$name.parquet`.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses natively;
-    * with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long
-    * of epoch nanos, which we truncate to microseconds — the same ns→µs
-    * truncation DuckDB applies (SURVEY.md §7 R1).
+    * Timestamp contract, normalized in ONE place (every query downstream may
+    * assume plain `TimestampType`):
+    *
+    *  - The 2026-08-13 corpus writes `timestamp[us]` with
+    *    `isAdjustedToUTC=false`, which Spark 4 infers as `TIMESTAMP_NTZ` by
+    *    default. We disable that inference
+    *    (`spark.sql.parquet.inferTimestampNTZ.enabled=false`) so the scan
+    *    itself produces `TimestampType` — value-identical under the UTC
+    *    session timezone every entry point pins, and, unlike a projection
+    *    cast, it keeps parquet filter pushdown on timestamp predicates.
+    *  - Belt-and-braces: any `TIMESTAMP_NTZ` field that still slips through
+    *    (e.g. a session built without our configs) is cast to
+    *    `TimestampType` post-scan.
+    *  - Back-compat with the pre-regen corpus: TIMESTAMP(NANOS) columns read
+    *    as epoch-nano longs under `nanosAsLong=true` are truncated to
+    *    microseconds — the same ns→µs truncation DuckDB applies.
     */
   def t(s: SparkSession, sf: String, n: String): DataFrame = {
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = s.read.parquet(s"$sf/$n.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-      .getOrElse(df)
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast("timestamp"))
+        case org.apache.spark.sql.types.LongType if f.name == "ts" =>
+          d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => d
+      }
+    }
   }
 
   /** Exact order-independent sum of a fixed-scale double column. */

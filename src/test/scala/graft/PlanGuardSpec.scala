@@ -42,11 +42,18 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
   //     one row at any corpus size)
   //   text_tfidf — the corpus-size N as a 1-row broadcast onto the tf
   //     table (quality_lm's corpus-total shape)
+  //   agg_ttest — the global (Σn, Σc, Σc²) 1-row agg broadcast onto the
+  //     5-row per-priority stats table (events_rfm's shape; both sides
+  //     bounded by the priority domain, not the corpus)
+  //   events_pareto — the 1-row percentile-boundary agg and the 1-row
+  //     corpus-total agg broadcast onto the per-user rollup (exactly
+  //     events_rfm's two-broadcast shape)
   private val constantSideByConstruction = Set(
     "dedup_embed_lsh", "sim_ann_ivf",
     "caim_candidates", "caim_criterion", "caim_quanta",
     "disc_equal_freq", "disc_equal_width",
-    "filter_subquery", "quality_lm", "events_rfm", "text_tfidf")
+    "filter_subquery", "quality_lm", "events_rfm", "text_tfidf",
+    "agg_ttest", "events_pareto")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
