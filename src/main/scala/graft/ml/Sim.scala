@@ -46,6 +46,30 @@ object Sim {
       .withColumn("sim", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
   }
 
+  /** Auto-dispatching threshold pair search — the `topK(auto)` treatment
+    * for the pair stream: all `(a_id < b_id)` pairs with cosine ≥ `tau`,
+    * EXACT all-pairs while the corpus is small, hyperplane-LSH candidates
+    * + exact re-rank once `count ≥ lshThreshold`. One column-pruned
+    * count() decides the dispatch (the AQE runtime-statistics move); both
+    * paths emit the identical `(a_id, b_id, sim)` schema and every emitted
+    * pair is exactly scored, so the swap only changes recall on
+    * across-bucket pairs — the documented LSH contract. Band geometry
+    * follows the working threshold (see [[cosineLshPairs]]): a tight
+    * near-dup cut (τ ≥ 0.8) affords 8×8-bit bands (~n/256 buckets,
+    * p_band ≈ 0.98); a loose cut keeps the high-recall 16×2 default.
+    */
+  def cosinePairsAuto(emb: DataFrame, tau: Double,
+      lshThreshold: Long = 500000,
+      tr: graft.operators.Tracked = null): DataFrame = {
+    val n = emb.count()
+    if (n < lshThreshold)
+      cosinePairs(emb, col("a_id") < col("b_id"))
+        .where(col("sim") >= tau)
+        .select(col("a_id"), col("b_id"), col("sim"))
+    else if (tau >= 0.8) cosineLshPairs(emb, tau, nBands = 8, bandBits = 8, tr = tr)
+    else cosineLshPairs(emb, tau, tr = tr)
+  }
+
   /** Random-hyperplane LSH near-dup pairs (Charikar, *Similarity estimation
     * techniques from rounding algorithms*, STOC 2002 — simhash for
     * vectors): bit i of a vector's signature is sign(e · r_i) for `nBands ×

@@ -158,9 +158,46 @@ object Llm {
     * ownership-sensitive wiring lives — the declared queries, the
     * pipeline demo, and the specs all call it.
     */
+  /** Auto-dispatching Jaccard pair search — the `Sim.topK(auto)` treatment
+    * for the shingle kernel: exact inverted-index pairs while the corpus
+    * is small, banded MinHash-LSH candidates + the SAME exact-Jaccard
+    * scorer once `count ≥ lshThreshold`. One column-pruned count() decides
+    * the dispatch; both paths emit the identical `(da, db, jac)` schema
+    * with exactly-computed Jaccard, so the swap only changes recall on
+    * across-bucket pairs (1 − (1 − τ²)⁸ ≈ 0.90 at τ = 0.5 with the b=8,
+    * r=2 bands) — the documented LSH contract. What the swap buys at
+    * scale: the exact path's candidate volume is bounded by shingle-
+    * bucket sizes (a boilerplate shingle shared corpus-wide goes
+    * quadratic); the banded path's is bounded by `maxBucket` per (band,
+    * value) bucket, which no single hot shingle can blow up.
+    */
+  private[graft] def jaccardPairsAuto(docsRaw: DataFrame, tau: Double,
+      tr: graft.operators.Tracked, lshThreshold: Long = 1000000): DataFrame = {
+    if (docsRaw.count() < lshThreshold) jaccardPairs(docsRaw, tau, tr)
+    else {
+      val docs = tr.persist(shingleArrays(docsRaw))
+      val cand = minhashCandidates(docs, nBands = 8, rowsPerBand = 2,
+        maxBucket = 65536, tr = tr)
+      // exact |A∩B| re-rank over 64-bit-hashed shingles — dedup_minhash's
+      // scorer verbatim: work ∝ candidates × shingles/doc, never corpus²
+      val shh = docs.select(col("doc_id"), size(col("ss")).cast("long").as("n"),
+          explode(col("ss")).as("s"))
+        .select(col("doc_id"), col("n"), xxhash64(col("s")).as("h"))
+      cand
+        .join(shh.select(col("doc_id").as("a_id"), col("n").as("na"), col("h")), "a_id")
+        .join(shh.select(col("doc_id").as("b_id"), col("n").as("nb"), col("h")), Seq("b_id", "h"))
+        .groupBy(col("a_id").as("da"), col("b_id").as("db"),
+          col("na"), col("nb"))
+        .agg(count(lit(1)).as("i"))
+        .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+        .where(col("jac") >= tau)
+        .select(col("da"), col("db"), col("jac"))
+    }
+  }
+
   private[graft] def clusterEdges(docsRaw: DataFrame, tau: Double,
       tr: graft.operators.Tracked): DataFrame =
-    tr.persist(jaccardPairs(docsRaw, tau, tr).select("da", "db"))
+    tr.persist(jaccardPairsAuto(docsRaw, tau, tr).select("da", "db"))
 
   // Similarity kernels (cosine pairs, bounded top-k, IVF) live in the
   // library surface [[graft.ml.Sim]]; the declared queries below are thin
@@ -214,12 +251,13 @@ object Llm {
         .orderBy(asc_nulls_first("canon"))),
 
     // exact n-gram (3-shingle) Jaccard near-dup pairs, tau = 0.5 (kernel:
-    // [[jaccardPairs]]). Sealed BEFORE the oracle's global sort so the
-    // range-partition sampling job reads the cache instead of re-running
-    // the self-join, and the shingle intermediate is freed eagerly.
+    // [[jaccardPairsAuto]] — exact inverted-index at this corpus size,
+    // size-gated swap to banded-LSH candidates + exact re-rank at scale).
+    // Sealed BEFORE the oracle's global sort so the range-partition
+    // sampling job reads the cache instead of re-running the self-join.
     "dedup_jaccard" -> ((s, sf) => {
       val tr = new graft.operators.Tracked
-      tr.seal(jaccardPairs(t(s, sf, "documents"), 0.5, tr)
+      tr.seal(jaccardPairsAuto(t(s, sf, "documents"), 0.5, tr)
           .select(col("da"), col("db"), round(col("jac"), 6).as("jac")))
         .orderBy("da", "db")
     }),
@@ -307,10 +345,12 @@ object Llm {
         .orderBy("doc_id")
     }),
 
-    // exact cosine similarity pairs over 64-dim embeddings, tau = 0.4
+    // cosine similarity pairs over 64-dim embeddings, tau = 0.4 — exact
+    // all-pairs at this corpus size via [[graft.ml.Sim.cosinePairsAuto]],
+    // which swaps in hyperplane-LSH candidates + exact re-rank above its
+    // size gate (the topK(auto) treatment for the pair stream)
     "sim_cosine_pairs" -> ((s, sf) =>
-      graft.ml.Sim.cosinePairs(t(s, sf, "embeddings"), col("a_id") < col("b_id"))
-        .where(col("sim") >= 0.4)
+      graft.ml.Sim.cosinePairsAuto(t(s, sf, "embeddings"), 0.4)
         .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
         .orderBy("a_id", "b_id")),
 
@@ -318,8 +358,7 @@ object Llm {
     // smaller-id vector is a duplicate; survivor = smallest such id. Same
     // pair stream as sim_cosine_pairs, so the oracle cut is engine-stable.
     "dedup_embed" -> ((s, sf) =>
-      graft.ml.Sim.cosinePairs(t(s, sf, "embeddings"), col("a_id") < col("b_id"))
-        .where(col("sim") >= 0.4)
+      graft.ml.Sim.cosinePairsAuto(t(s, sf, "embeddings"), 0.4)
         .groupBy(col("b_id").as("dup_id"))
         .agg(min(col("a_id")).as("keep_id"), count(lit(1)).as("n_better"))
         .orderBy("dup_id")),
@@ -333,8 +372,8 @@ object Llm {
     "dedup_embed_clusters" -> ((s, sf) => {
       val tr = new graft.operators.Tracked
       val pairs = tr.persist(
-        graft.ml.Sim.cosinePairs(t(s, sf, "embeddings"), col("a_id") < col("b_id"))
-          .where(col("sim") >= 0.4).select("a_id", "b_id"))
+        graft.ml.Sim.cosinePairsAuto(t(s, sf, "embeddings"), 0.4)
+          .select("a_id", "b_id"))
       graft.operators.Components.connected(pairs, "a_id", "b_id", tr)
         .select(col("id").as("vec_id"), col("cluster"))
         .orderBy("vec_id")

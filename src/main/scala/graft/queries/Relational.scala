@@ -311,15 +311,15 @@ object Relational {
       val c = t(s, sf, "customer").filter(col("c_mktsegment") === "BUILDING")
         .select("c_custkey")
       val o = t(s, sf, "orders")
-        .filter(col("o_orderdate").cast("timestamp") < cut)
+        .filter(col("o_orderdate") < cut)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
       val l = t(s, sf, "lineitem")
-        .filter(col("l_shipdate").cast("timestamp") > cut)
+        .filter(col("l_shipdate") > cut)
         .select("l_orderkey", "l_extendedprice", "l_discount")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"),
-          unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"),
+          unix_micros(col("o_orderdate")).as("odate_us"),
           col("o_orderpriority"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,4)")).cast("double").as("revenue"))
@@ -452,8 +452,8 @@ object Relational {
       val n = t(s, sf, "nation")
       val c = t(s, sf, "customer")
       val o = t(s, sf, "orders")
-        .filter(col("o_orderdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate").cast("timestamp") < lit("1998-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val l = t(s, sf, "lineitem")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c.join(broadcast(n.join(broadcast(r),

@@ -30,7 +30,7 @@ object Scalars {
         dayofmonth(col("o_orderdate")).cast("long").as("dom"),
         unix_micros(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
         datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
-        unix_micros((col("o_orderdate") + expr("INTERVAL 30 DAYS")).cast("timestamp")).as("plus30_us"))
+        unix_micros((col("o_orderdate") + expr("INTERVAL 30 DAYS"))).as("plus30_us"))
         .orderBy("o_orderkey")),
 
     "fn_math" -> ((s, sf) =>

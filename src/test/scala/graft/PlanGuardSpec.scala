@@ -14,10 +14,14 @@ import org.scalatest.matchers.should.Matchers
   */
 class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
 
-  // declared exact/all-pairs tools (scale path in parentheses):
+  // declared exact/all-pairs plans AT TEST SCALE (scale path in parens):
   //   join_cross            — IS a cartesian by definition
   //   sim_cosine_pairs, dedup_embed, dedup_embed_clusters
-  //                         — exact cosine all-pairs (scale: dedup_embed_lsh / LSH)
+  //                         — size-gated auto-dispatch (Sim.cosinePairsAuto):
+  //     below the 500k-row gate the exact all-pairs plan runs (what this
+  //     sweep sees on the test corpus); at or above it the hyperplane-LSH
+  //     bucketed equi-join + exact re-rank plans instead — the dispatch
+  //     equivalence is pinned in SimSpec
   //   sim_topk, knn_classify — brute-force exact top-k (scale: sim_ann_ivf / IVF-PQ)
   private val quadraticByContract = Set(
     "join_cross", "sim_cosine_pairs", "dedup_embed", "dedup_embed_clusters",

@@ -182,6 +182,23 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     exact.diff(cand) shouldBe empty
   }
 
+  test("jaccardPairsAuto: forced LSH path matches the exact kernel") {
+    // gate 1 forces the banded-LSH + exact-re-rank path; b=8, r=2 banding
+    // keeps every true τ=0.5 pair on this corpus (the dedup_minhash
+    // coverage invariant above), and the re-rank scores exactly, so the
+    // dispatch must reproduce the exact kernel's (da, db, jac) rows
+    val docs = graft.T.t(spark, sf001, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("da"), col("db"), round(col("jac"), 6))
+        .collect().map(_.toString).toSet
+    val trA = new graft.operators.Tracked
+    val exact = rows(graft.queries.Llm.jaccardPairs(docs, 0.5, trA))
+    val trB = new graft.operators.Tracked
+    val lsh = rows(graft.queries.Llm.jaccardPairsAuto(docs, 0.5, trB,
+      lshThreshold = 1))
+    lsh shouldBe exact
+  }
+
   test("caim_fit emits per-feature strictly-increasing boundary arrays") {
     val rows = SparkEntry.queries("caim_fit")(spark, sf001).collect()
     val byF = rows.groupBy(_.getString(0))

@@ -148,6 +148,21 @@ class SimSpec extends AnyFunSuite with SparkFixture with Matchers {
     lsh.diff(exact) shouldBe empty
   }
 
+  test("cosinePairsAuto: exact below the gate, LSH-equivalent above it") {
+    val exact = Sim.cosinePairs(emb, col("a_id") < col("b_id"))
+      .where(col("sim") >= 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // default gate (500k) keeps this corpus on the exact path
+    val below = Sim.cosinePairsAuto(emb, 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    below shouldBe exact
+    // gate 1 forces the LSH path; on this corpus the 16×2 bands' analytic
+    // miss rate is ~3e-4 (see above), so the swap is set-identical too
+    val above = Sim.cosinePairsAuto(emb, 0.4, lshThreshold = 1)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    above shouldBe exact
+  }
+
   test("LSH signatures are deterministic for a fixed seed") {
     val a = Sim.cosineLshPairs(emb, 0.4, seed = 7L).collect().map(_.toString).sorted
     val b = Sim.cosineLshPairs(emb, 0.4, seed = 7L).collect().map(_.toString).sorted
