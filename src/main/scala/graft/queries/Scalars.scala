@@ -82,6 +82,30 @@ object Scalars {
           count(lit(1)).as("cnt"))
         .orderBy("event_type")),
 
+    // nested semi-structured extraction (round 10) — arrays of structs
+    // through a full JSON round trip: each order's lineitems serialize to
+    // ONE nested payload (sort_array pins the array order), from_json
+    // parses it back against an explicit nested schema, a dotted path +
+    // index reads a nested scalar, and inline() explodes the array of
+    // structs back to rows. The oracle computes the same facts straight
+    // from the flat table, so the encode→parse→explode path is validated
+    // against ground truth rather than mirrored. One orderkey exchange;
+    // each payload is bounded by one order's lineitems (≤7 rows), so the
+    // JSON string never grows with the corpus.
+    "fn_json_nested" -> ((s, sf) =>
+      t(s, sf, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(to_json(struct(sort_array(collect_list(struct(
+            col("l_linenumber").cast("long").as("ln"),
+            col("l_quantity").as("qty")))).as("items"))).as("payload"))
+        .select(col("l_orderkey"),
+          expr("from_json(payload, 'STRUCT<items: ARRAY<STRUCT<ln: BIGINT, qty: DOUBLE>>>')").as("p"))
+        .selectExpr("l_orderkey", "p.items[0].ln AS first_ln",
+          "CAST(size(p.items) AS BIGINT) AS n_items", "inline(p.items)")
+        .groupBy("l_orderkey", "first_ln", "n_items")
+        .agg(graft.T.dsum(col("qty"), 2).as("sum_qty"))
+        .orderBy("l_orderkey")),
+
     // URL decomposition (round 8) — the web-corpus provenance op (domain
     // aggregation, path routing, tracking-param handling all hang off
     // it). The corpus carries no real URLs, so a deterministic synthetic
@@ -205,6 +229,14 @@ object Scalars {
          round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
          count(*) AS cnt
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // ground truth for the JSON round trip, computed from the flat table:
+    // sort_array orders items by ln, so items[0].ln = min(l_linenumber)
+    "fn_json_nested" ->
+      """SELECT l_orderkey,
+         CAST(min(l_linenumber) AS BIGINT) AS first_ln,
+         count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "fn_binary" ->
       """SELECT doc_id,
          base64(CAST(substring(text, 1, 12) AS BLOB)) AS b64,
