@@ -77,6 +77,29 @@ object Aggregates {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy("event_type")),
 
+    // mergeable-sketch distinct counting (round 10) — the 100 TB pattern
+    // for COMPOSABLE count-distinct: per-group Datasketches HLL sketches
+    // build map-side (hll_sketch_agg), the rollup row comes from merging
+    // the ≤5 group sketches ASSOCIATIVELY (hll_union_agg) — the corpus is
+    // never re-scanned for the total, which is exactly how a 1000-executor
+    // pipeline maintains distincts across partitions, days, or retries.
+    // Per-type exact countDistinct rides along as the in-row accuracy
+    // reference. Declared rows-only (sketch estimates are
+    // implementation-specific); QueriesSpec pins estimate-vs-exact
+    // accuracy and union-vs-direct consistency.
+    "agg_sketch_union" -> ((s, sf) => {
+      val per = t(s, sf, "events").groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      per.select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("est_users"), col("exact_users"))
+        .unionByName(per.agg(
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+          .select(lit("ALL").as("event_type"), col("est_users"),
+            lit(null).cast("long").as("exact_users")))
+        .orderBy("event_type")
+    }),
+
     // §2.4 per-group sorted list (array_sort tames collect_list order)
     "agg_collect_list" -> ((s, sf) =>
       t(s, sf, "orders").groupBy("o_custkey")

@@ -182,6 +182,25 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     exact.diff(cand) shouldBe empty
   }
 
+  test("agg_sketch_union estimates track exact distincts; union row is consistent") {
+    val rows = SparkEntry.queries("agg_sketch_union")(spark, sf001).collect()
+    val (all, perType) = rows.partition(_.getString(0) == "ALL")
+    all should have length 1
+    perType.length should be >= 3
+    // per-type: lgK=12 default HLL keeps relative error well under 2% at
+    // corpus cardinalities
+    perType.foreach { r =>
+      val est = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      math.abs(est - exact) / exact should be <= 0.02
+    }
+    // the ALL row comes from MERGING the per-type sketches — it must agree
+    // with the exact distinct over the whole table to the same tolerance
+    val exactAll = graft.T.t(spark, sf001, "events")
+      .select(countDistinct(col("user_id"))).head().getLong(0).toDouble
+    math.abs(all.head.getLong(1).toDouble - exactAll) / exactAll should be <= 0.02
+  }
+
   test("jaccardPairsAuto: forced LSH path matches the exact kernel") {
     // gate 1 forces the banded-LSH + exact-re-rank path; b=8, r=2 banding
     // keeps every true τ=0.5 pair on this corpus (the dedup_minhash
