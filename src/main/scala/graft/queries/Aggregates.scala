@@ -77,6 +77,26 @@ object Aggregates {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy("event_type")),
 
+    // exact-but-mergeable distinct counting (round 10) — the bitmap
+    // counterpart to agg_sketch_union: ids bucket into 32k-bit bitmaps
+    // (bitmap_bucket_number / bitmap_bit_position), each (type, bucket)
+    // group ORs its positions into one 4 KB binary (bitmap_construct_agg),
+    // and the per-type distinct is the sum of per-bucket popcounts —
+    // EXACT, unlike HLL, yet still associatively mergeable partials. At
+    // 100 TB the shuffle carries one bitmap per (type, bucket), never the
+    // id stream, and map-side partial_bitmap_construct_agg collapses each
+    // task's ids before the exchange. Oracled against plain
+    // count(DISTINCT) — ground truth, not a mirrored bitmap pipeline.
+    "agg_bitmap_distinct" -> ((s, sf) =>
+      t(s, sf, "events")
+        .groupBy(col("event_type"),
+          bitmap_bucket_number(col("user_id")).as("bucket"))
+        .agg(bitmap_count(
+          bitmap_construct_agg(bitmap_bit_position(col("user_id")))).as("cnt"))
+        .groupBy("event_type")
+        .agg(sum(col("cnt")).as("n_users"))
+        .orderBy("event_type")),
+
     // mergeable-sketch distinct counting (round 10) — the 100 TB pattern
     // for COMPOSABLE count-distinct: per-group Datasketches HLL sketches
     // build map-side (hll_sketch_agg), the rollup row comes from merging
@@ -609,6 +629,10 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // ground truth for the bitmap pipeline: plain exact distinct
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "profile_table" ->
       """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
            count(*) - count(doc_id) AS n_null, count(DISTINCT doc_id) AS n_distinct,

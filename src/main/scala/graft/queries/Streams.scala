@@ -53,10 +53,29 @@ object Streams {
       .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts"), col("b_ts"))
   }
 
+  /** Write-once keyed first-event dedup: the earliest (ts, event_id) event
+    * per (user_id, event_type). Batch: one min-struct aggregate (declared
+    * query below, oracled against a row_number window). Streaming: the same
+    * key set under `dropDuplicatesWithinWatermark` — state is ONE row per
+    * key inside the watermark horizon instead of unbounded
+    * `dropDuplicates` state, which is the only dedup shape that survives
+    * an endless stream; StreamingSpec pins batch ≡ streaming when events
+    * arrive in event-time order.
+    */
+  def firstPerKey(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("f.ts")).as("first_us"), col("f.event_id").as("first_id"))
+
   val queries: Map[String, Q] = Map(
     // 1-hour tumbling event-time windows per event_type
     "stream_tumbling" -> ((s, sf) =>
       tumbling(t(s, sf, "events")).orderBy("ws_us", "event_type")),
+
+    // keyed first-event dedup (streaming shape: dropDuplicatesWithinWatermark)
+    "stream_dedup" -> ((s, sf) =>
+      firstPerKey(t(s, sf, "events")).orderBy("user_id", "event_type")),
 
     // 1-hour windows sliding every 15 min (each event lands in 4 windows)
     "stream_sliding" -> ((s, sf) =>
@@ -81,6 +100,13 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT user_id, event_type, first_us, first_id FROM (
+           SELECT user_id, event_type, epoch_us(ts) AS first_us,
+                  event_id AS first_id,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
     "stream_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
          count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

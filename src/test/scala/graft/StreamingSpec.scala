@@ -114,6 +114,38 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally q.stop()
   }
 
+  test("stream_dedup: watermarked keyed dedup equals the batch firstPerKey") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    // the streaming side of the declared stream_dedup query: one state row
+    // per (user, type) key inside the watermark horizon; with events
+    // arriving in event-time order the survivor IS the event-time first,
+    // which is exactly what the batch min-struct aggregate computes
+    val q = df.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("first_us"), col("event_id").as("first_id"))
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      ms.addData(inOrder: _*)
+      q.processAllAvailable()
+      ms.addData((9L, ts("2024-01-01T14:00:00Z"), 9L, "view", 0.0)) // flush watermark
+      q.processAllAvailable()
+      val streamed = spark.table("sdedup")
+        .filter(col("user_id") =!= 9L)
+        .orderBy("user_id", "event_type").collect()
+      val batch = Streams.firstPerKey(
+          inOrder.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .orderBy("user_id", "event_type").collect()
+      streamed shouldBe batch
+      // user 7 has two clicks (10:05, 12:59) — only the first survives
+      streamed.map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+        Seq((7L, "click"), (7L, "view"), (8L, "click"))
+    } finally q.stop()
+  }
+
   test("arbitrary state: running per-user counters across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
