@@ -302,6 +302,27 @@ object Aggregates {
            RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS near_cnt""")
         .orderBy("o_orderkey")),
 
+    // §2.5 event-TIME range frame (round 10): per user at each event, how
+    // many events and how much value landed in the trailing hour — the
+    // rate-limiter / burst-detection window. The frame is keyed on TIME
+    // (epoch µs RANGE), not row counts: a burst of 50 events in a minute
+    // all share one frame edge, which ROWS frames cannot express. Equal-µs
+    // peers are included in both engines by RANGE semantics, so the result
+    // is deterministic without a unique tiebreak. One user-hash exchange +
+    // one sort; the decimal frame sum keeps values exact.
+    "win_time_range" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0)
+      t(s, sf, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("sum_1h"))
+        .orderBy("event_id")
+    }),
+
     // §2.5 deterministic equal-frequency quartiles
     "win_ntile" -> ((s, sf) => {
       val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").asc, col("c_custkey").asc)
@@ -806,6 +827,14 @@ object Aggregates {
       """SELECT c_custkey, c_mktsegment,
          ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
          FROM customer ORDER BY c_custkey""",
+    "win_time_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+         count(*) OVER w AS n_1h,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

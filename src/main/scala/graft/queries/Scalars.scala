@@ -82,6 +82,24 @@ object Scalars {
           count(lit(1)).as("cnt"))
         .orderBy("event_type")),
 
+    // Spark 4 VARIANT semi-structured type (round 10): props parses ONCE
+    // into a binary variant (parse_json) and fields come out via typed
+    // paths (variant_get) — the shredding-friendly modern alternative to
+    // re-parsing the JSON string per accessed field, and the open-table
+    // semi-structured column type at scale. Output stays scalar (variant
+    // binaries are not cross-engine comparable); the oracle reads the same
+    // fields with DuckDB JSON paths. try_variant_get on a missing path
+    // must yield NULL, not error — pinned in the output.
+    "fn_variant" -> ((s, sf) =>
+      t(s, sf, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          (expr("variant_get(v, '$.k', 'bigint')") * 2).as("k_x2"),
+          expr("try_variant_get(v, '$.absent', 'bigint')").as("missing"))
+        .orderBy("event_id")),
+
     // nested semi-structured extraction (round 10) — arrays of structs
     // through a full JSON round trip: each order's lineitems serialize to
     // ONE nested payload (sort_array pins the array order), from_json
@@ -229,6 +247,13 @@ object Scalars {
          round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
          count(*) AS cnt
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "fn_variant" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+         json_extract_string(props, '$.k') AS k_str,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_x2,
+         CAST(json_extract_string(props, '$.absent') AS BIGINT) AS missing
+         FROM events ORDER BY event_id""",
     // ground truth for the JSON round trip, computed from the flat table:
     // sort_array orders items by ln, so items[0].ln = min(l_linenumber)
     "fn_json_nested" ->
