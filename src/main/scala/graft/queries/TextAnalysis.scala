@@ -118,6 +118,22 @@ object TextAnalysis {
           round(least(lit(1.0), col("tok_cnt") / 100.0) * (lit(1.0) - col("stop_ratio")), 6))
         .orderBy("doc_id")),
 
+    // feature hashing (round 10) — the HashingTF trick with a PORTABLE
+    // hash: tokens bucket into a fixed 256-dim space via their md5 hex
+    // prefix (the Split.portableBucket discipline) instead of murmur3, so
+    // the sparse feature matrix is oracle-verifiable cross-engine. Output
+    // is the (doc, dim, tf) sparse form a trainer consumes. At scale this
+    // is a narrow explode + map-side-combined count; the shuffle carries
+    // ∝ docs × occupied dims (≤256), never the token stream.
+    "text_hashing_tf" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("doc_id"),
+          substring(md5(col("tok").cast("binary")), 1, 2).as("dim"))
+        .groupBy("doc_id", "dim").agg(count(lit(1)).as("tf"))
+        .orderBy("doc_id", "dim")),
+
     // token counting: whitespace, letter-run regex (BPE-ish pretokenizer
     // shape), and distinct-token cardinality
     "text_tokens" -> ((s, sf) =>
@@ -456,6 +472,11 @@ object TextAnalysis {
          CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_toks,
          CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS uniq_toks
          FROM documents ORDER BY doc_id""",
+    "text_hashing_tf" ->
+      """SELECT doc_id, substr(md5(tok), 1, 2) AS dim, count(*) AS tf FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         WHERE len(tok) > 0
+         GROUP BY 1, 2 ORDER BY doc_id, dim""",
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
              FROM documents),
