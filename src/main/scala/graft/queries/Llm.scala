@@ -532,6 +532,28 @@ object Llm {
         .orderBy("lang")
     }),
 
+    // class-balanced downsample (round 10) — the training-mix equalizer:
+    // every language capped at the SMALLEST class's count, members chosen
+    // by md5 hash rank (portable, re-run-stable, corpus-growth-stable for
+    // surviving ranks) rather than an RNG. The cap comes from one 5-row
+    // aggregate head() — the bounded runtime-statistics move Sim.topK(auto)
+    // makes, never a data collect. One lang-hash exchange + per-lang sort;
+    // at 100 TB an EXACT per-class cap inherently ranks within each class —
+    // the cheaper approximate path is the fractional hash-keep sibling
+    // (sample_stratified), which needs no sort at all.
+    "sample_balanced" -> ((s, sf) => {
+      val docs = t(s, sf, "documents").filter(col("lang").isNotNull)
+      val cap = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(min(col("n"))).head().getLong(0)
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // incremental batch-vs-index dedup as a DECLARED query (round 8,
     // binding [[graft.operators.DedupIndex]]): the md5-portable 20% of
     // docs play the "new batch", the complement's band table plays the
@@ -820,6 +842,15 @@ object Llm {
             OR (lang = 'es' AND hb < '40')
             OR (lang IN ('de','fr','zh') AND hb < '20')
          GROUP BY lang ORDER BY lang""",
+    "sample_balanced" ->
+      """WITH m AS (SELECT min(cnt) AS cap FROM
+             (SELECT lang, count(*) AS cnt FROM documents
+              WHERE lang IS NOT NULL GROUP BY 1)),
+           r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents WHERE lang IS NOT NULL)
+         SELECT doc_id, lang FROM r, m WHERE rn <= cap ORDER BY doc_id""",
     "sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
