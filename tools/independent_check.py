@@ -11,7 +11,10 @@ join), agg_percentile (linear-interpolated quantiles), agg_stats
 (decimal-co-moment mean/stddev/corr), text_repetition (3-gram window
 multiset stats), text_boilerplate (corpus-level shared-5-gram fraction),
 profile_table (per-column null/distinct/min/max),
-caim_fit (the full greedy CAIM fit, ported line-for-line).
+caim_fit (the full greedy CAIM fit, ported line-for-line),
+win_time_range (trailing-hour RANGE frame, two-pointer sweep),
+text_hashing_tf (md5-prefix feature hashing via hashlib),
+sample_balanced (per-class md5-rank cap).
 
 Usage: python3 tools/independent_check.py <sfDir> <verifyOutDir>
 (run graft.Verify into <verifyOutDir> first). Verified green 2026-08-12 at
@@ -308,6 +311,72 @@ fit_got = [(f, b, round(x, 6)) for f, b, x in
            zip(got["feature"], got["bin_idx"], got["boundary"])]
 ok = sorted(fit_got) == sorted(fit_exp)
 print(f"caim_fit: {'OK' if ok else 'MISMATCH'} ({len(fit_exp)} boundaries)")
+fails += 0 if ok else 1
+
+# win_time_range (round 10): trailing-hour RANGE frame recomputed with a
+# per-user two-pointer sweep over epoch-us — equal-us peers all share the
+# frame edge, matching RANGE (not ROWS) semantics
+ev_rows = sorted(zip(ev["user_id"], ev["ts"], ev["event_id"], ev["value"]),
+                 key=lambda r: (r[0], r[1], r[2]))
+exp_tr = {}
+i = 0
+while i < len(ev_rows):
+    j = i
+    while j < len(ev_rows) and ev_rows[j][0] == ev_rows[i][0]:
+        j += 1
+    rows = ev_rows[i:j]
+    # exact epoch-us without float rounding
+    us = []
+    for r in rows:
+        d = r[1] - __import__("datetime").datetime(1970, 1, 1)
+        us.append(d.days * 86400_000_000 + d.seconds * 1_000_000 + d.microseconds)
+    lo = 0
+    for k, r in enumerate(rows):
+        while us[lo] < us[k] - 3_600_000_000:
+            lo += 1
+        # include ALL peers with us == us[k] (RANGE frame), even past k
+        hi = k
+        while hi + 1 < len(rows) and us[hi + 1] == us[k]:
+            hi += 1
+        frame = rows[lo:hi + 1]
+        sv = sum(int(round(x[3] * 100)) for x in frame)
+        exp_tr[r[2]] = (r[0], us[k], len(frame), round(sv / 100.0, 10))
+    i = j
+got = sparkres("win_time_range")
+got_tr = {e: (u, us_, n, round(s, 10)) for e, u, us_, n, s in
+          zip(got["event_id"], got["user_id"], got["us"], got["n_1h"], got["sum_1h"])}
+ok = got_tr == exp_tr
+print(f"win_time_range: {'OK' if ok else 'MISMATCH'} ({len(exp_tr)} rows)")
+fails += 0 if ok else 1
+
+# text_hashing_tf (round 10): md5-prefix feature hashing via hashlib
+import hashlib
+exp_tf = collections.Counter()
+for did, text in zip(docs["doc_id"], docs["text"]):
+    if text is None:
+        continue
+    for tok in text.split(" "):
+        if tok:
+            exp_tf[(did, hashlib.md5(tok.encode()).hexdigest()[:2])] += 1
+got = sparkres("text_hashing_tf")
+got_tf = dict(zip(zip(got["doc_id"], got["dim"]), got["tf"]))
+ok = got_tf == dict(exp_tf)
+print(f"text_hashing_tf: {'OK' if ok else 'MISMATCH'} ({len(exp_tf)} cells)")
+fails += 0 if ok else 1
+
+# sample_balanced (round 10): per-lang md5-rank cap at the min class size
+langs = collections.defaultdict(list)
+for did, lang in zip(docs["doc_id"], docs["lang"]):
+    if lang is not None:
+        langs[lang].append(did)
+cap = min(len(v) for v in langs.values())
+exp_bal = sorted(
+    (did, lang)
+    for lang, ids in langs.items()
+    for did in sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))[:cap])
+got = sparkres("sample_balanced")
+ok = sorted(zip(got["doc_id"], got["lang"])) == exp_bal
+print(f"sample_balanced: {'OK' if ok else 'MISMATCH'} ({len(exp_bal)} kept, cap={cap})")
 fails += 0 if ok else 1
 
 sys.exit(1 if fails else 0)
