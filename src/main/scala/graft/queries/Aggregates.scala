@@ -77,6 +77,24 @@ object Aggregates {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy("event_type")),
 
+    // mergeable quantile sketch (round 10) — completes the mergeable-
+    // sketch trio (HLL distinct, bitmap exact-distinct, quantile):
+    // percentile_approx's Greenwald-Khanna summaries build map-side and
+    // merge associatively, so p50/p95/p99 of a 100 TB column cost one
+    // narrow pass + a groups-sized shuffle — no global sort, which is
+    // what the exact-percentile sibling (agg_percentile) needs per group.
+    // Declared rows-only (summary merge order follows partition layout,
+    // so last-digit results are layout-dependent); QueriesSpec pins each
+    // estimate inside the neighbouring exact order statistics.
+    "agg_approx_quantile" -> ((s, sf) =>
+      t(s, sf, "lineitem").groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // exact-but-mergeable distinct counting (round 10) — the bitmap
     // counterpart to agg_sketch_union: ids bucket into 32k-bit bitmaps
     // (bitmap_bucket_number / bitmap_bit_position), each (type, bucket)

@@ -182,6 +182,26 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     exact.diff(cand) shouldBe empty
   }
 
+  test("agg_approx_quantile estimates sit inside the neighbouring exact order stats") {
+    val rows = SparkEntry.queries("agg_approx_quantile")(spark, sf001).collect()
+    rows.length shouldBe 3
+    val base = graft.T.t(spark, sf001, "lineitem")
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val vals = base.filter(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      for ((p, i) <- Seq(0.5 -> 1, 0.95 -> 2, 0.99 -> 3)) {
+        val est = r.getDouble(i)
+        // GK guarantee at accuracy 10000: rank error <= n/10000 (< 1 here,
+        // but allow +-2 ranks for the discrete index convention)
+        val target = (p * vals.length).toInt
+        val lo = vals(math.max(0, target - 2))
+        val hi = vals(math.min(vals.length - 1, target + 2))
+        est should (be >= lo and be <= hi)
+      }
+    }
+  }
+
   test("agg_sketch_union estimates track exact distincts; union row is consistent") {
     val rows = SparkEntry.queries("agg_sketch_union")(spark, sf001).collect()
     val (all, perType) = rows.partition(_.getString(0) == "ALL")
