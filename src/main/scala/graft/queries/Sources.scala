@@ -108,6 +108,31 @@ object Sources {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"), graft.T.dsum(col("c_acctbal"), 2).as("sum_bal"))
         .orderBy("c_mktsegment")
+    }),
+
+    // binaryFile source (round 10): whole files arrive as (path, length,
+    // content) rows — the multimodal INGEST path (images/audio arrive as
+    // one object per sample; §2.10's MultiModal operators consume exactly
+    // this shape). The corpus round-trips as 8 multi-line .txt objects;
+    // the query decodes the raw bytes IN-ENGINE (cast to string, split,
+    // explode) and proves byte-faithful recovery per doc via md5 + length
+    // against the original table. One task per object is the right
+    // granularity for media files (unsplittable by design), and
+    // pathGlobFilter prunes at the LISTING, before any byte is read.
+    "source_binary" -> ((s, sf) => {
+      val dir = tmp(sf, "bin")
+      t(s, sf, "documents").filter(col("text").isNotNull)
+        .select(concat_ws("\t", col("doc_id").cast("string"), col("text")).as("value"))
+        .repartition(8)
+        .write.mode("overwrite").text(dir)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt").load(dir)
+        .select(explode(split(col("content").cast("string"), "\n")).as("line"))
+        .filter(length(col("line")) > 0)
+        .select(split(col("line"), "\t", 2).getItem(0).cast("long").as("doc_id"),
+          md5(split(col("line"), "\t", 2).getItem(1).cast("binary")).as("m5"),
+          length(split(col("line"), "\t", 2).getItem(1)).cast("long").as("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -126,6 +151,9 @@ object Sources {
       """SELECT c_mktsegment, count(*) AS n_cust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
+    "source_binary" ->
+      """SELECT doc_id, md5(text) AS m5, CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
     "source_xml" ->
       """SELECT p_brand, count(*) AS n_parts, min(p_name) AS first_name,
                 CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
