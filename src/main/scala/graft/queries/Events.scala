@@ -466,6 +466,56 @@ object Events {
     // bounded by the type vocabulary (≤ C(5,2) = 10 pairs per session),
     // never by session length, and the join is co-partitioned on the
     // (user, session) key both sides already hash for their distinct.
+    // frequent-itemset mining (round 10) — MLlib FPGrowth over per-user
+    // event-type baskets: the association tier above events_cooccur's
+    // pairwise counts ("users who error also purchase?"), covering every
+    // itemset size in one pass. Baskets are the DISTINCT event types per
+    // user (≤5 items, itemset lattice ≤2⁵ — the model is tiny at any
+    // corpus size; FP-trees build on partial baskets map-side). Declared
+    // rows-only (FP-tree traversal order is impl-specific); itemset SETS
+    // and counts are deterministic — EventsSpec pins size-1 and size-2
+    // frequencies against SQL ground truth. Items emit sorted + joined so
+    // row identity is engine-stable.
+    "events_itemsets" -> ((s, sf) => {
+      import org.apache.spark.ml.fpm.FPGrowth
+      val baskets = t(s, sf, "events")
+        .groupBy("user_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("items"))
+      new FPGrowth().setItemsCol("items").setMinSupport(0.2)
+        .setMinConfidence(0.5).fit(baskets)
+        .freqItemsets
+        .select(array_join(array_sort(col("items")), ",").as("itemset"),
+          col("freq"))
+        .orderBy("itemset")
+    }),
+
+    // sequential-pattern mining (round 10) — MLlib PrefixSpan over each
+    // user's time-ordered event-type sequence: ORDER-aware journeys
+    // ("view then click then purchase") with gaps allowed, the
+    // generalization of events_path's contiguous session paths and
+    // events_funnel's one fixed order. Each user's sequence is their
+    // (ts, event_id)-sorted event types as 1-item steps; minSupport 0.2,
+    // patterns ≤3 steps. Rows-only declared (projection-database order is
+    // impl-specific); EventsSpec pins single-step pattern support =
+    // distinct-user counts and the anti-monotone support law.
+    "events_prefixspan" -> ((s, sf) => {
+      import org.apache.spark.ml.fpm.PrefixSpan
+      val seqs = t(s, sf, "events")
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id"),
+            col("event_type")).as("step"))
+        .groupBy("user_id")
+        .agg(transform(array_sort(collect_list(col("step"))),
+          x => array(x.getField("event_type"))).as("sequence"))
+      new PrefixSpan().setMinSupport(0.2).setMaxPatternLength(3)
+        .setSequenceCol("sequence")
+        .findFrequentSequentialPatterns(seqs)
+        .select(array_join(transform(col("sequence"),
+            a => array_join(a, "+")), ">").as("pattern"),
+          col("freq"))
+        .orderBy("pattern")
+    }),
+
     "events_cooccur" -> ((s, sf) => {
       val wo = Window.partitionBy("user_id").orderBy("us", "event_id")
       val st = t(s, sf, "events")

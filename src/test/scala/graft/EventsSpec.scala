@@ -901,6 +901,45 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("events_itemsets: itemset supports equal SQL-computed basket counts") {
+    val rows = SparkEntry.queries("events_itemsets")(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows should not be empty
+    // ground truth: per-user distinct-type baskets recomputed directly
+    val baskets = T.t(spark, sf001, "events")
+      .groupBy("user_id").agg(collect_set(col("event_type")).as("s"))
+      .collect().map(_.getSeq[String](1).toSet)
+    val n = baskets.length
+    rows.foreach { case (itemset, freq) =>
+      val items = itemset.split(",").toSet
+      freq shouldBe baskets.count(b => items.subsetOf(b)).toLong
+      freq.toDouble should be >= 0.2 * n // declared minSupport
+    }
+    // completeness at size 1: every type over threshold is reported
+    val types = baskets.flatten.toSet
+    types.filter(t => baskets.count(_.contains(t)) >= 0.2 * n)
+      .foreach(t => rows should contain key t)
+  }
+
+  test("events_prefixspan: single-step supports match and support is anti-monotone") {
+    val rows = SparkEntry.queries("events_prefixspan")(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows should not be empty
+    val baskets = T.t(spark, sf001, "events")
+      .groupBy("user_id").agg(collect_set(col("event_type")).as("s"))
+      .collect().map(_.getSeq[String](1).toSet)
+    // a 1-step pattern <t> is supported by exactly the users that ever
+    // emit t (sequence order is irrelevant at length 1)
+    rows.filterNot(_._1.contains(">")).foreach { case (t, freq) =>
+      freq shouldBe baskets.count(_.contains(t)).toLong
+    }
+    // anti-monotone law: extending a pattern can never raise its support
+    rows.filter(_._1.contains(">")).foreach { case (p, freq) =>
+      val prefix = p.split(">").dropRight(1).mkString(">")
+      freq should be <= rows(prefix)
+    }
+  }
+
   test("agg_hist: bins partition the rows and bounds sit inside their bin") {
     val rows = SparkEntry.queries("agg_hist")(spark, sf001).collect()
     rows should not be empty
