@@ -133,6 +133,21 @@ class CaimSpec extends AnyFunSuite with SparkFixture with Matchers {
     graft.ml.Knn.classify(emb.repartition(3), k = 5).collect() shouldBe out.collect()
   }
 
+  test("knn classify: brute == auto on both sides of the dispatch gate") {
+    // the declared knn_classify query now runs auto = true (round 11
+    // verdict item 1) — pin result identity across the gate so the flip
+    // cannot silently change answers:
+    //   below the gate: auto dispatches back to brute → exact identity
+    //   above the gate (forced via ivfThreshold = 1): degenerate IVF with
+    //     nprobe = nCells probes every cell, so the approximate path sees
+    //     every candidate and must reproduce brute exactly
+    val emb = T.t(spark, sf001, "embeddings")
+    val brute = graft.ml.Knn.classify(emb, k = 5, auto = false).collect()
+    graft.ml.Knn.classify(emb, k = 5, auto = true).collect() shouldBe brute
+    graft.ml.Knn.classify(emb, k = 5, auto = true,
+      ivfThreshold = 1, nCells = 4, nprobe = 4).collect() shouldBe brute
+  }
+
   test("model save/load roundtrip") {
     val est = new CAIMDiscretizer()
       .setInputCols(Array("x")).setOutputCols(Array("xb")).setLabelCol("y")

@@ -22,7 +22,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
   //     sweep sees on the test corpus); at or above it the hyperplane-LSH
   //     bucketed equi-join + exact re-rank plans instead — the dispatch
   //     equivalence is pinned in SimSpec
-  //   sim_topk, knn_classify — brute-force exact top-k (scale: sim_ann_ivf / IVF-PQ)
+  //   sim_topk — brute-force exact top-k (scale: sim_ann_ivf / IVF-PQ)
+  //   knn_classify — declared auto = true (round 11): Sim.topK's size gate
+  //     dispatches to brute BELOW the 500k gate — the BNLJ this sweep sees
+  //     on the test corpus — and IVF above it; CaimSpec pins brute ≡ auto
+  //     on both sides of the gate
   private val quadraticByContract = Set(
     "join_cross", "sim_cosine_pairs", "dedup_embed", "dedup_embed_clusters",
     "sim_topk", "knn_classify")
