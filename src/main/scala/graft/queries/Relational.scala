@@ -97,12 +97,20 @@ object Relational {
 
     // §2.3 skew-salted join DECLARED against the plain-join oracle: the
     // salting is a pure plan rewrite, so hash-matching the unsalted SQL is
-    // exactly the correctness contract ([[graft.operators.Skew]])
+    // exactly the correctness contract ([[graft.operators.Skew]]).
+    // Round 11: the declared path is the two-phase hotSaltedJoin — a
+    // sampled hot-key detect, then salt ONLY the hot keys and plain-join
+    // the cold rest in one shuffle. On this uniform corpus no key clears
+    // the hot threshold, so the whole query degrades to the plain join
+    // plus one column-pruned 1% sample aggregate — which is exactly the
+    // point: skew handling must not tax the un-skewed case. The hot path
+    // itself is value-pinned in BucketingSpec on a 90%-one-key frame.
     "join_salted" -> ((s, sf) => {
       val l = t(s, sf, "lineitem").select("l_partkey", "l_quantity")
       val p = t(s, sf, "part").select("p_partkey", "p_brand")
         .withColumnRenamed("p_partkey", "l_partkey")
-      graft.operators.Skew.saltedJoin(l, p, "l_partkey", salts = 8)
+      graft.operators.Skew.hotSaltedJoin(l, p, "l_partkey", salts = 8,
+          minHotRows = 50000L)
         .groupBy("p_brand")
         .agg(T.dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
         .orderBy("p_brand")

@@ -121,18 +121,48 @@ object Sources {
     // pathGlobFilter prunes at the LISTING, before any byte is read.
     "source_binary" -> ((s, sf) => {
       val dir = tmp(sf, "bin")
+      // each written line is doc_id \t hex(text): hex is newline-free by
+      // construction (Spark's base64 MIME-chunks long values with \r\n —
+      // measured), so a future corpus regen with embedded \n in text
+      // cannot split one doc across lines and silently break the per-line
+      // parse (round-11 advice) — the decode below recovers the exact
+      // original bytes in-engine
       t(s, sf, "documents").filter(col("text").isNotNull)
-        .select(concat_ws("\t", col("doc_id").cast("string"), col("text")).as("value"))
+        .select(concat_ws("\t", col("doc_id").cast("string"),
+          hex(col("text").cast("binary"))).as("value"))
         .repartition(8)
         .write.mode("overwrite").text(dir)
+      val decoded = unhex(split(col("line"), "\t", 2).getItem(1))
       s.read.format("binaryFile")
         .option("pathGlobFilter", "*.txt").load(dir)
         .select(explode(split(col("content").cast("string"), "\n")).as("line"))
         .filter(length(col("line")) > 0)
         .select(split(col("line"), "\t", 2).getItem(0).cast("long").as("doc_id"),
-          md5(split(col("line"), "\t", 2).getItem(1).cast("binary")).as("m5"),
-          length(split(col("line"), "\t", 2).getItem(1)).cast("long").as("n_chars"))
+          md5(decoded).as("m5"),
+          length(decoded.cast("string")).cast("long").as("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // manifest-swap transactional sink (round 11): the customer table is
+    // published in TWO atomic commits — a replace commit of the low-balance
+    // half, then an append commit of the rest — and the query reads the
+    // LATEST SNAPSHOT through the manifest (never a directory listing).
+    // Hash-matching the plain-table oracle proves the snapshot composition
+    // is exact: both commits visible, nothing doubled, nothing torn. The
+    // crash/CAS/time-travel semantics are spec-pinned (ManifestTableSpec);
+    // this declared query is the end-to-end read-path proof.
+    "manifest_commit" -> ((s, sf) => {
+      val dir = tmp(sf, "manifest")
+      // clean slate per run: committed versions accumulate per JVM tag
+      val c = t(s, sf, "customer")
+      graft.operators.ManifestTable.commit(s, dir,
+        c.filter(col("c_acctbal") <= 5000), replace = true)
+      graft.operators.ManifestTable.commit(s, dir,
+        c.filter(col("c_acctbal") > 5000))
+      graft.operators.ManifestTable.read(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), graft.T.dsum(col("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -157,6 +187,10 @@ object Sources {
     "source_xml" ->
       """SELECT p_brand, count(*) AS n_parts, min(p_name) AS first_name,
                 CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         FROM part GROUP BY 1 ORDER BY p_brand"""
+         FROM part GROUP BY 1 ORDER BY p_brand""",
+    "manifest_commit" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY 1 ORDER BY c_mktsegment"""
   )
 }

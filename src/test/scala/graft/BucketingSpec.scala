@@ -25,6 +25,26 @@ class BucketingSpec extends AnyFunSuite with SparkFixture with Matchers {
     salted.collect() shouldBe plain.collect()
   }
 
+  test("two-phase hot-key salted join equals plain join and salts only hot keys") {
+    import spark.implicits._
+    // 90% of fact rows on key 0 — the skew shape hotSaltedJoin targets
+    val fact = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i.toLong))
+      .toDF("k", "v")
+    val dim = (0L to 6L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("k", "v", "name").orderBy("k", "v").collect()
+    // sampleFraction = 1 makes the detect exact for the value assertion:
+    // key 0 (1800 rows) clears minHotRows = 1000, keys 1..6 (~29 each) do
+    // not — the small side must replicate ONLY the hot key
+    val hot = graft.operators.Skew.hotSaltedJoin(fact, dim, "k", salts = 8,
+      minHotRows = 1000L, sampleFraction = 1.0)
+    hot.select("k", "v", "name").orderBy("k", "v").collect() shouldBe plain
+    // cold-path degradation: with a threshold no key reaches, the result
+    // is still the plain join (sampling only ever moves cost, not values)
+    graft.operators.Skew.hotSaltedJoin(fact, dim, "k", salts = 8,
+        minHotRows = 100000L, sampleFraction = 0.05)
+      .select("k", "v", "name").orderBy("k", "v").collect() shouldBe plain
+  }
+
   test("AQE splits a skewed join partition at runtime (the native salting)") {
     import spark.implicits._
     // the engine-side complement of Skew.saltedJoin: AQE detects an
