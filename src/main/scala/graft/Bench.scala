@@ -128,6 +128,25 @@ object Bench {
           System.err.println(s"[bench] detail write failed: ${e.toString.take(200)}")
           "unwritable"
       }
+    // round-11 verdict item 3: BENCH_DETAIL.json is overwritten per run, so
+    // round-over-round per-query regressions were undiffable (r9's detail
+    // was lost with the 32-error attribution). Every run ALSO appends its
+    // full per-query map, timestamped, to an append-only journal that gets
+    // committed — the durable per-run history the round files point into.
+    // Best-effort like the detail write: a failed append must not take the
+    // stdout line down.
+    try {
+      val ts = java.time.Instant.now().toString
+      val histLine = s"""{"ts":"$ts",""" + detail.drop(1) + "\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")),
+        histLine.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] history append failed: ${e.toString.take(200)}")
+    }
     val es = if (errs.isEmpty) "" else s""""n_errors":${errs.size},"""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$es"n_queries":${ok.size},"detail":"${esc(detailTag)}","sf":"$sfTag"}""")
     if (errs.nonEmpty) System.err.println(s"[bench] ${errs.size} queries FAILED: " +

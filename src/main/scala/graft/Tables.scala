@@ -36,8 +36,19 @@ object T {
     *    microseconds — the same ns→µs truncation DuckDB applies.
     */
   def t(s: SparkSession, sf: String, n: String): DataFrame = {
-    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = s.read.parquet(s"$sf/$n.parquet")
+    // pushdown-preserving NTZ fix for sessions built without our configs —
+    // schema inference happens inside read.parquet, so the conf only needs
+    // to hold across that call; restore the caller's value afterwards
+    // rather than mutating shared session state at a distance (a caller
+    // that deliberately enabled NTZ inference keeps it for its own reads)
+    val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prev = s.conf.getOption(ntzKey)
+    s.conf.set(ntzKey, "false")
+    val df = try s.read.parquet(s"$sf/$n.parquet")
+             finally prev match {
+               case Some(v) => s.conf.set(ntzKey, v)
+               case None => s.conf.unset(ntzKey)
+             }
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
         case org.apache.spark.sql.types.TimestampNTZType =>

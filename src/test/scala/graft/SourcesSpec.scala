@@ -135,4 +135,29 @@ class SourcesSpec extends AnyFunSuite with SparkFixture with Matchers {
       kept should be > 0L
     } finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
   }
+
+  test("T.t restores the caller's NTZ-inference conf and still reads timestamps") {
+    // round-11 advice: the loader must not mutate shared session state at
+    // a distance. Simulate a stray session that deliberately enabled NTZ
+    // inference: T.t must (a) leave the caller's conf exactly as it found
+    // it, and (b) still deliver TimestampType with correct values — the
+    // schema is bound at read.parquet (footer inference under the
+    // temporarily-set conf), and execution honours the relation's schema,
+    // not the session conf at action time.
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true") // the stray-session posture
+    try {
+      val ev = T.t(spark, sf001, "events")
+      ev.schema("ts").dataType shouldBe TimestampType
+      spark.conf.get(key) shouldBe "true" // restored, not clobbered
+      // execution under the caller's conf=true still yields the contract
+      // values (UTC session tz): min ts collects as a real Timestamp
+      val mn = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+      mn should be > 0L
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -122,15 +122,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     // the streaming side of the declared stream_dedup query: one state row
     // per (user, type) key inside the watermark horizon; with events
     // arriving in event-time order the survivor IS the event-time first,
-    // which is exactly what the batch min-struct aggregate computes
-    val q = df.withWatermark("ts", "10 minutes")
+    // which is exactly what the batch min-struct aggregate computes.
+    // The 4h delay is load-bearing for the equivalence: the batch side
+    // dedups GLOBALLY, so the streaming horizon must cover the widest
+    // duplicate spacing in the fixture (user 7's clicks are 174 min
+    // apart) — per-event feeding below advances the watermark between
+    // batches, and a 10-minute horizon would legitimately evict the
+    // (7, click) state and re-emit the later duplicate
+    val q = df.withWatermark("ts", "4 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("first_us"), col("event_id").as("first_id"))
       .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
     try {
-      ms.addData(inOrder: _*)
-      q.processAllAvailable()
+      // one event per micro-batch: the batch-equals-streaming assertion
+      // rests on the survivor being the FIRST ARRIVAL per key, and
+      // intra-batch survivor order after the keyed shuffle is not a
+      // documented guarantee — per-batch feeding makes the arrival-order
+      // premise a harness invariant instead of a partitioning accident
+      inOrder.foreach { e => ms.addData(e); q.processAllAvailable() }
       ms.addData((9L, ts("2024-01-01T14:00:00Z"), 9L, "view", 0.0)) // flush watermark
       q.processAllAvailable()
       val streamed = spark.table("sdedup")

@@ -31,6 +31,17 @@ EXPECTED_TABLES = {
 
 drift = []
 
+# spark-avro connector probe (r10 verdict item 6): source_avro is
+# environment-blocked, not builder-skipped — if the connector jar ever
+# appears on the unmanaged classpath, claim the query that round with the
+# same round-trip-aggregate oracle as ORC.
+avro_jars = sorted(glob.glob("/opt/spark/jars/*spark-avro*.jar"))
+upstream = sorted(os.path.basename(j) for j in glob.glob("/opt/spark/jars/avro-*.jar"))
+print(f"spark-avro connector: {avro_jars or 'ABSENT (source_avro stays unclaimed)'}"
+      f" (upstream avro libs only: {upstream})")
+if avro_jars:
+    drift.append("spark-avro connector jar PRESENT — claim source_avro this round")
+
 ref = sorted(os.listdir("/root/reference")) if os.path.isdir("/root/reference") else None
 print(f"/root/reference: {len(ref) if ref is not None else 'MISSING'} entries")
 if ref:
