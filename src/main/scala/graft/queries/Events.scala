@@ -588,6 +588,37 @@ object Events {
         .orderBy("dow")
     }),
 
+    // mean-shift changepoint scan (round 11) — level-shift detection over
+    // the daily event-volume series: for every candidate split day k the
+    // score is |mean(days ≤ k) − mean(days > k)|, the two-sample split
+    // statistic whose argmax is the CUSUM-family changepoint estimate
+    // (Page 1954's statistic in its declarative prefix-sum form — the
+    // sequential max-recursion form is not expressible cross-engine, the
+    // prefix-sum scan is). Both running means derive from ONE cumulative
+    // sum over the per-day aggregate: the corpus collapses to ≤ |days|
+    // rows BEFORE the global-order window, so the single-partition sort
+    // ranks dozens of rows at any corpus size (the ts_cum_users
+    // discipline); totals broadcast as a 1-row scalar. Exact integer
+    // counts, two identically-associated IEEE divisions, rounded 6dp.
+    "ts_changepoint" -> ((s, sf) => {
+      val daily = t(s, sf, "events")
+        .groupBy(expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = daily.agg(sum(col("cnt")).cast("long").as("n_total"),
+        count(lit(1)).as("n_days"))
+      val w = Window.orderBy("d")
+      daily
+        .withColumn("cum", sum(col("cnt")).over(w).cast("long"))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(tot))
+        .where(col("k") < col("n_days"))
+        .select(col("d"), col("cnt"),
+          round(abs(col("cum").cast("double") / col("k").cast("double") -
+            (col("n_total") - col("cum")).cast("double") /
+              (col("n_days") - col("k")).cast("double")), 6).as("shift"))
+        .orderBy("d")
+    }),
+
     // volume-concentration deciles (round 9) — the Pareto/Lorenz view of
     // user activity ("do 10% of users generate 80% of events?"): users
     // bucketed by event count into deciles via exact interpolated
@@ -834,6 +865,16 @@ object Events {
            AND b.d >= a.d - 7 AND b.d <= a.d
          GROUP BY a.user_id, a.d, a.n_events, a.sum_value
          ORDER BY 1, 2""",
+    "ts_changepoint" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS cnt
+             FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, count(*) AS n_days
+             FROM daily),
+         cum AS (SELECT d, cnt, CAST(sum(cnt) OVER (ORDER BY d) AS BIGINT) AS cum,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k FROM daily)
+         SELECT d, cnt, round(abs(CAST(cum AS DOUBLE) / CAST(k AS DOUBLE)
+             - CAST(n_total - cum AS DOUBLE) / CAST(n_days - k AS DOUBLE)), 6) AS shift
+         FROM cum CROSS JOIN tot WHERE k < n_days ORDER BY d""",
     "ts_seasonality" ->
       """WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
              count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sv

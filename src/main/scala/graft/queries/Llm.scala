@@ -414,6 +414,18 @@ object Llm {
     "sim_ann_ivf" -> ((s, sf) =>
       graft.ml.Sim.ivfTopK(t(s, sf, "embeddings"), 5, nCells = 16, nprobe = 2)),
 
+    // IVF-PQ approximate nearest neighbours (round 11, capability row: the
+    // memory tier above sim_ann_ivf — KMeans-dependent, rows-only; SimSpec
+    // pins recall/exactness/rank laws). The cell-bucketed candidate join
+    // carries m=8 small-int CODES instead of 64-dim vectors (8 bytes/row
+    // through the dominant shuffle instead of 512), ADC ranks candidates,
+    // and only the k×refine shortlist fetches true vectors for the exact
+    // re-rank — emitted sims are TRUE cosines. At 100 TB this is what
+    // keeps the ANN join's shuffle volume independent of embedding width.
+    "sim_ann_ivfpq" -> ((s, sf) =>
+      graft.ml.Sim.ivfpqTopK(t(s, sf, "embeddings"), 5, nCells = 16,
+        nprobe = 2, m = 8)),
+
     // k-NN majority-vote classification over the embedding table
     // (capability row: float-rank ties in the neighbour search make the
     // votes engine-dependent → rows-only check; KnnSpec pins determinism

@@ -446,6 +446,33 @@ object Relational {
                    WHERE o.o_custkey = c.c_custkey), 2) AS max_price
           FROM parquet.`$sf/customer.parquet` c ORDER BY c_custkey""")),
 
+    // §2.3 multi-EXISTS join (round 11, the TPC-H Q21 shape adapted to
+    // the corpus columns): per supplier, count returned lineitems in
+    // orders where ANOTHER supplier also shipped (EXISTS) but no OTHER
+    // supplier's line was returned (NOT EXISTS) — the
+    // sole-blame-in-a-shared-order analytic. One semi + one anti join,
+    // both keyed on l_orderkey with a suppkey-inequality residual: the
+    // probe side shuffles on orderkey ONCE and both existence checks
+    // reuse that co-partitioning (subset-key exchange reuse); nothing is
+    // ever materialized per matching pair — EXISTS short-circuits in the
+    // hash join. Top-20 by count with a full tiebreak (numwait desc,
+    // suppkey asc) keeps the limit deterministic cross-engine.
+    "join_exists_multi" -> ((s, sf) => {
+      val l = t(s, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+      val base = l.where(col("l_returnflag") === "R")
+      val others = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val othersR = base.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      base
+        .join(others, col("l_orderkey") === col("ok2") &&
+          col("sk2") =!= col("l_suppkey"), "left_semi")
+        .join(othersR, col("l_orderkey") === col("ok3") &&
+          col("sk3") =!= col("l_suppkey"), "left_anti")
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("suppkey"))
+        .limit(20)
+    }),
+
     // §2.3 five-table star join (round 9, the TPC-H Q5 shape): region →
     // nation → customer → orders → lineitem, region filter + order-date
     // range, revenue per nation. The deep-join-tree case join_multiway's
@@ -677,6 +704,17 @@ object Relational {
            round((SELECT max(o_totalprice) FROM orders o
                   WHERE o.o_custkey = c.c_custkey), 2) AS max_price
          FROM customer c ORDER BY c_custkey""",
+    "join_exists_multi" ->
+      """SELECT l1.l_suppkey AS suppkey, count(*) AS numwait FROM lineitem l1
+         WHERE l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY 1 ORDER BY numwait DESC, suppkey LIMIT 20""",
     "join_star" ->
       """SELECT n_name,
            CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))

@@ -143,6 +143,26 @@ object Sources {
         .orderBy("doc_id")
     }),
 
+    // Hive-style partitioned sink + partition-pruned read (round 11): the
+    // events table is written partitionBy(event_type), then read back with
+    // an event_type predicate — at the LISTING the reader keeps only the
+    // matching partition directories (SourcesSpec plan-asserts the pruned
+    // file count), so at 100 TB a one-type query reads 1/|types| of the
+    // bytes before any row is decoded. The per-day aggregate then proves
+    // the partition round-trip is value-exact, including the partition
+    // column coming back from the directory name.
+    "source_partitioned" -> ((s, sf) => {
+      val dir = tmp(sf, "part_events")
+      t(s, sf, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir)
+        .where(col("event_type") === "purchase")
+        .select(expr("unix_micros(ts) div 86400000000").as("d"), col("value"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_events"), graft.T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("d")
+    }),
+
     // manifest-swap transactional sink (round 11): the customer table is
     // published in TWO atomic commits — a replace commit of the low-balance
     // half, then an append commit of the rest — and the query reads the
@@ -191,6 +211,10 @@ object Sources {
     "manifest_commit" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-         FROM customer GROUP BY 1 ORDER BY c_mktsegment"""
+         FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
+    "source_partitioned" ->
+      """SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY d"""
   )
 }

@@ -401,6 +401,37 @@ object TextAnalysis {
         .groupBy("g").agg(count(lit(1)).as("cnt"))
         .orderBy("g")),
 
+    // PMI collocations (round 11): statistically-bound word pairs — the
+    // classic collocation score log2(P(ab) / (P(a)P(b))) over adjacent
+    // token pairs, the salience signal tf alone misses ("new york" binds;
+    // "of the" doesn't despite its count). ONE pass over the token stream
+    // builds the (w1, w2, cnt) bigram table; BOTH marginals and the grand
+    // total then derive from that compact table (three cheap aggs over
+    // |vocab²-observed| rows, never re-reading the corpus), the total
+    // broadcasts as a 1-row scalar, and the two marginal joins key on a
+    // vocab-sized side. min-count 5 prunes the noise tail before the
+    // joins. Deterministic cross-engine: integer counts, one identically-
+    // associated log2 per row (events_entropy's discipline), rounded 6dp.
+    "text_collocations" -> ((s, sf) => {
+      val ab = t(s, sf, "documents")
+        .select(split(col("text"), " ").as("tk"))
+        .where(expr("size(tk)") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt_ab"))
+      val tot = ab.agg(sum(col("cnt_ab")).cast("long").as("n_bg"))
+      val aCnt = ab.groupBy("w1").agg(sum(col("cnt_ab")).cast("long").as("cnt_a"))
+      val bCnt = ab.groupBy("w2").agg(sum(col("cnt_ab")).cast("long").as("cnt_b"))
+      ab.where(col("cnt_ab") >= 5)
+        .join(aCnt, "w1").join(bCnt, "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("cnt_ab"),
+          round(log2((col("cnt_ab") * col("n_bg")).cast("double") /
+            (col("cnt_a") * col("cnt_b")).cast("double")), 6).as("pmi"))
+        .orderBy("w1", "w2")
+    }),
+
     // SimHash near-dup (capability row: Spark's xxhash64 seeds the bits, so
     // no cross-engine oracle; tests cross-check against exact Jaccard).
     // Banded candidate join (4 × 16-bit bands, [[simhashBandPairs]], round-7
@@ -421,6 +452,19 @@ object TextAnalysis {
     markers.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "text_collocations" ->
+      """WITH bg AS (
+           SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))],
+                         recursive := true)
+           FROM (SELECT string_split(text,' ') AS tk FROM documents)
+         ), ab AS (SELECT w1, w2, count(*) AS cnt_ab FROM bg GROUP BY 1, 2),
+         a AS (SELECT w1, CAST(sum(cnt_ab) AS BIGINT) AS cnt_a FROM ab GROUP BY 1),
+         b AS (SELECT w2, CAST(sum(cnt_ab) AS BIGINT) AS cnt_b FROM ab GROUP BY 1),
+         n AS (SELECT CAST(sum(cnt_ab) AS BIGINT) AS n_bg FROM ab)
+         SELECT ab.w1, ab.w2, cnt_ab,
+           round(log2(CAST(cnt_ab * n_bg AS DOUBLE) / CAST(cnt_a * cnt_b AS DOUBLE)), 6) AS pmi
+         FROM ab JOIN a ON ab.w1 = a.w1 JOIN b ON ab.w2 = b.w2 CROSS JOIN n
+         WHERE cnt_ab >= 5 ORDER BY 1, 2""",
     "text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
            c AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2)

@@ -33,9 +33,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
 
   // nested-loop joins whose build side is CONSTANT-SIZE by construction —
   // reviewed one by one; the row expansion does not grow with the corpus:
-  //   dedup_embed_lsh, sim_ann_ivf — crossJoin against the broadcast
-  //     hyperplane table (nBands × bandBits rows) / centroid table
-  //     (nCells rows): a deliberate constant fan-out, not a join search
+  //   dedup_embed_lsh, sim_ann_ivf, sim_ann_ivfpq — crossJoin against the
+  //     broadcast hyperplane table (nBands × bandBits rows) / centroid
+  //     table (nCells rows): a deliberate constant fan-out, not a join
+  //     search
   //   caim_*, disc_equal_* — the prefix-sum "triangular self-join" over
   //     the per-range-slice sizes table: ≤ #partitions rows a side,
   //     bounded by cluster parallelism, never by data volume
@@ -57,11 +58,15 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
   //     corpus-total agg broadcast onto the per-user rollup (exactly
   //     events_rfm's two-broadcast shape)
   private val constantSideByConstruction = Set(
-    "dedup_embed_lsh", "sim_ann_ivf",
+    "dedup_embed_lsh", "sim_ann_ivf", "sim_ann_ivfpq",
     "caim_candidates", "caim_criterion", "caim_quanta",
     "disc_equal_freq", "disc_equal_width",
     "filter_subquery", "quality_lm", "events_rfm", "text_tfidf",
-    "agg_ttest", "events_pareto")
+    "agg_ttest", "events_pareto",
+    // round 11, same 1-row-broadcast shape: the bigram grand total onto
+    // the PMI join (text_collocations), the (n_total, n_days) scalar onto
+    // the per-day prefix sums (ts_changepoint)
+    "text_collocations", "ts_changepoint")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -136,6 +136,15 @@ class SourcesSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
   }
 
+  test("partitioned read prunes non-matching partitions at the listing") {
+    // the source_partitioned contract: the event_type predicate must land
+    // in PartitionFilters (directory-level pruning, zero bytes read from
+    // other types), NOT in PushedFilters (row-group level, after listing)
+    val plan = SparkEntry.queries("source_partitioned")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[[^\\]]*event_type"
+  }
+
   test("T.t restores the caller's NTZ-inference conf and still reads timestamps") {
     // round-11 advice: the loader must not mutate shared session state at
     // a distance. Simulate a stray session that deliberately enabled NTZ
