@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharNGrams, DotProduct}
+import graft.functions.{AdcTable, CharNGrams, DotProduct, NearestCells, PqEncode}
 
 /** Engine extension point, installed via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the public
@@ -39,6 +39,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "graft_char_ngrams takes exactly 2 arguments")
         CharNGrams(children(0), children(1))
+      }))
+    // the IVF/IVF-PQ quantizer kernels (round 11 — see PqKernels for why
+    // these are native expressions rather than Catalyst array algebra)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "graft_nearest_cells takes exactly 3 arguments")
+        NearestCells(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_pq_encode takes exactly 2 arguments")
+        PqEncode(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_adc_table"),
+      new ExpressionInfo(classOf[AdcTable].getName, "graft_adc_table"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_adc_table takes exactly 2 arguments")
+        AdcTable(children(0), children(1))
       }))
   }
 }

@@ -73,84 +73,12 @@ class CAIMDiscretizer(override val uid: String)
     transformSchema(ds.schema)
     val feats = $(inputCols)
 
-    // One distributed pass for ALL features: long format (fidx, value, label)
-    // with map-side partial counts before the single shuffle.
-    val arr = array(feats.map(c => col(c).cast("double")): _*)
-    val hist0 = ds.toDF()
-      .select(posexplode(arr).as(Seq("fidx", "v")), col($(labelCol)).cast("string").as("y"))
-      .where(col("v").isNotNull)
-      .groupBy("fidx", "v", "y").agg(count(lit(1)).as("cnt"))
-
-    // Candidate compression: features whose distinct-value count exceeds
-    // maxCandidates get an equal-frequency value grid (ntile semantics
-    // over the DISTINCT values, represented by each bucket's max).
-    //
-    // DISTRIBUTED equal-frequency (round 8): a plain
-    // `ntile().over(Window.partitionBy("fidx").orderBy("v"))` funnels every
-    // distinct value of one feature through a single task's sort — at
-    // 100 TB a high-cardinality double feature has billions of distinct
-    // values, a one-task sort before the compression that exists to avoid
-    // exactly that. Instead: range-partition the distinct values on
-    // (fidx, v), rank locally per partition, and recompose EXACT global
-    // ranks from per-(fidx, partition) row-count offsets (a tiny driver
-    // aggregate, ≤ partitions × features rows — the same bounded-collect
-    // discipline as the histogram itself). The ntile bucket is then pure
-    // arithmetic on (rank, nDistinct): first nd % n buckets get
-    // ⌈nd/n⌉ values, the rest ⌊nd/n⌋ — byte-identical to the window
-    // ntile, so fitted boundaries are unchanged, but the widest stage is
-    // now a per-range-slice sort instead of a per-feature one.
-    val nDistinct = hist0.groupBy("fidx").agg(countDistinct(col("v")).as("nd"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val needsCap = nDistinct.exists(_._2 > $(maxCandidates))
-    // the range-partitioned distinct-value frame feeds two jobs (slice
-    // counts, then the ranked grid inside the histogram collect below) —
-    // persisted across both, freed right after the collect
-    var toFree: Option[DataFrame] = None
-    val hist =
-      if (!needsCap) hist0
-      else {
-        val parted = hist0.select("fidx", "v").distinct()
-          .repartitionByRange(col("fidx"), col("v"))
-          .withColumn("pid", spark_partition_id())
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // per-(fidx, pid) counts → cumulative offset of each slice within
-        // its feature's global (fidx, v) order
-        val sliceCounts = parted.groupBy("fidx", "pid").count().collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
-        val offsets: Map[Long, Long] = sliceCounts.groupBy(_._1._1).flatMap {
-          case (f, slices) =>
-            var acc = 0L
-            slices.sortBy(_._1._2).map { case ((_, p), c) =>
-              val o = acc; acc += c; ((f.toLong << 32) | p.toLong, o)
-            }
-        }
-        val offMap = typedLit(offsets)
-        val ndMap = typedLit(nDistinct.map { case (f, nd) => (f, nd) })
-        val localW = Window.partitionBy("fidx", "pid").orderBy("v")
-        val n = $(maxCandidates).toLong
-        val rep = parted
-          .withColumn("r", row_number().over(localW).cast("long") +
-            element_at(offMap, shiftleft(col("fidx").cast("long"), 32)
-              .bitwiseOR(col("pid").cast("long"))))
-          .withColumn("nd", element_at(ndMap, col("fidx")))
-          .withColumn("b", expr(
-            s"""CASE WHEN r <= (nd % $n) * ((nd DIV $n) + 1)
-                THEN (r - 1) DIV ((nd DIV $n) + 1) + 1
-                ELSE (nd % $n) + (r - 1 - (nd % $n) * ((nd DIV $n) + 1)) DIV (nd DIV $n) + 1
-                END"""))
-          .withColumn("vrep", max("v").over(Window.partitionBy("fidx", "b")))
-          .select("fidx", "v", "vrep")
-        toFree = Some(parted)
-        hist0.join(rep, Seq("fidx", "v"))
-          .groupBy(col("fidx"), col("vrep").as("v"), col("y"))
-          .agg(sum("cnt").as("cnt"))
-      }
-
-    // Executor→driver boundary: only the compressed histogram crosses.
-    val rows = hist.collect()
-    toFree.foreach(_.unpersist(blocking = false))
-    val labels = rows.map(_.getString(2)).distinct.sorted
-    val labelIdx = labels.zipWithIndex.toMap
+    // The shared distributed histogram ([[SupervisedHistogram]] — round 11
+    // extraction, behavior-identical: one pass for all features, candidate
+    // compression onto the distributed equal-frequency grid, only the
+    // compressed histogram crossing the executor→driver boundary).
+    val (labels, byFeat) =
+      SupervisedHistogram.collect(ds.toDF(), feats, $(labelCol), $(maxCandidates))
     val nClasses = labels.length
 
     // Per-feature greedy runs are independent: fan them out across driver
@@ -160,17 +88,11 @@ class CAIMDiscretizer(override val uid: String)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val byFeat = rows.groupBy(_.getInt(0))
     val splits = Await.result(
       Future.sequence(feats.indices.map { fi =>
         Future {
-          val mine = byFeat.getOrElse(fi, Array.empty[org.apache.spark.sql.Row])
-          val values = mine.map(_.getDouble(1)).distinct.sorted
-          val vIdx = values.zipWithIndex.toMap
-          val counts = Array.ofDim[Long](values.length, nClasses)
-          mine.foreach { r =>
-            counts(vIdx(r.getDouble(1)))(labelIdx(r.getString(2))) += r.getLong(3)
-          }
+          val (values, counts) = byFeat.getOrElse(fi,
+            (Array.empty[Double], Array.empty[Array[Long]]))
           CAIMDiscretizer.greedySelect(values, counts, nClasses)
         }
       }), Duration.Inf).toArray

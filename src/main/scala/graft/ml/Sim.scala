@@ -241,6 +241,85 @@ object Sim {
       df.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
     else df
 
+  /** The ONE bounded executor→driver collect behind the quantizer
+    * trainers: a seeded sample of (vec_id, e), ordered by vec_id BEFORE
+    * the collect so the training set — and therefore the quantizer — is
+    * independent of partition layout (the sort runs on the already
+    * maxTrainRows-capped frame, not the corpus). Rows are padded (or
+    * truncated) to `padTo` when given, else to the sample's longest
+    * vector — graft_dot's zero-padding convention for mixed lengths.
+    */
+  private def collectTrainSample(df: DataFrame, n: Long, maxTrainRows: Long,
+      seed: Long, padTo: Int = -1): Array[Array[Double]] = {
+    val seqs = trainSample(df, n, maxTrainRows, seed)
+      .select(col("vec_id"), col("e")).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1))
+    if (seqs.isEmpty) return Array.empty
+    val dim = if (padTo > 0) padTo else seqs.iterator.map(_.length).max
+    seqs.map { s =>
+      val a = new Array[Double](dim)
+      var i = 0
+      val lim = math.min(dim, s.length)
+      while (i < lim) { a(i) = s(i); i += 1 }
+      a
+    }
+  }
+
+  /** Seeded driver-side Lloyd k-means over an already-bounded sample —
+    * the quantizer trainer for [[ivfpqTopK]]. Init is a Fisher–Yates
+    * prefix shuffle picking min(k, n) distinct seed points; each
+    * iteration assigns every point to its nearest center (ties to the
+    * lower index) and recomputes means; an emptied cluster keeps its old
+    * center. Deterministic for a fixed (data order, seed). The input is
+    * maxTrainRows-capped BY THE CALLER — this is the same bounded
+    * executor→driver boundary CAIM's compressed histogram crosses, not a
+    * corpus collect.
+    */
+  private[graft] def lloydLocal(data: Array[Array[Double]], k: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
+    val n = data.length
+    require(n > 0, "lloydLocal needs a non-empty sample")
+    val dim = data(0).length
+    val kc = math.min(k, n)
+    val idx = Array.tabulate(n)(identity)
+    val rnd = new java.util.Random(seed)
+    var i = 0
+    while (i < kc) {
+      val j = i + rnd.nextInt(n - i)
+      val t = idx(i); idx(i) = idx(j); idx(j) = t
+      i += 1
+    }
+    val centers = Array.tabulate(kc)(i => data(idx(i)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kc)(new Array[Double](dim))
+      val cnts = new Array[Long](kc)
+      data.foreach { x =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < kc) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val z = x(j) - centers(c)(j); d += z * z; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += x(j); j += 1 }
+        cnts(best) += 1
+      }
+      var c = 0
+      while (c < kc) {
+        if (cnts(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / cnts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
   /** IVF approximate top-k: a KMeans coarse quantizer assigns each vector a
     * cell; each query probes its `nprobe` nearest cells and re-ranks
     * exactly. Candidate volume drops from O(n²) to O(n²·nprobe/nCells) —
@@ -253,10 +332,7 @@ object Sim {
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 2,
       seed: Long = 42L, maxIter: Int = 4,
       maxTrainRows: Long = 262144, nRows: Long = -1L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val e0 = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val withVec = e0.withColumn("fv", array_to_vector(col("e")))
     // training-sample sizing: callers that already hold the row count
     // (topK's dispatch stats) pass it via nRows so this path costs zero
     // extra jobs; only a standalone call with sampling enabled pays the
@@ -264,25 +340,29 @@ object Sim {
     val n = if (maxTrainRows <= 0) 0L
             else if (nRows >= 0) nRows
             else e0.count()
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(trainSample(withVec, n, maxTrainRows, seed))
-    val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("e"), col("cell"))
-    val cents = emb.sparkSession.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
-      .toDF("pcell", "c")
-    // nprobe nearest centroids per vector (centroid table broadcasts)
-    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("pcell").asc)
-    val probes = assigned.crossJoin(broadcast(cents))
-      .withColumn("d2", expr("graft_dot(e, e) - 2 * graft_dot(e, c) + graft_dot(c, c)"))
-      .withColumn("pr", row_number().over(w))
-      .where(col("pr") <= nprobe)
+    // driver-side Lloyd over the ONE bounded sample collect (round 11,
+    // the ivfpqTopK rationale: distributed MLlib fits schedule dozens of
+    // stages to cluster a bounded sample — ~28 stages → 8 at bench SF);
+    // cell assignment and probing are the native graft_nearest_cells
+    // kernel over the broadcast centroid literal
+    val sample = collectTrainSample(e0.where(col("e").isNotNull), n, maxTrainRows, seed)
+    if (sample.isEmpty)
+      return topKHits(e0.select(col("vec_id").as("a_id"),
+        col("vec_id").as("b_id"), lit(0.0).as("sim")).limit(0), k)
+    val cents = lloydLocal(sample, nCells, maxIter, seed)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    // nprobe nearest centroids per query vector; data side carries its
+    // own (1-probe) cell — the cell id is the join/bucketing key at scale
+    val probes = e0
       .select(col("vec_id").as("a_id"), col("e").as("ea"),
-        sqrt(expr("graft_dot(e, e)")).as("na"), col("pcell").as("cell"))
-    val data = assigned
+        sqrt(expr("graft_dot(e, e)")).as("na"),
+        explode(call_function("graft_nearest_cells", col("e"), centsLit,
+          lit(nprobe))).as("cell"))
+    val data = e0
       .select(col("vec_id").as("b_id"), col("e").as("eb"),
-        sqrt(expr("graft_dot(e, e)")).as("nb"), col("cell"))
+        sqrt(expr("graft_dot(e, e)")).as("nb"),
+        element_at(call_function("graft_nearest_cells", col("e"), centsLit,
+          lit(1)), 1).as("cell"))
     topKHits(probes.join(data, Seq("cell")).where(col("a_id") =!= col("b_id"))
       .withColumn("sim", expr("graft_dot(ea, eb)") / (col("na") * col("nb"))), k)
   }
@@ -306,18 +386,25 @@ object Sim {
     * Codebooks are m×k×(d/m) doubles — constant-size, corpus-independent,
     * embedded as a broadcast literal in the scoring expression; ADC
     * scoring is one codegen'd higher-order aggregate over the m code
-    * slots. Training runs m + 1 KMeans fits on a `maxTrainRows`-bounded
-    * sample (see [[trainSample]]; the sampled residual slices are
-    * persisted across the m codebook fits, then freed) — the FULL corpus
-    * is only ever transformed, never iterated by a fit.
+    * slots.
+    *
+    * Training is DRIVER-SIDE Lloyd over the ONE `maxTrainRows`-bounded
+    * sample collect (round 11; the standard IVF-PQ training practice —
+    * quantizers train on a bounded sample regardless of corpus size, so
+    * the training set is driver-bounded BY DESIGN, the same compressed
+    * executor→driver boundary CAIM's histogram uses). The prior shape —
+    * m+1 distributed MLlib fits — scheduled ~140 stages of sub-second
+    * jobs to cluster kilobytes: 10–14 s of pure orchestration at bench
+    * SF against ~0.1 s of local arithmetic for identical centroids.
+    * The FULL corpus is never collected and never iterated by a fit:
+    * cell assignment, residuals, and PQ codes are all codegen'd
+    * array expressions over broadcast centroid/codebook literals — the
+    * corpus-sized path is pure map work with zero extra jobs.
     */
   def ivfpqTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 2,
       m: Int = 8, codebookK: Int = 16, refine: Int = 4,
       seed: Long = 42L, maxIter: Int = 4,
       maxTrainRows: Long = 262144): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = emb.sparkSession
     // normalized vectors: cosine becomes monotone L2 (zero-norm rows out,
     // same NaN guard as cosinePairs)
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e0"))
@@ -333,67 +420,86 @@ object Sim {
     val n = stats.getLong(1)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
     val ds = dim / m
-    // coarse quantizer + per-vector residual against its cell centroid;
-    // fit on the bounded sample, transform the full frame
-    val withVec = v.withColumn("fv", array_to_vector(col("e")))
-    val coarse = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(trainSample(withVec, n, maxTrainRows, seed))
-    val cents = spark.createDataFrame(
-        coarse.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
-      .toDF("ccell", "cc")
-    def residOf(frame: DataFrame) = coarse.transform(frame)
-      .join(broadcast(cents), col("cell") === col("ccell"))
-      .select(col("vec_id"), col("e"), col("cell"),
-        zip_with(col("e"), col("cc"), (x, y) => x - y).as("r"))
-    def slicedOf(frame: DataFrame) = (0 until m).foldLeft(frame) { (df, s) =>
-      df.withColumn(s"fv_$s", array_to_vector(slice(col("r"), s * ds + 1, ds)))
+    // THE one bounded collect: the seeded training sample (≤ maxTrainRows
+    // vectors, vec_id-ordered so the quantizer is partition-layout
+    // independent; padded to the corpus dim — see collectTrainSample)
+    val sample = collectTrainSample(v, n, maxTrainRows, seed, padTo = dim)
+    if (sample.isEmpty)
+      return topKHits(v.select(col("vec_id").as("a_id"),
+        col("vec_id").as("b_id"), lit(0.0).as("sim")).limit(0), k)
+    // local coarse quantizer + per-subspace codebooks over the sample's
+    // residuals — pure driver arithmetic on the bounded sample
+    val cents = lloydLocal(sample, nCells, maxIter, seed)
+    val kc = cents.length
+    def nearestIdx(x: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < kc) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val z = x(j) - cents(c)(j); d += z * z; j += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
     }
-    val resid = residOf(withVec)
-    // m per-subspace codebooks trained on the SAMPLED residual slices
-    // (encoding below still covers the full frame); the sample is
-    // persisted once so the m fits don't each recompute the
-    // scan→normalize→assign→residual lineage, and freed right after —
-    // bounded at maxTrainRows × dim doubles
-    val trainSlices = slicedOf(residOf(trainSample(withVec, n, maxTrainRows, seed)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val books =
-      try (0 until m).map { s =>
-        new KMeans().setK(codebookK).setSeed(seed + s + 1).setMaxIter(maxIter)
-          .setFeaturesCol(s"fv_$s").setPredictionCol(s"code_$s").fit(trainSlices)
-      } finally trainSlices.unpersist(blocking = false)
-    // encoding is m native KMeansModel.transform calls (no UDF), one
-    // prediction column per subspace packed into a code array
-    val sliced = slicedOf(resid)
-    val encoded = books.zipWithIndex.foldLeft(sliced) { case (df, (b, _)) => b.transform(df) }
-      .select(col("vec_id"), col("cell"), col("e"),
-        array((0 until m).map(s => col(s"code_$s")): _*).as("codes"))
-    // the corpus-independent codebook literal: CB(s)(cid) = centroid array
-    val cb = typedLit(books.map(_.clusterCenters.map(_.toArray.toSeq).toSeq).toSeq)
+    val residSample = sample.map { x =>
+      val ctr = cents(nearestIdx(x))
+      Array.tabulate(dim)(j => x(j) - ctr(j))
+    }
+    val books = Array.tabulate(m) { s =>
+      lloydLocal(residSample.map(r =>
+        java.util.Arrays.copyOfRange(r, s * ds, (s + 1) * ds)),
+        codebookK, maxIter, seed + s + 1)
+    }
+    // broadcast literals: centroids (kc × dim) and codebooks (m × K × ds)
+    // — constant-size, corpus-independent foldable children of the NATIVE
+    // quantizer kernels ([[graft.functions.PqKernels]]). Assignment,
+    // encoding, and ADC tables each generate ONE static call: the same
+    // math as Catalyst array algebra is pathological in either direction
+    // (higher-order lambdas interpret per element; unrolling the fixed
+    // loops blows the generated method past HotSpot's JIT limit — 54 s vs
+    // 2 s at bench SF), so the hot path is a hand-written primitive loop
+    // like graft_dot's.
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val cbLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    // data side: nearest cell (ties to the lower index), residual, then
+    // the m PQ codes
+    val assigned = v
+      .withColumn("cell", element_at(
+        call_function("graft_nearest_cells", col("e"), centsLit, lit(1)), 1))
+      .withColumn("r", zip_with(col("e"),
+        element_at(centsLit, col("cell") + 1), (x, y) => x - y))
+    val encoded = assigned.select(col("vec_id"), col("cell"),
+      call_function("graft_pq_encode", col("r"), cbLit).as("codes"))
     // probes: nprobe nearest cells per query, query residual PER PROBED
     // CELL (the residual the data in that cell was quantized against)
-    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("ccell").asc)
-    val probes = v.crossJoin(broadcast(cents))
-      .withColumn("d2", expr("graft_dot(e, e) - 2 * graft_dot(e, cc) + graft_dot(cc, cc)"))
-      .withColumn("pr", row_number().over(w))
-      .where(col("pr") <= nprobe)
-      .select(col("vec_id").as("a_id"),
-        zip_with(col("e"), col("cc"), (x, y) => x - y).as("qr"),
-        col("ccell").as("cell"))
+    // probes carry a PRECOMPUTED ADC distance table, not the residual
+    // (Jégou et al. §5, "asymmetric distance with precomputed tables" —
+    // the half of the paper the first cut skipped): dtab[s][c] =
+    // ‖qr_s − CB[s][c]‖², m×K doubles computed ONCE per probe row. The
+    // candidate stream then pays m TABLE LOOKUPS per (probe, code) pair
+    // instead of m×ds arithmetic — decisive here because Catalyst
+    // higher-order functions are interpreted (CodegenFallback), so the
+    // per-candidate expression must be as small as possible; measured at
+    // bench SF this is the difference between ~7.9 s and ~2 s warm.
+    val probes = v
+      .select(col("vec_id").as("a_id"), col("e"),
+        explode(call_function("graft_nearest_cells", col("e"), centsLit,
+          lit(nprobe))).as("pc"))
+      .select(col("a_id"),
+        zip_with(col("e"), element_at(centsLit, col("pc") + 1),
+          (x, y) => x - y).as("qr"),
+        col("pc").as("cell"))
+      .select(col("a_id"), col("cell"),
+        call_function("graft_adc_table", col("qr"), cbLit).as("dtab"))
     // ADC scoring joins the probe rows against CODES ONLY — the data
-    // side's vectors never enter this join. adc = Σ_s ‖qr_s − CB[s][code_s]‖²
+    // side's vectors never enter this join. adc = Σ_s dtab[s][code_s]
     val items = encoded.select(col("vec_id").as("b_id"), col("cell"), col("codes"))
-    val adc = aggregate(
-      sequence(lit(0), lit(m - 1)),
-      lit(0.0),
-      (acc, s) => {
-        val sub = zip_with(
-          slice(col("qr"), s * lit(ds) + 1, lit(ds)),
-          element_at(element_at(cb, (s + 1).cast("int")),
-            (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")),
-          (x, y) => x - y)
-        acc + aggregate(sub, lit(0.0), (a2, x) => a2 + x * x)
-      })
+    // unrolled sum of m table lookups — flat codegen'd expression, no
+    // lambda on the candidate stream
+    val adc = (0 until m).map { s =>
+      element_at(element_at(col("dtab"), lit(s + 1)),
+        (element_at(col("codes"), lit(s + 1)) + 1).cast("int"))
+    }.reduce(_ + _)
     // the ADC candidate stream is projected down to (a_id, b_id, adc)
     // IMMEDIATELY — the query vector/residual arrays must not ride the
     // shortlist shuffle — and ranked with the bounded TopKAgg (map-side

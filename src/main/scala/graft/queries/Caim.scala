@@ -117,6 +117,30 @@ object Caim {
         .orderBy("feature", "bin_idx")
     }),
 
+    // MDLP supervised discretization (round 11, rows-only like caim_fit:
+    // the recursive MDL search is not SQL-expressible; MdlpSpec pins
+    // golden boundaries, MDL-rejection, purity no-ops, and partitioning
+    // invariance). Fayyad–Irani 1993 — the CAIM paper's own benchmark
+    // comparison — over the SAME one-pass distributed histogram and the
+    // same Bucketizer-backed model as caim_fit.
+    "disc_mdlp" -> ((s, sf) => {
+      import s.implicits._
+      val names = (1 to 4).map(i => s"f$i")
+      val df = t(s, sf, "embeddings").select(
+        (1 to 4).map(i => element_at(col("embedding"), i).cast("double").as(s"f$i")) :+
+          col("label"): _*)
+      val model = new graft.ml.MDLPDiscretizer()
+        .setInputCols(names.toArray)
+        .setOutputCols(names.map("b" + _).toArray)
+        .setLabelCol("label")
+        .fit(df)
+      model.boundaries.zipWithIndex.flatMap { case (bs, fi) =>
+        bs.zipWithIndex.map { case (b, bi) => (names(fi), bi.toLong, b) }
+      }.toSeq.toDF("feature", "bin_idx", "boundary")
+        .withColumn("boundary", round(col("boundary"), 6))
+        .orderBy("feature", "bin_idx")
+    }),
+
     // unsupervised equal-width baseline
     "disc_equal_width" -> ((s, sf) => {
       val e = t(s, sf, "embeddings")
