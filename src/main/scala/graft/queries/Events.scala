@@ -588,6 +588,72 @@ object Events {
         .orderBy("dow")
     }),
 
+    // lag-k autocorrelation of the daily volume series (round 11) — the
+    // seasonality detector ts_seasonality's fixed weekly fold can't give:
+    // r_k = Pearson(x_t, x_{t+k}) for k = 1..7 over per-day event counts.
+    // The corpus collapses to ≤ |days| rows FIRST; the lag pairing is a
+    // tiny self-join on d+k (explode of the 7 lags); every sufficient
+    // statistic (n, Σx, Σy, Σx², Σy², Σxy) stays exact BIGINT and the
+    // correlation is ONE identically-associated double chain per lag —
+    // the agg_corr discipline, never a float accumulation. Degenerate
+    // (zero-variance) lags yield NULL, not a fabricated 0.
+    "ts_autocorr" -> ((s, sf) => {
+      val daily = t(s, sf, "events")
+        .groupBy(expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val withK = daily.select(col("d"), col("x"),
+        explode(sequence(lit(1), lit(7))).as("k"))
+      val pairs = withK.join(
+        daily.select(col("d").as("d2"), col("x").as("y")),
+        col("d2") === col("d") + col("k"))
+      pairs.groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("long").as("sx"), sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"))
+        .select(col("k"), col("n"),
+          round(when(col("n") * col("sxx") - col("sx") * col("sx") === 0 ||
+              col("n") * col("syy") - col("sy") * col("sy") === 0, lit(null))
+            .otherwise((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))), 6)
+            .as("autocorr"))
+        .orderBy("k")
+    }),
+
+    // peak concurrent users per day (round 11) — the sweep-line /
+    // interval-concurrency primitive ("how many sessions overlap at the
+    // busiest instant?"): each user's daily activity is the interval
+    // [first event, last event]; +1/−1 boundary points aggregate per
+    // (day, instant) so sort keys are UNIQUE (a ROWS running frame over
+    // duplicate keys would be order-ambiguous), and concurrency at t =
+    // starts(≤ t) − ends(< t) — the convention where a session ending
+    // exactly when another starts still overlaps it. The window
+    // partitions by DAY: no global sort; within-day points are bounded
+    // by active users, so the plan holds at any corpus length.
+    "events_concurrency" -> ((s, sf) => {
+      val iv = t(s, sf, "events")
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"),
+          expr("unix_micros(ts)").as("us"))
+        .groupBy("user_id", "d")
+        .agg(min(col("us")).as("st"), max(col("us")).as("en"))
+      val starts = iv.groupBy(col("d"), col("st").as("t")).agg(count(lit(1)).as("ns"))
+      val ends = iv.groupBy(col("d"), col("en").as("t")).agg(count(lit(1)).as("ne"))
+      val pts = starts.join(ends, Seq("d", "t"), "full")
+        .select(col("d"), col("t"),
+          coalesce(col("ns"), lit(0L)).as("ns"), coalesce(col("ne"), lit(0L)).as("ne"))
+      val w = Window.partitionBy("d").orderBy("t")
+      val conc = pts.withColumn("c",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long") -
+          coalesce(sum(col("ne")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
+      val users = iv.groupBy("d").agg(count(lit(1)).as("n_users"))
+      conc.groupBy("d").agg(max(col("c")).as("peak"))
+        .join(users, "d")
+        .select(col("d"), col("peak"), col("n_users"))
+        .orderBy("d")
+    }),
+
     // mean-shift changepoint scan (round 11) — level-shift detection over
     // the daily event-volume series: for every candidate split day k the
     // score is |mean(days ≤ k) − mean(days > k)|, the two-sample split
@@ -865,6 +931,45 @@ object Events {
            AND b.d >= a.d - 7 AND b.d <= a.d
          GROUP BY a.user_id, a.d, a.n_events, a.sum_value
          ORDER BY 1, 2""",
+    "ts_autocorr" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS x
+             FROM events GROUP BY 1),
+         wk AS (SELECT d, x, unnest(range(1, 8)) AS k FROM daily),
+         pairs AS (SELECT wk.k, wk.x AS x, b.x AS y
+             FROM wk JOIN daily b ON b.d = wk.d + wk.k),
+         s AS (SELECT k, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x*x) AS BIGINT) AS sxx,
+                      CAST(sum(y*y) AS BIGINT) AS syy,
+                      CAST(sum(x*y) AS BIGINT) AS sxy
+               FROM pairs GROUP BY k)
+         SELECT k, n,
+           round(CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+             ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                  / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                     * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END, 6) AS autocorr
+         FROM s ORDER BY k""",
+    "events_concurrency" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                            min(epoch_us(ts)) AS st, max(epoch_us(ts)) AS en
+             FROM events GROUP BY 1, 2),
+         starts AS (SELECT d, st AS t, count(*) AS ns FROM iv GROUP BY 1, 2),
+         ends AS (SELECT d, en AS t, count(*) AS ne FROM iv GROUP BY 1, 2),
+         pts AS (SELECT coalesce(starts.d, ends.d) AS d,
+                        coalesce(starts.t, ends.t) AS t,
+                        coalesce(ns, 0) AS ns, coalesce(ne, 0) AS ne
+                 FROM starts FULL JOIN ends
+                   ON starts.d = ends.d AND starts.t = ends.t),
+         conc AS (SELECT d, t,
+             CAST(sum(ns) OVER (PARTITION BY d ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - CAST(coalesce(sum(ne) OVER (PARTITION BY d ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+           FROM pts),
+         users AS (SELECT d, count(*) AS n_users FROM iv GROUP BY 1)
+         SELECT conc.d, max(c) AS peak, max(n_users) AS n_users
+         FROM conc JOIN users ON users.d = conc.d
+         GROUP BY conc.d ORDER BY conc.d""",
     "ts_changepoint" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS cnt
              FROM events GROUP BY 1),

@@ -446,6 +446,31 @@ object Relational {
                    WHERE o.o_custkey = c.c_custkey), 2) AS max_price
           FROM parquet.`$sf/customer.parquet` c ORDER BY c_custkey""")),
 
+    // §4 storage co-location DECLARED (round 11): both join sides are
+    // written bucketed on the join key (8 buckets, sorted), registered as
+    // external tables, and joined through the catalog — Spark matches the
+    // bucket specs and plans the join with NO exchange on either side
+    // (BucketingSpec plan-asserts zero Exchange on this exact shape). At
+    // 100 TB this is the repeated-join answer: the fact table's join
+    // shuffle is paid ONCE at write time, then every query joins
+    // map-side. The oracle is the plain join's aggregate — co-location is
+    // a pure physical rewrite, values must not move.
+    "join_bucketed" -> ((s, sf) => {
+      val tag = new java.io.File(sf).getName.replace('.', '_')
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
+      val (lt, pt) = (s"graft_bl_$tag", s"graft_bp_$tag")
+      t(s, sf, "lineitem").select("l_partkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(8, "l_partkey").sortBy("l_partkey")
+        .option("path", s"$dir/l").saveAsTable(lt)
+      t(s, sf, "part").select("p_partkey", "p_brand")
+        .write.mode("overwrite").bucketBy(8, "p_partkey").sortBy("p_partkey")
+        .option("path", s"$dir/p").saveAsTable(pt)
+      s.table(lt).join(s.table(pt), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(T.dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    }),
+
     // §2.3 multi-EXISTS join (round 11, the TPC-H Q21 shape adapted to
     // the corpus columns): per supplier, count returned lineitems in
     // orders where ANOTHER supplier also shipped (EXISTS) but no OTHER
@@ -704,6 +729,11 @@ object Relational {
            round((SELECT max(o_totalprice) FROM orders o
                   WHERE o.o_custkey = c.c_custkey), 2) AS max_price
          FROM customer c ORDER BY c_custkey""",
+    "join_bucketed" ->
+      """SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY p_brand""",
     "join_exists_multi" ->
       """SELECT l1.l_suppkey AS suppkey, count(*) AS numwait FROM lineitem l1
          WHERE l1.l_returnflag = 'R'
