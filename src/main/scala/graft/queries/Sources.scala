@@ -143,6 +143,45 @@ object Sources {
         .orderBy("doc_id")
     }),
 
+    // Z-order layout sink DECLARED (round 11): events arranged by the
+    // Morton interleave of (user_id, value) into 8 range-partitioned
+    // sorted files, then a 2-D box scan + aggregate over the re-read.
+    // Each written file carries a bounded BOX of both dimensions in its
+    // parquet stats, so the box predicate prunes files a 1-D sort
+    // couldn't (LayoutSpec measures the ≥2× skip margin); the oracle is
+    // the same filtered aggregate over the plain table — layout is a
+    // pure physical rewrite, values must not move.
+    "layout_zorder" -> ((s, sf) => {
+      val dir = tmp(sf, "zorder")
+      graft.operators.Layout
+        .zOrdered(t(s, sf, "events"), Seq("user_id", "value"), nFiles = 8)
+        .drop("__graft_z")
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .where(col("user_id") <= 300 && col("value") >= 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), graft.T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // small-file compaction DECLARED (round 11): events deliberately
+    // shattered into 64 kilobyte files (the streaming-sink pathology),
+    // compacted by byte-targeted rewrite into a sibling dir (the
+    // in-place guard is the CompactSpec contract), then read back and
+    // aggregated. The oracle is the plain-table aggregate: compaction
+    // moves bytes between files, never values.
+    "compact_files" -> ((s, sf) => {
+      val shattered = tmp(sf, "shards")
+      val compacted = tmp(sf, "compacted")
+      t(s, sf, "events").repartition(64).write.mode("overwrite").parquet(shattered)
+      graft.operators.Compact.rewriteParquet(s, shattered, compacted,
+        targetBytes = 64L * 1024 * 1024)
+      s.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), graft.T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Hive-style partitioned sink + partition-pruned read (round 11): the
     // events table is written partitionBy(event_type), then read back with
     // an event_type predicate — at the LISTING the reader keeps only the
@@ -215,6 +254,15 @@ object Sources {
     "source_partitioned" ->
       """SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY d"""
+         FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY d""",
+    "layout_zorder" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE user_id <= 300 AND value >= 50
+         GROUP BY 1 ORDER BY event_type""",
+    "compact_files" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY event_type"""
   )
 }
