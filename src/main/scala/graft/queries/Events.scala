@@ -588,6 +588,42 @@ object Events {
         .orderBy("dow")
     }),
 
+    // triangle count over the user co-occurrence graph (round 11) — the
+    // community-density primitive on top of the bucketed-pair kernel:
+    // users sharing ≥ 30 (day, event_type) activity buckets form an edge
+    // (pairs are generated per BUCKET, never all-users² — the inverted-
+    // index shape dedup_jaccard uses; bucket size bounds the fan-out),
+    // and triangles are the oriented two-hop join: edges keep u1 < u2,
+    // so each triangle a<b<c is found exactly once as e(a,b)⋈e(b,c)
+    // closed by e(a,c). At scale the orientation refines to degree order
+    // (low-degree vertex first), which bounds every wedge list by the
+    // max LOW degree — the published distributed-triangle design. The
+    // edge set feeds three join sides, so it is sealed once (Tracked).
+    "events_triangles" -> ((s, sf) => {
+      val tr = new graft.operators.Tracked
+      val ua = t(s, sf, "events")
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"),
+          col("event_type")).distinct()
+      val edges = tr.seal(
+        ua.select(col("d"), col("event_type"), col("user_id").as("u1"))
+          .join(ua.select(col("d"), col("event_type"), col("user_id").as("u2")),
+            Seq("d", "event_type"))
+          .where(col("u1") < col("u2"))
+          .groupBy("u1", "u2").agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= 30)
+          .select("u1", "u2"))
+      val tri = edges.as("e1")
+        .join(edges.as("e2"), col("e2.u1") === col("e1.u2"))
+        .join(edges.as("e3"),
+          col("e3.u1") === col("e1.u1") && col("e3.u2") === col("e2.u2"))
+        .select(col("e1.u1").as("a"), col("e1.u2").as("b"), col("e2.u2").as("c"))
+      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+      val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+      val nUsers = tri.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+        .agg(countDistinct(col("u")).as("n_tri_users"))
+      nEdges.crossJoin(nTri).crossJoin(nUsers)
+    }),
+
     // lag-k autocorrelation of the daily volume series (round 11) — the
     // seasonality detector ts_seasonality's fixed weekly fold can't give:
     // r_k = Pearson(x_t, x_{t+k}) for k = 1..7 over per-day event counts.
@@ -931,6 +967,20 @@ object Events {
            AND b.d >= a.d - 7 AND b.d <= a.d
          GROUP BY a.user_id, a.d, a.n_events, a.sum_value
          ORDER BY 1, 2""",
+    "events_triangles" ->
+      """WITH ua AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d,
+                            event_type FROM events),
+         e AS (SELECT a.user_id AS u1, b.user_id AS u2
+               FROM ua a JOIN ua b ON a.d = b.d AND a.event_type = b.event_type
+                                   AND a.user_id < b.user_id
+               GROUP BY 1, 2 HAVING count(*) >= 30),
+         tri AS (SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c
+                 FROM e e1 JOIN e e2 ON e2.u1 = e1.u2
+                           JOIN e e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2)
+         SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+                CAST((SELECT count(DISTINCT u)
+                      FROM (SELECT unnest([a, b, c]) AS u FROM tri)) AS BIGINT) AS n_tri_users""",
     "ts_autocorr" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS x
              FROM events GROUP BY 1),

@@ -401,6 +401,34 @@ object TextAnalysis {
         .groupBy("g").agg(count(lit(1)).as("cnt"))
         .orderBy("g")),
 
+    // Gopher-style rule filter (round 11; Rae et al., *Scaling Language
+    // Models: Gopher*, 2021, Appendix A — the published quality-rule
+    // family): per-doc word count, mean word length, unique-token ratio,
+    // and stopword presence, rolled up into per-rule failure counts and
+    // the all-rules pass count. quality_lm scores; this FILTERS — the
+    // named-rule summary a corpus curator reads before dropping 20% of
+    // the crawl. One map-side pass (per-doc stats are array expressions),
+    // one 1-row aggregate; ratio comparisons are single IEEE divisions on
+    // exact integers, identical both engines.
+    "quality_gopher" -> ((s, sf) => {
+      val m = t(s, sf, "documents")
+        .select(split(col("text"), " ").as("tk"))
+        .select(expr("size(tk)").as("nw"),
+          expr("aggregate(transform(tk, t -> length(t)), 0, (a, x) -> a + x)").as("sl"),
+          expr("size(array_distinct(tk))").as("nu"),
+          expr("size(filter(tk, t -> t IN ('the','a','of','and','in','to')))").as("ns"))
+        .select(col("nw"), col("nu"), col("ns"),
+          (col("sl").cast("double") / col("nw")).as("mwl"))
+      m.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nw") < 30, 1).otherwise(0)).cast("long").as("fail_wc"),
+          sum(when(col("mwl") < 3.5 || col("mwl") > 10, 1).otherwise(0)).cast("long").as("fail_mwl"),
+          sum(when(col("nu").cast("double") / col("nw") < 0.5, 1).otherwise(0)).cast("long").as("fail_uniq"),
+          sum(when(col("ns") < 2, 1).otherwise(0)).cast("long").as("fail_stop"),
+          sum(when(col("nw") >= 30 && col("mwl") >= 3.5 && col("mwl") <= 10 &&
+            col("nu").cast("double") / col("nw") >= 0.5 && col("ns") >= 2, 1)
+            .otherwise(0)).cast("long").as("pass_all"))
+    }),
+
     // PMI collocations (round 11): statistically-bound word pairs — the
     // classic collocation score log2(P(ab) / (P(a)P(b))) over adjacent
     // token pairs, the salience signal tf alone misses ("new york" binds;
@@ -452,6 +480,23 @@ object TextAnalysis {
     markers.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "quality_gopher" ->
+      """WITH m AS (SELECT len(tk) AS nw,
+             list_sum(list_transform(tk, t -> len(t))) AS sl,
+             len(list_distinct(tk)) AS nu,
+             len(list_filter(tk, t -> t IN ('the','a','of','and','in','to'))) AS ns
+           FROM (SELECT string_split(text,' ') AS tk FROM documents))
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN nw < 30 THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
+           CAST(sum(CASE WHEN CAST(sl AS DOUBLE)/nw < 3.5
+                          OR CAST(sl AS DOUBLE)/nw > 10 THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+           CAST(sum(CASE WHEN CAST(nu AS DOUBLE)/nw < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fail_uniq,
+           CAST(sum(CASE WHEN ns < 2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+           CAST(sum(CASE WHEN nw >= 30
+                          AND CAST(sl AS DOUBLE)/nw BETWEEN 3.5 AND 10
+                          AND CAST(nu AS DOUBLE)/nw >= 0.5
+                          AND ns >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+         FROM m""",
     "text_collocations" ->
       """WITH bg AS (
            SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))],

@@ -65,8 +65,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     "agg_ttest", "events_pareto",
     // round 11, same 1-row-broadcast shape: the bigram grand total onto
     // the PMI join (text_collocations), the (n_total, n_days) scalar onto
-    // the per-day prefix sums (ts_changepoint)
-    "text_collocations", "ts_changepoint")
+    // the per-day prefix sums (ts_changepoint), and the three 1-row
+    // aggregates composing events_triangles' single summary row
+    "text_collocations", "ts_changepoint", "events_triangles")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
