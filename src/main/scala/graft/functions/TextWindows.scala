@@ -25,6 +25,24 @@ object TextWindows {
         expr(s"concat_ws(' ', slice(tk, i + 1, $n))").as("w"))
   }
 
+  /** Position-carrying variant of [[wordWindows]]: (doc_id, i, w) where
+    * `i` is the 0-based token offset of the window start. Same
+    * explode(sequence) + slice-join shape (never the transform-array
+    * O(L²) trap); the extra column is the int offset the explode already
+    * produces, so the plan is identical to wordWindows plus one kept
+    * attribute. Consumer: `dedup_spans`, which needs offsets to merge
+    * duplicated windows into maximal span extents.
+    */
+  def wordWindowsAt(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= n)
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(0, size(tk) - $n)")).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        expr(s"concat_ws(' ', slice(tk, i + 1, $n))").as("w"))
+  }
+
   /** Fixed-size token tiling: (doc_id, chunk_idx, chunk) with `size`-token
     * chunks at `stride` (overlap = size − stride); chunk count is
     * 1 + (n−1) div stride, so every token lands in ≥1 chunk and chunk_idx

@@ -805,6 +805,57 @@ object Events {
           round(col("sv").cast("double"), 2).as("sum_value"),
           col("d_min"), col("d_max"))
         .orderBy("user_id")
+    }),
+
+    // Kaplan–Meier time-to-conversion survival (round 11) — the estimator
+    // behind every "how long until a user purchases" product question
+    // (Kaplan & Meier, *Nonparametric estimation from incomplete
+    // observations*, JASA 1958): each user is observed for 48 hours after
+    // their FIRST event; the event is their first `purchase`, users
+    // converting later than the window are RIGHT-CENSORED at 48 h (the
+    // administrative-censoring design — deterministic, no clock
+    // dependence). S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) with d_i =
+    // conversions at hour t_i and n_i = users still at risk (neither
+    // converted nor censored before t_i). Plan: two per-user min aggs
+    // (first event hour, first purchase hour — map-side combined) joined
+    // on user, grouped by lifetime hour (≤49 distinct rows), then the
+    // risk set as ONE reverse-cumulative window sum and the product as
+    // exp of a forward-cumulative sum of logs — both windows run over the
+    // tiny hour-grouped frame in a SINGLE partition by construction (the
+    // frame is bounded by the observation window, not the corpus), and the
+    // cumulative order is the hour order, identical in any engine, so
+    // round(…,6) only absorbs last-bit ln/÷ noise (the fn_math
+    // discipline). At 100 TB the user aggs carry the scale; everything
+    // after is constant-size.
+    "events_survival" -> ((s, sf) => {
+      val HourUs = 3600000000L
+      val win = 48L
+      val e = t(s, sf, "events")
+      val first = e.groupBy("user_id")
+        .agg(min(expr(s"unix_micros(ts) div $HourUs")).as("h0"))
+      val conv = e.where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(min(expr(s"unix_micros(ts) div $HourUs")).as("hc"))
+      val life = first.join(conv, "user_id")
+        .select(
+          when(col("hc") - col("h0") > win, lit(win))
+            .otherwise(col("hc") - col("h0")).as("lt"),
+          when(col("hc") - col("h0") > win, lit(0L)).otherwise(lit(1L))
+            .as("ev"))
+      val byT = life.groupBy(col("lt").as("t_hour"))
+        .agg(sum(col("ev")).as("d_t"), count(lit(1)).as("ended_t"))
+      val all = Window.orderBy(col("t_hour").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.orderBy(col("t_hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.withColumn("n_risk", sum(col("ended_t")).over(all))
+        .withColumn("surv", round(exp(sum(
+          log(lit(1.0) - col("d_t").cast("double") / col("n_risk")))
+          .over(fwd)), 6))
+        .where(col("d_t") > 0)
+        .select(col("t_hour"), col("n_risk"), col("d_t").as("n_conv"),
+          col("surv"))
+        .orderBy("t_hour")
     })
   )
 
@@ -1229,6 +1280,26 @@ object Events {
                string_agg(event_type, '>' ORDER BY rn) AS path
              FROM r WHERE rn <= 3 GROUP BY 1, 2)
          SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
-         GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
+    "events_survival" ->
+      """WITH u AS (SELECT user_id, min(epoch_us(ts) // 3600000000) AS h0
+             FROM events GROUP BY 1),
+           conv AS (SELECT user_id, min(epoch_us(ts) // 3600000000) AS hc
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           life AS (SELECT
+               CASE WHEN hc - h0 > 48 THEN 48 ELSE hc - h0 END AS lt,
+               CASE WHEN hc - h0 > 48 THEN 0 ELSE 1 END AS ev
+             FROM u JOIN conv USING (user_id)),
+           byt AS (SELECT lt AS t_hour, sum(ev) AS d_t, count(*) AS ended_t
+             FROM life GROUP BY 1),
+           risk AS (SELECT t_hour, d_t,
+               sum(ended_t) OVER (ORDER BY t_hour DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+             FROM byt)
+         SELECT t_hour, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_t AS BIGINT) AS n_conv,
+           round(exp(sum(ln(1.0 - d_t * 1.0 / n_risk)) OVER (
+             ORDER BY t_hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS surv
+         FROM risk WHERE d_t > 0 ORDER BY t_hour"""
   )
 }

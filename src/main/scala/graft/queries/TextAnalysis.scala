@@ -460,6 +460,73 @@ object TextAnalysis {
         .orderBy("w1", "w2")
     }),
 
+    // exact duplicated-SPAN extents (round 11) — the "what to cut" output
+    // of exact substring dedup (Lee et al., *Deduplicating Training Data
+    // Makes Language Models Better*, ACL 2022, the suffix-array ExactSubstr
+    // pass — re-expressed as a window-hash join, which is the
+    // shuffle-friendly form at corpus scale): every 8-token window whose
+    // text occurs at ≥2 positions ANYWHERE in the corpus (cross-doc or a
+    // within-doc repeat) marks its [i, i+8) token interval, and per doc the
+    // marked intervals are merged into MAXIMAL spans via gaps-and-islands
+    // (a break opens where a window start exceeds the running max of
+    // previous interval ends; the island id is the running sum of breaks).
+    // This differs from text_boilerplate (per-doc duplicated-window
+    // FRACTION) by emitting the span extents a removal pass needs. Plan:
+    // position-carrying window stream (narrow) → one map-side-combined
+    // count keyed on the window text → equi-join back (the df-count side
+    // enters the join already w-partitioned) → two doc-partitioned window
+    // functions over the duplicated positions only (bounded per doc by its
+    // token count) → span agg. At 100 TB the join keys on xxhash64(w)
+    // (8-byte keys in both exchanges — the boilerplateStats compaction);
+    // declared on window text so the oracle is value-identical by
+    // construction.
+    "dedup_spans" -> ((s, sf) => {
+      val k = 8
+      val tr = new graft.operators.Tracked
+      val w = tr.persist(graft.functions.TextWindows
+        .wordWindowsAt(t(s, sf, "documents"), k))
+      val dupW = w.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2)
+      val dup = w.join(dupW, "w").select(col("doc_id"), col("i"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("i")
+      val prevEnd = max(col("i") + k)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      val marked = dup.withColumn("brk",
+        when(col("i") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      val spans = marked.withColumn("g", sum(col("brk")).over(byDoc))
+        .groupBy("doc_id", "g")
+        .agg(min(col("i")).as("span_start"),
+          (max(col("i")) + k).as("span_end"),
+          count(lit(1)).as("n_windows"))
+      tr.seal(spans.select(col("doc_id"), col("span_start"),
+          col("span_end"), col("n_windows")))
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // BPE merge training (round 11, rows-only: the merge loop is not
+    // SQL-expressible — validated by TextAnalysisBpe tests in QueriesSpec
+    // against an independent reference implementation): the subword-vocab
+    // step of every LLM data pipeline, in the structure production
+    // trainers use at corpus scale — ONE distributed word-count aggregate
+    // (map-side combined; the only stage that touches corpus bytes), the
+    // weighted word-TYPE vocabulary capped at 65536 types by (count desc,
+    // word) before crossing the executor→driver boundary (CAIM's bounded-
+    // boundary contract), then [[graft.ml.Bpe]]'s deterministic merge loop
+    // (full tiebreak, left-to-right non-overlapping application) over
+    // types, not tokens. Output: the 20-row merge table itself.
+    "text_bpe_merges" -> ((s, sf) => {
+      val vocab = t(s, sf, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(65536)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val merges = graft.ml.Bpe.train(vocab, 20)
+      s.createDataFrame(merges).toDF("rank", "lhs", "rhs", "freq")
+        .select(col("rank").cast("long").as("rank"), col("lhs"), col("rhs"),
+          col("freq"))
+        .orderBy("rank")
+    }),
+
     // SimHash near-dup (capability row: Spark's xxhash64 seeds the bits, so
     // no cross-engine oracle; tests cross-check against exact Jaccard).
     // Banded candidate join (4 × 16-bit bands, [[simhashBandPairs]], round-7
@@ -671,6 +738,28 @@ object TextAnalysis {
            SELECT unnest([substring(text, i, 3) for i in range(1, length(text) - 1)]) AS g
            FROM documents)
          GROUP BY g ORDER BY g""",
+    "dedup_spans" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(
+               [{'i': i - 1, 'w': array_to_string(tk[i:i+7], ' ')}
+                for i in range(1, len(tk) - 6)], recursive := true)
+           FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+           WHERE len(tk) >= 8),
+         c AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+         dup AS (SELECT doc_id, i FROM w JOIN c USING (w) WHERE cnt >= 2),
+         isl AS (SELECT doc_id, i,
+             CASE WHEN i > coalesce(max(i + 8) OVER (
+                 PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS brk
+           FROM dup),
+         grp AS (SELECT doc_id, i,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+           FROM isl)
+         SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+           CAST(max(i) + 8 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+         FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""",
     "text_fingerprint" ->
       """SELECT doc_id,
          CAST(sum((pos + 1) * (length(tok)*256 + ascii(substr(tok,1,1)))) % 2147483647 AS BIGINT) AS fp

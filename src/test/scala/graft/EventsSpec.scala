@@ -952,4 +952,34 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       r.getAs[Double]("lo") should be <= r.getAs[Double]("hi")
     }
   }
+
+  test("events_survival is a valid Kaplan-Meier curve") {
+    val rows = SparkEntry.queries("events_survival")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows should not be empty
+    // event times ascend, the risk set telescopes (every listed time has
+    // >= 1 conversion, so strictly fewer remain at risk), survival falls
+    rows.sliding(2).foreach {
+      case Array((t1, n1, _, s1), (t2, n2, _, s2)) =>
+        t2 should be > t1; n2 should be < n1; s2 should be < s1
+      case _ =>
+    }
+    rows.foreach { case (t, n, d, s) =>
+      t should (be >= 0L and be <= 48L)
+      d should be >= 1L; d should be <= n
+      s should be >= 0.0; s should be <= 1.0
+    }
+    // the survival column IS the running product of (1 - d/n) — recompute
+    // it on the driver from the query's own risk/conversion columns
+    var p = 1.0
+    rows.foreach { case (t, n, d, s) =>
+      p *= 1.0 - d.toDouble / n
+      withClue(s"t=$t: ") { s shouldBe p +- 5.1e-7 }
+    }
+    // the first risk set is every user with a conversion record
+    val usersWithPurchase = T.t(spark, sf001, "events")
+      .where(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    rows.head._2 shouldBe usersWithPurchase
+  }
 }

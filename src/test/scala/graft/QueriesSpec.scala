@@ -429,4 +429,120 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
       .select("l_returnflag", "l_linestatus", "sum_qty", "cnt").collect()
     sqlRes shouldBe dsl
   }
+
+  test("dedup_spans emits disjoint maximal islands and blankets exact-duplicate docs") {
+    val k = 8L
+    val spans = SparkEntry.queries("dedup_spans")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spans should not be empty
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      // islands are maximal: a following span starts strictly PAST the
+      // previous end (touching/overlapping intervals would have merged)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => s2 should be > e1
+        case _ =>
+      }
+      sorted.foreach { case (_, s0, e0, nw) =>
+        e0 - s0 should be >= k          // a span is at least one window wide
+        nw should be >= 1L
+        nw should be <= (e0 - s0 - k + 1) // never more windows than fit
+      }
+    }
+    // ground truth from first principles: rebuild the whole span table on
+    // the driver from the raw text (plain Scala — no Spark arithmetic
+    // shared with the query) and require exact equality
+    val texts = T.t(spark, sf001, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").toVector))
+    val winCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, tk) <- texts; i <- 0 to tk.length - k.toInt)
+      winCount.updateWith(tk.slice(i, i + k.toInt).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    val expected = texts.flatMap { case (id, tk) =>
+      val dupPos = (0 to tk.length - k.toInt)
+        .filter(i => winCount(tk.slice(i, i + k.toInt).mkString(" ")) >= 2)
+      // merge overlapping [i, i+k) intervals left to right
+      val islands = dupPos.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((s0, e0, n0) :: rest, i) if i <= e0 =>
+          (s0, math.max(e0, i + k), n0 + 1) :: rest
+        case (acc, i) => (i.toLong, i + k, 1L) :: acc
+      }.reverse
+      islands.map { case (s0, e0, n0) => (id, s0, e0, n0) }
+    }.sortBy(t => (t._1, t._2))
+    expected should not be empty
+    spans.sortBy(t => (t._1, t._2)).toSeq shouldBe expected.toSeq
+  }
+
+  test("text_bpe_merges matches an independent BPE reference and is monotone") {
+    val got = SparkEntry.queries("text_bpe_merges")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    got.map(_._1).toSeq shouldBe (1L to got.length.toLong) // dense ranks from 1
+    // max pair frequency can only fall as merges consume occurrences
+    got.sliding(2).foreach {
+      case Array((_, _, _, f1), (_, _, _, f2)) => f2 should be <= f1
+      case _ =>
+    }
+    // independent reference: word counts from raw text on the driver, and
+    // a recursive functional BPE round (different shape from ml.Bpe's
+    // imperative scan) under the same declared conventions
+    val wc = T.t(spark, sf001, "documents").select("text").collect()
+      .iterator.flatMap(_.getString(0).split(" ")).toSeq
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    def fuse(s: List[String], l: String, r: String): List[String] = s match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: fuse(rest, l, r)
+      case a :: rest => a :: fuse(rest, l, r)
+      case Nil => Nil
+    }
+    var words = wc.toList.map { case (w, c) =>
+      (w.toList.map(_.toString) ::: List("</w>"), c) }
+    val ref = (1 to 20).flatMap { rank =>
+      val pairs = words.flatMap { case (s0, c) =>
+        s0.zip(s0.drop(1)).map(p => (p, c)) }
+        .groupBy(_._1).map { case (p, cs) => (p, cs.map(_._2).sum) }
+      if (pairs.isEmpty) None
+      else {
+        val ((l, r), f) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+        words = words.map { case (s0, c) => (fuse(s0, l, r), c) }
+        Some((rank.toLong, l, r, f))
+      }
+    }
+    got.toSeq shouldBe ref
+  }
+
+  test("graph_pagerank matches an independent driver-side power iteration") {
+    val got = SparkEntry.queries("graph_pagerank")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nNations = T.t(spark, sf001, "nation").count().toInt
+    got.size shouldBe nNations
+    got.values.foreach(_ should be > 0.0)
+    // rank is conserved (damping + dangling redistribution keep Σpr = 1;
+    // per-node round(…,6) perturbs the sum by ≤ N·5e-7)
+    got.values.sum shouldBe 1.0 +- (nNations * 5e-7 + 1e-9)
+    // re-derive the whole fixed-point from first principles: collect the
+    // (tiny, aggregated) edge frame and run the same 10 weighted rounds
+    // in plain Scala — no Spark arithmetic shared with the query
+    val o = T.t(spark, sf001, "orders"); val c = T.t(spark, sf001, "customer")
+    val l = T.t(spark, sf001, "lineitem"); val su = T.t(spark, sf001, "supplier")
+    val edges = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getLong(2)))
+    val tw = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).sum }
+    val nodes = (0L until nNations.toLong).toArray
+    var pr = nodes.map(_ -> 1.0 / nNations).toMap
+    for (_ <- 1 to 10) {
+      val dangling = nodes.filterNot(tw.contains).map(pr).sum
+      val base = 0.15 / nNations + 0.85 * dangling / nNations
+      val inflow = edges.groupBy(_._2).map { case (d0, es) =>
+        d0 -> es.map { case (s0, _, w) => pr(s0) * w / tw(s0) }.sum
+      }
+      pr = nodes.map(n => n -> (base + 0.85 * inflow.getOrElse(n, 0.0))).toMap
+    }
+    nodes.foreach { n =>
+      withClue(s"nation $n: ") { got(n) shouldBe pr(n) +- 1e-5 }
+    }
+  }
 }
