@@ -601,9 +601,41 @@ object Events {
     // edge set feeds three join sides, so it is sealed once (Tracked).
     "events_triangles" -> ((s, sf) => {
       val tr = new graft.operators.Tracked
-      val ua = t(s, sf, "events")
+      // per-(day, type) bucket cap = 65536 active users (the LSH band-cap
+      // contract shared with minhashCandidates/simhashBandPairs): one
+      // degenerate bucket — an event type every user fires daily — would
+      // otherwise make that bucket's pair fan-out quadratic in the user
+      // base, which AQE cannot split. Never binds at bench SFs (max
+      // bucket: 587 users), so the oracle applies the identical cap and
+      // stays value-equal; at 100 TB capped buckets are the boilerplate
+      // signal-free ones, the same argument as the dedup kernels.
+      // persisted: read by the cap aggregate and both pair-join sides (the
+      // cap's broadcast job populates the cache before the probe plans)
+      val ua0 = tr.persist(t(s, sf, "events")
         .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"),
-          col("event_type")).distinct()
+          col("event_type")).distinct())
+      // cap as a broadcast semi-join on the BUCKET-SIZE table (≤ |days| ×
+      // |types| rows at any SF) rather than a window over ua — a window
+      // would re-partition ua by (d, type) and push the pair join from
+      // broadcast-hash to sort-merge (measured +3 s at bench SF)
+      val okBuckets = ua0.groupBy("d", "event_type")
+        .agg(count(lit(1)).as("m")).where(col("m") <= 65536)
+        .select("d", "event_type")
+      val ua = ua0.join(broadcast(okBuckets), Seq("d", "event_type"))
+      // edges and tri each feed MULTIPLE consumers in the final one-row
+      // crossjoin — seal them EAGERLY (materialize before any consumer
+      // plans against the cache): consumers racing an unpopulated cache
+      // each recompute in-flight partitions (BlockManager does not dedupe
+      // concurrent computes of the same block — measured +2 s here).
+      // Shuffle-volume note (measured both ways at sf0.1): with ua0
+      // cached the pair probe runs 32-way parallel and the partial agg
+      // combines little (same pair, different buckets, different tasks) —
+      // ~140 MB of pair partials shuffle in 6.2 s; uncached, AQE collapses
+      // the probe to 2 tasks whose partial agg combines 20:1 (12 MB) but
+      // runs 12 s nearly serial. The pair exchange is the algorithm's
+      // INTRINSIC intermediate (Σ bucket² rows, bounded by the cap), so
+      // parallelism wins; map-side combine over it is opportunistic, not
+      // load-bearing.
       val edges = tr.seal(
         ua.select(col("d"), col("event_type"), col("user_id").as("u1"))
           .join(ua.select(col("d"), col("event_type"), col("user_id").as("u2")),
@@ -612,11 +644,11 @@ object Events {
           .groupBy("u1", "u2").agg(count(lit(1)).as("shared"))
           .where(col("shared") >= 30)
           .select("u1", "u2"))
-      val tri = edges.as("e1")
+      val tri = tr.seal(edges.as("e1")
         .join(edges.as("e2"), col("e2.u1") === col("e1.u2"))
         .join(edges.as("e3"),
           col("e3.u1") === col("e1.u1") && col("e3.u2") === col("e2.u2"))
-        .select(col("e1.u1").as("a"), col("e1.u2").as("b"), col("e2.u2").as("c"))
+        .select(col("e1.u1").as("a"), col("e1.u2").as("b"), col("e2.u2").as("c")))
       val nEdges = edges.agg(count(lit(1)).as("n_edges"))
       val nTri = tri.agg(count(lit(1)).as("n_triangles"))
       val nUsers = tri.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
@@ -1019,8 +1051,10 @@ object Events {
          GROUP BY a.user_id, a.d, a.n_events, a.sum_value
          ORDER BY 1, 2""",
     "events_triangles" ->
-      """WITH ua AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d,
-                            event_type FROM events),
+      """WITH ua AS (SELECT user_id, d, event_type FROM
+               (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d,
+                       event_type FROM events)
+             QUALIFY count(*) OVER (PARTITION BY d, event_type) <= 65536),
          e AS (SELECT a.user_id AS u1, b.user_id AS u2
                FROM ua a JOIN ua b ON a.d = b.d AND a.event_type = b.event_type
                                    AND a.user_id < b.user_id

@@ -23,19 +23,19 @@ import graft.T.{Q, t}
   * Scale posture: the heavy work — four scans, three equi-joins, the
   * (src, dst) weight aggregate — is ONE shot of ordinary shuffle work that
   * Catalyst plans like any star join, and it REDUCES the data to the
-  * aggregated graph before any iteration touches it. The power iteration
-  * itself then runs on the node/edge frames: per round one equi-join of the
-  * rank frame against the (persisted) edge frame, one map-side-combined
-  * sum per dst, and one BOUNDED driver scalar for the dangling mass (an
-  * aggregate of the rank frame — the Pregel "global aggregator", same
-  * bounded executor→driver contract as CAIM's histogram). Rank lineage is
-  * RDD-snapped per round with explicit block bookkeeping (the Components
-  * discipline — localCheckpoint would strand O(rounds) block sets), so 10
-  * rounds cost 10 shallow plans, not one 10-deep one. At 100 TB (a
-  * billion-node user graph instead of 25 nations) the identical loop holds:
-  * the rank frame shuffles on the join key each round — the unavoidable
-  * exchange of distributed PageRank — and everything driver-side stays one
-  * double per round.
+  * aggregated graph before any iteration touches it. The fixed point then
+  * runs through [[graft.operators.PageRank]]'s stats dispatch (the
+  * Components pattern): below the edge-count gate the bounded aggregated
+  * graph is collected once (sorted, so float order is layout-independent)
+  * and the rounds are driver arithmetic — zero per-round jobs, which is
+  * what a 25-node graph deserves (the all-distributed loop measured 5.2 s
+  * of pure stage latency for microseconds of math); at or above the gate
+  * the rounds stay distributed with RDD-snapped rank lineage, a
+  * once-computed dangling node set, and no per-round driver
+  * synchronization. At 100 TB (a billion-node user graph) the distributed
+  * branch holds: the rank frame shuffles on the join key each round — the
+  * unavoidable exchange of distributed PageRank. GraphSpec pins both
+  * branches to the identical fixed point on the corpus.
   */
 object Graph {
 
@@ -57,42 +57,11 @@ object Graph {
 
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> ((s, sf) => {
-      val tr = new graft.operators.Tracked
-      val edges = tr.persist(tradeEdges(s, sf))
-      val nodes = tr.persist(t(s, sf, "nation")
-        .select(col("n_nationkey").cast("long").as("node")))
-      // three bounded driver scalars OUTSIDE the loop: node count and the
-      // out-strength frame (≤ |nodes| rows, persisted once)
-      val nN = nodes.count().toDouble
-      val deg = tr.persist(edges.groupBy("src").agg(sum("w").as("tw")))
-      // lineage snap per round (Components.scala discipline): persist the
-      // round's RDD, rebuild a depth-1 frame over it, free on seal
-      var kept: List[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = Nil
-      def snap(df: DataFrame): DataFrame = {
-        val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        kept = rdd :: kept
-        s.createDataFrame(rdd, df.schema)
-      }
-      var pr = snap(nodes.withColumn("pr", lit(1.0 / nN)))
-      for (_ <- 1 to iters) {
-        // mass flowing along edges: Σ_src pr(src) · w / out-strength(src)
-        val contrib = edges.join(deg, "src")
-          .join(pr.withColumnRenamed("node", "src"), "src")
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("pr") * col("w") / col("tw")).as("m"))
-        // dangling mass (nodes with no out-edges) — the Pregel global
-        // aggregator: ONE double to the driver per round, never rows
-        val dangling = pr
-          .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
-          .agg(coalesce(sum("pr"), lit(0.0))).head.getDouble(0)
-        pr = snap(nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (lit((1.0 - damping) / nN) + lit(damping) *
-              (coalesce(col("m"), lit(0.0)) + lit(dangling / nN))).as("pr")))
-      }
-      val out = tr.seal(pr.select(col("node"), round(col("pr"), 6).as("pr")))
-      kept.foreach(_.unpersist(blocking = false))
-      out.orderBy("node")
+      val nodes = t(s, sf, "nation")
+        .select(col("n_nationkey").cast("long").as("node"))
+      graft.operators.PageRank.run(nodes, tradeEdges(s, sf), iters, damping)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy("node")
     })
   )
 

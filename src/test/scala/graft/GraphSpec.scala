@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Both sides of the PageRank stats dispatch (operators/PageRank.scala)
+  * compute the identical fixed point — the SimSpec both-sides-of-the-gate
+  * pattern: the driver branch is what the small declared graph rides; the
+  * distributed branch is the 100 TB path, and it must not drift.
+  */
+class GraphSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private def tradeGraph() = {
+    val o = T.t(spark, sf001, "orders"); val c = T.t(spark, sf001, "customer")
+    val l = T.t(spark, sf001, "lineitem"); val su = T.t(spark, sf001, "supplier")
+    val edges = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nodes = T.t(spark, sf001, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    (nodes, edges)
+  }
+
+  test("driver and distributed PageRank branches agree to rounding") {
+    val (nodes, edges) = tradeGraph()
+    def ranks(gate: Long): Map[Long, Double] =
+      graft.operators.PageRank.run(nodes, edges, iters = 10, damping = 0.85,
+          distributedMinEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val driver = ranks(Long.MaxValue) // every graph below the gate
+    val dist = ranks(0L)              // every graph at/above the gate
+    driver.keySet shouldBe dist.keySet
+    driver.keySet should not be empty
+    // identical fixed point; only float association order may differ
+    driver.foreach { case (n, p) =>
+      withClue(s"node $n: ") { dist(n) shouldBe p +- 1e-9 }
+    }
+  }
+
+  test("dangling mass is redistributed, conserving total rank") {
+    // a 4-node graph with a SINK (node 3 has no out-edges) exercises the
+    // dangling branch the sink-free trade graph never hits
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val edges = Seq((0L, 1L, 2L), (0L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    def ranks(gate: Long): Map[Long, Double] =
+      graft.operators.PageRank.run(nodes, edges, iters = 10, damping = 0.85,
+          distributedMinEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val driver = ranks(Long.MaxValue)
+    val dist = ranks(0L)
+    // conservation only holds if sink mass is recycled
+    driver.values.sum shouldBe 1.0 +- 1e-9
+    dist.values.sum shouldBe 1.0 +- 1e-9
+    driver.foreach { case (n, p) =>
+      withClue(s"node $n: ") { dist(n) shouldBe p +- 1e-9 }
+    }
+    // the sink collects the most rank on this topology
+    driver.maxBy(_._2)._1 shouldBe 3L
+  }
+}
