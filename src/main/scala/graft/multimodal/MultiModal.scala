@@ -276,6 +276,39 @@ object MultiModal {
     RgbImage(w2, h2, out)
   }
 
+  /** 64-bit difference hash (dHash) of a decoded raster — the standard
+    * perceptual image fingerprint (Krawetz, *Kind of Like That*,
+    * hackerfactor.com 2013; the gradient variant of Zauner's pHash
+    * family): nearest-neighbour resample to 9×8, integer ITU-R 601 luma
+    * (299·R + 587·G + 114·B — no float, so the hash is bit-stable across
+    * JVMs), bit(y·8 + x) = luma(x+1, y) > luma(x, y). Gradient
+    * comparisons make the hash invariant to uniform brightness shifts and
+    * to container/codec differences that preserve pixels; near-duplicate
+    * images land within a small Hamming distance. Pure arithmetic on the
+    * decoded raster — runs inside the same per-partition batch loop as
+    * the other extractors.
+    */
+  def dhash64(img: RgbImage): Long = {
+    val g = resizeRgb(img, 9, 8)
+    def luma(x: Int, y: Int): Int = {
+      val p = (y * 9 + x) * 3
+      299 * (g.rgb(p) & 0xff) + 587 * (g.rgb(p + 1) & 0xff) +
+        114 * (g.rgb(p + 2) & 0xff)
+    }
+    var bits = 0L
+    var idx = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x + 1, y) > luma(x, y)) bits |= 1L << idx
+        idx += 1; x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
   /** REAL sample decode for 16-bit PCM WAV: the `data` chunk is just
     * interleaved little-endian shorts. Returns None unless fmt says
     * uncompressed (audioFormat=1) 16-bit.

@@ -104,8 +104,92 @@ object Media {
           col("height"), col("sample_rate"), col("n_bytes").cast("long").as("n_bytes"),
           col("pix_sum"), col("rms0"))
         .orderBy("media_id")
+    }),
+
+    // perceptual image dedup (round 11, rows-only — binary fixtures have
+    // no DuckDB analog; MediaSpec pins the pair set and the invariances):
+    // dHash fingerprints ([[MultiModal.dhash64]]) + the simhashBandPairs
+    // candidate topology — 4 × 16-bit band equi-join buckets, never an
+    // all-pairs image join; pairs within Hamming ≤ 10 survive the exact
+    // re-rank. The fixture family exercises the three claims a perceptual
+    // hash makes: the SAME raster through two codecs (BMP id 11, PNG id
+    // 12) hashes identically (container invariance); a +30 uniform
+    // brightness shift (id 14) hashes identically (gradient invariance);
+    // a local block edit (id 13) lands at Hamming 1 (near-dup, kept); an
+    // unrelated raster (id 15) sits at Hamming ~20 (dropped). At 100 TB
+    // the identical plan runs over the parquet binary column: decode +
+    // hash are the per-partition map stage, only (band, 8-byte hash, id)
+    // triples ever shuffle, and the band-bucket cap bounds any degenerate
+    // bucket (the LSH band-cap contract).
+    "multimodal_phash" -> ((s, sf) => {
+      import s.implicits._
+      val dir = {
+        val tag = new java.io.File(sf).getName
+        s"${sys.props("java.io.tmpdir")}/graft_phash_${runTag}_$tag"
+      }
+      s.createDataset(phashFixtures).toDF().write.mode("overwrite").parquet(dir)
+      val dh = udf { p: Array[Byte] =>
+        MultiModal.decodeImage(p).map(MultiModal.dhash64): Option[Long]
+      }
+      val hashes = s.read.parquet(dir)
+        .select(col("media_id"), dh(col("payload")).as("h"))
+        .where(col("h").isNotNull)
+      val bands = hashes.select(col("media_id"), col("h"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> (h >> (b * 16)) & 65535)"))
+          .as(Seq("band", "bv")))
+      val tr = new graft.operators.Tracked
+      val bp = tr.persist(bands
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")))
+        .where(col("bsz") <= 4096).drop("bsz"))
+      tr.seal(bp.as("a").join(bp.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+          bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 10))
+        .orderBy("a_id", "b_id")
     })
   )
+
+  /** dHash fixture family: one 32×24 base raster through two codecs, a
+    * local block edit, a uniform brightness shift, and an unrelated
+    * raster. Deterministic integer pixel formulas (no RNG, no float). */
+  private[graft] def phashRaster(f: (Int, Int) => (Int, Int, Int)): MultiModal.RgbImage = {
+    val w = 32; val h = 24
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      val p = (y * w + x) * 3
+      rgb(p) = r.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = b.toByte
+    }
+    MultiModal.RgbImage(w, h, rgb)
+  }
+
+  private[graft] def phashFixtures: Seq[MediaRow] = {
+    def baseF(x: Int, y: Int) =
+      ((x * 7 + y * 13) % 251, (x * 3 + y * 5) % 251, (x * 11 + y * 2) % 251)
+    val base = phashRaster(baseF)
+    val edited = phashRaster { (x, y) =>
+      val (r, g, b) = baseF(x, y)
+      if (x >= 8 && x < 16 && y >= 6 && y < 12) (math.min(255, r + 60), g, b)
+      else (r, g, b)
+    }
+    val brighter = phashRaster { (x, y) =>
+      val (r, g, b) = baseF(x, y)
+      (math.min(255, r + 30), math.min(255, g + 30), math.min(255, b + 30))
+    }
+    val other = phashRaster((x, y) =>
+      ((x * y) % 251, (x + y * 17) % 251, (x * 5 + y * 29) % 251))
+    Seq(
+      MediaRow(11L, "image", MultiModal.encodeBmp(base)),
+      MediaRow(12L, "image", pngBytes(base)),
+      MediaRow(13L, "image", MultiModal.encodeBmp(edited)),
+      MediaRow(14L, "image", MultiModal.encodeBmp(brighter)),
+      MediaRow(15L, "image", MultiModal.encodeBmp(other)))
+  }
 
   val oracle: Map[String, String] = Map.empty
 }

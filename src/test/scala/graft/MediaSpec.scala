@@ -34,4 +34,28 @@ class MediaSpec extends AnyFunSuite with SparkFixture with Matchers {
     byId(4L).getInt(4) shouldBe 5
     byId(4L).getLong(7) shouldBe -1L
   }
+
+  test("multimodal_phash: codec and brightness invariance, near-dup at Hamming 1, unrelated dropped") {
+    val pairs = SparkEntry.queries("multimodal_phash")(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // the SAME raster through BMP (11) and PNG (12) — identical hash
+    pairs((11L, 12L)) shouldBe 0L
+    // +30 uniform brightness (14): gradient comparisons are unchanged
+    pairs((11L, 14L)) shouldBe 0L
+    pairs((12L, 14L)) shouldBe 0L
+    // the local block edit (13) is a true near-dup of the whole family
+    pairs((11L, 13L)) should (be >= 1L and be <= 10L)
+    pairs((12L, 13L)) shouldBe pairs((11L, 13L)) // 11 ≡ 12 by hash
+    // the unrelated raster (15) appears in NO pair (Hamming ~20 > 10)
+    pairs.keys.flatMap(p => Seq(p._1, p._2)) should not contain 15L
+    // banding found every qualifying pair: 4 family members, C(4,2) = 6
+    pairs.size shouldBe 6
+    // spec-level ground truth: recompute the two interesting distances
+    // straight from the fixture rasters, no Spark in the path
+    import graft.multimodal.MultiModal
+    val fx = graft.queries.Media.phashFixtures
+      .flatMap(m => MultiModal.decodeImage(m.payload).map(m.media_id -> MultiModal.dhash64(_))).toMap
+    java.lang.Long.bitCount(fx(11L) ^ fx(12L)) shouldBe 0
+    java.lang.Long.bitCount(fx(11L) ^ fx(13L)).toLong shouldBe pairs((11L, 13L))
+  }
 }
