@@ -309,6 +309,79 @@ object MultiModal {
     bits
   }
 
+  /** Minimal deterministic VIDEO container ("GVID"): magic + LE u16
+    * width/height/frame-count, then raw 24-bit RGB rasters back-to-back.
+    * Real video codecs aren't in this container (the brief's documented
+    * stub point) — but the SPARK-side shape this feeds is the real one:
+    * an opaque binary column, per-partition sequential decode, frame
+    * SAMPLING that seeks straight to the k-th frame offset (width ×
+    * height × 3 × k) without touching the frames in between — exactly
+    * the property container-aware frame extraction relies on at 100 TB.
+    */
+  def encodeGvid(frames: Seq[RgbImage]): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(f =>
+      f.width == frames.head.width && f.height == frames.head.height),
+      "GVID frames must share dimensions")
+    val w = frames.head.width; val h = frames.head.height
+    val b = java.nio.ByteBuffer.allocate(10 + frames.length * w * h * 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GVID".getBytes("US-ASCII"))
+      .putShort(w.toShort).putShort(h.toShort).putShort(frames.length.toShort)
+    frames.foreach(f => b.put(f.rgb))
+    b.array()
+  }
+
+  /** Sample every `stride`-th frame (0, stride, 2·stride, …) by direct
+    * offset seek — O(sampled), not O(total frames). Returns
+    * (frame_idx, raster); empty on a non-GVID payload (corrupt media is
+    * data, not a job failure — the malformed-record policy). */
+  def sampleGvidFrames(payload: Array[Byte], stride: Int): Seq[(Int, RgbImage)] = try {
+    require(stride >= 1)
+    if (payload.length < 10 ||
+      new String(payload.slice(0, 4), "US-ASCII") != "GVID") return Seq.empty
+    def le16(i: Int) = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    val w = le16(4); val h = le16(6); val n = le16(8)
+    val fsz = w * h * 3
+    (0 until n by stride).flatMap { k =>
+      val off = 10 + k * fsz
+      if (off + fsz <= payload.length)
+        Some(k -> RgbImage(w, h, payload.slice(off, off + fsz)))
+      else None
+    }
+  } catch { case _: Exception => Seq.empty }
+
+  /** 32-bit audio energy fingerprint — the dhash64 idea on the time axis
+    * (the energy-difference family behind Haitsma & Kalker's *Highly
+    * Robust Audio Fingerprinting System*, ISMIR 2002, §III, reduced to
+    * one band): the PCM stream splits into up to 33 frames of 64 samples,
+    * per-frame energy Σs² accumulates EXACTLY in a Long (no float, no
+    * sqrt — bit-stable), bit i = energy(i+1) > energy(i). Uniform gain
+    * scales every energy by k², so comparisons — and the fingerprint —
+    * are amplitude-invariant; a local edit flips only the bits at its
+    * frame boundaries. Returns 0L when fewer than two frames exist.
+    */
+  def audioFp32(samples: Array[Short]): Long = {
+    val seg = 64
+    val nseg = math.min(33, samples.length / seg)
+    if (nseg < 2) return 0L
+    val e = new Array[Long](nseg)
+    var j = 0
+    while (j < nseg) {
+      var acc = 0L
+      var i = j * seg
+      val end = i + seg
+      while (i < end) { val v = samples(i).toLong; acc += v * v; i += 1 }
+      e(j) = acc; j += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < nseg - 1) {
+      if (e(i + 1) > e(i)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
   /** REAL sample decode for 16-bit PCM WAV: the `data` chunk is just
     * interleaved little-endian shorts. Returns None unless fmt says
     * uncompressed (audioFormat=1) 16-bit.

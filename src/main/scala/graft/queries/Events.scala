@@ -839,6 +839,40 @@ object Events {
         .orderBy("user_id")
     }),
 
+    // forecast backtest (round 11) — the evaluation-loop primitive the
+    // descriptive time-series tier (seasonality, autocorr, EWMA) stops
+    // short of: hold out the final week of daily volume, forecast it with
+    // the two standard baselines every real forecast must beat
+    // (Hyndman & Athanasopoulos, *Forecasting: Principles and Practice*,
+    // §5.2 — seasonal-naive ŷ(d) = y(d−7), and the train mean), and emit
+    // per-day actual/forecast/absolute-error for both. Plan: the corpus
+    // collapses to ≤|days| rows FIRST (one map-side-combined agg — the
+    // ts_changepoint discipline); the season shift is a self-join of that
+    // tiny frame on d−7, the train mean a 1-row broadcast; exact integer
+    // counts everywhere, the mean is the only division (round 6).
+    "ts_forecast" -> ((s, sf) => {
+      val tr = new graft.operators.Tracked
+      val daily = tr.persist(t(s, sf, "events")
+        .groupBy(expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .agg(count(lit(1)).as("y")))
+      val mx = daily.agg(max(col("d")).as("dmax"))
+      val trainStats = daily.crossJoin(broadcast(mx))
+        .where(col("d") <= col("dmax") - 7)
+        .agg(sum(col("y")).as("sy"), count(lit(1)).as("nd"))
+      val out = daily.crossJoin(broadcast(mx))
+        .where(col("d") > col("dmax") - 7)
+        .join(daily.select((col("d") + 7).as("d"), col("y").as("yhat_snaive")),
+          "d")
+        .crossJoin(broadcast(trainStats))
+        .select(col("d"), col("y"),
+          col("yhat_snaive"),
+          round(col("sy").cast("double") / col("nd"), 6).as("yhat_mean"),
+          abs(col("y") - col("yhat_snaive")).as("ae_snaive"),
+          round(abs(col("y") - col("sy").cast("double") / col("nd")), 6)
+            .as("ae_mean"))
+      tr.seal(out).orderBy("d")
+    }),
+
     // Kaplan–Meier time-to-conversion survival (round 11) — the estimator
     // behind every "how long until a user purchases" product question
     // (Kaplan & Meier, *Nonparametric estimation from incomplete
@@ -1315,6 +1349,21 @@ object Events {
              FROM r WHERE rn <= 3 GROUP BY 1, 2)
          SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
          GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
+    "ts_forecast" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS y
+             FROM events GROUP BY 1),
+           mx AS (SELECT max(d) AS dmax FROM daily),
+           tr AS (SELECT sum(y) AS sy, count(*) AS nd FROM daily
+                  WHERE d <= (SELECT dmax FROM mx) - 7)
+         SELECT a.d, a.y, b.y AS yhat_snaive,
+           round(CAST(sy AS DOUBLE) / nd, 6) AS yhat_mean,
+           CAST(abs(a.y - b.y) AS BIGINT) AS ae_snaive,
+           round(abs(a.y - CAST(sy AS DOUBLE) / nd), 6) AS ae_mean
+         FROM daily a
+         JOIN daily b ON b.d = a.d - 7
+         CROSS JOIN tr
+         WHERE a.d > (SELECT dmax FROM mx) - 7
+         ORDER BY a.d""",
     "events_survival" ->
       """WITH u AS (SELECT user_id, min(epoch_us(ts) // 3600000000) AS h0
              FROM events GROUP BY 1),

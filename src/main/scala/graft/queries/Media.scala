@@ -151,8 +151,124 @@ object Media {
         .distinct()
         .where(col("hamming") <= 10))
         .orderBy("a_id", "b_id")
+    }),
+
+    // near-dup audio detection (round 11, rows-only — MediaSpec pins the
+    // pair set and both invariances): [[MultiModal.audioFp32]] energy-
+    // difference fingerprints over decoded PCM, 2 × 16-bit band candidate
+    // buckets (the phash/simhash topology — never all-pairs), exact
+    // Hamming ≤ 6 re-rank. The fixture family proves the fingerprint's
+    // claims: 2× gain → Hamming 0 (energies scale by k², comparisons
+    // unchanged — EXACT integer arithmetic, not approximation), a
+    // three-segment edit → Hamming 1 (kept), an unrelated pattern → ~13
+    // (dropped). Same 100 TB shape as multimodal_phash: decode + Σs² are
+    // the per-partition map stage, only (band, fp, id) triples shuffle.
+    "multimodal_audio_fp" -> ((s, sf) => {
+      import s.implicits._
+      val dir = {
+        val tag = new java.io.File(sf).getName
+        s"${sys.props("java.io.tmpdir")}/graft_audiofp_${runTag}_$tag"
+      }
+      s.createDataset(audioFixtures).toDF().write.mode("overwrite").parquet(dir)
+      val fp = udf { p: Array[Byte] =>
+        MultiModal.pcmSamples(p).map(MultiModal.audioFp32): Option[Long]
+      }
+      val hashes = s.read.parquet(dir)
+        .select(col("media_id"), fp(col("payload")).as("h"))
+        .where(col("h").isNotNull)
+      val bands = hashes.select(col("media_id"), col("h"),
+        posexplode(expr(
+          "transform(sequence(0, 1), b -> (h >> (b * 16)) & 65535)"))
+          .as(Seq("band", "bv")))
+      val tr = new graft.operators.Tracked
+      val bp = tr.persist(bands
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")))
+        .where(col("bsz") <= 4096).drop("bsz"))
+      tr.seal(bp.as("a").join(bp.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+          bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 6))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // video frame sampling (round 11, rows-only — MediaSpec pins frame
+    // geometry, sampled indices, and per-frame hashes against direct
+    // decode): every 3rd frame of each clip is extracted by OFFSET SEEK
+    // inside the container (O(sampled), never a full decode — the
+    // property real container-aware extraction has), then per-frame
+    // features: dHash + exact pixel sum. flatMap over the payload column
+    // is the per-partition batch shape — one task per clip partition, no
+    // shuffle until the tiny feature rows aggregate/sort; a corrupt
+    // payload contributes zero rows (malformed-record policy), never a
+    // job failure. Real codecs are out of scope in this container (the
+    // brief's documented stub); the GVID container keeps the Spark-side
+    // plumbing — schema, seek arithmetic, UDF batch shape — real.
+    "multimodal_frames" -> ((s, sf) => {
+      import s.implicits._
+      val dir = {
+        val tag = new java.io.File(sf).getName
+        s"${sys.props("java.io.tmpdir")}/graft_frames_${runTag}_$tag"
+      }
+      s.createDataset(videoFixtures).toDF().write.mode("overwrite").parquet(dir)
+      val frameRows = udf { p: Array[Byte] =>
+        MultiModal.sampleGvidFrames(p, 3).map { case (idx, im) =>
+          (idx, MultiModal.dhash64(im),
+            im.rgb.foldLeft(0L)((a, v) => a + (v & 0xff)))
+        }
+      }
+      s.read.parquet(dir)
+        .select(col("media_id"), explode(frameRows(col("payload"))).as("f"))
+        .select(col("media_id"), col("f._1").cast("long").as("frame_idx"),
+          col("f._2").as("dhash"), col("f._3").as("pix_sum"))
+        .orderBy("media_id", "frame_idx")
     })
   )
+
+  /** Video fixtures: two GVID clips — a 12-frame pan (the base phash
+    * raster translated one pixel per frame, so sampled-frame dHashes
+    * drift smoothly) and a 6-frame static clip (every frame identical —
+    * all sampled dHashes equal), plus a corrupt payload that must yield
+    * zero frame rows, not a job failure. */
+  private[graft] def videoFixtures: Seq[MediaRow] = {
+    def baseF(x: Int, y: Int) =
+      ((x * 7 + y * 13) % 251, (x * 3 + y * 5) % 251, (x * 11 + y * 2) % 251)
+    val pan = (0 until 12).map(f =>
+      phashRaster((x, y) => baseF(x + f, y)))
+    val static0 = phashRaster((x, y) => baseF(x, y))
+    Seq(
+      MediaRow(31L, "video", MultiModal.encodeGvid(pan)),
+      MediaRow(32L, "video", MultiModal.encodeGvid(Seq.fill(6)(static0))),
+      MediaRow(33L, "video", Array[Byte](1, 2, 3, 4, 5)))
+  }
+
+  /** Audio-fingerprint fixture family: a 33-segment square-wave pattern,
+    * the same pattern at 2× gain (energy fingerprint invariant), the same
+    * pattern with three segments boosted (near-dup), and an unrelated
+    * pattern. Deterministic integer amplitudes; every energy is exact. */
+  private[graft] def audioFixtures: Seq[MediaRow] = {
+    def pattern(af: Int => Int): Array[Short] = {
+      val out = new Array[Short]((33 * 64))
+      for (j <- 0 until 33; i <- 0 until 64) {
+        val a = af(j)
+        out(j * 64 + i) = (if ((i / 4) % 2 == 0) a else -a).toShort
+      }
+      out
+    }
+    def base(j: Int) = ((j * 37) % 97) * 80
+    val a = pattern(base)
+    val gain2 = a.map(v => (v * 2).toShort)
+    val edited = pattern(j => if (j == 10 || j == 20 || j == 30) base(j) + 3000 else base(j))
+    val other = pattern(j => ((j * j * 13) % 97) * 80)
+    Seq(
+      MediaRow(21L, "audio", wavBytes(8000, a)),
+      MediaRow(22L, "audio", wavBytes(8000, gain2)),
+      MediaRow(23L, "audio", wavBytes(8000, edited)),
+      MediaRow(24L, "audio", wavBytes(8000, other)))
+  }
 
   /** dHash fixture family: one 32×24 base raster through two codecs, a
     * local block edit, a uniform brightness shift, and an unrelated

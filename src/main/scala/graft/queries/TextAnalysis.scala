@@ -503,6 +503,41 @@ object TextAnalysis {
         .orderBy("doc_id", "span_start")
     }),
 
+    // bigram-LM perplexity scoring (round 11) — the CCNet-style
+    // "perplexity under a corpus LM" quality filter quality_lm's unigram
+    // surprisal can't express (Wenzek et al., *CCNet*, LREC 2020 use a
+    // KenLM; this is the same decision statistic from an add-one-smoothed
+    // bigram model trained ON the corpus itself): P(w2|w1) =
+    // (C(w1,w2)+1)/(C(w1·)+V), per-doc cross-entropy in bits, perplexity
+    // = 2^H. Plan: ONE bigram stream (the wordWindowsAt n=2 shape, narrow)
+    // feeds both the model counts and the scoring pass; the context
+    // marginal derives from the COMPACT bigram-count table (never a
+    // second corpus pass); V and the model tables join at vocab scale —
+    // the text_tfidf topology, token-hash keyable at 100 TB. Per-doc sums
+    // of dozens of log2 terms are the only floats: round(…,6) absorbs
+    // association order (fn_math discipline).
+    "quality_perplexity" -> ((s, sf) => {
+      val tr = new graft.operators.Tracked
+      val bg = tr.persist(graft.functions.TextWindows
+        .wordWindowsAt(t(s, sf, "documents"), 2)
+        .select(col("doc_id"),
+          substring_index(col("w"), " ", 1).as("w1"),
+          substring_index(col("w"), " ", -1).as("w2")))
+      val cb = tr.persist(bg.groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+      val cu = cb.groupBy("w1").agg(sum(col("c")).as("cw"))
+      val v = t(s, sf, "documents")
+        .select(explode(split(col("text"), " ")).as("tk"))
+        .agg(countDistinct(col("tk")).as("vv"))
+      tr.seal(bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+          .crossJoin(broadcast(v))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(pow(lit(2.0),
+              -sum(log2((col("c") + lit(1.0)) / (col("cw") + col("vv")))) /
+                count(lit(1))), 6).as("ppl")))
+        .orderBy("doc_id")
+    }),
+
     // BPE merge training (round 11, rows-only: the merge loop is not
     // SQL-expressible — validated by TextAnalysisBpe tests in QueriesSpec
     // against an independent reference implementation): the subword-vocab
@@ -738,6 +773,19 @@ object TextAnalysis {
            SELECT unnest([substring(text, i, 3) for i in range(1, length(text) - 1)]) AS g
            FROM documents)
          GROUP BY g ORDER BY g""",
+    "quality_perplexity" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tkl FROM documents),
+           bg AS (SELECT doc_id, unnest([{'w1': tkl[i], 'w2': tkl[i+1]}
+                    for i in range(1, len(tkl))], recursive := true)
+                  FROM tok WHERE len(tkl) >= 2),
+           cb AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+           cu AS (SELECT w1, sum(c) AS cw FROM cb GROUP BY 1),
+           v AS (SELECT count(DISTINCT tk) AS vv FROM
+                 (SELECT unnest(string_split(text, ' ')) AS tk FROM documents))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(pow(2.0, -sum(log2((cb.c + 1.0)/(cu.cw + vv)))/count(*)), 6) AS ppl
+         FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+         GROUP BY doc_id ORDER BY doc_id""",
     "dedup_spans" ->
       """WITH w AS (
            SELECT doc_id, unnest(

@@ -58,4 +58,44 @@ class MediaSpec extends AnyFunSuite with SparkFixture with Matchers {
     java.lang.Long.bitCount(fx(11L) ^ fx(12L)) shouldBe 0
     java.lang.Long.bitCount(fx(11L) ^ fx(13L)).toLong shouldBe pairs((11L, 13L))
   }
+
+  test("multimodal_audio_fp: gain invariance, near-dup edit kept, unrelated dropped") {
+    val pairs = SparkEntry.queries("multimodal_audio_fp")(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // 2x gain (22): every frame energy scales by 4 exactly — identical fp
+    pairs((21L, 22L)) shouldBe 0L
+    // three-segment edit (23): a true near-dup of 21 and 22
+    pairs((21L, 23L)) should (be >= 1L and be <= 6L)
+    pairs((22L, 23L)) shouldBe pairs((21L, 23L))
+    // the unrelated pattern (24) survives no pair
+    pairs.keys.flatMap(p => Seq(p._1, p._2)) should not contain 24L
+    pairs.size shouldBe 3 // C(3,2) over the {21,22,23} family
+    // ground truth straight from the PCM fixtures
+    import graft.multimodal.MultiModal
+    val fx = graft.queries.Media.audioFixtures
+      .flatMap(m => MultiModal.pcmSamples(m.payload).map(m.media_id -> MultiModal.audioFp32(_))).toMap
+    java.lang.Long.bitCount(fx(21L) ^ fx(22L)) shouldBe 0
+    java.lang.Long.bitCount(fx(21L) ^ fx(23L)).toLong shouldBe pairs((21L, 23L))
+    java.lang.Long.bitCount(fx(21L) ^ fx(24L)) should be > 6
+  }
+
+  test("multimodal_frames samples every 3rd frame by seek and drops corrupt payloads") {
+    val rows = SparkEntry.queries("multimodal_frames")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 12-frame pan sampled at stride 3 → frames 0,3,6,9; 6-frame static → 0,3
+    rows.filter(_._1 == 31L).map(_._2).toSeq shouldBe Seq(0L, 3L, 6L, 9L)
+    rows.filter(_._1 == 32L).map(_._2).toSeq shouldBe Seq(0L, 3L)
+    // corrupt payload (33) contributes zero rows, not a failure
+    rows.map(_._1) should not contain 33L
+    // static clip: every sampled frame hashes identically
+    rows.filter(_._1 == 32L).map(_._3).distinct.length shouldBe 1
+    // ground truth: decode the pan clip directly and compare hash + pixsum
+    import graft.multimodal.MultiModal
+    val pan = graft.queries.Media.videoFixtures.find(_.media_id == 31L).get
+    val direct = MultiModal.sampleGvidFrames(pan.payload, 3).map { case (i, im) =>
+      (i.toLong, MultiModal.dhash64(im), im.rgb.foldLeft(0L)((a, v) => a + (v & 0xff)))
+    }
+    rows.filter(_._1 == 31L).map(t => (t._2, t._3, t._4)).toSeq shouldBe
+      direct.map(t => (t._1, t._2, t._3))
+  }
 }

@@ -67,7 +67,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // the PMI join (text_collocations), the (n_total, n_days) scalar onto
     // the per-day prefix sums (ts_changepoint), and the three 1-row
     // aggregates composing events_triangles' single summary row
-    "text_collocations", "ts_changepoint", "events_triangles")
+    "text_collocations", "ts_changepoint", "events_triangles",
+    // round 11 batch 3: vocab-size scalar onto the bigram scoring join
+    // (quality_perplexity) and the (dmax, train-mean) 1-row scalars onto
+    // the ≤7-row holdout frame (ts_forecast)
+    "quality_perplexity", "ts_forecast")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
