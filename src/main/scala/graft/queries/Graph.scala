@@ -55,12 +55,40 @@ object Graph {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** Integer trade-cost edges for SSSP: cost = 1e6 div (w + 1) + 1 —
+    * heavier trade, cheaper hop; exact BIGINT so every relaxation is
+    * bit-stable (no float discipline anywhere in this query). */
+  private def costEdges(s: org.apache.spark.sql.SparkSession, sf: String): DataFrame =
+    tradeEdges(s, sf).select(col("src"), col("dst"),
+      expr("1000000L div (w + 1) + 1").cast("long").as("cost"))
+
+  private val ssspRounds = 6
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> ((s, sf) => {
       val nodes = t(s, sf, "nation")
         .select(col("n_nationkey").cast("long").as("node"))
       graft.operators.PageRank.run(nodes, tradeEdges(s, sf), iters, damping)
         .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy("node")
+    }),
+
+    // bounded-hop single-source shortest paths (round 11) — the DISTANCE
+    // primitive completing the graph tier (connectivity, density,
+    // centrality, distance): cheapest trade route from nation 0 under the
+    // integer cost above, K = 6 relaxation rounds. The declared semantics
+    // are "shortest using ≤ K+1 edges" at FIXED K, so the oracle (the
+    // same K rounds unrolled as MATERIALIZED CTEs) is value-identical
+    // whether or not K reaches the true fixed point — convergence is a
+    // property of K, not a cross-engine risk; on this complete graph the
+    // true shortest paths use ≤ 2 hops, far inside K. Exact BIGINT
+    // everywhere: min-relaxation is order-independent, so this query is
+    // bit-stable under ANY partitioning with zero rounding discipline.
+    "graph_sssp" -> ((s, sf) => {
+      val nodes = t(s, sf, "nation")
+        .select(col("n_nationkey").cast("long").as("node"))
+      graft.operators.Sssp.run(nodes, costEdges(s, sf), source = 0L,
+          rounds = ssspRounds)
         .orderBy("node")
     })
   )
@@ -105,7 +133,41 @@ object Graph {
       s"\nSELECT CAST(node AS BIGINT) AS node, round(pr, 6) AS pr FROM pr$iters ORDER BY node"
   }
 
+  /** SSSP oracle: the same K relaxation rounds unrolled (MATERIALIZED for
+    * the same double-reference reason as [[pagerankSql]]); Inf is the
+    * library sentinel so unreached rows filter identically. */
+  private def ssspSql: String = {
+    val inf = graft.operators.Sssp.Inf
+    val edges =
+      """SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           1000000 // (count(*) + 1) + 1 AS cost
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2"""
+    val head =
+      s"""WITH e AS MATERIALIZED ($edges),
+         | n AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+         | d0 AS MATERIALIZED (SELECT node,
+         |   CASE WHEN node = 0 THEN 0 ELSE $inf END AS dist FROM n)""".stripMargin
+    val rounds = (1 to ssspRounds).map { i =>
+      val p = s"d${i - 1}"
+      s""",
+         | m$i AS MATERIALIZED (SELECT e.dst AS node, min($p.dist + e.cost) AS md
+         |   FROM e JOIN $p ON e.src = $p.node WHERE $p.dist < $inf GROUP BY 1),
+         | d$i AS MATERIALIZED (SELECT $p.node,
+         |     least($p.dist, coalesce(m$i.md, $p.dist)) AS dist
+         |   FROM $p LEFT JOIN m$i ON $p.node = m$i.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+         |FROM d$ssspRounds WHERE dist < $inf ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "graph_pagerank" -> pagerankSql
+    "graph_pagerank" -> pagerankSql,
+    "graph_sssp" -> ssspSql
   )
 }

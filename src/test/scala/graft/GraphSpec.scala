@@ -63,4 +63,49 @@ class GraphSpec extends AnyFunSuite with SparkFixture with Matchers {
     // the sink collects the most rank on this topology
     driver.maxBy(_._2)._1 shouldBe 3L
   }
+
+  test("sssp branches agree bit-exactly and match an independent Bellman-Ford") {
+    val (nodes, edges0) = tradeGraph()
+    val edges = edges0.select(col("src"), col("dst"),
+      expr("1000000L div (w + 1) + 1").cast("long").as("cost"))
+    def dists(gate: Long): Map[Long, Long] =
+      graft.operators.Sssp.run(nodes, edges, source = 0L, rounds = 6,
+          distributedMinEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = dists(Long.MaxValue)
+    val dist = dists(0L)
+    driver shouldBe dist // exact integers: BIT-equal, not approximately
+    // independent reference relaxation over the collected cost edges
+    val es = edges.collect().map(r => (r.getAs[Number](0).longValue,
+      r.getAs[Number](1).longValue, r.getLong(2)))
+    val ns = nodes.collect().map(_.getLong(0))
+    var ref = ns.map(v => v -> (if (v == 0L) 0L else Long.MaxValue / 4)).toMap
+    for (_ <- 1 to 6) {
+      val nd = scala.collection.mutable.Map(ref.toSeq: _*)
+      for ((u, v, c) <- es if ref(u) < Long.MaxValue / 4)
+        if (ref(u) + c < nd(v)) nd(v) = ref(u) + c
+      ref = nd.toMap
+    }
+    val reachable = ref.filter(_._2 < Long.MaxValue / 4)
+    driver shouldBe reachable
+    driver(0L) shouldBe 0L
+    // some route must beat its direct edge (otherwise the graph is a
+    // trivial star and the relaxation proves nothing)
+    val direct = es.filter(_._1 == 0L).map(e => e._2 -> e._3).toMap
+    withClue("no multi-hop improvement found: ") {
+      direct.exists { case (v, c) => driver(v) < c } shouldBe true
+    }
+  }
+
+  test("sssp respects the hop bound: rounds=1 gives direct edges only") {
+    val (nodes, edges0) = tradeGraph()
+    val edges = edges0.select(col("src"), col("dst"),
+      expr("1000000L div (w + 1) + 1").cast("long").as("cost"))
+    val one = graft.operators.Sssp.run(nodes, edges, source = 0L, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = edges.where(col("src") === 0L).collect()
+      .map(r => r.getAs[Number](1).longValue -> r.getLong(2)).toMap
+    one(0L) shouldBe 0L
+    (one - 0L) shouldBe direct
+  }
 }
