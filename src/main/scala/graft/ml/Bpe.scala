@@ -32,6 +32,16 @@ object Bpe {
     out.result()
   }
 
+  /** Encode ONE word with a trained merge list: start from characters +
+    * "</w>" and apply every merge in rank order (the standard greedy
+    * application — identical to how the trainer itself respells words
+    * between rounds, so encode(w) of a training word reproduces the
+    * trainer's final segmentation of it). */
+  def encode(word: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector :+ "</w>") {
+      case (syms, (l, r)) => mergeOnce(syms, l, r)
+    }
+
   /** Train `nMerges` BPE merges over a weighted word-type vocabulary.
     * Words split to single characters plus the standard end-of-word
     * marker "</w>" (so a word-final fragment is a different symbol than

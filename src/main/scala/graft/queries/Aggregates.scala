@@ -226,6 +226,53 @@ object Aggregates {
         .orderBy("col_name")
     }),
 
+    // dataset drift via the Population Stability Index (round 11) — the
+    // training-vs-serving distribution check every ML data platform runs
+    // before a model retrain (the credit-scoring PSI in its standard
+    // decile form; Karakoulas, *Empirical validation of retail credit-
+    // scoring models*, RMA Journal 2004): the order-amount distribution of
+    // the EARLY half of the corpus (by order date midpoint) is the
+    // baseline; the late half is the current window; bins are the
+    // baseline's own exact interpolated deciles (the agg_percentile
+    // contract — identical edges both engines), membership by the
+    // events_rfm Σ(v > edge) idiom (no window, no ntile funnel), counts
+    // smoothed (+0.5 / +5·0.1) so empty bins can't produce log(0), and
+    // PSI per bin = (p−q)·ln(p/q). Plan: one scan splits by a broadcast
+    // midpoint scalar; the decile array is ONE 1-row broadcast; both
+    // bucket aggregates are map-side combined; the 10-row result joins a
+    // static bin frame so silent bin loss is impossible. Scale: counts
+    // carry everything; the only per-row float work is 9 comparisons.
+    "profile_drift" -> ((s, sf) => {
+      val o = t(s, sf, "orders")
+        .select(col("o_totalprice").as("tp"),
+          expr("unix_micros(o_orderdate)").as("us"))
+      val mid = o.agg(expr("(min(us) + max(us)) div 2").as("m"))
+      val tagged = o.crossJoin(broadcast(mid))
+      val base = tagged.where(col("us") < col("m")).select("tp")
+      val cur = tagged.where(col("us") >= col("m")).select("tp")
+      val q = base.agg(expr(
+        "percentile(tp, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("e"))
+      def binned(df: org.apache.spark.sql.DataFrame, n: String) =
+        df.crossJoin(broadcast(q))
+          .select((lit(1) + expr("size(filter(e, x -> tp > x))")).as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as(n))
+      val bc = binned(base, "n_base"); val cc = binned(cur, "n_cur")
+      val tot = base.agg(count(lit(1)).as("nb"))
+        .crossJoin(cur.agg(count(lit(1)).as("nc")))
+      val bins = s.range(1, 11).select(col("id").cast("int").as("bin"))
+      val p = (coalesce(col("n_base"), lit(0L)) + lit(0.5)) / (col("nb") + lit(5.0))
+      val qq = (coalesce(col("n_cur"), lit(0L)) + lit(0.5)) / (col("nc") + lit(5.0))
+      bins.join(bc, Seq("bin"), "left").join(cc, Seq("bin"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bin").cast("long").as("bin"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+          round(p, 6).as("p_base"), round(qq, 6).as("p_cur"),
+          round((p - qq) * log(p / qq), 6).as("psi_term"))
+        .orderBy("bin")
+    }),
+
     // §2.4 exact percentiles (linear interpolation — same formula as the
     // oracle's quantile_cont); quantities are small integers so the
     // interpolated values are exact in binary and survive round(6)
@@ -672,6 +719,33 @@ object Aggregates {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "profile_drift" ->
+      """WITH o AS (SELECT o_totalprice AS tp, epoch_us(o_orderdate) AS us FROM orders),
+           mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM o),
+           base AS (SELECT tp FROM o CROSS JOIN mid WHERE us < m),
+           cur AS (SELECT tp FROM o CROSS JOIN mid WHERE us >= m),
+           q AS (SELECT quantile_cont(tp, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+                 FROM base),
+           bb AS (SELECT 1 + len(list_filter(e, x -> tp > x)) AS bin
+                  FROM base CROSS JOIN q),
+           cb AS (SELECT 1 + len(list_filter(e, x -> tp > x)) AS bin
+                  FROM cur CROSS JOIN q),
+           bc AS (SELECT bin, count(*) AS n_base FROM bb GROUP BY 1),
+           cc AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY 1),
+           tot AS (SELECT (SELECT count(*) FROM base) AS nb,
+                          (SELECT count(*) FROM cur) AS nc),
+           bins AS (SELECT unnest(range(1, 11)) AS bin)
+         SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+           CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
+           round((coalesce(n_base, 0) + 0.5)/(nb + 5.0), 6) AS p_base,
+           round((coalesce(n_cur, 0) + 0.5)/(nc + 5.0), 6) AS p_cur,
+           round(((coalesce(n_base, 0) + 0.5)/(nb + 5.0)
+                  - (coalesce(n_cur, 0) + 0.5)/(nc + 5.0))
+                 * ln(((coalesce(n_base, 0) + 0.5)/(nb + 5.0))
+                      /((coalesce(n_cur, 0) + 0.5)/(nc + 5.0))), 6) AS psi_term
+         FROM bins LEFT JOIN bc USING (bin) LEFT JOIN cc USING (bin)
+         CROSS JOIN tot ORDER BY bin""",
     "profile_table" ->
       """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
            count(*) - count(doc_id) AS n_null, count(DISTINCT doc_id) AS n_distinct,

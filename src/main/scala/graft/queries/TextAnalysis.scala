@@ -562,6 +562,36 @@ object TextAnalysis {
         .orderBy("rank")
     }),
 
+    // BPE application (round 11, rows-only — the encode fold is not
+    // SQL-expressible; QueriesSpec pins invariants + kernel ground
+    // truth): the other half of the tokenizer story — text_bpe_merges
+    // TRAINS the merge table, this ENCODES the corpus with it and
+    // reports per-doc subword statistics (the token-budget numbers a
+    // pipeline actually bills by). The trained merges broadcast as a
+    // 20-pair list; encoding is a pure map stage (per-partition, a
+    // per-word memo would bound work by VOCAB at scale since word types
+    // repeat); n_subwords/n_words is the compression a curator watches.
+    "text_bpe_encode" -> ((s, sf) => {
+      val vocab = t(s, sf, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(65536)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val merges = graft.ml.Bpe.train(vocab, 20).map(m => (m._2, m._3))
+      val bc = s.sparkContext.broadcast(merges)
+      val nSub = udf { text: String =>
+        text.split(" ").iterator
+          .map(w => graft.ml.Bpe.encode(w, bc.value).length.toLong).sum
+      }
+      t(s, sf, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          nSub(col("text")).as("n_subwords"))
+        .withColumn("subwords_per_word",
+          round(col("n_subwords").cast("double") / col("n_words"), 6))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup (capability row: Spark's xxhash64 seeds the bits, so
     // no cross-engine oracle; tests cross-check against exact Jaccard).
     // Banded candidate join (4 × 16-bit bands, [[simhashBandPairs]], round-7

@@ -99,4 +99,31 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     asSet(ManifestTable.read(spark, dir, version = 1L)) shouldBe
       Set(1L -> "a", 2L -> "b")
   }
+
+  test("streaming foreachBatch sink commits one atomic snapshot per micro-batch") {
+    // the real CDC-sink shape: a stream lands in the manifest table via
+    // foreachBatch + commit(append) — every micro-batch becomes one
+    // atomic snapshot, the latest read sees exactly the union, and every
+    // intermediate snapshot stays time-travelable
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir()
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) { ManifestTable.commit(spark, dir, batch); () }
+      }
+      .outputMode("append").start()
+    try {
+      ms.addData(1L -> "a"); q.processAllAvailable()
+      ms.addData(2L -> "b", 3L -> "c"); q.processAllAvailable()
+      ms.addData(4L -> "d"); q.processAllAvailable()
+    } finally q.stop()
+    ManifestTable.versions(spark, dir) shouldBe Seq(1L, 2L, 3L)
+    asSet(ManifestTable.read(spark, dir)) shouldBe
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    // time travel: snapshot 2 = first two batches only
+    asSet(ManifestTable.read(spark, dir, version = 2L)) shouldBe
+      Set(1L -> "a", 2L -> "b", 3L -> "c")
+  }
 }

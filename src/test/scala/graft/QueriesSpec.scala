@@ -508,6 +508,35 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     got.toSeq shouldBe ref
   }
 
+  test("text_bpe_encode subword counts match a driver-side re-encode and obey bounds") {
+    val got = SparkEntry.queries("text_bpe_encode")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got should not be empty
+    // rebuild the merge table + re-encode every doc on the driver
+    val texts = T.t(spark, sf001, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val vocab = texts.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    val merges = graft.ml.Bpe.train(vocab, 20).map(m => (m._2, m._3))
+    val expected = texts.map { case (id, text) =>
+      val words = text.split(" ")
+      val sub = words.iterator.map(w => graft.ml.Bpe.encode(w, merges).length.toLong).sum
+      id -> ((id, words.length.toLong, sub))
+    }.toMap
+    got.foreach { case (id, nw, ns, ratio) =>
+      withClue(s"doc $id: ") {
+        (nw, ns) shouldBe (expected(id)._2, expected(id)._3)
+        // bounds: >= 1 symbol per word; <= chars + </w> per word (merges
+        // only ever shrink the segmentation)
+        ns should be >= nw
+        ratio shouldBe (ns.toDouble / nw) +- 5.1e-7
+      }
+    }
+    // 20 merges over a 31-word vocabulary must actually compress
+    val totalSub = got.map(_._3).sum; val totalW = got.map(_._2).sum
+    totalSub.toDouble / totalW should be < 5.0
+  }
+
   test("graph_pagerank matches an independent driver-side power iteration") {
     val got = SparkEntry.queries("graph_pagerank")(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
