@@ -123,6 +123,30 @@ object Caim {
     // invariance). Fayyad–Irani 1993 — the CAIM paper's own benchmark
     // comparison — over the SAME one-pass distributed histogram and the
     // same Bucketizer-backed model as caim_fit.
+    // Ameva (round 11, rows-only — the greedy loop is not SQL-expressible;
+    // AmevaSpec pins boundary-exact equality vs an independent from-scratch
+    // chi-square greedy): the third classic supervised discretizer,
+    // completing the family the CAIM literature itself benchmarks — CAIM
+    // (max²/M criterion), MDLP (entropy/MDL), Ameva (χ²/k(ℓ−1)); same
+    // shared one-pass SupervisedHistogram boundary, same model class.
+    "disc_ameva" -> ((s, sf) => {
+      import s.implicits._
+      val names = (1 to 4).map(i => s"f$i")
+      val df = t(s, sf, "embeddings").select(
+        (1 to 4).map(i => element_at(col("embedding"), i).cast("double").as(s"f$i")) :+
+          col("label"): _*)
+      val model = new graft.ml.AmevaDiscretizer()
+        .setInputCols(names.toArray)
+        .setOutputCols(names.map("b" + _).toArray)
+        .setLabelCol("label")
+        .fit(df)
+      model.boundaries.zipWithIndex.flatMap { case (bs, fi) =>
+        bs.zipWithIndex.map { case (b, bi) => (names(fi), bi.toLong, b) }
+      }.toSeq.toDF("feature", "bin_idx", "boundary")
+        .withColumn("boundary", round(col("boundary"), 6))
+        .orderBy("feature", "bin_idx")
+    }),
+
     "disc_mdlp" -> ((s, sf) => {
       import s.implicits._
       val names = (1 to 4).map(i => s"f$i")
