@@ -226,6 +226,38 @@ object Aggregates {
         .orderBy("col_name")
     }),
 
+    // Gini concentration index per market segment (round 11) — the
+    // canonical inequality statistic events_pareto's top-decile shares
+    // stop short of (Gini, *Variabilità e mutabilità*, 1912; the rank
+    // formula G = (2Σrᵢxᵢ − (n+1)Σxᵢ)/(nΣxᵢ)): per-segment order-amount
+    // concentration in ONE window pass + one agg. Determinism: both sums
+    // are EXACT DECIMAL (the §5.4 money discipline); rank ties share
+    // equal x, so Σr·x is tie-order invariant (tied ranks sum to the
+    // same total against the same value) — the (v, orderkey) window
+    // order just pins the plan. Only the final two divisions are IEEE,
+    // identical on both engines; decimal→double conversion is
+    // nearest-even on both.
+    "agg_gini" -> ((s, sf) => {
+      val o = t(s, sf, "orders"); val c = t(s, sf, "customer")
+      val x = o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_totalprice").cast("decimal(18,4)").as("v"),
+          col("o_orderkey").as("k"))
+      val rn = row_number().over(
+        Window.partitionBy("seg").orderBy(col("v"), col("k")))
+      x.withColumn("rn", rn.cast("decimal(18,0)"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sv"),
+          sum(col("rn") * col("v")).as("srv"))
+        .select(col("seg"), col("n"),
+          round(col("sv").cast("double"), 2).as("total"),
+          round((lit(2.0) * col("srv").cast("double")
+            - (col("n") + lit(1.0)) * col("sv").cast("double"))
+            / (col("n") * col("sv").cast("double")), 6).as("gini"))
+        .orderBy("seg")
+    }),
+
     // dataset drift via the Population Stability Index (round 11) — the
     // training-vs-serving distribution check every ML data platform runs
     // before a model retrain (the credit-scoring PSI in its standard
@@ -719,6 +751,19 @@ object Aggregates {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_gini" ->
+      """WITH x AS (SELECT c.c_mktsegment AS seg,
+             CAST(o.o_totalprice AS DECIMAL(18,4)) AS v, o.o_orderkey AS k
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+           r AS (SELECT seg, v,
+             row_number() OVER (PARTITION BY seg ORDER BY v, k) AS rn FROM x),
+           a AS (SELECT seg, count(*) AS n, sum(v) AS sv,
+             sum(CAST(rn AS DECIMAL(18,0)) * v) AS srv FROM r GROUP BY 1)
+         SELECT seg, CAST(n AS BIGINT) AS n,
+           round(CAST(sv AS DOUBLE), 2) AS total,
+           round((2.0 * CAST(srv AS DOUBLE) - (n + 1.0) * CAST(sv AS DOUBLE))
+                 / (n * CAST(sv AS DOUBLE)), 6) AS gini
+         FROM a ORDER BY seg""",
     "profile_drift" ->
       """WITH o AS (SELECT o_totalprice AS tp, epoch_us(o_orderdate) AS us FROM orders),
            mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM o),

@@ -71,7 +71,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // round 11 batch 3: vocab-size scalar onto the bigram scoring join
     // (quality_perplexity) and the (dmax, train-mean) 1-row scalars onto
     // the ≤7-row holdout frame (ts_forecast)
-    "quality_perplexity", "ts_forecast")
+    "quality_perplexity", "ts_forecast",
+    // round 11 batch 4: the midpoint / decile-array / (nb, nc) 1-row
+    // scalars onto the PSI split and bin frames
+    "profile_drift")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
