@@ -226,6 +226,36 @@ object Aggregates {
         .orderBy("col_name")
     }),
 
+    // Benford first-digit screen (round 11) — the forensic data-quality
+    // profile (Benford 1938; Nigrini's digital-analysis auditing use):
+    // observed first-significant-digit distribution of order amounts vs
+    // the Benford expectation log10(1 + 1/d), with per-digit chi-square
+    // terms. The digit comes from the DECIMAL STRING's first character —
+    // never from floor(log10(x)) arithmetic, whose float boundary at
+    // exact powers of ten flips the digit between engines; decimal
+    // formatting is exact and identical on both. Static 1–9 digit frame
+    // so absent digits appear as zeros (synthetic uniform amounts flag
+    // HARD against Benford — AggregatesSpec... QueriesSpec asserts the
+    // chi2 blowup, which is the operator doing its job on fabricated
+    // data). One map pass + 9-row agg; the total is a 1-row broadcast.
+    "agg_benford" -> ((s, sf) => {
+      val d = t(s, sf, "orders")
+        .where(col("o_totalprice") >= 1)
+        .select(substring(col("o_totalprice").cast("decimal(18,4)")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = d.agg(sum(col("n")).as("nt"))
+      val digits = s.range(1, 10).select(col("id").as("digit"))
+      val pObs = coalesce(col("n"), lit(0L)) * lit(1.0) / col("nt")
+      val pB = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+      digits.join(d, Seq("digit"), "left").crossJoin(broadcast(tot))
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+          round(pObs, 6).as("p_obs"),
+          round(pB, 6).as("p_benford"),
+          round(pow(pObs - pB, 2) / pB * col("nt"), 6).as("chi2_term"))
+        .orderBy("digit")
+    }),
+
     // Gini concentration index per market segment (round 11) — the
     // canonical inequality statistic events_pareto's top-decile shares
     // stop short of (Gini, *Variabilità e mutabilità*, 1912; the rank
@@ -751,6 +781,19 @@ object Aggregates {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR),
+               1, 1) AS BIGINT) AS digit
+           FROM orders WHERE o_totalprice >= 1),
+           c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+           t AS (SELECT sum(n) AS nt FROM c),
+           digits AS (SELECT unnest(range(1, 10)) AS digit)
+         SELECT digit, CAST(coalesce(n, 0) AS BIGINT) AS n,
+           round(coalesce(n, 0) * 1.0 / nt, 6) AS p_obs,
+           round(log10(1.0 + 1.0/digit), 6) AS p_benford,
+           round(pow(coalesce(n, 0) * 1.0 / nt - log10(1.0 + 1.0/digit), 2)
+                 / log10(1.0 + 1.0/digit) * nt, 6) AS chi2_term
+         FROM digits LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY digit""",
     "agg_gini" ->
       """WITH x AS (SELECT c.c_mktsegment AS seg,
              CAST(o.o_totalprice AS DECIMAL(18,4)) AS v, o.o_orderkey AS k

@@ -73,8 +73,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // the ≤7-row holdout frame (ts_forecast)
     "quality_perplexity", "ts_forecast",
     // round 11 batch 4: the midpoint / decile-array / (nb, nc) 1-row
-    // scalars onto the PSI split and bin frames
-    "profile_drift")
+    // scalars onto the PSI split and bin frames, and the digit-total
+    // scalar onto the 9-row Benford frame
+    "profile_drift", "agg_benford")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
