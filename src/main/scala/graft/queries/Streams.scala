@@ -68,7 +68,31 @@ object Streams {
       .select(col("user_id"), col("event_type"),
         unix_micros(col("f.ts")).as("first_us"), col("f.event_id").as("first_id"))
 
+  /** Top-k event types per tumbling window. The COUNT half is the
+    * streamable aggregate ([[tumbling]] — the same one stream_tumbling
+    * declares); the RANK half is deliberately not a streaming operation
+    * (rank over an open streaming aggregate is unsupported for good
+    * reason — a window's ranking is only final when the window closes),
+    * so in production it runs in the sink's foreachBatch over each
+    * emitted window — exactly how StreamingSpec drives it. Deterministic
+    * cut: (cnt desc, event_type) total order, never a bare rank on counts.
+    */
+  def topkPerWindow(counts: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts.withColumn("rnk", row_number().over(
+        Window.partitionBy("ws_us").orderBy(col("cnt").desc, col("event_type"))))
+      .where(col("rnk") <= k)
+      .select(col("ws_us"), col("rnk").cast("long").as("rnk"),
+        col("event_type"), col("cnt"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // top-2 event types per hourly window (the foreachBatch rank over the
+    // streamable tumbling counts)
+    "stream_topk" -> ((s, sf) =>
+      topkPerWindow(tumbling(t(s, sf, "events")), 2)
+        .orderBy("ws_us", "rnk")),
+
     // 1-hour tumbling event-time windows per event_type
     "stream_tumbling" -> ((s, sf) =>
       tumbling(t(s, sf, "events")).orderBy("ws_us", "event_type")),
@@ -100,6 +124,15 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_topk" ->
+      """WITH c AS (SELECT epoch_us(date_trunc('hour', ts)) AS ws_us,
+             event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+           r AS (SELECT ws_us, event_type, cnt,
+             row_number() OVER (PARTITION BY ws_us
+               ORDER BY cnt DESC, event_type) AS rnk FROM c)
+         SELECT ws_us, CAST(rnk AS BIGINT) AS rnk, event_type, cnt
+         FROM r WHERE rnk <= 2 ORDER BY ws_us, rnk""",
     "stream_dedup" ->
       """SELECT user_id, event_type, first_us, first_id FROM (
            SELECT user_id, event_type, epoch_us(ts) AS first_us,

@@ -45,6 +45,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally q.stop()
   }
 
+  test("windowed top-k: foreachBatch rank over the streamed counts equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    // the streamable half runs as a stream; the rank half runs over the
+    // sink table — the production foreachBatch split stream_topk declares
+    val q = Streams.tumbling(df).writeStream
+      .format("memory").queryName("tkc").outputMode("complete").start()
+    try {
+      ms.addData(inOrder: _*)
+      q.processAllAvailable()
+      val streamed = Streams.topkPerWindow(spark.table("tkc"), 2)
+        .orderBy("ws_us", "rnk").collect()
+      val batch = Streams.topkPerWindow(Streams.tumbling(
+          inOrder.toDF("event_id", "ts", "user_id", "event_type", "value")), 2)
+        .orderBy("ws_us", "rnk").collect()
+      streamed shouldBe batch
+      // 10h has two types (both ranked), 11h and 12h have one each
+      streamed.length shouldBe 4
+      streamed.map(_.getLong(1)).toSeq shouldBe Seq(1L, 2L, 1L, 1L)
+    } finally q.stop()
+  }
+
   test("session windows: two bursts 31 min apart become two sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
