@@ -226,6 +226,40 @@ object Aggregates {
         .orderBy("col_name")
     }),
 
+    // two-sample Kolmogorov–Smirnov statistic (round 11) — profile_drift's
+    // nonparametric sibling: PSI needs a binning choice, KS does not —
+    // D = max over observed values of |F_base(v) − F_cur(v)| over the same
+    // early/late order-amount split. Plan: ONE value-level aggregate
+    // (map-side combined; the corpus collapses to distinct amounts before
+    // any ordering), then the two CDFs as cumulative sums over the
+    // value-sorted frame and one max. The global-order window is what the
+    // exact statistic REQUIRES (any KS implementation sorts the pooled
+    // sample); at 100 TB the same cumulative runs as the standard two-pass
+    // distributed prefix sum (range-partition by v, broadcast per-partition
+    // totals, add offsets — the ts_cum_users scale note), max is a plain
+    // agg. Determinism: counts exact, the two divisions produce identical
+    // doubles from identical integer operands on both engines, and the max
+    // is over those — round(…,6) only at the end.
+    "agg_ks_test" -> ((s, sf) => {
+      val o = t(s, sf, "orders")
+        .select(col("o_totalprice").cast("decimal(18,4)").as("v"),
+          expr("unix_micros(o_orderdate)").as("us"))
+      val mid = o.agg(expr("(min(us) + max(us)) div 2").as("m"))
+      val tagged = o.crossJoin(broadcast(mid))
+        .select(col("v"), when(col("us") < col("m"), 1L).otherwise(0L).as("b"))
+      val byV = tagged.groupBy("v")
+        .agg(sum(col("b")).as("c1"), sum(lit(1L) - col("b")).as("c2"))
+      val tot = byV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byV.withColumn("f1", sum(col("c1")).over(w))
+        .withColumn("f2", sum(col("c2")).over(w))
+        .crossJoin(broadcast(tot))
+        .agg(max(col("n1")).as("n_base"), max(col("n2")).as("n_cur"),
+          round(max(abs(col("f1").cast("double") / col("n1")
+            - col("f2").cast("double") / col("n2"))), 6).as("ks_d"))
+    }),
+
     // Benford first-digit screen (round 11) — the forensic data-quality
     // profile (Benford 1938; Nigrini's digital-analysis auditing use):
     // observed first-significant-digit distribution of order amounts vs
@@ -781,6 +815,25 @@ object Aggregates {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_ks_test" ->
+      """WITH o AS (SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS v,
+             epoch_us(o_orderdate) AS us FROM orders),
+           mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM o),
+           tagged AS (SELECT v, CASE WHEN us < (SELECT m FROM mid)
+               THEN 1 ELSE 0 END AS b FROM o),
+           byv AS (SELECT v, sum(b) AS c1, sum(1 - b) AS c2
+             FROM tagged GROUP BY 1),
+           tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM byv),
+           cdf AS (SELECT v,
+             sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS f1,
+             sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS f2
+             FROM byv)
+         SELECT CAST(max(n1) AS BIGINT) AS n_base,
+           CAST(max(n2) AS BIGINT) AS n_cur,
+           round(max(abs(CAST(f1 AS DOUBLE)/n1 - CAST(f2 AS DOUBLE)/n2)), 6) AS ks_d
+         FROM cdf CROSS JOIN tot""",
     "agg_benford" ->
       """WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR),
                1, 1) AS BIGINT) AS digit

@@ -103,6 +103,32 @@ object TextAnalysis {
             .when(col("s_es") >= col("s_de"), "es").otherwise("de"))
         .orderBy("doc_id")),
 
+    // classifier evaluation as a query (round 11) — the row-normalized
+    // CONFUSION MATRIX of text_langid's predictions against the corpus's
+    // true lang column: per (true, predicted) pair the count and its share
+    // of the true class (recall lives on the diagonal; precision/F1 are
+    // one more ratio over the same counts). The evaluation loop every
+    // model-backed pipeline runs, expressed over the same deterministic
+    // marker-argmax both engines share — so the whole thing hash-checks.
+    // One map pass + one (true, pred) agg + a class-partitioned window
+    // over the ≤|langs|² matrix. True classes outside the 3-way predictor
+    // (the corpus's zh rows) appear as off-predictor rows — the honest
+    // out-of-scope signal an evaluation must show, not hide.
+    "eval_langid" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+        .select(col("lang"),
+          markerCount(enM).as("s_en"), markerCount(esM).as("s_es"),
+          markerCount(deM).as("s_de"))
+        .withColumn("pred",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+            .when(col("s_es") >= col("s_de"), "es").otherwise("de"))
+        .groupBy(col("lang").as("true_lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac_of_true", round(col("n") /
+          sum(col("n")).over(Window.partitionBy("true_lang")), 6))
+        .orderBy("true_lang", "pred")),
+
     // quality scoring: length/stopword/digit ratios + a composite score
     "text_quality" -> ((s, sf) =>
       t(s, sf, "documents")
@@ -666,6 +692,19 @@ object TextAnalysis {
            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks_before,
            CAST(len(string_split(norm, ' ')) AS BIGINT) AS toks_after
          FROM n ORDER BY doc_id""",
+    "eval_langid" ->
+      s"""WITH p AS (SELECT lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred
+         FROM (SELECT lang,
+           len(list_filter(string_split(text,' '), t -> list_contains(${markerSql(enM)}, t))) s_en,
+           len(list_filter(string_split(text,' '), t -> list_contains(${markerSql(esM)}, t))) s_es,
+           len(list_filter(string_split(text,' '), t -> list_contains(${markerSql(deM)}, t))) s_de
+         FROM documents)),
+         c AS (SELECT lang AS true_lang, pred, count(*) AS n FROM p GROUP BY 1, 2)
+         SELECT true_lang, pred, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY true_lang), 6) AS frac_of_true
+         FROM c ORDER BY true_lang, pred""",
     "text_langid" ->
       s"""WITH s AS (SELECT doc_id,
            CAST(len(list_filter(string_split(text,' '), t -> list_contains(${markerSql(enM)}, t))) AS BIGINT) s_en,

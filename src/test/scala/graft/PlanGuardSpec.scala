@@ -75,7 +75,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // round 11 batch 4: the midpoint / decile-array / (nb, nc) 1-row
     // scalars onto the PSI split and bin frames, and the digit-total
     // scalar onto the 9-row Benford frame
-    "profile_drift", "agg_benford")
+    "profile_drift", "agg_benford",
+    // round 11 batch 5: the midpoint / (n1, n2) scalars onto the KS CDF frame
+    "agg_ks_test")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
