@@ -873,6 +873,58 @@ object Events {
       tr.seal(out).orderBy("d")
     }),
 
+    // view→purchase conversion-lag distribution (round 11) — the "how
+    // long does conversion take" summary the funnel count can't give:
+    // per user the first view and the first purchase AT OR AFTER it
+    // (directional — a purchase before any view doesn't count), lag
+    // summarized as min / median / p90 / max with the agg_percentile
+    // exact-interpolation contract (lags are exact integer µs < 2^53, so
+    // the midpoint interpolation is exact in double on both engines;
+    // round(…,1) guards the formatting edge). Two map-side-combined user
+    // aggs + one join; the 1-row output is the whole shuffle.
+    "events_conversion_lag" -> ((s, sf) => {
+      val e = t(s, sf, "events")
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(expr("unix_micros(ts)")).as("v_us"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts)").as("p_us"))
+        .join(v, "user_id")
+        .where(col("p_us") >= col("v_us"))
+        .groupBy("user_id").agg(min(col("p_us")).as("p_us"), min(col("v_us")).as("v_us"))
+      p.select((col("p_us") - col("v_us")).as("lag_us"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("lag_us")).as("min_us"),
+          round(expr("percentile(lag_us, 0.5)"), 1).as("med_us"),
+          round(expr("percentile(lag_us, 0.9)"), 1).as("p90_us"),
+          max(col("lag_us")).as("max_us"))
+    }),
+
+    // chi-square test of independence (round 11) — the categorical
+    // sibling of agg_ttest: is event type independent of day-of-week?
+    // Contingency cells from ONE map-side-combined agg, marginals derived
+    // from the COMPACT cell table (never a second corpus pass), expected
+    // counts r·c/N, Σ(o−e)²/e with its degrees of freedom. Integer counts
+    // everywhere; the per-cell term is the only float chain (identical
+    // expression both engines, 6dp).
+    "agg_chisq" -> ((s, sf) => {
+      val tr = new graft.operators.Tracked
+      val c = tr.persist(t(s, sf, "events")
+        .groupBy(col("event_type"),
+          expr(s"(unix_micros(ts) div $DayUs) % 7").as("dow"))
+        .agg(count(lit(1)).as("n")))
+      val rt = c.groupBy("event_type").agg(sum(col("n")).as("rn"))
+      val ct = c.groupBy("dow").agg(sum(col("n")).as("cn"))
+      val tot = rt.agg(sum(col("rn")).as("nt"),
+        (count(lit(1)) - 1).as("dr"))
+        .crossJoin(broadcast(ct.agg((count(lit(1)) - 1).as("dc"))))
+      tr.seal(c.join(rt, "event_type").join(ct, "dow")
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_cells"),
+          max(col("dr") * col("dc")).as("dof"),
+          round(sum(pow(col("n") - col("rn") * col("cn") * lit(1.0) / col("nt"), 2)
+            / (col("rn") * col("cn") * lit(1.0) / col("nt"))), 6).as("chi2")))
+    }),
+
     // Kaplan–Meier time-to-conversion survival (round 11) — the estimator
     // behind every "how long until a user purchases" product question
     // (Kaplan & Meier, *Nonparametric estimation from incomplete
@@ -1349,6 +1401,32 @@ object Events {
              FROM r WHERE rn <= 3 GROUP BY 1, 2)
          SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
          GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
+    "events_conversion_lag" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+           p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us, min(v.v_us) AS v_us
+             FROM events e JOIN v ON e.user_id = v.user_id
+             WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_us
+             GROUP BY 1),
+           lag AS (SELECT p_us - v_us AS lag_us FROM p)
+         SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(lag_us) AS BIGINT) AS min_us,
+           round(quantile_cont(lag_us, 0.5), 1) AS med_us,
+           round(quantile_cont(lag_us, 0.9), 1) AS p90_us,
+           CAST(max(lag_us) AS BIGINT) AS max_us
+         FROM lag""",
+    "agg_chisq" ->
+      """WITH c AS (SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+             count(*) AS n FROM events GROUP BY 1, 2),
+           rt AS (SELECT event_type, sum(n) AS rn FROM c GROUP BY 1),
+           ct AS (SELECT dow, sum(n) AS cn FROM c GROUP BY 1),
+           tot AS (SELECT (SELECT sum(n) FROM c) AS nt,
+             (SELECT count(*) FROM rt) - 1 AS dr,
+             (SELECT count(*) FROM ct) - 1 AS dc)
+         SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(dr * dc) AS BIGINT) AS dof,
+           round(sum(pow(n - rn * cn * 1.0 / nt, 2) / (rn * cn * 1.0 / nt)), 6) AS chi2
+         FROM c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot""",
     "ts_forecast" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS y
              FROM events GROUP BY 1),

@@ -76,8 +76,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // scalars onto the PSI split and bin frames, and the digit-total
     // scalar onto the 9-row Benford frame
     "profile_drift", "agg_benford",
-    // round 11 batch 5: the midpoint / (n1, n2) scalars onto the KS CDF frame
-    "agg_ks_test")
+    // round 11 batch 5: the midpoint / (n1, n2) scalars onto the KS CDF
+    // frame, and the (N, dof) scalars onto the contingency-cell frame
+    "agg_ks_test", "agg_chisq")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
