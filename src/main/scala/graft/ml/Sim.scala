@@ -328,8 +328,19 @@ object Sim {
     * (see [[trainSample]]); centroid quality from a ≥100k-row sample is
     * statistically indistinguishable for nCells this small, and SimSpec
     * pins recall unchanged.
+    *
+    * Default operating point (r12): `nprobe = 4`. The realized top-5
+    * recall curve on the bench corpus (sf0.1, near-isotropic — the IVF
+    * WORST case; clustered corpora sit far higher), RecallSpec-pinned:
+    *
+    *   nprobe  2      4      8      16 (= nCells, degenerate exact)
+    *   recall  0.368  0.569  0.810  1.000
+    *
+    * nprobe=2 is an honest number but a poor default to ship — 4 costs 2×
+    * the candidate volume (still nprobe/nCells = 25% of exact) and clears
+    * the ≥ 0.55 floor RecallSpec asserts on the shipped default.
     */
-  def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 2,
+  def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 4,
       seed: Long = 42L, maxIter: Int = 4,
       maxTrainRows: Long = 262144, nRows: Long = -1L): DataFrame = {
     val e0 = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -401,7 +412,7 @@ object Sim {
     * array expressions over broadcast centroid/codebook literals — the
     * corpus-sized path is pure map work with zero extra jobs.
     */
-  def ivfpqTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 2,
+  def ivfpqTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 4,
       m: Int = 8, codebookK: Int = 16, refine: Int = 4,
       seed: Long = 42L, maxIter: Int = 4,
       maxTrainRows: Long = 262144): DataFrame = {
@@ -534,7 +545,7 @@ object Sim {
     * tests.
     */
   def topK(emb: DataFrame, k: Int, auto: Boolean = false,
-      ivfThreshold: Long = 500000, nCells: Int = 16, nprobe: Int = 2,
+      ivfThreshold: Long = 500000, nCells: Int = 16, nprobe: Int = 4,
       pqThreshold: Long = 50000000L, pqM: Int = 8): DataFrame =
     if (!auto) bruteTopK(emb, k)
     else {

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * (Bellman–Ford's synchronous form — the Pregel SSSP example from
   * Malewicz et al., *Pregel*, SIGMOD 2010, §5.2), sharing
   * [[PageRank]]'s stats dispatch: the declared semantics are "shortest
-  * distance using at most K+1 edges" for a FIXED K, so both engines (and
+  * distance using at most K edges" for a FIXED K, so both engines (and
   * both dispatch branches) compute the identical frame whether or not the
   * graph has converged — convergence is a property of K, never a
   * cross-engine coin flip. All arithmetic is exact BIGINT (integer costs,
@@ -30,7 +30,7 @@ object Sssp {
 
   /** @param nodes one `node: long` column
     * @param edges `src`/`dst` (castable to long) + `cost: long` ≥ 0
-    * @return (node, dist) for nodes reachable within rounds+1 edges */
+    * @return (node, dist) for nodes reachable within `rounds` edges */
   def run(nodes: DataFrame, edges: DataFrame, source: Long, rounds: Int,
       distributedMinEdges: Long = 500000L): DataFrame = {
     val s = nodes.sparkSession

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle census over the user co-occurrence graph, with DEGREE-ORDERED
+  * wedge orientation (Suri & Vassilvitskii, *Counting Triangles and the
+  * Curse of the Last Reducer*, WWW 2011): users sharing ≥ `minShared`
+  * (day, event_type) activity buckets form an edge; every triangle is then
+  * found exactly once as a wedge at its minimum-(degree, id) vertex, closed
+  * by the third oriented edge. Orientation is pure pair-canonicalization —
+  * the (n_edges, n_triangles, n_tri_users) summary is identical under ANY
+  * total vertex order, so the id-ordered DuckDB oracle still value-matches —
+  * but the SCALE behavior differs sharply: orienting by raw id bounds a
+  * wedge list by the max total degree (one high-id hub vertex owns a
+  * quadratic wedge set — the "last reducer"), while orienting low-degree →
+  * high-degree bounds every out-neighborhood by O(√m), so the wedge
+  * exchange is balanced even on power-law graphs. That is the r11→r12
+  * upgrade: the documented published design is now the executed plan.
+  *
+  * Pair generation stays per-BUCKET (the inverted-index shape shared with
+  * the dedup kernels — never all-users²), with the LSH band-cap contract:
+  * buckets above `bucketCap` active users are dropped (a degenerate
+  * always-on event type would otherwise contribute a quadratic fan-out AQE
+  * cannot split). The cap never binds at bench SFs (max bucket 587 users;
+  * TrianglesSpec pins capped == 0), and — new in r12 — capped buckets are
+  * OBSERVED, not silent: `run` counts them on the already-cached activity
+  * frame (one tiny agg job) and logs a WARN naming the dropped-bucket count,
+  * so signal loss at scale is visible in the driver log; `cappedBuckets`
+  * exposes the same frame for tests/monitoring.
+  */
+object Triangles {
+
+  val DefaultMinShared = 30L
+  val DefaultBucketCap = 65536L
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** distinct (user, day, event_type) activity — the bucket membership */
+  private def activity(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    events.select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"),
+      col("event_type")).distinct()
+  }
+
+  /** Buckets whose active-user count exceeds the cap — the signal `run`
+    * drops. Empty at bench SFs (TrianglesSpec pins it); non-empty means
+    * the summary undercounts and the run's WARN line says by how many
+    * buckets. */
+  def cappedBuckets(events: DataFrame,
+      bucketCap: Long = DefaultBucketCap): DataFrame =
+    activity(events).groupBy("d", "event_type")
+      .agg(count(lit(1)).as("m")).where(col("m") > bucketCap)
+
+  /** One-row summary: n_edges, n_triangles, n_tri_users. */
+  def run(events: DataFrame, minShared: Long = DefaultMinShared,
+      bucketCap: Long = DefaultBucketCap): DataFrame = {
+    val tr = new Tracked
+    // persisted: read by the cap count, the bucket-size agg, and both pair-
+    // join sides (the cap-count action populates the cache before any of
+    // the joins plan against it)
+    val ua0 = tr.persist(activity(events))
+    val sizes = ua0.groupBy("d", "event_type").agg(count(lit(1)).as("m"))
+    // cap observability (r12): ≤ |days| × |types| rows at any SF, so this
+    // extra action costs one kilobyte-scale agg over the cached activity —
+    // and turns silent truncation into a logged, countable event
+    val capped = sizes.where(col("m") > bucketCap).count()
+    if (capped > 0)
+      log.warn(s"triangles: $capped (day, event_type) buckets exceeded " +
+        s"cap=$bucketCap and were DROPPED — edge set is a lower bound")
+    // cap as a broadcast semi-join on the bucket-size table rather than a
+    // window over ua — a window would re-partition ua by (d, type) and push
+    // the pair join from broadcast-hash to sort-merge (measured +3 s)
+    val okBuckets = sizes.where(col("m") <= bucketCap).select("d", "event_type")
+    val ua = ua0.join(broadcast(okBuckets), Seq("d", "event_type"))
+    // canonical undirected edges (u1 < u2). Shuffle-volume note (measured
+    // both ways at sf0.1): with ua0 cached the pair probe runs 32-way
+    // parallel and the partial agg combines little — ~140 MB of pair
+    // partials shuffle; uncached, AQE collapses the probe to 2 near-serial
+    // tasks. The pair exchange is the algorithm's INTRINSIC intermediate
+    // (Σ bucket² rows, bounded by the cap), so parallelism wins.
+    val edges = tr.seal(
+      ua.select(col("d"), col("event_type"), col("user_id").as("u1"))
+        .join(ua.select(col("d"), col("event_type"), col("user_id").as("u2")),
+          Seq("d", "event_type"))
+        .where(col("u1") < col("u2"))
+        .groupBy("u1", "u2").agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= minShared)
+        .select("u1", "u2"))
+    // degree-ordered orientation: src is the endpoint earlier in the strict
+    // total order (deg, id); dd carries the dst's order key so the wedge
+    // join below can compare legs without re-joining degrees
+    val deg = edges.select(col("u1").as("u"))
+      .union(edges.select(col("u2").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+    val oriented = tr.seal(edges
+      .join(deg.select(col("u").as("u1"), col("dg").as("dg1")), "u1")
+      .join(deg.select(col("u").as("u2"), col("dg").as("dg2")), "u2")
+      .select(when(col("dg1") < col("dg2") ||
+          (col("dg1") === col("dg2") && col("u1") < col("u2")),
+          struct(col("u1").as("src"), col("u2").as("dst"),
+            col("dg2").as("dd")))
+        .otherwise(struct(col("u2").as("src"), col("u1").as("dst"),
+          col("dg1").as("dd"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.dd")))
+    // wedge at v = two out-edges with ordered legs; the closing edge runs
+    // low→high by construction, so it is exactly oriented(a → b)
+    val tri = tr.seal(oriented.as("e1")
+      .join(oriented.as("e2"), col("e2.src") === col("e1.src") &&
+        (col("e1.dd") < col("e2.dd") ||
+          (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c")))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    val nUsers = tri.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+      .agg(countDistinct(col("u")).as("n_tri_users"))
+    nEdges.crossJoin(nTri).crossJoin(nUsers)
+  }
+}

@@ -588,73 +588,21 @@ object Events {
         .orderBy("dow")
     }),
 
-    // triangle count over the user co-occurrence graph (round 11) — the
-    // community-density primitive on top of the bucketed-pair kernel:
-    // users sharing ≥ 30 (day, event_type) activity buckets form an edge
-    // (pairs are generated per BUCKET, never all-users² — the inverted-
-    // index shape dedup_jaccard uses; bucket size bounds the fan-out),
-    // and triangles are the oriented two-hop join: edges keep u1 < u2,
-    // so each triangle a<b<c is found exactly once as e(a,b)⋈e(b,c)
-    // closed by e(a,c). At scale the orientation refines to degree order
-    // (low-degree vertex first), which bounds every wedge list by the
-    // max LOW degree — the published distributed-triangle design. The
-    // edge set feeds three join sides, so it is sealed once (Tracked).
-    "events_triangles" -> ((s, sf) => {
-      val tr = new graft.operators.Tracked
-      // per-(day, type) bucket cap = 65536 active users (the LSH band-cap
-      // contract shared with minhashCandidates/simhashBandPairs): one
-      // degenerate bucket — an event type every user fires daily — would
-      // otherwise make that bucket's pair fan-out quadratic in the user
-      // base, which AQE cannot split. Never binds at bench SFs (max
-      // bucket: 587 users), so the oracle applies the identical cap and
-      // stays value-equal; at 100 TB capped buckets are the boilerplate
-      // signal-free ones, the same argument as the dedup kernels.
-      // persisted: read by the cap aggregate and both pair-join sides (the
-      // cap's broadcast job populates the cache before the probe plans)
-      val ua0 = tr.persist(t(s, sf, "events")
-        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"),
-          col("event_type")).distinct())
-      // cap as a broadcast semi-join on the BUCKET-SIZE table (≤ |days| ×
-      // |types| rows at any SF) rather than a window over ua — a window
-      // would re-partition ua by (d, type) and push the pair join from
-      // broadcast-hash to sort-merge (measured +3 s at bench SF)
-      val okBuckets = ua0.groupBy("d", "event_type")
-        .agg(count(lit(1)).as("m")).where(col("m") <= 65536)
-        .select("d", "event_type")
-      val ua = ua0.join(broadcast(okBuckets), Seq("d", "event_type"))
-      // edges and tri each feed MULTIPLE consumers in the final one-row
-      // crossjoin — seal them EAGERLY (materialize before any consumer
-      // plans against the cache): consumers racing an unpopulated cache
-      // each recompute in-flight partitions (BlockManager does not dedupe
-      // concurrent computes of the same block — measured +2 s here).
-      // Shuffle-volume note (measured both ways at sf0.1): with ua0
-      // cached the pair probe runs 32-way parallel and the partial agg
-      // combines little (same pair, different buckets, different tasks) —
-      // ~140 MB of pair partials shuffle in 6.2 s; uncached, AQE collapses
-      // the probe to 2 tasks whose partial agg combines 20:1 (12 MB) but
-      // runs 12 s nearly serial. The pair exchange is the algorithm's
-      // INTRINSIC intermediate (Σ bucket² rows, bounded by the cap), so
-      // parallelism wins; map-side combine over it is opportunistic, not
-      // load-bearing.
-      val edges = tr.seal(
-        ua.select(col("d"), col("event_type"), col("user_id").as("u1"))
-          .join(ua.select(col("d"), col("event_type"), col("user_id").as("u2")),
-            Seq("d", "event_type"))
-          .where(col("u1") < col("u2"))
-          .groupBy("u1", "u2").agg(count(lit(1)).as("shared"))
-          .where(col("shared") >= 30)
-          .select("u1", "u2"))
-      val tri = tr.seal(edges.as("e1")
-        .join(edges.as("e2"), col("e2.u1") === col("e1.u2"))
-        .join(edges.as("e3"),
-          col("e3.u1") === col("e1.u1") && col("e3.u2") === col("e2.u2"))
-        .select(col("e1.u1").as("a"), col("e1.u2").as("b"), col("e2.u2").as("c")))
-      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-      val nTri = tri.agg(count(lit(1)).as("n_triangles"))
-      val nUsers = tri.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
-        .agg(countDistinct(col("u")).as("n_tri_users"))
-      nEdges.crossJoin(nTri).crossJoin(nUsers)
-    }),
+    // triangle count over the user co-occurrence graph (round 11; r12:
+    // degree-ordered orientation + cap observability) — the community-
+    // density primitive on top of the bucketed-pair kernel, factored into
+    // [[graft.operators.Triangles]]: users sharing >= 30 (day, event_type)
+    // activity buckets form an edge (pairs per BUCKET, never all-users^2,
+    // capped at 65536 active users per bucket; capped buckets are now
+    // counted and WARN-logged, never silent — none bind at bench SFs, so
+    // the oracle applies the identical cap and stays value-equal), and
+    // each triangle is found exactly once as a wedge at its minimum-
+    // (degree, id) vertex — the orientation that bounds every wedge list
+    // by O(sqrt(m)) on power-law graphs, vs the max total degree under raw
+    // id order (the "last reducer"). The summary is orientation-invariant,
+    // so the id-ordered DuckDB oracle is unchanged.
+    "events_triangles" -> ((s, sf) =>
+      graft.operators.Triangles.run(t(s, sf, "events"))),
 
     // lag-k autocorrelation of the daily volume series (round 11) — the
     // seasonality detector ts_seasonality's fixed weekly fold can't give:
@@ -903,9 +851,13 @@ object Events {
     // sibling of agg_ttest: is event type independent of day-of-week?
     // Contingency cells from ONE map-side-combined agg, marginals derived
     // from the COMPACT cell table (never a second corpus pass), expected
-    // counts r·c/N, Σ(o−e)²/e with its degrees of freedom. Integer counts
-    // everywhere; the per-cell term is the only float chain (identical
-    // expression both engines, 6dp).
+    // counts r·c/N, Σ(o−e)²/e with its degrees of freedom. The full r×c
+    // grid is materialized (marginal cross-join, cell counts left-joined
+    // with coalesce 0, r12 fix) so a category pair with ZERO observed
+    // events still contributes its (0−e)²/e = e term — dof always assumed
+    // the full grid, and omitting empty cells understated χ². Integer
+    // counts everywhere; the per-cell term is the only float chain
+    // (identical expression both engines, 6dp).
     "agg_chisq" -> ((s, sf) => {
       val tr = new graft.operators.Tracked
       val c = tr.persist(t(s, sf, "events")
@@ -917,11 +869,14 @@ object Events {
       val tot = rt.agg(sum(col("rn")).as("nt"),
         (count(lit(1)) - 1).as("dr"))
         .crossJoin(broadcast(ct.agg((count(lit(1)) - 1).as("dc"))))
-      tr.seal(c.join(rt, "event_type").join(ct, "dow")
+      val cells = rt.crossJoin(ct)
+        .join(c, Seq("event_type", "dow"), "left")
+        .withColumn("o", coalesce(col("n"), lit(0L)))
+      tr.seal(cells
         .crossJoin(broadcast(tot))
         .agg(count(lit(1)).as("n_cells"),
           max(col("dr") * col("dc")).as("dof"),
-          round(sum(pow(col("n") - col("rn") * col("cn") * lit(1.0) / col("nt"), 2)
+          round(sum(pow(col("o") - col("rn") * col("cn") * lit(1.0) / col("nt"), 2)
             / (col("rn") * col("cn") * lit(1.0) / col("nt"))), 6).as("chi2")))
     }),
 
@@ -929,10 +884,17 @@ object Events {
     // behind every "how long until a user purchases" product question
     // (Kaplan & Meier, *Nonparametric estimation from incomplete
     // observations*, JASA 1958): each user is observed for 48 hours after
-    // their FIRST event; the event is their first `purchase`, users
-    // converting later than the window are RIGHT-CENSORED at 48 h (the
-    // administrative-censoring design — deterministic, no clock
-    // dependence). S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) with d_i =
+    // their FIRST event; the event is their first `purchase`, and users
+    // who never purchase OR convert later than the window are
+    // RIGHT-CENSORED at 48 h (the administrative-censoring design —
+    // deterministic, no clock dependence; never-converters enter every
+    // risk set, r12 fix — an inner join on conversions would estimate the
+    // different "time among eventual converters" quantity). The terminal
+    // factor is guarded: if an hour's at-risk cohort fully converts
+    // (d_t == n_risk), the survival product is exactly 0.0 from there on —
+    // Spark's log(0) is NULL and window sum() would silently skip it, so
+    // the log term pins −∞ explicitly (mirrored in the oracle's CASE).
+    // S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) with d_i =
     // conversions at hour t_i and n_i = users still at risk (neither
     // converted nor censored before t_i). Plan: two per-user min aggs
     // (first event hour, first purchase hour — map-side combined) joined
@@ -954,12 +916,12 @@ object Events {
       val conv = e.where(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(min(expr(s"unix_micros(ts) div $HourUs")).as("hc"))
-      val life = first.join(conv, "user_id")
+      val life = first.join(conv, Seq("user_id"), "left")
         .select(
-          when(col("hc") - col("h0") > win, lit(win))
+          when(col("hc").isNull || col("hc") - col("h0") > win, lit(win))
             .otherwise(col("hc") - col("h0")).as("lt"),
-          when(col("hc") - col("h0") > win, lit(0L)).otherwise(lit(1L))
-            .as("ev"))
+          when(col("hc").isNull || col("hc") - col("h0") > win, lit(0L))
+            .otherwise(lit(1L)).as("ev"))
       val byT = life.groupBy(col("lt").as("t_hour"))
         .agg(sum(col("ev")).as("d_t"), count(lit(1)).as("ended_t"))
       val all = Window.orderBy(col("t_hour").desc)
@@ -968,7 +930,9 @@ object Events {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       byT.withColumn("n_risk", sum(col("ended_t")).over(all))
         .withColumn("surv", round(exp(sum(
-          log(lit(1.0) - col("d_t").cast("double") / col("n_risk")))
+          when(col("d_t") < col("n_risk"),
+            log(lit(1.0) - col("d_t").cast("double") / col("n_risk")))
+            .otherwise(lit(Double.NegativeInfinity)))
           .over(fwd)), 6))
         .where(col("d_t") > 0)
         .select(col("t_hour"), col("n_risk"), col("d_t").as("n_conv"),
@@ -1422,11 +1386,15 @@ object Events {
            ct AS (SELECT dow, sum(n) AS cn FROM c GROUP BY 1),
            tot AS (SELECT (SELECT sum(n) FROM c) AS nt,
              (SELECT count(*) FROM rt) - 1 AS dr,
-             (SELECT count(*) FROM ct) - 1 AS dc)
+             (SELECT count(*) FROM ct) - 1 AS dc),
+           cells AS (SELECT rt.event_type, rt.rn, ct.dow, ct.cn,
+               coalesce(c.n, 0) AS o
+             FROM rt CROSS JOIN ct
+             LEFT JOIN c ON c.event_type = rt.event_type AND c.dow = ct.dow)
          SELECT CAST(count(*) AS BIGINT) AS n_cells,
            CAST(max(dr * dc) AS BIGINT) AS dof,
-           round(sum(pow(n - rn * cn * 1.0 / nt, 2) / (rn * cn * 1.0 / nt)), 6) AS chi2
-         FROM c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot""",
+           round(sum(pow(o - rn * cn * 1.0 / nt, 2) / (rn * cn * 1.0 / nt)), 6) AS chi2
+         FROM cells CROSS JOIN tot""",
     "ts_forecast" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS y
              FROM events GROUP BY 1),
@@ -1448,9 +1416,10 @@ object Events {
            conv AS (SELECT user_id, min(epoch_us(ts) // 3600000000) AS hc
              FROM events WHERE event_type = 'purchase' GROUP BY 1),
            life AS (SELECT
-               CASE WHEN hc - h0 > 48 THEN 48 ELSE hc - h0 END AS lt,
-               CASE WHEN hc - h0 > 48 THEN 0 ELSE 1 END AS ev
-             FROM u JOIN conv USING (user_id)),
+               CASE WHEN hc IS NULL OR hc - h0 > 48 THEN 48
+                    ELSE hc - h0 END AS lt,
+               CASE WHEN hc IS NULL OR hc - h0 > 48 THEN 0 ELSE 1 END AS ev
+             FROM u LEFT JOIN conv USING (user_id)),
            byt AS (SELECT lt AS t_hour, sum(ev) AS d_t, count(*) AS ended_t
              FROM life GROUP BY 1),
            risk AS (SELECT t_hour, d_t,
@@ -1459,7 +1428,9 @@ object Events {
              FROM byt)
          SELECT t_hour, CAST(n_risk AS BIGINT) AS n_risk,
            CAST(d_t AS BIGINT) AS n_conv,
-           round(exp(sum(ln(1.0 - d_t * 1.0 / n_risk)) OVER (
+           round(exp(sum(CASE WHEN d_t < n_risk
+               THEN ln(1.0 - d_t * 1.0 / n_risk)
+               ELSE CAST('-infinity' AS DOUBLE) END) OVER (
              ORDER BY t_hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS surv
          FROM risk WHERE d_t > 0 ORDER BY t_hour"""
   )

@@ -407,12 +407,14 @@ object Llm {
 
     // IVF approximate nearest neighbours (capability row: the 100 TB scale
     // path for sim_topk). A KMeans coarse quantizer partitions vectors into
-    // cells; each query probes its nprobe=2 nearest cells and re-ranks
-    // exactly with graft_dot. Candidate volume drops from O(n²) to
-    // O(n²·nprobe/k) — at scale the cell assignment also becomes the
-    // shuffle/bucketing key so each cell joins co-located.
+    // cells; each query probes its nprobe=4 nearest cells (the r12 shipped
+    // operating point — recall 0.569 on the isotropic bench corpus vs
+    // 0.368 at nprobe=2; curve table in ivfTopK's scaladoc, floor asserted
+    // by RecallSpec) and re-ranks exactly with graft_dot. Candidate volume
+    // drops from O(n²) to O(n²·nprobe/k) — at scale the cell assignment
+    // also becomes the shuffle/bucketing key so each cell joins co-located.
     "sim_ann_ivf" -> ((s, sf) =>
-      graft.ml.Sim.ivfTopK(t(s, sf, "embeddings"), 5, nCells = 16, nprobe = 2)),
+      graft.ml.Sim.ivfTopK(t(s, sf, "embeddings"), 5, nCells = 16, nprobe = 4)),
 
     // IVF-PQ approximate nearest neighbours (round 11, capability row: the
     // memory tier above sim_ann_ivf — KMeans-dependent, rows-only; SimSpec
@@ -424,7 +426,7 @@ object Llm {
     // keeps the ANN join's shuffle volume independent of embedding width.
     "sim_ann_ivfpq" -> ((s, sf) =>
       graft.ml.Sim.ivfpqTopK(t(s, sf, "embeddings"), 5, nCells = 16,
-        nprobe = 2, m = 8)),
+        nprobe = 4, m = 8)),
 
     // k-NN majority-vote classification over the embedding table
     // (capability row: float-rank ties in the neighbour search make the

@@ -90,6 +90,76 @@ object TextAnalysis {
           .as("shared_frac")))
   }
 
+  /** Duplicated-span extraction kernel behind `dedup_spans` — the
+    * boilerplateStats two-mode contract (r12: the hashed scale path is now
+    * EXECUTED and spec-pinned, not only documented): `hashKeys = false`
+    * keys the duplicate-count agg and the probe join on the k-gram window
+    * TEXT (declared-query mode, oracle value-identical by construction);
+    * `hashKeys = true` collapses windows to `xxhash64(w)` BEFORE the
+    * persist, so the df-count exchange and the join probe carry bare longs
+    * instead of ~50-byte window strings — the payload that dominates both
+    * shuffles on a real corpus. Positions ride alongside either key, so
+    * the span-merge windows are untouched. A 64-bit collision can mark a
+    * unique window duplicated (2^-64 per pair tolerance, the
+    * minhashCandidates contract); QueriesSpec pins value-identity of the
+    * two paths on the fixture corpus plus long-only exchanges.
+    */
+  private[graft] def spanStats(docs: org.apache.spark.sql.DataFrame, k: Int,
+      hashKeys: Boolean, tr: graft.operators.Tracked): org.apache.spark.sql.DataFrame = {
+    val raw = graft.functions.TextWindows.wordWindowsAt(docs, k)
+    val keyed =
+      if (hashKeys) raw.select(col("doc_id"), col("i"), xxhash64(col("w")).as("w"))
+      else raw
+    val w = tr.persist(keyed)
+    val dupW = w.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+    val dup = w.join(dupW, "w").select(col("doc_id"), col("i"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val prevEnd = max(col("i") + k)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = dup.withColumn("brk",
+      when(col("i") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+    val spans = marked.withColumn("g", sum(col("brk")).over(byDoc))
+      .groupBy("doc_id", "g")
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + k).as("span_end"),
+        count(lit(1)).as("n_windows"))
+    tr.seal(spans.select(col("doc_id"), col("span_start"),
+      col("span_end"), col("n_windows")))
+  }
+
+  /** Bigram-LM perplexity kernel behind `quality_perplexity` — same
+    * two-mode contract: `hashKeys = true` scores over `xxhash64`-keyed
+    * bigram components (and a hashed-token vocabulary count), so the model
+    * tables, both marginal joins, and the vocabulary distinct all exchange
+    * longs — the documented 100 TB plan, executed and spec-pinned (r12).
+    * Collisions merge two token types (count inflation vanishing at 2^-64
+    * per pair); QueriesSpec pins value-identity on the fixture corpus.
+    */
+  private[graft] def perplexityStats(docs: org.apache.spark.sql.DataFrame,
+      hashKeys: Boolean, tr: graft.operators.Tracked): org.apache.spark.sql.DataFrame = {
+    val raw = graft.functions.TextWindows.wordWindowsAt(docs, 2)
+      .select(col("doc_id"),
+        substring_index(col("w"), " ", 1).as("w1"),
+        substring_index(col("w"), " ", -1).as("w2"))
+    val bg = tr.persist(
+      if (hashKeys) raw.select(col("doc_id"),
+        xxhash64(col("w1")).as("w1"), xxhash64(col("w2")).as("w2"))
+      else raw)
+    val cb = tr.persist(bg.groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+    val cu = cb.groupBy("w1").agg(sum(col("c")).as("cw"))
+    val tk0 = docs.select(explode(split(col("text"), " ")).as("tk"))
+    val v = (if (hashKeys) tk0.select(xxhash64(col("tk")).as("tk")) else tk0)
+      .agg(countDistinct(col("tk")).as("vv"))
+    tr.seal(bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(pow(lit(2.0),
+          -sum(log2((col("c") + lit(1.0)) / (col("cw") + col("vv")))) /
+            count(lit(1))), 6).as("ppl")))
+  }
+
   val queries: Map[String, Q] = Map(
     // language-ID: occurrence counts against per-language marker sets,
     // deterministic fixed-order argmax
@@ -502,30 +572,14 @@ object TextAnalysis {
     // count keyed on the window text → equi-join back (the df-count side
     // enters the join already w-partitioned) → two doc-partitioned window
     // functions over the duplicated positions only (bounded per doc by its
-    // token count) → span agg. At 100 TB the join keys on xxhash64(w)
-    // (8-byte keys in both exchanges — the boilerplateStats compaction);
-    // declared on window text so the oracle is value-identical by
-    // construction.
+    // token count) → span agg. Kernel = [[spanStats]]; its hashKeys=true
+    // sibling keys both exchanges on xxhash64(w) — the 100 TB plan,
+    // EXECUTED and spec-pinned since r12 (value-identity + long-only
+    // exchanges, QueriesSpec); declared here on window text so the oracle
+    // is value-identical by construction.
     "dedup_spans" -> ((s, sf) => {
-      val k = 8
       val tr = new graft.operators.Tracked
-      val w = tr.persist(graft.functions.TextWindows
-        .wordWindowsAt(t(s, sf, "documents"), k))
-      val dupW = w.groupBy("w").agg(count(lit(1)).as("cnt"))
-        .where(col("cnt") >= 2)
-      val dup = w.join(dupW, "w").select(col("doc_id"), col("i"))
-      val byDoc = Window.partitionBy("doc_id").orderBy("i")
-      val prevEnd = max(col("i") + k)
-        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-      val marked = dup.withColumn("brk",
-        when(col("i") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
-      val spans = marked.withColumn("g", sum(col("brk")).over(byDoc))
-        .groupBy("doc_id", "g")
-        .agg(min(col("i")).as("span_start"),
-          (max(col("i")) + k).as("span_end"),
-          count(lit(1)).as("n_windows"))
-      tr.seal(spans.select(col("doc_id"), col("span_start"),
-          col("span_end"), col("n_windows")))
+      spanStats(t(s, sf, "documents"), k = 8, hashKeys = false, tr)
         .orderBy("doc_id", "span_start")
     }),
 
@@ -539,28 +593,14 @@ object TextAnalysis {
     // feeds both the model counts and the scoring pass; the context
     // marginal derives from the COMPACT bigram-count table (never a
     // second corpus pass); V and the model tables join at vocab scale —
-    // the text_tfidf topology, token-hash keyable at 100 TB. Per-doc sums
+    // the text_tfidf topology. Kernel = [[perplexityStats]]; its
+    // hashKeys=true sibling keys every exchange on xxhash64 token hashes —
+    // the 100 TB plan, EXECUTED and spec-pinned since r12. Per-doc sums
     // of dozens of log2 terms are the only floats: round(…,6) absorbs
     // association order (fn_math discipline).
     "quality_perplexity" -> ((s, sf) => {
       val tr = new graft.operators.Tracked
-      val bg = tr.persist(graft.functions.TextWindows
-        .wordWindowsAt(t(s, sf, "documents"), 2)
-        .select(col("doc_id"),
-          substring_index(col("w"), " ", 1).as("w1"),
-          substring_index(col("w"), " ", -1).as("w2")))
-      val cb = tr.persist(bg.groupBy("w1", "w2").agg(count(lit(1)).as("c")))
-      val cu = cb.groupBy("w1").agg(sum(col("c")).as("cw"))
-      val v = t(s, sf, "documents")
-        .select(explode(split(col("text"), " ")).as("tk"))
-        .agg(countDistinct(col("tk")).as("vv"))
-      tr.seal(bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
-          .crossJoin(broadcast(v))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(pow(lit(2.0),
-              -sum(log2((col("c") + lit(1.0)) / (col("cw") + col("vv")))) /
-                count(lit(1))), 6).as("ppl")))
+      perplexityStats(t(s, sf, "documents"), hashKeys = false, tr)
         .orderBy("doc_id")
     }),
 

@@ -976,10 +976,12 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       p *= 1.0 - d.toDouble / n
       withClue(s"t=$t: ") { s shouldBe p +- 5.1e-7 }
     }
-    // the first risk set is every user with a conversion record
-    val usersWithPurchase = T.t(spark, sf001, "events")
-      .where(col("event_type") === "purchase")
+    // never-converters are right-censored at 48 h, NOT dropped (r12 fix):
+    // every distinct user is at risk at the first listed event time, and
+    // users without any purchase record still shrink later risk sets only
+    // at the 48 h censoring boundary
+    val allUsers = T.t(spark, sf001, "events")
       .select("user_id").distinct().count()
-    rows.head._2 shouldBe usersWithPurchase
+    rows.head._2 shouldBe allUsers
   }
 }

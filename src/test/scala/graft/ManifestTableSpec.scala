@@ -100,6 +100,58 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
       Set(1L -> "a", 2L -> "b")
   }
 
+  test("readVersion prevents the lost-update anomaly on concurrent merges") {
+    // the r11-verdict anomaly, now PREVENTED instead of prose-documented:
+    // two writers both read v1 and merge disjoint keys; without conflict
+    // scoping the second replace silently discards the first one's rows
+    val dir = tmpDir()
+    ManifestTable.commit(spark, dir, df(1L -> "a"), replace = true)
+    val readV = ManifestTable.versions(spark, dir).last
+    val mergedA = Upsert.merge(
+      ManifestTable.read(spark, dir, readV), df(2L -> "b"), Seq("k"))
+    val mergedB = Upsert.merge(
+      ManifestTable.read(spark, dir, readV), df(3L -> "c"), Seq("k"))
+    // writer A lands first
+    ManifestTable.commit(spark, dir, mergedA, replace = true,
+      readVersion = readV) shouldBe 2L
+    // writer B's replace was computed against the stale v1 — must refuse
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.commit(spark, dir, mergedB, replace = true,
+        readVersion = readV)
+    }
+    // nothing of B leaked: head is exactly A's merge
+    asSet(ManifestTable.read(spark, dir)) shouldBe Set(1L -> "a", 2L -> "b")
+    // B's documented retry: re-read the new head, recompute, commit
+    val head = ManifestTable.versions(spark, dir).last
+    val retried = Upsert.merge(
+      ManifestTable.read(spark, dir, head), df(3L -> "c"), Seq("k"))
+    ManifestTable.commit(spark, dir, retried, replace = true,
+      readVersion = head) shouldBe 3L
+    asSet(ManifestTable.read(spark, dir)) shouldBe
+      Set(1L -> "a", 2L -> "b", 3L -> "c")
+  }
+
+  test("appends commute past a moved head; a rewrite of read files does not") {
+    val dir = tmpDir()
+    ManifestTable.commit(spark, dir, df(1L -> "a"))
+    val readV = ManifestTable.versions(spark, dir).last
+    // a concurrent APPEND moves the head — this append's read files are
+    // all still present, so it proceeds (appends commute)
+    ManifestTable.commit(spark, dir, df(2L -> "b")) shouldBe 2L
+    ManifestTable.commit(spark, dir, df(3L -> "c"),
+      readVersion = readV) shouldBe 3L
+    asSet(ManifestTable.read(spark, dir)) shouldBe
+      Set(1L -> "a", 2L -> "b", 3L -> "c")
+    // but a concurrent REPLACE retracts the files v3 was read from — an
+    // append derived from them must refuse (it would resurrect the data)
+    val readV2 = ManifestTable.versions(spark, dir).last
+    ManifestTable.commit(spark, dir, df(9L -> "z"), replace = true) shouldBe 4L
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.commit(spark, dir, df(4L -> "d"), readVersion = readV2)
+    }
+    asSet(ManifestTable.read(spark, dir)) shouldBe Set(9L -> "z")
+  }
+
   test("streaming foreachBatch sink commits one atomic snapshot per micro-batch") {
     // the real CDC-sink shape: a stream lands in the manifest table via
     // foreachBatch + commit(append) — every micro-batch becomes one

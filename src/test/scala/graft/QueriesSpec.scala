@@ -144,6 +144,59 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  /** shared assert for the r12 hashed-kernel pins: value-identity of the
+    * text-keyed and xxhash64-keyed plans plus no StringType attribute on
+    * any shuffle exchange in the hashed dataflow (recursing through cached
+    * plans — the sealed results hide behind InMemoryTableScan). */
+  private def pinHashedKernel(sortCols: Seq[String])(
+      build: (Boolean, graft.operators.Tracked) => org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val trA = new graft.operators.Tracked
+    val trB = new graft.operators.Tracked
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val text = build(false, trA)
+      val hashed = build(true, trB)
+      hashed.orderBy(sortCols.map(col): _*).collect() shouldBe
+        text.orderBy(sortCols.map(col): _*).collect()
+      def allExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p.collect {
+        case e: ShuffleExchangeExec => Seq(e)
+        case s: InMemoryTableScanExec => allExchanges(s.relation.cachedPlan)
+      }.flatten
+      val exchanges = allExchanges(hashed.queryExecution.executedPlan)
+      exchanges should not be empty
+      exchanges.foreach { e =>
+        withClue(s"exchange ${e.output.map(_.name)}: ") {
+          e.output.exists(_.dataType == StringType) shouldBe false
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      trA.release(); trB.release()
+    }
+  }
+
+  test("hashed dedup_spans path: identical spans, long-only exchanges") {
+    // the r11-verdict item: the xxhash64 scale path is the EXECUTED plan
+    // here, not prose — window text stays inside the scan stage, the
+    // df-count agg and probe join shuffle (doc_id, i, hash) longs only
+    pinHashedKernel(Seq("doc_id", "span_start")) { (h, tr) =>
+      graft.queries.TextAnalysis.spanStats(
+        T.t(spark, sf001, "documents"), k = 8, hashKeys = h, tr)
+    }
+  }
+
+  test("hashed quality_perplexity path: identical scores, long-only exchanges") {
+    pinHashedKernel(Seq("doc_id")) { (h, tr) =>
+      graft.queries.TextAnalysis.perplexityStats(
+        T.t(spark, sf001, "documents"), hashKeys = h, tr)
+    }
+  }
+
   test("every query result is invariant to shuffle parallelism") {
     // the distributed-correctness property (SURVEY §5.3): rerunning any
     // query with different shuffle partitioning must be bit-identical.

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Triangles
+
+/** Degree-ordered triangle census (r12): exactness of the wedge
+  * orientation on hand-checkable and adversarial graphs, and the bucket-cap
+  * observability contract (capped buckets are countable, and 0 on the bench
+  * corpora — the silent-signal-loss guard from the r11 verdict).
+  */
+class TrianglesSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  /** one synthetic activity bucket per desired edge: on day `i`, exactly the
+    * edge's two users fire event type "t", so co-occurrence with
+    * minShared = 1 reproduces the edge list verbatim */
+  private def eventsFor(edges: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((a, i.toLong * 86400L), (b, i.toLong * 86400L))
+    }.toDF("user_id", "sec")
+      .select(col("user_id"), col("sec").cast("timestamp").as("ts"),
+        lit("t").as("event_type"))
+  }
+
+  private def summary(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val r = Triangles.run(eventsFor(edges), minShared = 1L).collect()(0)
+    (r.getAs[Number]("n_edges").longValue,
+      r.getAs[Number]("n_triangles").longValue,
+      r.getAs[Number]("n_tri_users").longValue)
+  }
+
+  test("hub wedges close exactly once (hand-checked graph)") {
+    // hub 100 touches 1..4; closures 1-2 and 3-4 -> exactly two triangles.
+    // The hub has max degree, so under degree order it is never a wedge
+    // center for these triangles — the orientation the r11 plan lacked.
+    val edges = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (1L, 2L), (3L, 4L))
+    summary(edges) shouldBe ((6L, 2L, 5L))
+  }
+
+  test("K4 yields its four triangles; a triangle-free star yields zero") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    summary(k4) shouldBe ((6L, 4L, 4L))
+    val star = (1L to 9L).map(i => (0L, i))
+    summary(star) shouldBe ((9L, 0L, 0L))
+  }
+
+  test("pseudo-random graph matches the driver brute force") {
+    // deterministic scrambled edge set with ties in degree and a skewed
+    // hub — the brute force is the definition, the operator is the plan
+    val raw = (0L until 120L).map { i =>
+      val a = (i * 7 + 3) % 23
+      val b = (i * i + 5 * i + 1) % 23
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct
+    val adj = raw.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    // each triangle is seen from all 3 of its edges
+    val bruteTri = raw.map { case (a, b) => (adj(a) & adj(b)).size }.sum / 3
+    val triUsers = raw.flatMap { case (a, b) =>
+      if ((adj(a) & adj(b)).nonEmpty) (adj(a) & adj(b)) + a + b else Set.empty[Long]
+    }.toSet.size
+    summary(raw) shouldBe ((raw.size.toLong, bruteTri.toLong, triUsers.toLong))
+  }
+
+  test("bucket cap drops oversize buckets and is observable, 0 on corpus") {
+    val edges = Seq((1L, 2L), (3L, 4L), (1L, 3L))
+    // every synthetic bucket holds 2 users; cap=1 drops them all — the
+    // WARN path — and cappedBuckets exposes exactly those buckets
+    Triangles.cappedBuckets(eventsFor(edges), bucketCap = 1L)
+      .count() shouldBe 3L
+    val r = Triangles.run(eventsFor(edges), minShared = 1L, bucketCap = 1L)
+      .collect()(0)
+    r.getAs[Number]("n_edges").longValue shouldBe 0L
+    r.getAs[Number]("n_triangles").longValue shouldBe 0L
+    // the shipped cap never binds on the bench corpora (max bucket 587
+    // users at sf0.1) — pinned so silent truncation can't creep in
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    Triangles.cappedBuckets(ev).count() shouldBe 0L
+  }
+}

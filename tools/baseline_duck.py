@@ -58,3 +58,25 @@ for q in HEADLINE:
 
 print(f"\nheadline DuckDB total: cold {sum(r[1] for r in rows):.2f}s "
       f"warm {sum(r[2] for r in rows):.2f}s (threads=4, {sf})")
+
+# Round-12 (verdict item 7): journal the oracle timings alongside the Spark
+# bench journal, metric-tagged so Bench.scala's median loader (which filters
+# metric == "total") never confuses the two. With these lines committed, the
+# headline Spark/DuckDB ratio is derivable from artifacts alone for ANY run,
+# instead of against one frozen BASELINE.md table — DuckDB-side drift on a
+# corpus regen shows up as a journal step, automatically.
+import datetime
+import os
+hist = sys.argv[3] if len(sys.argv) > 3 else "BENCH_HISTORY.jsonl"
+line = {
+    "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+    "metric": "oracle_headline", "unit": "sec", "threads": 4,
+    "value": round(sum(r[2] for r in rows), 3),
+    "value_cold": round(sum(r[1] for r in rows), 3),
+    "queries": {q: round(w, 3) for q, _, w in rows},
+    "queries_cold": {q: round(c, 3) for q, c, _ in rows},
+    "sf": os.path.basename(sf.rstrip("/")),
+}
+with open(hist, "a") as f:
+    f.write(json.dumps(line, separators=(",", ":")) + "\n")
+print(f"journaled oracle timings -> {hist}")

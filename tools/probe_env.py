@@ -42,6 +42,15 @@ print(f"spark-avro connector: {avro_jars or 'ABSENT (source_avro stays unclaimed
 if avro_jars:
     drift.append("spark-avro connector jar PRESENT — claim source_avro this round")
 
+# spark-sql-kafka connector probe (r11 verdict item 6): a Kafka source/sink
+# would unlock a StreamingSpec leg against a real broker-format source; like
+# avro it is environment-blocked today, so probe every round.
+kafka_jars = sorted(glob.glob("/opt/spark/jars/*sql-kafka*.jar")) + \
+    sorted(glob.glob("/opt/spark/jars/kafka-clients*.jar"))
+print(f"spark-sql-kafka connector: {kafka_jars or 'ABSENT (kafka streaming leg stays unclaimed)'}")
+if kafka_jars:
+    drift.append("kafka connector jar PRESENT — claim a kafka StreamingSpec leg this round")
+
 ref = sorted(os.listdir("/root/reference")) if os.path.isdir("/root/reference") else None
 print(f"/root/reference: {len(ref) if ref is not None else 'MISSING'} entries")
 if ref:

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Build a 10x (sf1-equivalent) stress corpus for the dominant-shuffle
+queries (dev tool; r11 verdict item 8: turn "no spill at sf0.1" into a
+measured scaling exponent).
+
+Shape-preserving scaling: the 10x corpus is TEN DISJOINT REPLICAS of
+sf0.1, not ten literal copies —
+  - documents: every token gets a per-replica suffix (disjoint vocab), so
+    window/bigram/shingle distributions are 10 independent shards of the
+    original: distinct windows scale 10x, per-window doc-frequency is
+    UNCHANGED. A literal copy would instead mark every window a duplicate
+    (df >= 10) and morph the workload, not scale it.
+  - events: user ids offset and timestamps shifted +365d per replica, so
+    (day, event_type) co-occurrence buckets stay replica-disjoint: bucket
+    count scales 10x at constant bucket size. Sharing days would make
+    each bucket 10x BIGGER -> 100x pair fan-out, a different (quadratic)
+    experiment.
+Remaining tables are copied verbatim (Prof's warmup + loader need them).
+
+Usage: python3 tools/scale10.py [srcDir=/root/testdata/sf0.1] [dst=/tmp/sf1]
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+os.makedirs(dst, exist_ok=True)
+
+con = duckdb.connect()
+con.execute("SET threads=8")
+
+docs = " UNION ALL ".join(
+    f"""SELECT doc_id + {i} * 1000000 AS doc_id,
+          regexp_replace(text, '(\\S+)', '\\1{i}', 'g') AS text,
+          lang, source,
+          CAST(length(regexp_replace(text, '(\\S+)', '\\1{i}', 'g')) AS BIGINT)
+            AS n_chars
+        FROM read_parquet('{src}/documents.parquet')"""
+    for i in range(10))
+con.execute(f"COPY ({docs}) TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+
+events = " UNION ALL ".join(
+    f"""SELECT event_id + {i} * 100000000 AS event_id,
+          ts + INTERVAL {i * 365} DAY AS ts,
+          user_id + {i} * 10000000 AS user_id,
+          event_type, value, props
+        FROM read_parquet('{src}/events.parquet')"""
+    for i in range(10))
+con.execute(f"COPY ({events}) TO '{dst}/events.parquet' (FORMAT PARQUET)")
+
+for t in ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "embeddings"):
+    shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+for t in ("documents", "events"):
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
+    print(f"{t}: {n} rows -> {dst}")
