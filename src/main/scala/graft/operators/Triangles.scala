@@ -34,6 +34,14 @@ object Triangles {
   val DefaultMinShared = 30L
   val DefaultBucketCap = 65536L
 
+  /** Activity-row count above which the pair join's parallelism is pinned
+    * with an explicit repartition (below it the frame broadcasts and the
+    * cached probe is already parallel — see the dispatch note in [[run]]).
+    * ~256k rows ≈ 10 MB of (user, day, type), the broadcast-threshold
+    * regime boundary where AQE's input-sized coalescing starts serializing
+    * the fan-out stage. */
+  val repartitionMinRows = 262144L
+
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** distinct (user, day, event_type) activity — the bucket membership */
@@ -61,10 +69,16 @@ object Triangles {
     // the joins plan against it)
     val ua0 = tr.persist(activity(events))
     val sizes = ua0.groupBy("d", "event_type").agg(count(lit(1)).as("m"))
-    // cap observability (r12): ≤ |days| × |types| rows at any SF, so this
-    // extra action costs one kilobyte-scale agg over the cached activity —
-    // and turns silent truncation into a logged, countable event
-    val capped = sizes.where(col("m") > bucketCap).count()
+    // ONE kilobyte-scale stats action over the cached activity frame pays
+    // for two things: cap observability (r12 — silent truncation becomes a
+    // logged, countable event) and the row count the parallelism dispatch
+    // below needs (the PageRank/knn stats-dispatch move: no second job)
+    val st = sizes.agg(
+      sum(when(col("m") > bucketCap, 1L).otherwise(0L)).as("capped"),
+      sum(when(col("m") <= bucketCap, col("m")).otherwise(lit(0L))).as("kept"))
+      .head()
+    val capped = Option(st.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val keptRows = Option(st.get(1)).fold(0L)(_.asInstanceOf[Long])
     if (capped > 0)
       log.warn(s"triangles: $capped (day, event_type) buckets exceeded " +
         s"cap=$bucketCap and were DROPPED — edge set is a lower bound")
@@ -72,13 +86,32 @@ object Triangles {
     // window over ua — a window would re-partition ua by (d, type) and push
     // the pair join from broadcast-hash to sort-merge (measured +3 s)
     val okBuckets = sizes.where(col("m") <= bucketCap).select("d", "event_type")
-    val ua = ua0.join(broadcast(okBuckets), Seq("d", "event_type"))
+    // Pair-generation parallelism is PINNED with an explicit bucket-keyed
+    // repartition (r12, measured at 10× bench scale): AQE sizes the
+    // post-shuffle join stage by its INPUT bytes, but this stage's output
+    // is the Σ bucket² pair fan-out — ~1000× its input — so once the
+    // activity frame outgrows the broadcast threshold, AQE coalesced the
+    // sort-merge pair join to 1–2 tasks and 217M pairs generated serially
+    // (114 s; 28 s once the stage kept its fan-out). An explicit
+    // numPartitions is exempt from AQE coalescing, both self-join sides
+    // reuse the ONE exchange, and the session's shuffle-partition setting
+    // remains the scale knob. Skew is bounded by the bucket cap. Below
+    // `repartitionMinRows` the activity frame broadcasts anyway and the
+    // cached map-side probe is already fully parallel, so the extra
+    // exchange would only add ~1 s — the dispatch is plan-only (identical
+    // values either branch), keyed on the stats action above.
+    val ua0k = ua0.join(broadcast(okBuckets), Seq("d", "event_type"))
+    val ua =
+      if (keptRows < repartitionMinRows) ua0k
+      else ua0k.repartition(
+        events.sparkSession.sessionState.conf.numShufflePartitions,
+        col("d"), col("event_type"))
     // canonical undirected edges (u1 < u2). Shuffle-volume note (measured
-    // both ways at sf0.1): with ua0 cached the pair probe runs 32-way
-    // parallel and the partial agg combines little — ~140 MB of pair
-    // partials shuffle; uncached, AQE collapses the probe to 2 near-serial
-    // tasks. The pair exchange is the algorithm's INTRINSIC intermediate
-    // (Σ bucket² rows, bounded by the cap), so parallelism wins.
+    // both ways at sf0.1): with the probe 32-way parallel the partial agg
+    // combines little — ~140 MB of pair partials shuffle; near-serial, it
+    // combines 20:1 but loses the wall-clock race. The pair exchange is
+    // the algorithm's INTRINSIC intermediate (Σ bucket² rows, bounded by
+    // the cap), so parallelism wins.
     val edges = tr.seal(
       ua.select(col("d"), col("event_type"), col("user_id").as("u1"))
         .join(ua.select(col("d"), col("event_type"), col("user_id").as("u2")),
