@@ -63,6 +63,51 @@ object Triangles {
   /** One-row summary: n_edges, n_triangles, n_tri_users. */
   def run(events: DataFrame, minShared: Long = DefaultMinShared,
       bucketCap: Long = DefaultBucketCap): DataFrame = {
+    val (edges, tri) = pipeline(events, minShared, bucketCap)
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    val nUsers = tri.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+      .agg(countDistinct(col("u")).as("n_tri_users"))
+    nEdges.crossJoin(nTri).crossJoin(nUsers)
+  }
+
+  /** Per-node census (r12): degree, triangle participation, and the LOCAL
+    * CLUSTERING COEFFICIENT 2T/(d(d−1)) — Watts & Strogatz (*Collective
+    * dynamics of 'small-world' networks*, Nature 1998) — over the same
+    * co-occurrence graph. The rollup is two aggregates over the sealed
+    * edge/triangle frames (graph-sized, never corpus-sized): degree from
+    * the undirected edge list, participation from exploding each
+    * triangle's three corners. Exact integers into ONE float chain
+    * (2·T/(d·(d−1)), 6dp), coefficient defined as 0 for degree < 2 (the
+    * no-possible-wedge convention). Every ACTIVE user gets a row —
+    * isolated users carry (0, 0, 0.0) rather than vanishing, the shape a
+    * downstream feature join needs (and the output is never empty on a
+    * sparse corpus whose edge set is). */
+  def perNode(events: DataFrame, minShared: Long = DefaultMinShared,
+      bucketCap: Long = DefaultBucketCap): DataFrame = {
+    val (edges, tri) = pipeline(events, minShared, bucketCap)
+    val users = events.select(col("user_id").as("u")).distinct()
+    val deg = edges.select(col("u1").as("u"))
+      .union(edges.select(col("u2").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+    val tc = tri.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("n_tri"))
+    users.join(deg, Seq("u"), "left").join(tc, Seq("u"), "left")
+      .select(col("u").as("user_id"),
+        coalesce(col("dg"), lit(0L)).as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(when(coalesce(col("dg"), lit(0L)) >= 2,
+          lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (coalesce(col("dg"), lit(0L)) * (coalesce(col("dg"), lit(0L)) - 1)))
+          .otherwise(lit(0.0)), 6).as("coeff"))
+  }
+
+  /** Shared census pipeline: (sealed undirected edges, sealed closed
+    * triangles). Both returned frames are persisted (Tracked-owned by the
+    * pipeline's consumers via the session cache — callers run inside one
+    * query and the harness clears caches per query). */
+  private def pipeline(events: DataFrame, minShared: Long,
+      bucketCap: Long): (DataFrame, DataFrame) = {
     val tr = new Tracked
     // persisted: read by the cap count, the bucket-size agg, and both pair-
     // join sides (the cap-count action populates the cache before any of
@@ -146,10 +191,6 @@ object Triangles {
         col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"),
         col("e2.dst").as("c")))
-    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
-    val nUsers = tri.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
-      .agg(countDistinct(col("u")).as("n_tri_users"))
-    nEdges.crossJoin(nTri).crossJoin(nUsers)
+    (edges, tri)
   }
 }

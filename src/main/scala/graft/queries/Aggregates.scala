@@ -653,6 +653,41 @@ object Aggregates {
             .as("corr_qty_price"))
         .orderBy("l_returnflag")),
 
+    // §2.4 grouped least-squares regression (round 12) — the per-segment
+    // trend fit (price-per-unit slope by return flag) that completes the
+    // sufficient-statistics family (agg_corr = direction, this = the
+    // LINE): ŷ = slope·x + intercept with slope = (nΣxy−ΣxΣy)/(nΣx²−
+    // (Σx)²), the intercept in its closed cross-moment form (ΣyΣx² −
+    // ΣxΣxy)/(nΣx²−(Σx)²) — never derived FROM the rounded slope — and
+    // r² as the squared correlation. agg_corr's discipline end-to-end:
+    // the built-in regr_slope/regr_* merge co-moment buffers in partition
+    // order (last-bit nondeterministic), so the raw sums are exact
+    // DECIMAL (order-independent) and each coefficient is ONE identical
+    // double chain on both engines. One map-side-combined aggregate; the
+    // 3-row finish is free.
+    "agg_ols" -> ((s, sf) =>
+      t(s, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).cast("double").as("sx"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double").as("sy"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))"))
+            .cast("double").as("sxx"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
+            .cast("double").as("syy"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
+            .cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("intercept"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+        .orderBy("l_returnflag")),
+
     // §2.4 fixed-width histogram (round 9) — the distribution-profiling
     // primitive behind any QC dashboard: integer bin = floor(x / width)
     // (engine-portable — no width_bucket in DuckDB 1.0, and floor of an
@@ -1098,6 +1133,23 @@ object Aggregates {
          SELECT l_returnflag, CAST(n AS BIGINT) AS n,
            round((n*sxy - sx*sy)
                  / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price
+         FROM s ORDER BY l_returnflag""",
+    "agg_ols" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+           round((sy*sxx - sx*sxy) / (n*sxx - sx*sx), 6) AS intercept,
+           round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                 / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
          FROM s ORDER BY l_returnflag""",
     "agg_hist" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,

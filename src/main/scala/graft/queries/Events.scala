@@ -604,6 +604,37 @@ object Events {
     "events_triangles" -> ((s, sf) =>
       graft.operators.Triangles.run(t(s, sf, "events"))),
 
+    // z-score volume anomaly detection (round 12) — the "which days were
+    // abnormal" alerting primitive over per-(event_type, day) counts:
+    // flag days where |x − μ| > 2σ with μ, σ from the POPULATION moments
+    // of the type's own daily series. The corpus collapses to the ≤
+    // |types|·|days| daily table FIRST (one map-side-combined agg — the
+    // only stage that touches corpus rows at 100 TB); moments derive from
+    // that compact table as exact BIGINT sums (nd, Σx, Σx²), and the
+    // z-score is written in the cancelled form (x·nd − Σx) /
+    // sqrt(nd·Σx² − (Σx)²): BOTH operands are exact integers (< 2^53 at
+    // any realistic SF), so the single division-after-sqrt is the ONLY
+    // float op — bit-identical cross-engine, no rounding discipline
+    // needed beyond the 6dp on z. Zero-variance series are excluded by an
+    // exact integer predicate, never a NaN comparison.
+    "ts_anomaly" -> ((s, sf) => {
+      val daily = t(s, sf, "events")
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val m = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum(col("x")).as("sn"),
+          sum(col("x") * col("x")).as("snn"))
+      daily.join(m, "event_type")
+        .where(col("nd") * col("snn") - col("sn") * col("sn") > 0)
+        .withColumn("z", round((col("x") * col("nd") - col("sn")) /
+          sqrt((col("nd") * col("snn") - col("sn") * col("sn"))
+            .cast("double")), 6))
+        .where(abs(col("z")) > 2.0)
+        .select(col("event_type"), col("d"), col("x").as("n_events"), col("z"))
+        .orderBy("event_type", "d")
+    }),
+
     // lag-k autocorrelation of the daily volume series (round 11) — the
     // seasonality detector ts_seasonality's fixed weekly fold can't give:
     // r_k = Pearson(x_t, x_{t+k}) for k = 1..7 over per-day event counts.
@@ -1410,6 +1441,17 @@ object Events {
          CROSS JOIN tr
          WHERE a.d > (SELECT dmax FROM mx) - 7
          ORDER BY a.d""",
+    "ts_anomaly" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             count(*) AS x FROM events GROUP BY 1, 2),
+           m AS (SELECT event_type, count(*) AS nd, sum(x) AS sn,
+             sum(x * x) AS snn FROM daily GROUP BY 1),
+           z AS (SELECT event_type, d, x,
+             round((x * nd - sn) / sqrt(CAST(nd * snn - sn * sn AS DOUBLE)), 6) AS z
+             FROM daily JOIN m USING (event_type)
+             WHERE nd * snn - sn * sn > 0)
+         SELECT event_type, CAST(d AS BIGINT) AS d, CAST(x AS BIGINT) AS n_events, z
+         FROM z WHERE abs(z) > 2.0 ORDER BY event_type, d""",
     "events_survival" ->
       """WITH u AS (SELECT user_id, min(epoch_us(ts) // 3600000000) AS h0
              FROM events GROUP BY 1),

@@ -77,7 +77,8 @@ object Graph {
     // primitive completing the graph tier (connectivity, density,
     // centrality, distance): cheapest trade route from nation 0 under the
     // integer cost above, K = 6 relaxation rounds. The declared semantics
-    // are "shortest using ≤ K+1 edges" at FIXED K, so the oracle (the
+    // are "shortest using ≤ K edges" at FIXED K (r12 doc fix: K
+    // synchronous relaxations bound paths at K edges), so the oracle (the
     // same K rounds unrolled as MATERIALIZED CTEs) is value-identical
     // whether or not K reaches the true fixed point — convergence is a
     // property of K, not a cross-engine risk; on this complete graph the
@@ -90,7 +91,26 @@ object Graph {
       graft.operators.Sssp.run(nodes, costEdges(s, sf), source = 0L,
           rounds = ssspRounds)
         .orderBy("node")
-    })
+    }),
+
+    // per-node local clustering coefficient (round 12) — the node-level
+    // refinement of events_triangles' global census (Watts & Strogatz
+    // 1998): per user of the ≥30-shared-bucket co-occurrence graph, the
+    // degree, triangle participation, and 2T/(d(d−1)) — the "how cliquish
+    // is this user's neighbourhood" feature every community-detection /
+    // bot-ring pipeline computes. Rides [[graft.operators.Triangles]]'s
+    // shared census pipeline (degree-ordered wedges, capped buckets,
+    // AQE-proof pair parallelism); the per-node rollup is two aggregates
+    // over the sealed GRAPH-sized frames, never the corpus. Exact integer
+    // counts into one identical float chain (6dp); coefficient 0 for
+    // degree < 2 (no possible wedge), and every ACTIVE user gets a row
+    // (isolated users carry zeros — the feature-join shape, and the
+    // output is never empty on a sparse corpus whose edge set is). The
+    // id-ordered DuckDB oracle matches because triangle membership is
+    // orientation-invariant.
+    "graph_clustering" -> ((s, sf) =>
+      graft.operators.Triangles.perNode(t(s, sf, "events"))
+        .orderBy("user_id"))
   )
 
   /** The oracle is the SAME fixed 10-round power iteration unrolled as
@@ -168,6 +188,33 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
-    "graph_sssp" -> ssspSql
+    "graph_sssp" -> ssspSql,
+    "graph_clustering" ->
+      """WITH ua AS (SELECT user_id, d, event_type FROM
+               (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d,
+                       event_type FROM events)
+             QUALIFY count(*) OVER (PARTITION BY d, event_type) <= 65536),
+         e AS (SELECT a.user_id AS u1, b.user_id AS u2
+               FROM ua a JOIN ua b ON a.d = b.d AND a.event_type = b.event_type
+                                   AND a.user_id < b.user_id
+               GROUP BY 1, 2 HAVING count(*) >= 30),
+         tri AS (SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c
+                 FROM e e1 JOIN e e2 ON e2.u1 = e1.u2
+                           JOIN e e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2),
+         users AS (SELECT DISTINCT user_id AS u FROM events),
+         deg AS (SELECT u, count(*) AS dg
+                 FROM (SELECT u1 AS u FROM e UNION ALL SELECT u2 FROM e)
+                 GROUP BY 1),
+         tc AS (SELECT u, count(*) AS n_tri
+                FROM (SELECT unnest([a, b, c]) AS u FROM tri) GROUP BY 1)
+         SELECT users.u AS user_id,
+           CAST(coalesce(dg, 0) AS BIGINT) AS degree,
+           CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+           round(CASE WHEN coalesce(dg, 0) >= 2
+             THEN 2.0 * coalesce(n_tri, 0)
+                  / (coalesce(dg, 0) * (coalesce(dg, 0) - 1))
+             ELSE 0.0 END, 6) AS coeff
+         FROM users LEFT JOIN deg ON deg.u = users.u
+                    LEFT JOIN tc ON tc.u = users.u ORDER BY user_id"""
   )
 }

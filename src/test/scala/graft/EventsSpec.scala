@@ -163,6 +163,66 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("agg_ols: least-squares laws vs the built-in regression aggregates") {
+    val got = SparkEntry.queries("agg_ols")(spark, sf001).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Double]("slope"), r.getAs[Double]("intercept"),
+          r.getAs[Double]("r2")))).toMap
+    got should not be empty
+    val builtin = T.t(spark, sf001, "lineitem").groupBy("l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("s"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("i"),
+        expr("regr_r2(l_extendedprice, l_quantity)").as("r"),
+        avg(col("l_quantity")).as("mx"), avg(col("l_extendedprice")).as("my"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Double]("s"), r.getAs[Double]("i"), r.getAs[Double]("r"),
+          r.getAs[Double]("mx"), r.getAs[Double]("my")))).toMap
+    got.foreach { case (k, (slope, icept, r2)) =>
+      val (bs, bi, br, mx, my) = builtin(k)
+      slope shouldBe (bs +- 1e-4)
+      icept shouldBe (bi +- 1e-2) // intercept magnitude ~1e4: relative 1e-6
+      r2 should (be >= 0.0 and be <= 1.0)
+      r2 shouldBe (br +- 1e-6)
+      // the fitted line passes through the centroid (x̄, ȳ)
+      (slope * mx + icept) shouldBe (my +- 1.0)
+    }
+  }
+
+  test("ts_anomaly: every flagged day recomputes past the z threshold") {
+    val rows = SparkEntry.queries("ts_anomaly")(spark, sf001).collect()
+    rows should not be empty
+    // recompute each type's daily series moments on the driver
+    val daily = T.t(spark, sf001, "events")
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getAs[String](0), r.getAs[Long]("d"), r.getAs[Long]("x")))
+    val byType = daily.groupBy(_._1)
+    rows.foreach { r =>
+      val (et, d, n, z) = (r.getAs[String]("event_type"), r.getAs[Long]("d"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("z"))
+      math.abs(z) should be > 2.0
+      val xs = byType(et).map(_._3)
+      val (nd, sn, snn) = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+      byType(et).find(t => t._2 == d).map(_._3) shouldBe Some(n)
+      val zRef = (n * nd - sn).toDouble / math.sqrt((nd * snn - sn * sn).toDouble)
+      z shouldBe (zRef +- 1e-6)
+    }
+    // and no unflagged day clears the threshold (completeness)
+    val flagged = rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("d"))).toSet
+    daily.foreach { case (et, d, x) =>
+      val xs = byType(et).map(_._3)
+      val (nd, sn, snn) = (xs.length.toLong, xs.sum, xs.map(v => v * v).sum)
+      if (nd * snn - sn * sn > 0) {
+        val z = math.rint((x * nd - sn).toDouble /
+          math.sqrt((nd * snn - sn * sn).toDouble) * 1e6) / 1e6
+        withClue(s"$et day $d z=$z: ") {
+          (math.abs(z) > 2.0) shouldBe flagged((et, d))
+        }
+      }
+    }
+  }
+
   test("win_distribution: cume_dist is the exact empirical CDF per segment") {
     val rows = SparkEntry.queries("win_distribution")(spark, sf001).collect()
     rows should not be empty

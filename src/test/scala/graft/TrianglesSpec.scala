@@ -67,6 +67,32 @@ class TrianglesSpec extends AnyFunSuite with SparkFixture with Matchers {
     summary(raw) shouldBe ((raw.size.toLong, bruteTri.toLong, triUsers.toLong))
   }
 
+  test("perNode: hand-checked clustering coefficients, isolated users kept") {
+    // hub 100 touches 1..4 with closures 1-2, 3-4 (the first test's
+    // graph): deg(100)=4 in 2 triangles -> 2*2/(4*3) = 1/3; each leaf has
+    // deg 2 in 1 triangle -> coeff 1.0. User 999 is active but edge-free
+    // (its bucket is shared with nobody often enough) and must still get
+    // a (0, 0, 0.0) row — the feature-join contract.
+    val edges = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (1L, 2L), (3L, 4L))
+    val ev = {
+      import spark.implicits._
+      // 999's lone event sits on day 500 — far from every edge bucket
+      eventsFor(edges).union(Seq((999L, 500L * 86400L)).toDF("user_id", "sec")
+        .select(col("user_id"), col("sec").cast("timestamp").as("ts"),
+          lit("t").as("event_type")))
+    }
+    val got = Triangles.perNode(ev, minShared = 1L).collect()
+      .map(r => r.getAs[Number]("user_id").longValue ->
+        ((r.getAs[Number]("degree").longValue,
+          r.getAs[Number]("n_tri").longValue,
+          r.getAs[Double]("coeff")))).toMap
+    got(100L) shouldBe ((4L, 2L, 0.333333))
+    Seq(1L, 2L, 3L, 4L).foreach(u => got(u) shouldBe ((2L, 1L, 1.0)))
+    got(999L) shouldBe ((0L, 0L, 0.0))
+    got.size shouldBe 6
+  }
+
   test("bucket cap drops oversize buckets and is observable, 0 on corpus") {
     val edges = Seq((1L, 2L), (3L, 4L), (1L, 3L))
     // every synthetic bucket holds 2 users; cap=1 drops them all — the
