@@ -62,8 +62,9 @@ object Triangles {
 
   /** One-row summary: n_edges, n_triangles, n_tri_users. */
   def run(events: DataFrame, minShared: Long = DefaultMinShared,
-      bucketCap: Long = DefaultBucketCap): DataFrame = {
-    val (edges, tri) = pipeline(events, minShared, bucketCap)
+      bucketCap: Long = DefaultBucketCap,
+      repartitionGate: Long = repartitionMinRows): DataFrame = {
+    val (edges, tri) = pipeline(events, minShared, bucketCap, repartitionGate)
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     val nTri = tri.agg(count(lit(1)).as("n_triangles"))
     val nUsers = tri.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
@@ -84,8 +85,9 @@ object Triangles {
     * downstream feature join needs (and the output is never empty on a
     * sparse corpus whose edge set is). */
   def perNode(events: DataFrame, minShared: Long = DefaultMinShared,
-      bucketCap: Long = DefaultBucketCap): DataFrame = {
-    val (edges, tri) = pipeline(events, minShared, bucketCap)
+      bucketCap: Long = DefaultBucketCap,
+      repartitionGate: Long = repartitionMinRows): DataFrame = {
+    val (edges, tri) = pipeline(events, minShared, bucketCap, repartitionGate)
     val users = events.select(col("user_id").as("u")).distinct()
     val deg = edges.select(col("u1").as("u"))
       .union(edges.select(col("u2").as("u")))
@@ -107,7 +109,7 @@ object Triangles {
     * pipeline's consumers via the session cache — callers run inside one
     * query and the harness clears caches per query). */
   private def pipeline(events: DataFrame, minShared: Long,
-      bucketCap: Long): (DataFrame, DataFrame) = {
+      bucketCap: Long, repartitionGate: Long): (DataFrame, DataFrame) = {
     val tr = new Tracked
     // persisted: read by the cap count, the bucket-size agg, and both pair-
     // join sides (the cap-count action populates the cache before any of
@@ -147,7 +149,7 @@ object Triangles {
     // values either branch), keyed on the stats action above.
     val ua0k = ua0.join(broadcast(okBuckets), Seq("d", "event_type"))
     val ua =
-      if (keptRows < repartitionMinRows) ua0k
+      if (keptRows < repartitionGate) ua0k
       else ua0k.repartition(
         events.sparkSession.sessionState.conf.numShufflePartitions,
         col("d"), col("event_type"))

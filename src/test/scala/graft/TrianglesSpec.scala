@@ -93,6 +93,25 @@ class TrianglesSpec extends AnyFunSuite with SparkFixture with Matchers {
     got.size shouldBe 6
   }
 
+  test("repartition dispatch: both parallelism branches are value-identical") {
+    // the r12 AQE-fan-out fix is plan-only: forcing the pinned-repartition
+    // branch (gate 0 — what a 10x corpus takes) must reproduce the
+    // broadcast branch bit-for-bit, summary and per-node alike — the
+    // Components/PageRank dispatch-equivalence contract
+    val edges = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (1L, 2L), (3L, 4L), (2L, 3L))
+    val ev = eventsFor(edges)
+    Triangles.run(ev, minShared = 1L, repartitionGate = 0L).collect() shouldBe
+      Triangles.run(ev, minShared = 1L).collect()
+    Triangles.perNode(ev, minShared = 1L, repartitionGate = 0L)
+      .orderBy("user_id").collect() shouldBe
+      Triangles.perNode(ev, minShared = 1L).orderBy("user_id").collect()
+    // and on the real corpus slice
+    val corpus = spark.read.parquet(s"$sf001/events.parquet")
+    Triangles.run(corpus, repartitionGate = 0L).collect() shouldBe
+      Triangles.run(corpus).collect()
+  }
+
   test("bucket cap drops oversize buckets and is observable, 0 on corpus") {
     val edges = Seq((1L, 2L), (3L, 4L), (1L, 3L))
     // every synthetic bucket holds 2 users; cap=1 drops them all — the
