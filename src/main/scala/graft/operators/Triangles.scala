@@ -34,13 +34,14 @@ object Triangles {
   val DefaultMinShared = 30L
   val DefaultBucketCap = 65536L
 
-  /** Activity-row count above which the pair join's parallelism is pinned
-    * with an explicit repartition (below it the frame broadcasts and the
-    * cached probe is already parallel — see the dispatch note in [[run]]).
-    * ~256k rows ≈ 10 MB of (user, day, type), the broadcast-threshold
-    * regime boundary where AQE's input-sized coalescing starts serializing
-    * the fan-out stage. */
-  val repartitionMinRows = 262144L
+  /** Kept-activity-row boundary between the two pair-generation regimes
+    * (see the dispatch note in `pipeline`): below it the capped activity
+    * frame is broadcast as the build side and the probe is u1-partitioned
+    * for full map-side combine; above it both sides co-partition on the
+    * bucket key with pinned parallelism. ~4M rows ≈ 160 MB of
+    * (user, day, type) — a comfortable executor broadcast budget; past it
+    * the build side stops being broadcastable. */
+  val repartitionMinRows = 4194304L
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -133,37 +134,49 @@ object Triangles {
     // window over ua — a window would re-partition ua by (d, type) and push
     // the pair join from broadcast-hash to sort-merge (measured +3 s)
     val okBuckets = sizes.where(col("m") <= bucketCap).select("d", "event_type")
-    // Pair-generation parallelism is PINNED with an explicit bucket-keyed
-    // repartition (r12, measured at 10× bench scale): AQE sizes the
-    // post-shuffle join stage by its INPUT bytes, but this stage's output
-    // is the Σ bucket² pair fan-out — ~1000× its input — so once the
-    // activity frame outgrows the broadcast threshold, AQE coalesced the
-    // sort-merge pair join to 1–2 tasks and 217M pairs generated serially
-    // (114 s; 28 s once the stage kept its fan-out). An explicit
-    // numPartitions is exempt from AQE coalescing, both self-join sides
-    // reuse the ONE exchange, and the session's shuffle-partition setting
-    // remains the scale knob. Skew is bounded by the bucket cap. Below
-    // `repartitionMinRows` the activity frame broadcasts anyway and the
-    // cached map-side probe is already fully parallel, so the extra
-    // exchange would only add ~1 s — the dispatch is plan-only (identical
-    // values either branch), keyed on the stats action above.
     val ua0k = ua0.join(broadcast(okBuckets), Seq("d", "event_type"))
-    val ua =
-      if (keptRows < repartitionGate) ua0k
-      else ua0k.repartition(
-        events.sparkSession.sessionState.conf.numShufflePartitions,
-        col("d"), col("event_type"))
-    // canonical undirected edges (u1 < u2). Shuffle-volume note (measured
-    // both ways at sf0.1): with the probe 32-way parallel the partial agg
-    // combines little — ~140 MB of pair partials shuffle; near-serial, it
-    // combines 20:1 but loses the wall-clock race. The pair exchange is
-    // the algorithm's INTRINSIC intermediate (Σ bucket² rows, bounded by
-    // the cap), so parallelism wins.
+    val nPart = events.sparkSession.sessionState.conf.numShufflePartitions
+    // TWO pair-generation regimes, stats-dispatched on the kept activity
+    // rows (both value-identical — TrianglesSpec pins the branch equality):
+    //
+    //  - BROADCAST-COMBINE (below the gate — the capped activity frame fits
+    //    a broadcast): the PROBE side is explicitly repartitioned by u1, so
+    //    every (u1, u2) pair instance — the same pair recurs across ~20
+    //    buckets on this corpus — is generated inside u1's partition and
+    //    the map-side partial agg collapses the repetition BEFORE the
+    //    exchange: the pair shuffle drops from Σ bucket² instances (140 MB
+    //    at sf0.1) to distinct pairs (~2 MB), and the 10× run loses its
+    //    1 GB sort-fallback spill entirely. Measured: edges 7.7 → 1.1 s
+    //    warm at sf0.1, 28 → 4.2 s at 10×. The explicit numPartitions on
+    //    the probe doubles as the AQE fan-out guard (below).
+    //  - PINNED BUCKET REPARTITION (above the gate — activity too big to
+    //    broadcast): both self-join sides co-partition on (d, event_type)
+    //    via ONE explicit exchange. Explicit numPartitions is the AQE
+    //    guard: AQE sizes a post-shuffle stage by its INPUT bytes, but this
+    //    stage's output is the Σ bucket² fan-out (~1000× input) — unpinned,
+    //    AQE coalesced the sort-merge pair join to 1–2 tasks and 217M pairs
+    //    generated serially (114 s; 24 s pinned, measured at 10×). Combine
+    //    is poor here (same pair, different buckets, different tasks); the
+    //    pair exchange is the algorithm's intrinsic intermediate, linear
+    //    and disk-backed — the parallelism-vs-combine trade taken knowingly.
+    //
+    // Skew in both regimes is bounded by the bucket cap; the session's
+    // shuffle-partition setting remains the scale knob.
+    val pairs =
+      if (keptRows < repartitionGate) {
+        val probe = ua0k.repartition(nPart, col("user_id"))
+        probe.select(col("d"), col("event_type"), col("user_id").as("u1"))
+          .join(broadcast(ua0k
+            .select(col("d"), col("event_type"), col("user_id").as("u2"))),
+            Seq("d", "event_type"))
+      } else {
+        val ua = ua0k.repartition(nPart, col("d"), col("event_type"))
+        ua.select(col("d"), col("event_type"), col("user_id").as("u1"))
+          .join(ua.select(col("d"), col("event_type"), col("user_id").as("u2")),
+            Seq("d", "event_type"))
+      }
     val edges = tr.seal(
-      ua.select(col("d"), col("event_type"), col("user_id").as("u1"))
-        .join(ua.select(col("d"), col("event_type"), col("user_id").as("u2")),
-          Seq("d", "event_type"))
-        .where(col("u1") < col("u2"))
+      pairs.where(col("u1") < col("u2"))
         .groupBy("u1", "u2").agg(count(lit(1)).as("shared"))
         .where(col("shared") >= minShared)
         .select("u1", "u2"))
