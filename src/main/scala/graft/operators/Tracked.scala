@@ -45,12 +45,17 @@ final class Tracked {
     * global-sort plan would pay the range-partition sampling job, which
     * recomputes the unsorted child a second time.
     */
-  def seal(result: DataFrame): DataFrame = {
+  def seal(result: DataFrame): DataFrame = sealCounted(result)._1
+
+  /** [[seal]], returning the materialization count too — the row count the
+    * eager count() already pays for, surfaced so callers dispatching on
+    * result size (Triangles' wedge gate) never run a second count job. */
+  def sealCounted(result: DataFrame): (DataFrame, Long) = {
     val out = result.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    val n = out.count()
     synchronized { owned = out :: owned }
     free()
-    out
+    (out, n)
   }
 
   /** Free everything, sealed results included — zero pinned blocks remain. */

@@ -43,6 +43,13 @@ object Triangles {
     * the build side stops being broadcastable. */
   val repartitionMinRows = 4194304L
 
+  /** Edge-count boundary for the wedge phase (see `pipeline`): below it
+    * the sealed edge list collects once and triangles close on the driver
+    * (the Components `smallThreshold` contract — ≤ 8 MB of bare longs at
+    * the gate); at or above it the degree-ordered wedge join runs
+    * distributed. */
+  val DriverMaxEdges = 500000L
+
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** distinct (user, day, event_type) activity — the bucket membership */
@@ -64,8 +71,10 @@ object Triangles {
   /** One-row summary: n_edges, n_triangles, n_tri_users. */
   def run(events: DataFrame, minShared: Long = DefaultMinShared,
       bucketCap: Long = DefaultBucketCap,
-      repartitionGate: Long = repartitionMinRows): DataFrame = {
-    val (edges, tri) = pipeline(events, minShared, bucketCap, repartitionGate)
+      repartitionGate: Long = repartitionMinRows,
+      wedgeGate: Long = DriverMaxEdges): DataFrame = {
+    val (edges, tri) =
+      pipeline(events, minShared, bucketCap, repartitionGate, wedgeGate)
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     val nTri = tri.agg(count(lit(1)).as("n_triangles"))
     val nUsers = tri.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
@@ -87,8 +96,10 @@ object Triangles {
     * sparse corpus whose edge set is). */
   def perNode(events: DataFrame, minShared: Long = DefaultMinShared,
       bucketCap: Long = DefaultBucketCap,
-      repartitionGate: Long = repartitionMinRows): DataFrame = {
-    val (edges, tri) = pipeline(events, minShared, bucketCap, repartitionGate)
+      repartitionGate: Long = repartitionMinRows,
+      wedgeGate: Long = DriverMaxEdges): DataFrame = {
+    val (edges, tri) =
+      pipeline(events, minShared, bucketCap, repartitionGate, wedgeGate)
     val users = events.select(col("user_id").as("u")).distinct()
     val deg = edges.select(col("u1").as("u"))
       .union(edges.select(col("u2").as("u")))
@@ -110,7 +121,8 @@ object Triangles {
     * pipeline's consumers via the session cache — callers run inside one
     * query and the harness clears caches per query). */
   private def pipeline(events: DataFrame, minShared: Long,
-      bucketCap: Long, repartitionGate: Long): (DataFrame, DataFrame) = {
+      bucketCap: Long, repartitionGate: Long,
+      wedgeGate: Long): (DataFrame, DataFrame) = {
     val tr = new Tracked
     // persisted: read by the cap count, the bucket-size agg, and both pair-
     // join sides (the cap-count action populates the cache before any of
@@ -175,11 +187,63 @@ object Triangles {
           .join(ua.select(col("d"), col("event_type"), col("user_id").as("u2")),
             Seq("d", "event_type"))
       }
-    val edges = tr.seal(
+    val (edges, nEdges) = tr.sealCounted(
       pairs.where(col("u1") < col("u2"))
         .groupBy("u1", "u2").agg(count(lit(1)).as("shared"))
         .where(col("shared") >= minShared)
         .select("u1", "u2"))
+    // Wedge-phase dispatch (the Components/PageRank bounded-boundary move,
+    // r12): the edge list is GRAPH-sized — 10k rows at sf0.1, 104k at the
+    // 10× corpus — and the distributed wedge plan below spends its time in
+    // per-job stage latency (degree joins + two sealed self-joins ≈ 2.5 s
+    // of scheduling for microseconds of math). Below `wedgeGate` edges the
+    // sealed list collects ONCE (≤ 8 MB at the gate — the Components
+    // smallThreshold contract) and triangles close on the driver via
+    // sorted-adjacency intersection (Σ min-degree ops, ≤ ~0.5 G compares
+    // at the gate's densest graph); at or above the gate the degree-
+    // ordered wedge join runs distributed. Branch equality is spec-pinned.
+    val tri =
+      if (nEdges <= wedgeGate) driverTriangles(edges)
+      else distributedTriangles(edges, tr)
+    (edges, tri)
+  }
+
+  /** Driver wedge closure over the COLLECTED edge list: canonical (a<b<c)
+    * triples via sorted-adjacency intersection. Used below [[wedgeGate]]
+    * — the triple order differs from the distributed branch's degree
+    * orientation, but every consumer aggregates the triangle SET
+    * (count / corner explode), which is order-invariant per triple. */
+  private def driverTriangles(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val es = edges.select(col("u1"), col("u2")).as[(Long, Long)]
+      .collect().sorted
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    es.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    val sortedAdj = adj.map { case (k, v) => k -> v.toArray.sorted }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    es.foreach { case (a, b) =>
+      val na = sortedAdj(a); val nb = sortedAdj(b)
+      var i = 0; var j = 0
+      while (i < na.length && j < nb.length) {
+        if (na(i) == nb(j)) {
+          if (na(i) > b) out += ((a, b, na(i))) // close above b: once per triangle
+          i += 1; j += 1
+        } else if (na(i) < nb(j)) i += 1
+        else j += 1
+      }
+    }
+    out.toSeq.toDF("a", "b", "c")
+  }
+
+  /** Distributed wedge closure: degree-ordered orientation + two-hop join
+    * (the Suri–Vassilvitskii shape). Used at or above [[wedgeGate]]. */
+  private def distributedTriangles(edges: DataFrame,
+      tr: Tracked): DataFrame = {
     // degree-ordered orientation: src is the endpoint earlier in the strict
     // total order (deg, id); dd carries the dst's order key so the wedge
     // join below can compare legs without re-joining degrees
@@ -198,7 +262,7 @@ object Triangles {
       .select(col("e.src"), col("e.dst"), col("e.dd")))
     // wedge at v = two out-edges with ordered legs; the closing edge runs
     // low→high by construction, so it is exactly oriented(a → b)
-    val tri = tr.seal(oriented.as("e1")
+    tr.seal(oriented.as("e1")
       .join(oriented.as("e2"), col("e2.src") === col("e1.src") &&
         (col("e1.dd") < col("e2.dd") ||
           (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
@@ -206,6 +270,5 @@ object Triangles {
         col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"),
         col("e2.dst").as("c")))
-    (edges, tri)
   }
 }

@@ -106,9 +106,19 @@ class TrianglesSpec extends AnyFunSuite with SparkFixture with Matchers {
     Triangles.perNode(ev, minShared = 1L, repartitionGate = 0L)
       .orderBy("user_id").collect() shouldBe
       Triangles.perNode(ev, minShared = 1L).orderBy("user_id").collect()
-    // and on the real corpus slice
+    // wedge-phase dispatch (r12): forcing the DISTRIBUTED degree-ordered
+    // wedge join (gate 0 — what a >500k-edge graph takes) must agree with
+    // the default driver closure, summary and per-node alike
+    Triangles.run(ev, minShared = 1L, wedgeGate = 0L).collect() shouldBe
+      Triangles.run(ev, minShared = 1L).collect()
+    Triangles.perNode(ev, minShared = 1L, wedgeGate = 0L)
+      .orderBy("user_id").collect() shouldBe
+      Triangles.perNode(ev, minShared = 1L).orderBy("user_id").collect()
+    // and on the real corpus slice, all three forced branches agree
     val corpus = spark.read.parquet(s"$sf001/events.parquet")
     Triangles.run(corpus, repartitionGate = 0L).collect() shouldBe
+      Triangles.run(corpus).collect()
+    Triangles.run(corpus, wedgeGate = 0L).collect() shouldBe
       Triangles.run(corpus).collect()
   }
 
