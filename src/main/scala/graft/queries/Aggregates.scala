@@ -688,6 +688,40 @@ object Aggregates {
               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
         .orderBy("l_returnflag")),
 
+    // §2.4 one-way ANOVA (round 12) — the k-group mean-difference test
+    // completing the inference family (agg_ttest = 2 groups, this = k):
+    // F = (SSB/(k−1)) / (SSW/(n−k)) over price by return flag. Float
+    // discipline is the point here: SSB is computed as Σ n_g(m_g − m)² —
+    // per-group terms from EXACT decimal sums through one identical
+    // division chain, so each term is bit-identical cross-engine and the
+    // final Σ over k=3 terms carries ~1 ulp of association noise against
+    // a 2dp round (safe by 5 orders). The textbook Σs²/n − (Σs)²/n form
+    // is NOT hash-safe: it cancels ~6 significant digits of two 1e14
+    // sums whose last bits are partial-merge-order dependent, amplifying
+    // order noise past the rounding grid (measured ±0.06 on this corpus).
+    // SSW feeds F only as a full-precision ratio operand (relative noise
+    // ~3e-16), never a rounded output column.
+    "agg_anova" -> ((s, sf) => {
+      val g = t(s, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("ng"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double").as("sg"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
+            .cast("double").as("ssg"))
+      val tot = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("nt"),
+        sum(col("sg").cast("decimal(28,2)")).cast("double").as("st"))
+      g.crossJoin(broadcast(tot))
+        .select(col("k"), col("nt"),
+          (col("ng") * pow(col("sg") / col("ng") - col("st") / col("nt"), 2)).as("tb"),
+          (col("ssg") - col("sg") * col("sg") / col("ng")).as("tw"))
+        .groupBy("k", "nt")
+        .agg(sum(col("tb")).as("ssb"), sum(col("tw")).as("ssw"))
+        .select(col("k"), col("nt").as("n"),
+          round(col("ssb"), 2).as("ssb"),
+          round((col("ssb") / (col("k") - 1)) / (col("ssw") / (col("nt") - col("k"))), 6)
+            .as("f"))
+    }),
+
     // §2.4 fixed-width histogram (round 9) — the distribution-profiling
     // primitive behind any QC dashboard: integer bin = floor(x / width)
     // (engine-portable — no width_bucket in DuckDB 1.0, and floor of an
@@ -1151,6 +1185,24 @@ object Aggregates {
            round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
                  / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
          FROM s ORDER BY l_returnflag""",
+    "agg_anova" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS ng,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sg,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ssg
+           FROM lineitem GROUP BY 1),
+           tot AS (SELECT count(*) AS k, sum(ng) AS nt,
+             CAST(sum(CAST(sg AS DECIMAL(28,2))) AS DOUBLE) AS st FROM g),
+           terms AS (SELECT k, nt,
+             ng * pow(sg / ng - st / nt, 2) AS tb,
+             ssg - sg * sg / ng AS tw
+           FROM g CROSS JOIN tot),
+           agg AS (SELECT k, nt, sum(tb) AS ssb, sum(tw) AS ssw
+             FROM terms GROUP BY 1, 2)
+         SELECT CAST(k AS BIGINT) AS k, CAST(nt AS BIGINT) AS n,
+           round(ssb, 2) AS ssb,
+           round((ssb / (k - 1)) / (ssw / (nt - k)), 6) AS f
+         FROM agg""",
     "agg_hist" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n,

@@ -189,6 +189,47 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("agg_anova: F recomputes from a driver-side brute force") {
+    val r = SparkEntry.queries("agg_anova")(spark, sf001).collect()(0)
+    val ys = T.t(spark, sf001, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val k = ys.size; val n = ys.values.map(_.length).sum
+    val m = ys.values.flatten.sum / n
+    val ssb = ys.values.map(v => v.length * math.pow(v.sum / v.length - m, 2)).sum
+    val ssw = ys.values.map(v => { val mg = v.sum / v.length
+      v.map(y => (y - mg) * (y - mg)).sum }).sum
+    r.getAs[Long]("k") shouldBe k.toLong
+    r.getAs[Long]("n") shouldBe n.toLong
+    r.getAs[Double]("ssb") shouldBe (ssb +- math.abs(ssb) * 1e-6)
+    r.getAs[Double]("f") shouldBe
+      ((ssb / (k - 1)) / (ssw / (n - k)) +- 1e-4)
+  }
+
+  test("agg_mwu: U and z recompute from a driver-side rank sum") {
+    val r = SparkEntry.queries("agg_mwu")(spark, sf001).collect()(0)
+    val rows = T.t(spark, sf001, "events")
+      .where(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0) == "purchase", x.getDouble(1)))
+    val sorted = rows.map(_._2).sorted
+    // average rank per value (ties share the mean of their rank block)
+    val avgRank = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.length) }
+    val n1 = rows.count(_._1).toLong; val n2 = rows.size - n1; val nn = rows.size
+    val r1 = rows.filter(_._1).map(x => avgRank(x._2)).sum
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val tsum = rows.groupBy(_._2).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val z = (u1 - n1 * n2 / 2.0) /
+      math.sqrt(n1 * n2 / 12.0 * ((nn + 1) - tsum / (nn.toDouble * (nn - 1))))
+    r.getAs[Long]("n1") shouldBe n1
+    r.getAs[Long]("n2") shouldBe n2
+    r.getAs[Double]("u1") shouldBe (u1 +- 0.051)
+    r.getAs[Double]("z") shouldBe (z +- 1e-5)
+  }
+
   test("ts_anomaly: every flagged day recomputes past the z threshold") {
     val rows = SparkEntry.queries("ts_anomaly")(spark, sf001).collect()
     rows should not be empty
