@@ -78,7 +78,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     "profile_drift", "agg_benford",
     // round 11 batch 5: the midpoint / (n1, n2) scalars onto the KS CDF
     // frame, and the (N, dof) scalars onto the contingency-cell frame
-    "agg_ks_test", "agg_chisq")
+    "agg_ks_test", "agg_chisq",
+    // round 12: the (k, nt, st) grand-total scalar onto the ≤k-row group
+    // frame (agg_anova) and the tie-correction scalar onto the 1-row rank
+    // aggregate (agg_mwu) — the agg_ttest shape both times
+    "agg_anova", "agg_mwu")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
