@@ -608,34 +608,36 @@ object Events {
     // two-sample location test completing the inference family beside
     // agg_ttest (parametric) and agg_ks_test (distribution-shape): do
     // purchase events carry different values than views, without assuming
-    // normality? Tie-average ranks from ONE global-order window
-    // (rank() + (ties−1)/2 — ranks and tie counts are exact integers, so
-    // every per-row average rank is an exact half-integer and the rank
-    // sum R₁ is EXACT in double up to 2^52, order-independent by
-    // construction; at 100 TB the global rank runs range-partitioned with
-    // per-partition offsets — the CAIM candidates machinery — and the
-    // rank sum moves to DECIMAL); U₁ = R₁ − n₁(n₁+1)/2 stays exact (1dp
-    // round is formatting only), and the normal approximation with the
-    // published tie correction z = (U₁ − n₁n₂/2)/√(n₁n₂/12·((N+1) −
+    // normality? The corpus NEVER sees a row-level rank: it collapses to
+    // the per-distinct-VALUE table first (one map-side-combined agg —
+    // value, group-1 count, tie count; bounded by the 2dp value DOMAIN,
+    // not the corpus), where the tie-group average rank is
+    // cumulative-count-before + (t+1)/2 — one running window over the
+    // compact frame (the agg_ks_test shape). Ranks and tie counts are
+    // exact integers, so every average rank is an exact half-integer and
+    // the rank sum R₁ = Σ c₁(v)·avgRank(v) is EXACT in double up to 2^52,
+    // order-independent by construction. U₁ = R₁ − n₁(n₁+1)/2 stays exact
+    // (1dp round is formatting only), and the normal approximation with
+    // the published tie correction z = (U₁ − n₁n₂/2)/√(n₁n₂/12·((N+1) −
     // Σ(t³−t)/N(N−1))) is ONE identical float chain over exact integer
-    // operands (6dp).
+    // operands (6dp) — Σ(t³−t) rides the SAME compact-frame aggregate.
     "agg_mwu" -> ((s, sf) => {
-      val e = t(s, sf, "events")
+      val byV = t(s, sf, "events")
         .where(col("event_type").isin("purchase", "view"))
-        .select(col("value"),
-          when(col("event_type") === "purchase", 1L).otherwise(0L).as("grp"))
-      val r = e.select(col("grp"),
-        rank().over(Window.orderBy("value")).as("rk"),
-        count(lit(1)).over(Window.partitionBy("value")).as("ties"))
-      val agg = r.agg(
-        sum(when(col("grp") === 1,
-          col("rk") + (col("ties") - 1) / lit(2.0)).otherwise(lit(0.0))).as("r1"),
-        sum(col("grp")).as("n1"),
-        sum(lit(1L) - col("grp")).as("n2"),
-        count(lit(1)).as("nn"))
-      val tc = e.groupBy("value").agg(count(lit(1)).as("tt"))
-        .agg(sum(col("tt") * col("tt") * col("tt") - col("tt")).as("tsum"))
-      agg.crossJoin(broadcast(tc))
+        .groupBy("value")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c1"), count(lit(1)).as("tt"))
+      val before = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = byV
+        .withColumn("avg_rk", coalesce(sum(col("tt")).over(before), lit(0L)) +
+          (col("tt") + 1) / lit(2.0))
+      ranked.agg(
+          sum(col("c1") * col("avg_rk")).as("r1"),
+          sum(col("c1")).as("n1"),
+          sum(col("tt") - col("c1")).as("n2"),
+          sum(col("tt")).as("nn"),
+          sum(col("tt") * col("tt") * col("tt") - col("tt")).as("tsum"))
         .select(col("n1"), col("n2"),
           round(col("r1") - col("n1") * (col("n1") + 1) / lit(2.0), 1).as("u1"),
           round((col("r1") - col("n1") * (col("n1") + 1) / lit(2.0) -
@@ -1483,24 +1485,24 @@ object Events {
          WHERE a.d > (SELECT dmax FROM mx) - 7
          ORDER BY a.d""",
     "agg_mwu" ->
-      """WITH s AS (SELECT value,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
-           FROM events WHERE event_type IN ('purchase', 'view')),
-           r AS (SELECT grp,
-             rank() OVER (ORDER BY value) AS rk,
-             count(*) OVER (PARTITION BY value) AS ties
-           FROM s),
-           agg AS (SELECT
-             sum(CASE WHEN grp = 1 THEN rk + (ties - 1) / 2.0 ELSE 0 END) AS r1,
-             sum(grp) AS n1, sum(1 - grp) AS n2, count(*) AS nn FROM r),
-           tc AS (SELECT sum(tt * tt * tt - tt) AS tsum
-             FROM (SELECT count(*) AS tt FROM s GROUP BY value))
+      """WITH byv AS (SELECT value,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+             count(*) AS tt
+           FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+           rk AS (SELECT c1, tt,
+             coalesce(sum(tt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (tt + 1) / 2.0 AS avg_rk
+           FROM byv),
+           agg AS (SELECT sum(c1 * avg_rk) AS r1, sum(c1) AS n1,
+             sum(tt - c1) AS n2, sum(tt) AS nn,
+             sum(tt * tt * tt - tt) AS tsum FROM rk)
          SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
            round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1,
            round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
                  / sqrt(n1 * n2 / 12.0 * ((nn + 1) - tsum * 1.0 / (nn * (nn - 1)))),
              6) AS z
-         FROM agg CROSS JOIN tc""",
+         FROM agg""",
     "ts_anomaly" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
              count(*) AS x FROM events GROUP BY 1, 2),

@@ -80,9 +80,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // frame, and the (N, dof) scalars onto the contingency-cell frame
     "agg_ks_test", "agg_chisq",
     // round 12: the (k, nt, st) grand-total scalar onto the ≤k-row group
-    // frame (agg_anova) and the tie-correction scalar onto the 1-row rank
-    // aggregate (agg_mwu) — the agg_ttest shape both times
-    "agg_anova", "agg_mwu")
+    // frame (agg_anova) — the agg_ttest shape
+    "agg_anova")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
