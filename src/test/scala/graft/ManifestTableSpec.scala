@@ -152,6 +152,37 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     asSet(ManifestTable.read(spark, dir)) shouldBe Set(9L -> "z")
   }
 
+  test("a real two-thread commit race serializes: every append survives") {
+    // not a simulated slot collision — two actual committers race the
+    // rename-CAS from separate threads, repeatedly. The protocol's claim
+    // is that losers re-resolve the head and retry, so EVERY append lands
+    // exactly once and the final snapshot is the union regardless of
+    // interleaving.
+    val dir = tmpDir()
+    ManifestTable.commit(spark, dir, df(0L -> "base"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (1L to 6L).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            ManifestTable.commit(spark, dir, df(i -> s"w$i"))
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // six committers -> six DISTINCT versions 2..7 (one winner per slot)
+      versions.sorted shouldBe (2L to 7L)
+    } finally pool.shutdown()
+    asSet(ManifestTable.read(spark, dir)) shouldBe
+      ((1L to 6L).map(i => i -> s"w$i").toSet + (0L -> "base"))
+    // every intermediate snapshot is a prefix-union (append-only history)
+    ManifestTable.versions(spark, dir) shouldBe (1L to 7L)
+    (1L to 7L).foreach { v =>
+      val rows = asSet(ManifestTable.read(spark, dir, version = v))
+      rows should contain(0L -> "base")
+      rows.size shouldBe v.toInt
+    }
+  }
+
   test("streaming foreachBatch sink commits one atomic snapshot per micro-batch") {
     // the real CDC-sink shape: a stream lands in the manifest table via
     // foreachBatch + commit(append) — every micro-batch becomes one
