@@ -218,6 +218,15 @@ object Triangles {
     import s.implicits._
     val es = edges.select(col("u1"), col("u2")).as[(Long, Long)]
       .collect().sorted
+    closeTriangles(es).toDF("a", "b", "c")
+  }
+
+  /** Pure driver wedge closure over canonical (u1 < u2) edges: each
+    * triangle emitted once as its id-sorted (a < b < c) triple via
+    * sorted-adjacency two-pointer intersection (Σ min-degree compares).
+    * Property-tested against a set-based brute force on random graphs. */
+  private[graft] def closeTriangles(
+      es: Array[(Long, Long)]): Seq[(Long, Long, Long)] = {
     val adj = scala.collection.mutable.HashMap
       .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
     es.foreach { case (a, b) =>
@@ -237,7 +246,7 @@ object Triangles {
         else j += 1
       }
     }
-    out.toSeq.toDF("a", "b", "c")
+    out.toSeq
   }
 
   /** Distributed wedge closure: degree-ordered orientation + two-hop join

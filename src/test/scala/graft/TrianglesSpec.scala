@@ -122,6 +122,43 @@ class TrianglesSpec extends AnyFunSuite with SparkFixture with Matchers {
       Triangles.run(corpus).collect()
   }
 
+  test("closeTriangles matches a set brute force on 200 random graphs") {
+    // the driver closure is the shipped below-gate path (r12) — exercise
+    // it spark-free on generated graphs with hubs, ties, and disconnected
+    // vertices, against the definition: {a,b,c} with all three edges
+    // present. The CaimPropertiesSpec seeded-Gen harness (reproducible
+    // failures, starvation guard).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeSetGen: Gen[Array[(Long, Long)]] = for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(0, 80)
+      pairs <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield pairs.filter { case (a, b) => a != b }.distinct.sorted.toArray
+    val params = Gen.Parameters.default
+    var run = 0
+    var seedNo = 0L
+    while (run < 200 && seedNo < 4000L) {
+      edgeSetGen.apply(params, Seed(seedNo)).foreach { es =>
+        val edgeSet = es.toSet
+        val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val brute = (for {
+          ia <- verts.indices; ib <- (ia + 1) until verts.length
+          ic <- (ib + 1) until verts.length
+          a = verts(ia); b = verts(ib); c = verts(ic)
+          if edgeSet((a, b)) && edgeSet((b, c)) && edgeSet((a, c))
+        } yield (a, b, c)).toSet
+        graft.operators.Triangles.closeTriangles(es).toSet shouldBe brute
+        run += 1
+      }
+      seedNo += 1
+    }
+    run should be >= 100
+  }
+
   test("bucket cap drops oversize buckets and is observable, 0 on corpus") {
     val edges = Seq((1L, 2L), (3L, 4L), (1L, 3L))
     // every synthetic bucket holds 2 users; cap=1 drops them all — the
