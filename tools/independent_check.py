@@ -14,7 +14,13 @@ profile_table (per-column null/distinct/min/max),
 caim_fit (the full greedy CAIM fit, ported line-for-line),
 win_time_range (trailing-hour RANGE frame, two-pointer sweep),
 text_hashing_tf (md5-prefix feature hashing via hashlib),
-sample_balanced (per-class md5-rank cap).
+sample_balanced (per-class md5-rank cap), agg_anova (textbook mean-form
+F — deliberately NOT the cancellation-safe decomposition the engines
+share, so a shared formula drift would show), agg_mwu (rank sum from a
+literal sort with tie averaging), ts_anomaly (flagged-day set from
+literal per-type moments), graph_clustering (first-principles
+co-occurrence graph + per-node coefficients, no inverted index, no
+orientation).
 
 Usage: python3 tools/independent_check.py <sfDir> <verifyOutDir>
 (run graft.Verify into <verifyOutDir> first). Verified green 2026-08-12 at
@@ -377,6 +383,119 @@ exp_bal = sorted(
 got = sparkres("sample_balanced")
 ok = sorted(zip(got["doc_id"], got["lang"])) == exp_bal
 print(f"sample_balanced: {'OK' if ok else 'MISMATCH'} ({len(exp_bal)} kept, cap={cap})")
+fails += 0 if ok else 1
+
+# agg_anova (round 12): one-way F by return flag, textbook mean form
+li = pq.read_table(f"{sf}/lineitem.parquet",
+                   columns=["l_returnflag", "l_extendedprice"]).to_pydict()
+groups = collections.defaultdict(list)
+for f_, y in zip(li["l_returnflag"], li["l_extendedprice"]):
+    groups[f_].append(y)
+k = len(groups)
+n = sum(len(v) for v in groups.values())
+mean = sum(sum(v) for v in groups.values()) / n
+ssb = sum(len(v) * (sum(v) / len(v) - mean) ** 2 for v in groups.values())
+ssw = sum(sum((y - sum(v) / len(v)) ** 2 for y in v) for v in groups.values())
+f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+got = sparkres("agg_anova")
+ok = (got["k"][0] == k and got["n"][0] == n
+      and abs(got["ssb"][0] - ssb) <= abs(ssb) * 1e-6
+      and abs(got["f"][0] - f_stat) <= 1e-4)
+print(f"agg_anova: {'OK' if ok else 'MISMATCH'} (k={k}, F~{f_stat:.4f})")
+fails += 0 if ok else 1
+
+# agg_mwu (round 12): rank-sum from a literal sort with tie averaging
+vals = [(v, et == "purchase") for et, v in zip(ev["event_type"], ev["value"])
+        if et in ("purchase", "view")]
+svals = sorted(v for v, _ in vals)
+rank_of = {}
+i = 0
+while i < len(svals):
+    j = i
+    while j < len(svals) and svals[j] == svals[i]:
+        j += 1
+    rank_of[svals[i]] = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+    i = j
+n1 = sum(1 for _, g in vals if g)
+n2 = len(vals) - n1
+nn = len(vals)
+r1 = sum(rank_of[v] for v, g in vals if g)
+u1 = r1 - n1 * (n1 + 1) / 2.0
+tsum = sum(t ** 3 - t for t in collections.Counter(svals).values())
+z = (u1 - n1 * n2 / 2.0) / math.sqrt(
+    n1 * n2 / 12.0 * ((nn + 1) - tsum / (nn * (nn - 1))))
+got = sparkres("agg_mwu")
+ok = (got["n1"][0] == n1 and got["n2"][0] == n2
+      and abs(got["u1"][0] - u1) <= 0.051 and abs(got["z"][0] - z) <= 1e-5)
+print(f"agg_mwu: {'OK' if ok else 'MISMATCH'} (n1={n1}, U1={u1:.1f}, z={z:.4f})")
+fails += 0 if ok else 1
+
+# ts_anomaly (round 12): flagged set from literal per-type daily moments
+daily = collections.Counter()
+for et, ts in zip(ev["event_type"], ev["ts"]):
+    d = (ts - ts.__class__(1970, 1, 1)).days
+    daily[(et, d)] += 1
+by_type = collections.defaultdict(list)
+for (et, d), x in daily.items():
+    by_type[et].append((d, x))
+exp_anom = []
+for et in sorted(by_type):
+    xs = [x for _, x in by_type[et]]
+    nd, sn, snn = len(xs), sum(xs), sum(x * x for x in xs)
+    if nd * snn - sn * sn <= 0:
+        continue
+    for d, x in sorted(by_type[et]):
+        z = round((x * nd - sn) / math.sqrt(nd * snn - sn * sn), 6)
+        if abs(z) > 2.0:
+            exp_anom.append((et, d, x, z))
+got = sparkres("ts_anomaly")
+ok = list(zip(got["event_type"], got["d"], got["n_events"], got["z"])) == exp_anom
+print(f"ts_anomaly: {'OK' if ok else 'MISMATCH'} ({len(exp_anom)} flagged)")
+fails += 0 if ok else 1
+
+# graph_clustering (round 12): brute-force co-occurrence graph + per-node
+# coefficients from first principles (no inverted index, no orientation)
+act = set()
+for u, ts, et in zip(ev["user_id"], ev["ts"], ev["event_type"]):
+    act.add((u, (ts - ts.__class__(1970, 1, 1)).days, et))
+bucket = collections.defaultdict(set)
+for u, d, et in act:
+    bucket[(d, et)].add(u)
+# pair counting is the Σ bucket² hot loop (21.7M increments at sf0.1):
+# int-encoded keys + itertools.combinations keep this pure-Python pass
+# within a couple of minutes at bench SF
+import itertools
+shared = collections.Counter()
+ENC = 1 << 32
+for us in bucket.values():
+    if len(us) > 65536:
+        continue
+    shared.update(a * ENC + b for a, b in itertools.combinations(sorted(us), 2))
+adjc = collections.defaultdict(set)
+for ab, cshared in shared.items():
+    if cshared >= 30:
+        a, b = divmod(ab, ENC)
+        adjc[a].add(b)
+        adjc[b].add(a)
+tri_count = collections.Counter()
+for a in adjc:
+    for b in adjc[a]:
+        if b <= a:
+            continue
+        for c in adjc[a] & adjc[b]:
+            if c > b:
+                for vtx in (a, b, c):
+                    tri_count[vtx] += 1
+exp_cc = []
+for u in sorted({u for u, _, _ in act}):
+    deg = len(adjc.get(u, ()))
+    ntri = tri_count.get(u, 0)
+    coeff = round(2.0 * ntri / (deg * (deg - 1)), 6) if deg >= 2 else 0.0
+    exp_cc.append((u, deg, ntri, coeff))
+got = sparkres("graph_clustering")
+ok = list(zip(got["user_id"], got["degree"], got["n_tri"], got["coeff"])) == exp_cc
+print(f"graph_clustering: {'OK' if ok else 'MISMATCH'} ({len(exp_cc)} users, "
+      f"{sum(tri_count.values()) // 3} triangles)")
 fails += 0 if ok else 1
 
 sys.exit(1 if fails else 0)
