@@ -63,5 +63,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_adc_table takes exactly 2 arguments")
         AdcTable(children(0), children(1))
       }))
+    // the runtime-filter bloom pair (round 12): Spark ships these exact
+    // Catalyst expressions for its own AQE runtime filtering but does not
+    // register them in the public FunctionRegistry — exposing them makes
+    // the build-bloom-on-the-dim / prefilter-the-fact-before-the-shuffle
+    // pattern (the join_bloom query) first-class user surface instead of
+    // an optimizer-internal. graft_bloom_agg(xxhash64(k), estItems,
+    // numBits) -> binary; graft_bloom_contains(bloom, xxhash64(k)) ->
+    // boolean (no false negatives by construction).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "graft_bloom_agg takes exactly 3 arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_bloom_contains takes exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Aggregates, Caim, Events, Graph, Llm, Media, Relational, Scalars, Sources, Streams, TextAnalysis}
+import graft.queries.{Aggregates, Caim, Events, Graph, Llm, Media, Relational, Scalars, Sources, Stats, Streams, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Scalars.queries ++
       Caim.queries ++ Llm.queries ++ Streams.queries ++ TextAnalysis.queries ++
-      Sources.queries ++ Media.queries ++ Events.queries ++ Graph.queries
+      Sources.queries ++ Media.queries ++ Events.queries ++ Graph.queries ++
+      Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Aggregates.oracle ++ Scalars.oracle ++
       Caim.oracle ++ Llm.oracle ++ Streams.oracle ++ TextAnalysis.oracle ++
-      Sources.oracle ++ Media.oracle ++ Events.oracle ++ Graph.oracle
+      Sources.oracle ++ Media.oracle ++ Events.oracle ++ Graph.oracle ++
+      Stats.oracle
 }

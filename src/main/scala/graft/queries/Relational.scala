@@ -95,6 +95,38 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    // §2.3 bloom-prefiltered join (round 12) — the RUNTIME-FILTER pattern
+    // as explicit user surface: build a bloom filter over the selective
+    // dim's keys (nation-7 customers) with Spark's own BloomFilterAggregate
+    // kernel (exposed as graft_bloom_agg/graft_bloom_contains — the exact
+    // expressions AQE's internal runtime filtering uses), ship the
+    // BLOOM-SIZED binary (128 KB here, never the keys) to the fact scan,
+    // and drop ~24/25 of orders BEFORE the join shuffle. False positives
+    // are eliminated by the exact equi-join that follows, so hash-matching
+    // the plain-join SQL is precisely the correctness contract (the
+    // join_salted "pure plan rewrite" discipline); false negatives are
+    // impossible by construction. The driver boundary is bloom-bytes-
+    // bounded (the scalar-subquery shape Spark itself materializes for
+    // runtime filters), independent of corpus size — at 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling the
+    // ~4% that can match, exactly where DPP/AQE can't see the selectivity
+    // (a predicate on a non-partition dim attribute).
+    "join_bloom" -> ((s, sf) => {
+      val dim = t(s, sf, "customer").where(col("c_nationkey") === 7)
+      val bf = dim.agg(
+          expr("graft_bloom_agg(xxhash64(c_custkey), 100000L, 1048576L)")
+            .as("bf")).head.getAs[Array[Byte]]("bf")
+      val bfCol = if (bf == null) lit(null).cast("binary") else lit(bf)
+      val o = t(s, sf, "orders")
+        .where(call_function("graft_bloom_contains", bfCol,
+          xxhash64(col("o_custkey"))))
+      o.join(dim.select("c_custkey"), o("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          T.dsum(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // §2.3 skew-salted join DECLARED against the plain-join oracle: the
     // salting is a pure plan rewrite, so hash-matching the unsalted SQL is
     // exactly the correctness contract ([[graft.operators.Skew]]).
@@ -577,6 +609,12 @@ object Relational {
                 count(*) AS cnt
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+    "join_bloom" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_nationkey = 7
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "filter_subquery" ->
       """SELECT l_returnflag, count(*) AS n_above,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_above

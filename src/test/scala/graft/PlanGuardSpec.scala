@@ -81,7 +81,13 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     "agg_ks_test", "agg_chisq",
     // round 12: the (k, nt, st) grand-total scalar onto the ≤k-row group
     // frame (agg_anova) — the agg_ttest shape
-    "agg_anova")
+    "agg_anova",
+    // round 12 batch 2: the 1-row tie-correction scalar onto the ≤k-row
+    // group frame (agg_kruskal — the agg_ttest shape) and agg_chisq's
+    // marginal-grid construction reused verbatim: r-row × c-row category
+    // frames cross-joined to materialize zero cells, both sides bounded
+    // by the category domains, never the corpus (agg_cramers_v)
+    "agg_kruskal", "agg_cramers_v")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

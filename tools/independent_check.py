@@ -20,7 +20,10 @@ share, so a shared formula drift would show), agg_mwu (rank sum from a
 literal sort with tie averaging), ts_anomaly (flagged-day set from
 literal per-type moments), graph_clustering (first-principles
 co-occurrence graph + per-node coefficients, no inverted index, no
-orientation).
+orientation), agg_spearman (Pearson over literal per-row tie-average
+ranks — not the value-domain collapse the engines share), agg_kruskal
+(H from a literal global sort), agg_cramers_v (full-grid chi2 from raw
+tuples), agg_mutual_info (direct joint/marginal probability sums).
 
 Usage: python3 tools/independent_check.py <sfDir> <verifyOutDir>
 (run graft.Verify into <verifyOutDir> first). Verified green 2026-08-12 at
@@ -496,6 +499,90 @@ got = sparkres("graph_clustering")
 ok = list(zip(got["user_id"], got["degree"], got["n_tri"], got["coeff"])) == exp_cc
 print(f"graph_clustering: {'OK' if ok else 'MISMATCH'} ({len(exp_cc)} users, "
       f"{sum(tri_count.values()) // 3} triangles)")
+fails += 0 if ok else 1
+
+# agg_spearman (round 12 batch 2): Pearson over literal PER-ROW tie-average
+# ranks — deliberately not the value-domain collapse both engines share
+li2 = pq.read_table(f"{sf}/lineitem.parquet",
+                    columns=["l_returnflag", "l_quantity", "l_discount"]).to_pydict()
+sp_groups = collections.defaultdict(list)
+for f_, x, y in zip(li2["l_returnflag"], li2["l_quantity"], li2["l_discount"]):
+    sp_groups[f_].append((float(x), float(y)))
+
+def tie_avg_ranks(xs):
+    s = sorted(xs)
+    r, i = {}, 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        r[s[i]] = (i + 1 + j) / 2.0
+        i = j
+    return r
+
+got = sparkres("agg_spearman")
+got_sp = {g: (n_, rho) for g, n_, rho in zip(got["l_returnflag"], got["n"], got["rho"])}
+ok = True
+for g, rs in sp_groups.items():
+    rx = tie_avg_ranks([x for x, _ in rs])
+    ry = tie_avg_ranks([y for _, y in rs])
+    rxs = [rx[x] for x, _ in rs]
+    rys = [ry[y] for _, y in rs]
+    ng = len(rs)
+    mx, my = sum(rxs) / ng, sum(rys) / ng
+    cov = sum((a - mx) * (b - my) for a, b in zip(rxs, rys))
+    vx = sum((a - mx) ** 2 for a in rxs)
+    vy = sum((b - my) ** 2 for b in rys)
+    rho = cov / math.sqrt(vx * vy)
+    ok = ok and got_sp[g][0] == ng and abs(got_sp[g][1] - rho) <= 1e-5
+print(f"agg_spearman: {'OK' if ok else 'MISMATCH'} ({len(sp_groups)} groups)")
+fails += 0 if ok else 1
+
+# agg_kruskal (round 12 batch 2): H from a literal global sort of values
+kv = [(v, et) for et, v in zip(ev["event_type"], ev["value"])]
+rank_all = tie_avg_ranks([v for v, _ in kv])
+nn = len(kv)
+kw_groups = collections.defaultdict(list)
+for v, et in kv:
+    kw_groups[et].append(v)
+s4 = sum(sum(rank_all[v] for v in g) ** 2 / len(g) for g in kw_groups.values())
+h_raw = 12.0 / (nn * (nn + 1.0)) * s4 - 3.0 * (nn + 1)
+tsum = sum(t ** 3 - t for t in collections.Counter(v for v, _ in kv).values())
+h_adj = h_raw / (1.0 - tsum / (float(nn) ** 3 - nn))
+got = sparkres("agg_kruskal")
+ok = (got["k"][0] == len(kw_groups) and got["n"][0] == nn
+      and abs(got["h"][0] - h_raw) <= 1e-4 and abs(got["h_adj"][0] - h_adj) <= 1e-4)
+print(f"agg_kruskal: {'OK' if ok else 'MISMATCH'} (k={len(kw_groups)}, H~{h_raw:.4f})")
+fails += 0 if ok else 1
+
+# agg_cramers_v / agg_mutual_info (round 12 batch 2): both from the same
+# raw (event_type, dow) tuple list — full-grid chi2 incl. zero cells for V,
+# observed-cell probability sums for MI
+tuples = [(et, ((ts - ts.__class__(1970, 1, 1)).days) % 7)
+          for et, ts in zip(ev["event_type"], ev["ts"])]
+nt = float(len(tuples))
+rowm = collections.Counter(et for et, _ in tuples)
+colm = collections.Counter(d for _, d in tuples)
+obsm = collections.Counter(tuples)
+chi2 = sum((obsm.get((rk, ck), 0) - rowm[rk] * colm[ck] / nt) ** 2
+           / (rowm[rk] * colm[ck] / nt) for rk in rowm for ck in colm)
+mind = min(len(rowm) - 1, len(colm) - 1)
+v_stat = math.sqrt(chi2 / (nt * mind))
+got = sparkres("agg_cramers_v")
+ok = (got["n"][0] == len(tuples) and got["dof"][0] == (len(rowm) - 1) * (len(colm) - 1)
+      and abs(got["chi2"][0] - chi2) <= 1e-4 and abs(got["v"][0] - v_stat) <= 1e-6)
+print(f"agg_cramers_v: {'OK' if ok else 'MISMATCH'} (chi2~{chi2:.4f}, V~{v_stat:.6f})")
+fails += 0 if ok else 1
+
+mi = sum(c / nt * math.log((c / nt) / (rowm[rk] / nt * colm[ck] / nt))
+         for (rk, ck), c in obsm.items())
+hx = -sum(c / nt * math.log(c / nt) for c in rowm.values())
+hy = -sum(c / nt * math.log(c / nt) for c in colm.values())
+got = sparkres("agg_mutual_info")
+ok = (got["n"][0] == len(tuples) and got["n_cells"][0] == len(obsm)
+      and abs(got["mi"][0] - mi) <= 1e-6
+      and abs(got["nmi"][0] - mi / math.sqrt(hx * hy)) <= 1e-6)
+print(f"agg_mutual_info: {'OK' if ok else 'MISMATCH'} (MI~{mi:.6f})")
 fails += 0 if ok else 1
 
 sys.exit(1 if fails else 0)
