@@ -123,6 +123,28 @@ object Triangles {
   private def pipeline(events: DataFrame, minShared: Long,
       bucketCap: Long, repartitionGate: Long,
       wedgeGate: Long): (DataFrame, DataFrame) = {
+    val (tr, edges, nEdges) =
+      edgePipeline(events, minShared, bucketCap, repartitionGate)
+    // Wedge-phase dispatch (the Components/PageRank bounded-boundary move,
+    // r12): the edge list is GRAPH-sized — 10k rows at sf0.1, 104k at the
+    // 10× corpus — and the distributed wedge plan below spends its time in
+    // per-job stage latency (degree joins + two sealed self-joins ≈ 2.5 s
+    // of scheduling for microseconds of math). Below `wedgeGate` edges the
+    // sealed list collects ONCE (≤ 8 MB at the gate — the Components
+    // smallThreshold contract) and triangles close on the driver via
+    // sorted-adjacency intersection (Σ min-degree ops, ≤ ~0.5 G compares
+    // at the gate's densest graph); at or above the gate the degree-
+    // ordered wedge join runs distributed. Branch equality is spec-pinned.
+    val tri =
+      if (nEdges <= wedgeGate) driverTriangles(edges)
+      else distributedTriangles(edges, tr)
+    (edges, tri)
+  }
+
+  /** Edge half of the census pipeline, shared with [[linkPrediction]]:
+    * (cache owner, sealed undirected canonical edges, edge count). */
+  private def edgePipeline(events: DataFrame, minShared: Long,
+      bucketCap: Long, repartitionGate: Long): (Tracked, DataFrame, Long) = {
     val tr = new Tracked
     // persisted: read by the cap count, the bucket-size agg, and both pair-
     // join sides (the cap-count action populates the cache before any of
@@ -192,20 +214,129 @@ object Triangles {
         .groupBy("u1", "u2").agg(count(lit(1)).as("shared"))
         .where(col("shared") >= minShared)
         .select("u1", "u2"))
-    // Wedge-phase dispatch (the Components/PageRank bounded-boundary move,
-    // r12): the edge list is GRAPH-sized — 10k rows at sf0.1, 104k at the
-    // 10× corpus — and the distributed wedge plan below spends its time in
-    // per-job stage latency (degree joins + two sealed self-joins ≈ 2.5 s
-    // of scheduling for microseconds of math). Below `wedgeGate` edges the
-    // sealed list collects ONCE (≤ 8 MB at the gate — the Components
-    // smallThreshold contract) and triangles close on the driver via
-    // sorted-adjacency intersection (Σ min-degree ops, ≤ ~0.5 G compares
-    // at the gate's densest graph); at or above the gate the degree-
-    // ordered wedge join runs distributed. Branch equality is spec-pinned.
-    val tri =
-      if (nEdges <= wedgeGate) driverTriangles(edges)
-      else distributedTriangles(edges, tr)
-    (edges, tri)
+    (tr, edges, nEdges)
+  }
+
+  /** Link-prediction scores (Liben-Nowell & Kleinberg, *The link
+    * prediction problem for social networks*, CIKM 2003) over the same
+    * co-occurrence graph: for every NON-adjacent pair with ≥ `minCommon`
+    * common neighbours, the three classic proximity scores — common-
+    * neighbour count, Jaccard overlap cn/(d_a + d_b − cn), and
+    * Adamic–Adar Σ_z 1/ln(deg z) (Adamic & Adar, *Friends and neighbors
+    * on the Web*, Social Networks 2003).
+    *
+    * Scale posture: all work after the shared corpus→edge collapse runs on
+    * GRAPH-sized frames. The wedge generation (a—z—b through each common
+    * neighbour z) is the triangle census's Σ deg(z)² intermediate — bounded
+    * by the bucket cap, never corpus² — and dispatches like the census
+    * wedge phase: below `wedgeGate` edges the sealed list collects once
+    * and the scores close on the driver (`linkScores` — spec-pinned to the
+    * distributed branch); at or above it the self-join runs distributed.
+    * Float discipline: cn and degrees are exact integers; Jaccard is one
+    * exact-operand division; the Adamic–Adar sum rides per-term
+    * DECIMAL(38,15) casts so the shuffled sum is order-independent and
+    * value-identical to the oracle's identically-cast terms (the doubled-
+    * rank discipline extended to irrational terms: deterministic per-term
+    * double chain, exact sum). */
+  /** The sealed canonical (u1 < u2) co-occurrence edge list plus its row
+    * count — the shared graph-construction front end, exposed for
+    * operators that consume the graph without the census rollup
+    * ([[KCore]]). The returned frame is persisted (sealed); the caller
+    * owns the cache per the [[Tracked]] contract. */
+  def cooccurEdges(events: DataFrame, minShared: Long = DefaultMinShared,
+      bucketCap: Long = DefaultBucketCap,
+      repartitionGate: Long = repartitionMinRows): (DataFrame, Long) = {
+    val (_, edges, n) =
+      edgePipeline(events, minShared, bucketCap, repartitionGate)
+    (edges, n)
+  }
+
+  def linkPrediction(events: DataFrame, minCommon: Long = 2L,
+      minShared: Long = DefaultMinShared,
+      bucketCap: Long = DefaultBucketCap,
+      repartitionGate: Long = repartitionMinRows,
+      wedgeGate: Long = DriverMaxEdges): DataFrame = {
+    val (tr, edges, nEdges) =
+      edgePipeline(events, minShared, bucketCap, repartitionGate)
+    if (nEdges <= wedgeGate) {
+      val s = edges.sparkSession
+      import s.implicits._
+      val es = edges.select(col("u1"), col("u2")).as[(Long, Long)]
+        .collect().sorted
+      linkScores(es, minCommon).toDF("a", "b", "cn", "jaccard", "adamic_adar")
+    } else {
+      val adj = tr.seal(edges.select(col("u1").as("u"), col("u2").as("v"))
+        .union(edges.select(col("u2").as("u"), col("u1").as("v"))))
+      val deg = adj.groupBy("u").agg(count(lit(1)).as("dg"))
+      val cand = adj.select(col("v").as("a"), col("u").as("z"))
+        .join(adj.select(col("u").as("z"), col("v").as("b")), Seq("z"))
+        .where(col("a") < col("b"))
+        .join(deg.select(col("u").as("z"), col("dg").as("dz")), Seq("z"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("cn"),
+          sum((lit(1.0) / org.apache.spark.sql.functions.log(col("dz")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 15))).as("aa"))
+        .where(col("cn") >= minCommon)
+      cand.join(edges,
+          cand("a") === edges("u1") && cand("b") === edges("u2"), "left_anti")
+        .join(deg.select(col("u").as("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("u").as("b"), col("dg").as("db")), Seq("b"))
+        .select(col("a"), col("b"), col("cn"),
+          round(col("cn").cast("double") /
+            (col("da") + col("db") - col("cn")), 6).as("jaccard"),
+          round(col("aa").cast("double"), 6).as("adamic_adar"))
+        .orderBy("a", "b")
+    }
+  }
+
+  /** Pure driver link scoring over canonical (u1 < u2) edges — the
+    * below-gate branch of [[linkPrediction]], mirroring the distributed
+    * plan's semantics exactly (including the per-term 1e-15 decimal
+    * quantization of the Adamic–Adar terms, so both branches and the SQL
+    * oracle sum identical quantities). */
+  private[graft] def linkScores(es: Array[(Long, Long)],
+      minCommon: Long): Seq[(Long, Long, Long, Double, Double)] = {
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    es.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    val sortedAdj = adj.map { case (k, v) => k -> v.toArray.sorted }
+    val edgeSet = es.toSet
+    val cn = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    val aa = scala.collection.mutable.HashMap.empty[(Long, Long), BigDecimal]
+    sortedAdj.foreach { case (z, nz) =>
+      if (nz.length >= 2) {
+      // each wedge a—z—b contributes to the (a, b) candidate; the AA term
+      // quantizes to 15 decimal places exactly as the decimal cast does
+      // (degree-1 hubs spawn no wedge, so ln(deg) ≥ ln 2 here)
+      val term = BigDecimal(1.0 / math.log(nz.length.toDouble))
+        .setScale(15, BigDecimal.RoundingMode.HALF_UP)
+      var i = 0
+      while (i < nz.length) {
+        var j = i + 1
+        while (j < nz.length) {
+          val key = (nz(i), nz(j))
+          cn.update(key, cn.getOrElse(key, 0L) + 1L)
+          aa.update(key, aa.getOrElse(key, BigDecimal(0)) + term)
+          j += 1
+        }
+        i += 1
+      }
+      }
+    }
+    cn.iterator
+      .filter { case (key, c) => c >= minCommon && !edgeSet.contains(key) }
+      .map { case (key @ (a, b), c) =>
+        val (da, db) = (sortedAdj(a).length, sortedAdj(b).length)
+        // HALF_UP to match Spark's round() exactly (math.rint is half-even)
+        val jac = BigDecimal(c.toDouble / (da + db - c))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val ad = aa(key).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b, c, jac, ad)
+      }
+      .toSeq.sortBy(t => (t._1, t._2))
   }
 
   /** Driver wedge closure over the COLLECTED edge list: canonical (a<b<c)

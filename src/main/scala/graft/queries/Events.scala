@@ -1012,6 +1012,49 @@ object Events {
         .select(col("t_hour"), col("n_risk"), col("d_t").as("n_conv"),
           col("surv"))
         .orderBy("t_hour")
+    }),
+
+    // association rules with confidence and lift (Agrawal, Imieliński &
+    // Swami, SIGMOD 1993 — the support/confidence framework;
+    // Brin et al. SIGMOD 1997 for lift/interest) over (user, day)
+    // event-type baskets — the DIRECTED rule surface events_cooccur's
+    // symmetric pair counts and events_itemsets' frequent sets stop
+    // short of: for every ordered type pair a→b, support n_ab (baskets
+    // with both), confidence n_ab/n_a ("given a that day, how often b"),
+    // and lift N·n_ab/(n_a·n_b) (association strength normalized by
+    // independence — lift < 1 IS informative, so no lift floor, only a
+    // support floor). Baskets are user-DAYS, not users: on this corpus
+    // every user eventually touches every type, so user-level baskets
+    // degenerate to all-1.0 rules — the day grain is where association
+    // is a real signal. The corpus collapses ONCE to the distinct
+    // (user, day, type) frame; antecedent counts are a rollup of it; the
+    // basket self-join shuffles on the (user, day) basket key (baskets
+    // are ≤|types| wide, so pairs are ≤k²·baskets — linear in baskets,
+    // never corpus²); everything after runs on the ≤k²-row rule frame.
+    // Counts and N are exact integers; confidence/lift are single
+    // divisions over exact operands (6dp); N rides a 1-row broadcast.
+    "events_assoc_rules" -> ((s, sf) => {
+      val ut = t(s, sf, "events")
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"),
+          col("event_type")).distinct()
+      val na = ut.groupBy(col("event_type").as("a")).agg(count(lit(1)).as("n_a"))
+      val tot = ut.select("user_id", "d").distinct()
+        .agg(count(lit(1)).as("nb_total"))
+      val pairs = ut.select(col("user_id"), col("d"), col("event_type").as("a"))
+        .join(ut.select(col("user_id"), col("d"), col("event_type").as("b")),
+          Seq("user_id", "d"))
+        .where(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 50)
+      pairs.join(na, Seq("a"))
+        .join(na.select(col("a").as("b"), col("n_a").as("n_b")), Seq("b"))
+        .crossJoin(broadcast(tot))
+        .select(col("a").as("antecedent"), col("b").as("consequent"),
+          col("n_ab").as("support"),
+          round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+          round(col("n_ab").cast("double") * col("nb_total") /
+            (col("n_a") * col("n_b")), 6).as("lift"))
+        .orderBy("antecedent", "consequent")
     })
   )
 
@@ -1536,6 +1579,26 @@ object Events {
                THEN ln(1.0 - d_t * 1.0 / n_risk)
                ELSE CAST('-infinity' AS DOUBLE) END) OVER (
              ORDER BY t_hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS surv
-         FROM risk WHERE d_t > 0 ORDER BY t_hour"""
+         FROM risk WHERE d_t > 0 ORDER BY t_hour""",
+    "events_assoc_rules" ->
+      """WITH ut AS MATERIALIZED (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS d, event_type FROM events),
+           na AS (SELECT event_type AS a, count(*) AS n_a FROM ut GROUP BY 1),
+           tot AS (SELECT count(*) AS nb_total FROM
+             (SELECT DISTINCT user_id, d FROM ut)),
+           pairs AS (SELECT l.event_type AS a, r.event_type AS b,
+               count(*) AS n_ab
+             FROM ut l JOIN ut r ON l.user_id = r.user_id AND l.d = r.d
+               AND l.event_type <> r.event_type
+             GROUP BY 1, 2 HAVING count(*) >= 50)
+         SELECT pairs.a AS antecedent, pairs.b AS consequent,
+           CAST(n_ab AS BIGINT) AS support,
+           round(CAST(n_ab AS DOUBLE) / na.n_a, 6) AS confidence,
+           round(CAST(n_ab AS DOUBLE) * nb_total / (na.n_a * nb.n_a), 6)
+             AS lift
+         FROM pairs JOIN na ON na.a = pairs.a
+                    JOIN na nb ON nb.a = pairs.b
+                    CROSS JOIN tot
+         ORDER BY antecedent, consequent"""
   )
 }

@@ -110,7 +110,56 @@ object Graph {
     // orientation-invariant.
     "graph_clustering" -> ((s, sf) =>
       graft.operators.Triangles.perNode(t(s, sf, "events"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // link prediction (round 12) — the PREDICTIVE primitive completing the
+    // graph tier (connectivity, density, centrality, distance, now
+    // proximity): for every non-adjacent user pair of the co-occurrence
+    // graph with ≥ 2 common neighbours, the three classic scores —
+    // common-neighbour count, Jaccard overlap, Adamic–Adar — the
+    // "who should be connected next" ranking every recommender /
+    // record-linkage pipeline starts from. Rides the census edge pipeline
+    // (capped buckets, broadcast-combine pair generation) and the
+    // bounded-graph dispatch; Adamic–Adar sums ride per-term
+    // DECIMAL(38,15) casts so the only inexact arithmetic is the per-term
+    // 1/ln(deg) chain, identical on both engines. See
+    // [[graft.operators.Triangles.linkPrediction]].
+    "graph_linkpred" -> ((s, sf) =>
+      graft.operators.Triangles.linkPrediction(t(s, sf, "events"))),
+
+    // k-core extraction (round 12) — the COHESION primitive completing
+    // the graph tier (connectivity, density, centrality, distance,
+    // proximity, now cohesion): the maximal subgraph of the user
+    // co-occurrence graph where every member keeps ≥ k = 3 surviving
+    // ties, by R = 8 synchronous peel rounds — the community-core /
+    // influence-seed filter (Kitsak et al., *Identification of
+    // influential spreaders*, Nature Physics 2010) that degree alone
+    // can't give (a high-degree node whose neighbours all die is not
+    // cohesive). Declared semantics are the survivor set after FIXED R
+    // rounds (the graph_sssp contract — the oracle unrolls the same R
+    // rounds as MATERIALIZED CTEs and is value-identical whether or not
+    // R converges; GraphSpec asserts R and R+1 agree on the corpus, so
+    // the declared frame IS the 3-core here). Exact BIGINT throughout —
+    // bit-stable under any partitioning. Rides the census edge pipeline;
+    // the peel dispatches through [[graft.operators.KCore]]'s stats gate
+    // (driver set arithmetic below 500k edges, per-round degree-agg +
+    // two semi-joins with RDD-snapped lineage above).
+    // the feature-join shape (the graph_clustering precedent): EVERY
+    // active user gets a row, non-members carry core_deg 0 — so the
+    // output is a joinable user feature at any SF, never empty on a
+    // sparse corpus whose core is.
+    "graph_kcore" -> ((s, sf) => {
+      val (edges, _) =
+        graft.operators.Triangles.cooccurEdges(t(s, sf, "events"))
+      val core = graft.operators.KCore.run(edges, k = kcoreK,
+        rounds = kcoreRounds)
+      t(s, sf, "events").select(col("user_id")).distinct()
+        .join(core.withColumnRenamed("node", "user_id"), Seq("user_id"),
+          "left")
+        .select(col("user_id"),
+          coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+        .orderBy("user_id")
+    })
   )
 
   /** The oracle is the SAME fixed 10-round power iteration unrolled as
@@ -186,7 +235,48 @@ object Graph {
          |FROM d$ssspRounds WHERE dist < $inf ORDER BY node""".stripMargin
   }
 
+  private val kcoreK = 3
+  private val kcoreRounds = 8
+
+  /** The SAME R synchronous peel rounds [[graft.operators.KCore]] runs,
+    * unrolled as MATERIALIZED CTEs (the ssspSql pattern — DuckDB inlines
+    * chained CTEs exponentially without the keyword) over the shared
+    * co-occurrence edge construction. */
+  private def kcoreSql: String = {
+    val head =
+      s"""WITH ua AS MATERIALIZED (SELECT user_id, d, event_type FROM
+         |     (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d,
+         |             event_type FROM events)
+         |   QUALIFY count(*) OVER (PARTITION BY d, event_type) <= 65536),
+         | e0 AS MATERIALIZED (SELECT a.user_id AS u1, b.user_id AS u2
+         |     FROM ua a JOIN ua b ON a.d = b.d AND a.event_type = b.event_type
+         |                         AND a.user_id < b.user_id
+         |     GROUP BY 1, 2 HAVING count(*) >= 30)""".stripMargin
+    val rounds = (1 to kcoreRounds).map { i =>
+      val p = s"e${i - 1}"
+      s""",
+         | d$i AS MATERIALIZED (SELECT u, count(*) AS dg FROM
+         |     (SELECT u1 AS u FROM $p UNION ALL SELECT u2 FROM $p)
+         |   GROUP BY 1),
+         | ok$i AS MATERIALIZED (SELECT u FROM d$i WHERE dg >= $kcoreK),
+         | e$i AS MATERIALIZED (SELECT u1, u2 FROM $p
+         |   WHERE u1 IN (SELECT u FROM ok$i)
+         |     AND u2 IN (SELECT u FROM ok$i))""".stripMargin
+    }.mkString
+    head + rounds +
+      s""",
+         | core AS MATERIALIZED (SELECT u, count(*) AS dg FROM
+         |     (SELECT u1 AS u FROM e$kcoreRounds
+         |      UNION ALL SELECT u2 FROM e$kcoreRounds)
+         |   GROUP BY 1),
+         | users AS (SELECT DISTINCT user_id AS u FROM events)
+         |SELECT users.u AS user_id,
+         |  CAST(coalesce(dg, 0) AS BIGINT) AS core_deg
+         |FROM users LEFT JOIN core ON core.u = users.u ORDER BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_kcore" -> kcoreSql,
     "graph_pagerank" -> pagerankSql,
     "graph_sssp" -> ssspSql,
     "graph_clustering" ->
@@ -215,6 +305,31 @@ object Graph {
                   / (coalesce(dg, 0) * (coalesce(dg, 0) - 1))
              ELSE 0.0 END, 6) AS coeff
          FROM users LEFT JOIN deg ON deg.u = users.u
-                    LEFT JOIN tc ON tc.u = users.u ORDER BY user_id"""
+                    LEFT JOIN tc ON tc.u = users.u ORDER BY user_id""",
+    "graph_linkpred" ->
+      """WITH ua AS MATERIALIZED (SELECT user_id, d, event_type FROM
+               (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d,
+                       event_type FROM events)
+             QUALIFY count(*) OVER (PARTITION BY d, event_type) <= 65536),
+         e AS MATERIALIZED (SELECT a.user_id AS u1, b.user_id AS u2
+               FROM ua a JOIN ua b ON a.d = b.d AND a.event_type = b.event_type
+                                   AND a.user_id < b.user_id
+               GROUP BY 1, 2 HAVING count(*) >= 30),
+         adj AS MATERIALIZED (SELECT u1 AS u, u2 AS v FROM e
+               UNION ALL SELECT u2, u1 FROM e),
+         deg AS MATERIALIZED (SELECT u, count(*) AS dg FROM adj GROUP BY 1),
+         cand AS (SELECT l.v AS a, r.v AS b, count(*) AS cn,
+               sum(CAST(1.0 / ln(deg.dg) AS DECIMAL(38,15))) AS aa
+             FROM adj l JOIN adj r ON l.u = r.u AND l.v < r.v
+             JOIN deg ON deg.u = l.u
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+         nonadj AS (SELECT * FROM cand WHERE NOT EXISTS
+             (SELECT 1 FROM e WHERE e.u1 = cand.a AND e.u2 = cand.b))
+         SELECT a, b, CAST(cn AS BIGINT) AS cn,
+           round(CAST(cn AS DOUBLE) / (da.dg + db.dg - cn), 6) AS jaccard,
+           round(CAST(aa AS DOUBLE), 6) AS adamic_adar
+         FROM nonadj JOIN deg da ON da.u = nonadj.a
+                     JOIN deg db ON db.u = nonadj.b
+         ORDER BY a, b"""
   )
 }

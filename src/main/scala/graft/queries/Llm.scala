@@ -664,6 +664,45 @@ object Llm {
         .orderBy("doc_id", "copy_idx")
     }),
 
+    // temperature-scaled mixture sampling (the multilingual-corpus
+    // rebalancing of Xue et al., *mT5*, NAACL 2021 §3.1 / Conneau et al.,
+    // *XLM-R*, ACL 2020: sample language i with p_i ∝ n_i^α, α = 0.5) —
+    // the principled version of sample_mixture's hand-set copy counts:
+    // temperature UP-weights tail languages without drowning the head.
+    // Per-language targets t_i = floor(200·√n_i/Σ√n_j) derive from the
+    // 5-row count rollup (√ and the floor are ONE identical double chain
+    // on both engines — the operands are exact integers, so no
+    // accumulation-order risk exists before the final chain); membership
+    // is the md5-rank cut of sample_fixed (portable, re-run-stable), so
+    // the kept multiset is hash-checkable cross-engine. Declared as the
+    // per-language audit row: corpus count, raw share, temperature share,
+    // target, kept. Pure map + one bounded window at any SF.
+    "sample_temperature" -> ((s, sf) => {
+      val counts = t(s, sf, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val denom = counts.agg(sum(sqrt(col("n_docs"))).as("dsum"),
+        sum(col("n_docs")).as("ntot"))
+      val targets = counts.crossJoin(broadcast(denom))
+        .withColumn("t_share", sqrt(col("n_docs")) / col("dsum"))
+        .withColumn("target", floor(col("t_share") * 200).cast("long"))
+      val ranked = t(s, sf, "documents")
+        .withColumn("hk", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("hk"), col("doc_id")))
+          .cast("long"))
+      ranked.join(broadcast(targets), Seq("lang"))
+        .groupBy(col("lang"), col("n_docs"), col("ntot"), col("t_share"),
+          col("target"))
+        .agg(sum(when(col("rk") <= col("target"), 1L).otherwise(0L))
+          .as("n_kept"),
+          min(when(col("rk") <= col("target"), col("doc_id"))).as("min_id"))
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("ntot"), 6).as("raw_share"),
+          round(col("t_share"), 6).as("temp_share"),
+          col("target"), col("n_kept"), col("min_id"))
+        .orderBy("lang")
+    }),
+
     // 30-min-gap sessionization: flag + running sum + per-session stats
     "sessionize" -> ((s, sf) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -837,6 +876,28 @@ object Llm {
            FROM documents)
          SELECT lang, rk, doc_id, hk FROM r WHERE rk <= 10
          ORDER BY lang, rk""",
+    "sample_temperature" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_docs
+             FROM documents GROUP BY 1),
+           denom AS (SELECT sum(sqrt(n_docs)) AS dsum, sum(n_docs) AS ntot
+             FROM counts),
+           targets AS (SELECT lang, n_docs, ntot,
+               sqrt(n_docs) / dsum AS t_share,
+               CAST(floor(sqrt(n_docs) / dsum * 200) AS BIGINT) AS target
+             FROM counts CROSS JOIN denom),
+           ranked AS (SELECT lang, doc_id,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                 AS rk
+             FROM documents)
+         SELECT t.lang, CAST(n_docs AS BIGINT) AS n_docs,
+           round(CAST(n_docs AS DOUBLE) / ntot, 6) AS raw_share,
+           round(t_share, 6) AS temp_share, target,
+           CAST(sum(CASE WHEN rk <= target THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           min(CASE WHEN rk <= target THEN doc_id END) AS min_id
+         FROM ranked r JOIN targets t ON r.lang = t.lang
+         GROUP BY 1, 2, 3, 4, 5 ORDER BY t.lang""",
     "sample_weighted" ->
       """WITH s AS (SELECT l_returnflag, l_quantity,
              CAST(l_orderkey AS VARCHAR) || '-'

@@ -179,6 +179,257 @@ object Stats {
           round((col("misum") / col("n")) /
             sqrt((col("hxs") / col("n")) * (col("hys") / col("n"))), 6)
             .as("nmi"))
+    }),
+
+    // Mann–Kendall trend test + Sen's slope per event type over the daily
+    // count series (Mann 1945; Kendall 1975; Sen, JASA 1968) — the
+    // distribution-free "is this metric drifting" monitor every ops
+    // dashboard needs, robust where OLS-on-time is outlier-hostage. The
+    // corpus collapses to the per-(type, day) count table in ONE agg
+    // (bounded by k × the DAY domain, never the corpus); the pairwise
+    // phase — S = Σ sign(n_j − n_i) over day pairs and Sen's slope = the
+    // median pairwise slope — is a self-join of that ≤30-row-per-type
+    // frame (k·C(days,2) ≈ 2.2k pairs at any SF: quadratic in the bounded
+    // day DOMAIN, constant in corpus size; a year of days is 66k pairs
+    // per type — still a compact frame at 100 TB). S and the variance
+    // operands (incl. the tie term Σt(t−1)(2t+5)) are exact integers; z
+    // applies the standard continuity correction (S∓1) in one identical
+    // chain; the slope median rides the exact-interpolation percentile ↔
+    // quantile_cont pairing (the agg_percentile contract).
+    "ts_trend" -> ((s, sf) => {
+      val daily = t(s, sf, "events")
+        .groupBy(col("event_type").as("g"),
+          expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val pairs = daily.select(col("g"), col("d").as("d1"), col("n").as("n1"))
+        .join(daily.select(col("g"), col("d").as("d2"), col("n").as("n2")),
+          Seq("g"))
+        .where(col("d1") < col("d2"))
+      val sStat = pairs.groupBy("g").agg(
+        sum(when(col("n2") > col("n1"), 1L)
+          .when(col("n2") < col("n1"), -1L).otherwise(0L)).as("s"),
+        expr("percentile((n2 - n1) / (d2 - d1), 0.5)").as("sen"))
+      val nd = daily.groupBy("g").agg(count(lit(1)).as("nd"))
+      val ties = daily.groupBy("g", "n").agg(count(lit(1)).as("t"))
+        .groupBy("g")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .as("tsum"))
+      sStat.join(nd, Seq("g")).join(ties, Seq("g"))
+        .withColumn("vs",
+          (col("nd") * (col("nd") - 1) * (lit(2L) * col("nd") + 5)
+            - col("tsum")).cast("double") / 18.0)
+        .select(col("g").as("event_type"), col("nd"), col("s"),
+          round(when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("vs")))
+            .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(col("vs")))
+            .otherwise(lit(0.0)), 6).as("z"),
+          round(col("sen"), 6).as("sen_slope"))
+        .orderBy("event_type")
+    }),
+
+    // Theil T inequality index of per-customer order activity by market
+    // segment, with the between/within decomposition (Theil, *Economics
+    // and Information Theory*, 1967) — the additively-decomposable
+    // concentration measure agg_gini can't give (Gini doesn't decompose):
+    // per segment T_g = Σ (x/µ_g)ln(x/µ_g)/n_g over per-customer order
+    // counts, plus each segment's between-group term (n_g/n)(µ_g/µ)
+    // ln(µ_g/µ) and within-group share (n_g/n)(µ_g/µ)T_g, whose sums
+    // reconstruct total inequality exactly (the law StatsSpec asserts).
+    // The corpus collapses twice: orders → per-customer counts (one agg),
+    // counts → the (segment, x) VALUE-DOMAIN table (x is a small integer
+    // — the frame is ≤ segments × max-orders-per-customer rows at any
+    // SF). All shuffled sums are exact integers; µ_g, µ and every ln
+    // chain evaluate once over exact operands on the ≤200-row compact
+    // frame (the MI discipline); grand totals ride a 1-row broadcast.
+    "agg_theil" -> ((s, sf) => {
+      val x = t(s, sf, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x"))
+      val seg = t(s, sf, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val sx = x.join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("x")).agg(count(lit(1)).as("c"))
+      val g = sx.groupBy("c_mktsegment")
+        .agg(sum(col("c")).as("ng"), sum(col("c") * col("x")).as("sg"))
+      val tot = g.agg(sum(col("ng")).as("n"), sum(col("sg")).as("stot"))
+      sx.join(g, Seq("c_mktsegment"))
+        .withColumn("mug", col("sg").cast("double") / col("ng"))
+        .withColumn("term",
+          col("c") * (col("x") / col("mug")) * log(col("x") / col("mug")))
+        .groupBy(col("c_mktsegment"), col("ng"), col("sg"), col("mug"))
+        .agg((sum(col("term")) / col("ng")).as("tg"))
+        .crossJoin(broadcast(tot))
+        .withColumn("mu", col("stot").cast("double") / col("n"))
+        .withColumn("w",
+          (col("ng").cast("double") / col("n")) * (col("mug") / col("mu")))
+        .select(col("c_mktsegment"), col("ng").as("n_cust"),
+          round(col("mug"), 6).as("mean_orders"),
+          round(col("tg"), 6).as("theil"),
+          round(col("w") * col("tg"), 6).as("within_share"),
+          round(col("w") * log(col("mug") / col("mu")), 6).as("between_term"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Zipf rank–frequency fit over the corpus token distribution (Zipf
+    // 1949; the sanity check every tokenizer/corpus-health pipeline runs:
+    // natural text has log-log slope ≈ −1, and a collapsed or templated
+    // corpus shows up as a broken slope/r²): ONE corpus token-count agg
+    // (the text_wordcount shape), a row_number rank over the VOCAB-sized
+    // frame (top-1000 by count desc, token — deterministic cut), then OLS
+    // of ln(freq) on ln(rank). Float discipline: the per-point ln/product
+    // chains are identical on both engines, each term casts to
+    // DECIMAL(38,15) so the shuffled sufficient-statistic sums are EXACT
+    // and order-independent (the doubled-rank discipline extended to
+    // irrational terms), and the closed-form slope/intercept/r² evaluate
+    // once over the exact sums — intercept in cross-moment form, never
+    // derived from the rounded slope (the agg_ols contract).
+    "text_zipf" -> ((s, sf) => {
+      val d = DecimalType(38, 15)
+      val freq = t(s, sf, "documents")
+        .select(explode(split(col("text"), " ")).as("tk"))
+        .groupBy("tk").agg(count(lit(1)).as("c"))
+      // global window: the frame is vocabulary-sized (the BPE cap
+      // precedent), so the single-partition sort is bounded, not corpus
+      val top = freq.withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("c"), col("tk"))))
+        .where(col("r") <= 1000)
+      top.select(log(col("r").cast("double")).as("lr"),
+          log(col("c").cast("double")).as("lf"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lr").cast(d)).as("sx"), sum(col("lf").cast(d)).as("sy"),
+          sum((col("lr") * col("lr")).cast(d)).as("sxx"),
+          sum((col("lf") * col("lf")).cast(d)).as("syy"),
+          sum((col("lr") * col("lf")).cast(d)).as("sxy"))
+        .select(col("n_tokens"), col("sx").cast("double").as("sx"),
+          col("sy").cast("double").as("sy"), col("sxx").cast("double").as("sxx"),
+          col("syy").cast("double").as("syy"), col("sxy").cast("double").as("sxy"))
+        .select(col("n_tokens"),
+          round((col("n_tokens") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_tokens") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+            (col("n_tokens") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("intercept"),
+          round(pow(col("n_tokens") * col("sxy") - col("sx") * col("sy"), 2) /
+            ((col("n_tokens") * col("sxx") - col("sx") * col("sx")) *
+             (col("n_tokens") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("r2"))
+    }),
+
+    // ROC AUC of event value as a purchase-vs-view score (Hanley &
+    // McNeil, Radiology 1982: AUC is the Mann–Whitney U statistic
+    // normalized — P(score_pos > score_neg) + ½P(tie)) — the
+    // threshold-free ranking-quality number every model-eval pipeline
+    // reports, completing the eval tier beside the confusion matrix
+    // (which fixes ONE threshold) and agg_mwu (which tests the same
+    // quantity instead of reporting it). Identical machinery: the corpus
+    // collapses to the per-distinct-VALUE table (c_pos, tie count) in one
+    // map-side-combined agg — bounded by the 2dp value DOMAIN — one
+    // running window over the compact frame yields exact half-integer
+    // tie-average ranks, and AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻) is a single
+    // float division over exact operands. Gini = 2·AUC − 1 derives from
+    // the UNROUNDED AUC (the agg_cramers_v no-double-rounding rule).
+    "agg_auc" -> ((s, sf) => {
+      val byV = t(s, sf, "events")
+        .where(col("event_type").isin("purchase", "view"))
+        .groupBy("value")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c1"), count(lit(1)).as("tt"))
+      val before = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byV.withColumn("avg_rk",
+          coalesce(sum(col("tt")).over(before), lit(0L)) +
+            (col("tt") + 1) / lit(2.0))
+        .agg(sum(col("c1") * col("avg_rk")).as("r1"),
+          sum(col("c1")).as("np"), sum(col("tt") - col("c1")).as("nn"))
+        .withColumn("auc_raw",
+          (col("r1") - col("np") * (col("np") + 1) / lit(2.0)) /
+            (col("np") * col("nn")))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+          round(col("auc_raw"), 6).as("auc"),
+          round(col("auc_raw") * 2 - 1, 6).as("gini"))
+    }),
+
+    // Kendall rank correlation τ-b per return flag (Kendall, Biometrika
+    // 1938; τ-b tie form per Agresti) between quantity and discount —
+    // the concordance-based dependence measure that pairs with
+    // agg_spearman exactly as MWU pairs with the t-test: τ counts
+    // agreeing pair ORDERINGS, so it is robust where ρ's rank-moment
+    // arithmetic is tie-dominated. The corpus collapses ONCE to the
+    // (flag, qty, disc) VALUE-PAIR cell table (≤550 cells per flag — the
+    // agg_spearman frame); concordant/discordant/tie counts come from a
+    // self-join of that compact frame joining each unordered cell pair
+    // exactly once ((x1,y1) < (x2,y2) lexicographically — quadratic in
+    // the bounded value DOMAIN, never the corpus), weighted by exact
+    // c1·c2 products, with same-cell pairs contributing c(c−1)/2 to both
+    // tie totals. τ-b = (C−D)/√((n0−tx)(n0−ty)) is ONE float chain over
+    // exact BIGINT sums (n0 = n(n−1)/2 pairs; tx/ty from per-value
+    // marginal rollups of the SAME cell frame).
+    "agg_kendall" -> ((s, sf) => {
+      val cells = t(s, sf, "lineitem")
+        .groupBy(col("l_returnflag").as("g"), col("l_quantity").as("x"),
+          col("l_discount").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val a = cells.select(col("g"), col("x").as("x1"), col("y").as("y1"),
+        col("c").as("c1"))
+      val b = cells.select(col("g"), col("x").as("x2"), col("y").as("y2"),
+        col("c").as("c2"))
+      val pairs = a.join(b, Seq("g"))
+        .where(col("x1") < col("x2") ||
+          (col("x1") === col("x2") && col("y1") < col("y2")))
+      val cd = pairs.groupBy("g").agg(
+        sum(when(col("x1") < col("x2") && col("y1") < col("y2"),
+          col("c1") * col("c2")).otherwise(lit(0L))).as("cc"),
+        sum(when(col("x1") < col("x2") && col("y1") > col("y2"),
+          col("c1") * col("c2")).otherwise(lit(0L))).as("dd"))
+      val marg = cells.groupBy("g").agg(sum(col("c")).as("n"))
+      val tx = cells.groupBy("g", "x").agg(sum(col("c")).as("cx"))
+        .groupBy("g").agg(sum(col("cx") * (col("cx") - 1)).as("tx2"))
+      val ty = cells.groupBy("g", "y").agg(sum(col("c")).as("cy"))
+        .groupBy("g").agg(sum(col("cy") * (col("cy") - 1)).as("ty2"))
+      cd.join(marg, Seq("g")).join(tx, Seq("g")).join(ty, Seq("g"))
+        .withColumn("n0x2", col("n") * (col("n") - 1))
+        .select(col("g").as("l_returnflag"), col("n"),
+          col("cc").as("concordant"), col("dd").as("discordant"),
+          round((col("cc") - col("dd")).cast("double") * 2 /
+            sqrt((col("n0x2") - col("tx2")).cast("double") *
+              (col("n0x2") - col("ty2")).cast("double")), 6).as("tau_b"))
+        .orderBy("l_returnflag")
+    }),
+
+    // calibration / reliability table (Murphy & Winkler 1977; the
+    // reliability-diagram binning every probabilistic-model eval runs,
+    // with the Expected Calibration Error decomposition of Naeini et al.
+    // AAAI 2015): score purchase-vs-view events with the deterministic
+    // monotone link p = value/(value+50) ∈ (0,1), bin into 10 equal-width
+    // probability bins, and per bin report n, mean predicted p, observed
+    // positive rate, and the bin's |gap|·n/N ECE contribution. One
+    // corpus-pass agg keyed by the bin (the map-side-combined shape);
+    // the bin index floor(10p) is the identical double chain on both
+    // engines, per-term p casts to DECIMAL(38,15) so the shuffled mean-p
+    // sums are EXACT and order-independent (the text_zipf discipline);
+    // observed rates are exact-integer divisions; the grand total rides a
+    // 1-row broadcast. ECE itself is the sum of the printed column — the
+    // decomposition law StatsSpec asserts.
+    "eval_calibration" -> ((s, sf) => {
+      val d = DecimalType(38, 15)
+      val scored = t(s, sf, "events")
+        .where(col("event_type").isin("purchase", "view"))
+        .withColumn("p", col("value") / (col("value") + 50.0))
+        .withColumn("bin", floor(col("p") * 10).cast("long"))
+        .withColumn("y",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+      val bins = scored.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("p").cast(d)).as("sp"))
+      val tot = bins.agg(sum(col("n")).as("nn"))
+      bins.crossJoin(broadcast(tot))
+        .withColumn("mean_p", col("sp").cast("double") / col("n"))
+        .withColumn("obs", col("n_pos").cast("double") / col("n"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("mean_p"), 6).as("mean_pred"),
+          round(col("obs"), 6).as("obs_rate"),
+          round(abs(col("mean_p") - col("obs")) * col("n") / col("nn"), 6)
+            .as("ece_term"))
+        .orderBy("bin")
     })
   )
 
@@ -269,6 +520,134 @@ object Stats {
          SELECT CAST(n_cells AS BIGINT) AS n_cells, CAST(n AS BIGINT) AS n,
            round(misum / n, 6) AS mi,
            round((misum / n) / sqrt((hxs / n) * (hys / n)), 6) AS nmi
-         FROM agg"""
+         FROM agg""",
+    "ts_trend" ->
+      """WITH daily AS (SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d,
+             count(*) AS n FROM events GROUP BY 1, 2),
+           pairs AS (SELECT a.g, a.n AS n1, b.n AS n2, a.d AS d1, b.d AS d2
+             FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d),
+           s AS (SELECT g,
+               sum(CASE WHEN n2 > n1 THEN 1 WHEN n2 < n1 THEN -1 ELSE 0 END) AS s,
+               quantile_cont((n2 - n1) / (d2 - d1), 0.5) AS sen
+             FROM pairs GROUP BY 1),
+           nd AS (SELECT g, count(*) AS nd FROM daily GROUP BY 1),
+           ties AS (SELECT g, sum(t * (t - 1) * (2 * t + 5)) AS tsum FROM
+             (SELECT g, n, count(*) AS t FROM daily GROUP BY 1, 2) GROUP BY 1),
+           fin AS (SELECT s.g, nd.nd, s.s, s.sen,
+               CAST(nd.nd * (nd.nd - 1) * (2 * nd.nd + 5) - ties.tsum AS DOUBLE)
+                 / 18.0 AS vs
+             FROM s JOIN nd USING (g) JOIN ties USING (g))
+         SELECT g AS event_type, CAST(nd AS BIGINT) AS nd, CAST(s AS BIGINT) AS s,
+           round(CASE WHEN s > 0 THEN (s - 1) / sqrt(vs)
+                      WHEN s < 0 THEN (s + 1) / sqrt(vs) ELSE 0.0 END, 6) AS z,
+           round(sen, 6) AS sen_slope
+         FROM fin ORDER BY event_type""",
+    "agg_theil" ->
+      """WITH x AS (SELECT o_custkey, count(*) AS x FROM orders GROUP BY 1),
+           sx AS (SELECT c_mktsegment, x.x AS x, count(*) AS c
+             FROM x JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+           g AS (SELECT c_mktsegment, sum(c) AS ng, sum(c * x) AS sg
+             FROM sx GROUP BY 1),
+           tot AS (SELECT sum(ng) AS n, sum(sg) AS stot FROM g),
+           tg AS (SELECT sx.c_mktsegment, g.ng, g.sg,
+               CAST(g.sg AS DOUBLE) / g.ng AS mug,
+               sum(c * (x / (CAST(g.sg AS DOUBLE) / g.ng))
+                 * ln(x / (CAST(g.sg AS DOUBLE) / g.ng))) / g.ng AS tg
+             FROM sx JOIN g USING (c_mktsegment) GROUP BY 1, 2, 3, 4),
+           fin AS (SELECT tg.*, CAST(stot AS DOUBLE) / n AS mu,
+               (CAST(ng AS DOUBLE) / n)
+                 * (mug / (CAST(stot AS DOUBLE) / n)) AS w
+             FROM tg CROSS JOIN tot)
+         SELECT c_mktsegment, CAST(ng AS BIGINT) AS n_cust,
+           round(mug, 6) AS mean_orders, round(tg, 6) AS theil,
+           round(w * tg, 6) AS within_share,
+           round(w * ln(mug / mu), 6) AS between_term
+         FROM fin ORDER BY c_mktsegment""",
+    "text_zipf" ->
+      """WITH freq AS (SELECT tk, count(*) AS c FROM
+             (SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
+             GROUP BY 1),
+           top AS (SELECT c, row_number() OVER (ORDER BY c DESC, tk) AS r
+             FROM freq QUALIFY r <= 1000),
+           terms AS (SELECT ln(CAST(r AS DOUBLE)) AS lr,
+               ln(CAST(c AS DOUBLE)) AS lf FROM top),
+           agg AS (SELECT count(*) AS n_tokens,
+               sum(CAST(lr AS DECIMAL(38,15))) AS sx,
+               sum(CAST(lf AS DECIMAL(38,15))) AS sy,
+               sum(CAST(lr * lr AS DECIMAL(38,15))) AS sxx,
+               sum(CAST(lf * lf AS DECIMAL(38,15))) AS syy,
+               sum(CAST(lr * lf AS DECIMAL(38,15))) AS sxy
+             FROM terms),
+           d AS (SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+               CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+               CAST(sxy AS DOUBLE) AS sxy FROM agg)
+         SELECT n_tokens,
+           round((n_tokens * sxy - sx * sy) / (n_tokens * sxx - sx * sx), 6)
+             AS slope,
+           round((sy * sxx - sx * sxy) / (n_tokens * sxx - sx * sx), 6)
+             AS intercept,
+           round(pow(n_tokens * sxy - sx * sy, 2)
+             / ((n_tokens * sxx - sx * sx) * (n_tokens * syy - sy * sy)), 6)
+             AS r2
+         FROM d""",
+    "agg_auc" ->
+      """WITH byv AS (SELECT value,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+             count(*) AS tt
+           FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+         ranked AS (SELECT c1, tt,
+             coalesce(sum(tt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (tt + 1) / 2.0 AS avg_rk
+           FROM byv),
+         agg AS (SELECT sum(c1 * avg_rk) AS r1, sum(c1) AS np,
+             sum(tt - c1) AS nn FROM ranked),
+         fin AS (SELECT np, nn,
+             (r1 - np * (np + 1) / 2.0) / (np * nn) AS auc_raw FROM agg)
+         SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           round(auc_raw, 6) AS auc, round(auc_raw * 2 - 1, 6) AS gini
+         FROM fin""",
+    "agg_kendall" ->
+      """WITH cells AS MATERIALIZED (SELECT l_returnflag AS g,
+             l_quantity AS x, l_discount AS y, count(*) AS c
+           FROM lineitem GROUP BY 1, 2, 3),
+         cd AS (SELECT a.g,
+             sum(CASE WHEN a.x < b.x AND a.y < b.y
+                 THEN a.c * b.c ELSE 0 END) AS cc,
+             sum(CASE WHEN a.x < b.x AND a.y > b.y
+                 THEN a.c * b.c ELSE 0 END) AS dd
+           FROM cells a JOIN cells b ON a.g = b.g
+             AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+           GROUP BY 1),
+         marg AS (SELECT g, sum(c) AS n FROM cells GROUP BY 1),
+         tx AS (SELECT g, sum(cx * (cx - 1)) AS tx2 FROM
+             (SELECT g, x, sum(c) AS cx FROM cells GROUP BY 1, 2)
+           GROUP BY 1),
+         ty AS (SELECT g, sum(cy * (cy - 1)) AS ty2 FROM
+             (SELECT g, y, sum(c) AS cy FROM cells GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT cd.g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(cc AS BIGINT) AS concordant, CAST(dd AS BIGINT) AS discordant,
+           round(CAST(cc - dd AS DOUBLE) * 2 /
+             sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE)
+               * CAST(n * (n - 1) - ty2 AS DOUBLE)), 6) AS tau_b
+         FROM cd JOIN marg USING (g) JOIN tx USING (g) JOIN ty USING (g)
+         ORDER BY l_returnflag""",
+    "eval_calibration" ->
+      """WITH scored AS (SELECT value / (value + 50.0) AS p,
+             CAST(floor(value / (value + 50.0) * 10) AS BIGINT) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE event_type IN ('purchase', 'view')),
+         bins AS (SELECT bin, count(*) AS n, sum(y) AS n_pos,
+             sum(CAST(p AS DECIMAL(38,15))) AS sp
+           FROM scored GROUP BY 1),
+         tot AS (SELECT sum(n) AS nn FROM bins)
+         SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           round(CAST(sp AS DOUBLE) / n, 6) AS mean_pred,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS obs_rate,
+           round(abs(CAST(sp AS DOUBLE) / n - CAST(n_pos AS DOUBLE) / n)
+             * n / nn, 6) AS ece_term
+         FROM bins CROSS JOIN tot ORDER BY bin"""
   )
 }

@@ -108,4 +108,62 @@ class GraphSpec extends AnyFunSuite with SparkFixture with Matchers {
     one(0L) shouldBe 0L
     (one - 0L) shouldBe direct
   }
+
+  /** Independent synchronous peel over a collected edge list. */
+  private def refPeel(es: Seq[(Long, Long)], k: Long,
+      rounds: Int): Map[Long, Long] = {
+    var cur = es
+    def degs(e: Seq[(Long, Long)]): Map[Long, Long] =
+      (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+        .map { case (v, o) => v -> o.size.toLong }
+    for (_ <- 1 to rounds) {
+      val d = degs(cur)
+      cur = cur.filter { case (a, b) => d(a) >= k && d(b) >= k }
+    }
+    degs(cur)
+  }
+
+  test("kcore branches agree bit-exactly and match an independent peel") {
+    // minShared=20: the sf0.001 corpus's ≥30 graph is empty, so the
+    // denser graph keeps this non-vacuous (44 edges, a real peel)
+    val (edges, _) = graft.operators.Triangles.cooccurEdges(
+      T.t(spark, sf001, "events"), minShared = 20L)
+    def core(gate: Long): Map[Long, Long] =
+      graft.operators.KCore.run(edges, k = 3L, rounds = 8,
+          distributedMinEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = core(Long.MaxValue)
+    val dist = core(0L)
+    driver shouldBe dist // exact integers: BIT-equal
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    driver shouldBe refPeel(es, 3L, 8)
+    // every survivor keeps >= k ties inside the core, and the peel
+    // actually removed someone (otherwise k=3 asserts nothing here)
+    driver.values.foreach(_ should be >= 3L)
+    val allNodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    withClue(s"peel removed nobody of ${allNodes.size}: ") {
+      driver.size should be < allNodes.size
+    }
+    driver should not be empty
+    // declared R=8 has converged on the corpus: round 9 changes nothing,
+    // so the fixed-R contract frame IS the 3-core here
+    refPeel(es, 3L, 9) shouldBe driver
+  }
+
+  test("kcore on a hand graph: pendant chain peels, clique survives") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus a pendant path 4-5-6: 5 and 6 peel out (deg
+    // < 3), then 4 still has 3 ties inside the clique
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u1", "u2")
+    val out = graft.operators.KCore.run(es, k = 3L, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    // k=2: the whole graph except the pendant tail's endpoint chain —
+    // 5 and 6 have degree < 2 after 6 peels? 5 has deg 2 (4 and 6), 6 has
+    // deg 1 → 6 peels, then 5 drops to deg 1 → peels; 4-core members stay
+    val out2 = graft.operators.KCore.run(es, k = 2L, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out2.keySet shouldBe Set(1L, 2L, 3L, 4L)
+  }
 }

@@ -87,7 +87,17 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // marginal-grid construction reused verbatim: r-row × c-row category
     // frames cross-joined to materialize zero cells, both sides bounded
     // by the category domains, never the corpus (agg_cramers_v)
-    "agg_kruskal", "agg_cramers_v")
+    "agg_kruskal", "agg_cramers_v",
+    // round 12 batch 3: the 1-row grand-total scalar onto the ≤segments-row
+    // group frame (agg_theil — the agg_ttest shape again)
+    "agg_theil",
+    // round 12 batch 4: the 1-row total onto the 10-row bin frame
+    // (eval_calibration) and the 1-row user-count onto the ≤k²-row rule
+    // frame (events_assoc_rules) — same scalar-broadcast shape
+    "eval_calibration", "events_assoc_rules",
+    // the 2-value denominator scalar onto the 5-row language rollup
+    // (sample_temperature)
+    "sample_temperature")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

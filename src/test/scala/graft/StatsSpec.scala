@@ -120,6 +120,244 @@ class StatsSpec extends AnyFunSuite with SparkFixture with Matchers {
     r.getAs[Double]("nmi") should (be >= 0.0 and be <= 1.0)
   }
 
+  test("ts_trend: S, z and Sen's slope recompute from raw daily counts") {
+    val out = SparkEntry.queries("ts_trend")(spark, sf001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Number]("nd").longValue, r.getAs[Number]("s").longValue,
+          r.getAs[Double]("z"), r.getAs[Double]("sen_slope"))).toMap
+    val daily = T.t(spark, sf001, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((g, d), v) => (g, d, v.length.toLong) }
+      .toSeq
+    daily.groupBy(_._1).foreach { case (g, ds) =>
+      val pts = ds.map(x => (x._2, x._3)).sortBy(_._1)
+      val nd = pts.length
+      val pairs = for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(i), pts(j))
+      val s = pairs.map { case ((_, n1), (_, n2)) =>
+        java.lang.Long.signum(n2 - n1).toLong }.sum
+      val tsum = pts.groupBy(_._2).values
+        .map(gr => { val t = gr.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val vs = (nd.toLong * (nd - 1) * (2L * nd + 5) - tsum).toDouble / 18.0
+      val z = if (s > 0) (s - 1) / math.sqrt(vs)
+        else if (s < 0) (s + 1) / math.sqrt(vs) else 0.0
+      val slopes = pairs.map { case ((d1, n1), (d2, n2)) =>
+        (n2 - n1).toDouble / (d2 - d1) }.sorted
+      val m = slopes.length
+      val sen = if (m % 2 == 1) slopes(m / 2)
+        else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+      out(g)._1 shouldBe nd.toLong
+      out(g)._2 shouldBe s
+      out(g)._3 shouldBe (z +- 1e-5)
+      out(g)._4 shouldBe (sen +- 1e-5)
+    }
+  }
+
+  test("agg_theil: per-segment T recomputes raw; decomposition reconstructs total") {
+    val out = SparkEntry.queries("agg_theil")(spark, sf001).collect()
+    val perCust = T.t(spark, sf001, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("x"))
+      .join(T.t(spark, sf001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("x")).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue.toDouble))
+    def theil(xs: Seq[Double]): Double = {
+      val mu = xs.sum / xs.length
+      xs.map(x => (x / mu) * math.log(x / mu)).sum / xs.length
+    }
+    val byG = perCust.groupBy(_._1).map { case (g, v) => g -> v.map(_._2).toSeq }
+    out.foreach { r =>
+      val g = r.getAs[String]("c_mktsegment")
+      r.getAs[Number]("n_cust").longValue shouldBe byG(g).length.toLong
+      r.getAs[Double]("theil") shouldBe (theil(byG(g)) +- 1e-5)
+    }
+    // Theil's additive decomposition: total inequality over ALL customers
+    // must equal the sum of the within shares plus the between terms —
+    // the law Gini lacks, and the reason this query exists
+    val total = theil(perCust.map(_._2).toSeq)
+    val reconstructed = out.map(r =>
+      r.getAs[Double]("within_share") + r.getAs[Double]("between_term")).sum
+    reconstructed shouldBe (total +- 1e-4)
+    out.foreach(_.getAs[Double]("theil") should be >= 0.0)
+  }
+
+  test("text_zipf: the OLS fit recomputes from literal token ranks") {
+    val r = SparkEntry.queries("text_zipf")(spark, sf001).collect()(0)
+    val counts = T.t(spark, sf001, "documents")
+      .select(explode(split(col("text"), " ")).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("c")).collect()
+      .map(x => (x.getString(0), x.getAs[Number](1).longValue))
+    val top = counts.sortBy { case (tk, c) => (-c, tk) }.take(1000)
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+    val r2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r.getAs[Number]("n_tokens").longValue shouldBe top.length.toLong
+    r.getAs[Double]("slope") shouldBe (slope +- 1e-5)
+    r.getAs[Double]("intercept") shouldBe (intercept +- 1e-5)
+    r.getAs[Double]("r2") shouldBe (r2 +- 1e-5)
+    // the fit's defining shape: frequency falls with rank, and r2 is a
+    // valid squared correlation
+    r.getAs[Double]("slope") should be < 0.0
+    r.getAs[Double]("r2") should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("agg_auc: AUC recomputes from a literal pairwise comparison") {
+    val r = SparkEntry.queries("agg_auc")(spark, sf001).collect()(0)
+    val sv = T.t(spark, sf001, "events")
+      .where(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0) == "purchase", x.getDouble(1)))
+    val pos = sv.filter(_._1).map(_._2); val neg = sv.filterNot(_._1).map(_._2)
+    // the probabilistic definition, O(n_pos*n_neg) literal: wins + half
+    // ties — the quantity the rank formula must equal exactly
+    var wins = 0.0
+    for (p <- pos; n <- neg)
+      wins += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val auc = wins / (pos.length.toLong * neg.length)
+    r.getAs[Number]("n_pos").longValue shouldBe pos.length.toLong
+    r.getAs[Number]("n_neg").longValue shouldBe neg.length.toLong
+    r.getAs[Double]("auc") shouldBe (auc +- 1e-5)
+    r.getAs[Double]("gini") shouldBe (2 * auc - 1 +- 1e-5)
+  }
+
+  test("agg_kendall: tau-b recomputes from literal pair enumeration") {
+    val out = SparkEntry.queries("agg_kendall")(spark, sf001).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Number]("n").longValue,
+          r.getAs[Number]("concordant").longValue,
+          r.getAs[Number]("discordant").longValue,
+          r.getAs[Double]("tau_b"))).toMap
+    val rows = T.t(spark, sf001, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"))
+      .collect().map(r => (r.getString(0),
+        r.getAs[Number](1).doubleValue, r.getAs[Number](2).doubleValue))
+    rows.groupBy(_._1).foreach { case (g, v) =>
+      val xs = v.map(x => (x._2, x._3))
+      val n = xs.length
+      var cc = 0L; var dd = 0L
+      for (i <- xs.indices; j <- (i + 1) until n) {
+        val p = (xs(i)._1 - xs(j)._1) * (xs(i)._2 - xs(j)._2)
+        if (p > 0) cc += 1 else if (p < 0) dd += 1
+      }
+      def tiePairs(k: Seq[Double]): Long =
+        k.groupBy(identity).values.map(t => t.size.toLong * (t.size - 1) / 2).sum
+      val n0 = n.toLong * (n - 1) / 2
+      val tau = (cc - dd).toDouble /
+        math.sqrt((n0 - tiePairs(xs.map(_._1))).toDouble *
+          (n0 - tiePairs(xs.map(_._2))).toDouble)
+      out(g)._1 shouldBe n.toLong
+      out(g)._2 shouldBe cc
+      out(g)._3 shouldBe dd
+      out(g)._4 shouldBe (tau +- 1e-5)
+    }
+  }
+
+  test("eval_calibration: bins recompute raw and ECE terms decompose") {
+    val out = SparkEntry.queries("eval_calibration")(spark, sf001).collect()
+    val sv = T.t(spark, sf001, "events")
+      .where(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0) == "purchase", x.getDouble(1)))
+      .map { case (y, v) =>
+        val p = v / (v + 50.0); (math.floor(p * 10).toLong, p, y) }
+    val byBin = sv.groupBy(_._1)
+    val nn = sv.length.toDouble
+    out.map(_.getAs[Number]("bin").longValue).toSet shouldBe byBin.keySet
+    out.foreach { r =>
+      val b = byBin(r.getAs[Number]("bin").longValue)
+      r.getAs[Number]("n").longValue shouldBe b.length.toLong
+      r.getAs[Number]("n_pos").longValue shouldBe b.count(_._3).toLong
+      val mp = b.map(_._2).sum / b.length
+      val obs = b.count(_._3).toDouble / b.length
+      r.getAs[Double]("mean_pred") shouldBe (mp +- 1e-5)
+      r.getAs[Double]("obs_rate") shouldBe (obs +- 1e-5)
+      r.getAs[Double]("ece_term") shouldBe
+        (math.abs(mp - obs) * b.length / nn +- 1e-5)
+    }
+    // the decomposition law: the printed column sums to the corpus ECE
+    val ece = byBin.values.map { b =>
+      val mp = b.map(_._2).sum / b.length
+      val obs = b.count(_._3).toDouble / b.length
+      math.abs(mp - obs) * b.length / nn
+    }.sum
+    out.map(_.getAs[Double]("ece_term")).sum shouldBe (ece +- 1e-4)
+  }
+
+  test("events_assoc_rules: confidence and lift recompute from raw baskets") {
+    val out = SparkEntry.queries("events_assoc_rules")(spark, sf001).collect()
+    val ut = T.t(spark, sf001, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000"),
+        col("event_type")).distinct().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+    val byBasket = ut.groupBy(_._1).map { case (b, v) => b -> v.map(_._2).toSet }
+    val nb = byBasket.size.toDouble
+    val na = ut.groupBy(_._2).map { case (t, v) => t -> v.length.toLong }
+    val nab = scala.collection.mutable.Map.empty[(String, String), Long]
+    byBasket.values.foreach { ts =>
+      for (a <- ts; b <- ts if a != b)
+        nab((a, b)) = nab.getOrElse((a, b), 0L) + 1
+    }
+    val expected = nab.filter(_._2 >= 50)
+    out.length shouldBe expected.size
+    out.foreach { r =>
+      val key = (r.getAs[String]("antecedent"), r.getAs[String]("consequent"))
+      val s = expected(key)
+      r.getAs[Number]("support").longValue shouldBe s
+      r.getAs[Double]("confidence") shouldBe (s.toDouble / na(key._1) +- 1e-5)
+      r.getAs[Double]("lift") shouldBe
+        (s * nb / (na(key._1) * na(key._2)) +- 1e-5)
+    }
+    // day baskets keep the rules non-degenerate: some rule's confidence
+    // must be strictly inside (0, 1) (user-level baskets collapse to 1.0
+    // on this corpus — the grain choice IS the operator)
+    out.map(_.getAs[Double]("confidence")).exists(c => c > 0 && c < 1)
+      .shouldBe(true)
+    // the symmetry law: lift(a->b) == lift(b->a) when both pass support
+    val lifts = out.map(r => (r.getAs[String]("antecedent"),
+      r.getAs[String]("consequent")) -> r.getAs[Double]("lift")).toMap
+    lifts.foreach { case ((a, b), l) =>
+      lifts.get((b, a)).foreach(_ shouldBe l +- 1e-5)
+    }
+  }
+
+  test("sample_temperature: targets recompute and temperature flattens shares") {
+    val out = SparkEntry.queries("sample_temperature")(spark, sf001).collect()
+    val counts = T.t(spark, sf001, "documents").groupBy("lang")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dsum = counts.values.map(n => math.sqrt(n.toDouble)).sum
+    val ntot = counts.values.sum.toDouble
+    out.length shouldBe counts.size
+    out.foreach { r =>
+      val g = r.getAs[String]("lang"); val n = counts(g)
+      val tShare = math.sqrt(n.toDouble) / dsum
+      r.getAs[Number]("n_docs").longValue shouldBe n
+      r.getAs[Double]("raw_share") shouldBe (n / ntot +- 1e-5)
+      r.getAs[Double]("temp_share") shouldBe (tShare +- 1e-5)
+      val target = math.floor(tShare * 200).toLong
+      r.getAs[Number]("target").longValue shouldBe target
+      // ranks are dense 1..n per lang, so the cut keeps exactly target
+      r.getAs[Number]("n_kept").longValue shouldBe target
+      // temperature pulls every share toward uniform: strictly between
+      // (or equal when already at) the raw share and 1/k on each side
+      val raw = n / ntot; val unif = 1.0 / counts.size
+      if (raw > unif) tShare should (be < raw and be > unif)
+      else if (raw < unif) tShare should (be > raw and be < unif)
+    }
+    // shares are a distribution
+    out.map(_.getAs[Double]("temp_share")).sum shouldBe (1.0 +- 1e-4)
+  }
+
   test("join_bloom: bloom prefilter is result-identical to the plain join") {
     // no-false-negatives law: the bloom drops only rows the equi-join
     // would drop anyway, so the aggregated results must match EXACTLY

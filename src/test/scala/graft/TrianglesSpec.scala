@@ -122,6 +122,79 @@ class TrianglesSpec extends AnyFunSuite with SparkFixture with Matchers {
       Triangles.run(corpus).collect()
   }
 
+  test("linkPrediction: hand-checked scores on path and cycle graphs") {
+    // path 1-2-3: the single candidate (1,3) shares only hub 2 (deg 2):
+    // cn=1, jaccard = 1/(1+1-1) = 1, aa = 1/ln 2
+    val path = Triangles.linkPrediction(eventsFor(Seq((1L, 2L), (2L, 3L))),
+      minCommon = 1L, minShared = 1L).collect()
+    path.length shouldBe 1
+    path(0).getAs[Long]("a") shouldBe 1L
+    path(0).getAs[Long]("b") shouldBe 3L
+    path(0).getAs[Long]("cn") shouldBe 1L
+    path(0).getAs[Double]("jaccard") shouldBe 1.0
+    path(0).getAs[Double]("adamic_adar") shouldBe (1.0 / math.log(2.0) +- 1e-6)
+    // 4-cycle 1-2-3-4-1: the two diagonals each share both neighbours
+    // (cn=2, all degrees 2): jaccard = 2/(2+2-2) = 1, aa = 2/ln 2
+    val cyc = Triangles.linkPrediction(
+      eventsFor(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))),
+      minShared = 1L).collect()
+    cyc.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))) shouldBe
+      Array((1L, 3L), (2L, 4L))
+    cyc.foreach { r =>
+      r.getAs[Long]("cn") shouldBe 2L
+      r.getAs[Double]("jaccard") shouldBe 1.0
+      r.getAs[Double]("adamic_adar") shouldBe (2.0 / math.log(2.0) +- 1e-6)
+    }
+    // adjacent pairs never score: K3 has no non-adjacent pair at all
+    Triangles.linkPrediction(eventsFor(Seq((1L, 2L), (2L, 3L), (1L, 3L))),
+      minCommon = 1L, minShared = 1L).collect() shouldBe empty
+  }
+
+  test("linkPrediction: wedge-dispatch branches agree, on toys and corpus") {
+    // the driver closure (default below the gate) and the distributed
+    // wedge join (gate 0) must produce the same scored pairs — the census
+    // branch-equivalence contract extended to the r12 proximity scores
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a"), r.getAs[Long]("b"))
+    val edges = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (1L, 2L), (3L, 4L), (2L, 3L))
+    val toy = Triangles.linkPrediction(eventsFor(edges), minCommon = 1L,
+      minShared = 1L).collect()
+    val toyDist = Triangles.linkPrediction(eventsFor(edges), minCommon = 1L,
+      minShared = 1L, wedgeGate = 0L).collect()
+    toy.map(key) shouldBe toyDist.map(key)
+    toy.zip(toyDist).foreach { case (d, x) =>
+      d.getAs[Long]("cn") shouldBe x.getAs[Long]("cn")
+      d.getAs[Double]("jaccard") shouldBe (x.getAs[Double]("jaccard") +- 1e-6)
+      d.getAs[Double]("adamic_adar") shouldBe
+        (x.getAs[Double]("adamic_adar") +- 1e-6)
+    }
+    // minShared=20: the sf0.001 ≥30 graph is EMPTY (the declared query's
+    // honest zero-row case, exempted in QueriesSpec) — the denser graph
+    // makes the corpus branch comparison non-vacuous (22 scored pairs)
+    val corpus = spark.read.parquet(s"$sf001/events.parquet")
+    val drv = Triangles.linkPrediction(corpus, minShared = 20L).collect()
+    val dist = Triangles.linkPrediction(corpus, minShared = 20L,
+      wedgeGate = 0L).collect()
+    drv should not be empty
+    drv.length shouldBe dist.length
+    drv.map(key) shouldBe dist.map(key)
+    drv.zip(dist).foreach { case (d, x) =>
+      d.getAs[Long]("cn") shouldBe x.getAs[Long]("cn")
+      d.getAs[Double]("jaccard") shouldBe (x.getAs[Double]("jaccard") +- 1e-6)
+      d.getAs[Double]("adamic_adar") shouldBe
+        (x.getAs[Double]("adamic_adar") +- 1e-6)
+    }
+    // structural laws on the corpus result: canonical pair order, the
+    // minCommon floor, and Jaccard's (0, 1] range
+    drv.foreach { r =>
+      r.getAs[Long]("a") should be < r.getAs[Long]("b")
+      r.getAs[Long]("cn") should be >= 2L
+      r.getAs[Double]("jaccard") should (be > 0.0 and be <= 1.0)
+      r.getAs[Double]("adamic_adar") should be > 0.0
+    }
+  }
+
   test("closeTriangles matches a set brute force on 200 random graphs") {
     // the driver closure is the shipped below-gate path (r12) — exercise
     // it spark-free on generated graphs with hubs, ties, and disconnected

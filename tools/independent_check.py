@@ -23,7 +23,16 @@ co-occurrence graph + per-node coefficients, no inverted index, no
 orientation), agg_spearman (Pearson over literal per-row tie-average
 ranks — not the value-domain collapse the engines share), agg_kruskal
 (H from a literal global sort), agg_cramers_v (full-grid chi2 from raw
-tuples), agg_mutual_info (direct joint/marginal probability sums).
+tuples), agg_mutual_info (direct joint/marginal probability sums),
+graph_linkpred (CN/Jaccard/Adamic-Adar from the first-principles
+adjacency), ts_trend (Mann-Kendall S/z + Sen's slope from literal
+pair enumeration), agg_theil (per-segment T + the additive
+decomposition law), text_zipf (OLS over literal token ranks),
+agg_auc (probabilistic-definition AUC via a sorted sweep),
+agg_kendall (tau-b from a literal cell-pair sweep), eval_calibration
+(bins + ECE from raw events), events_assoc_rules (rules from literal
+day baskets), sample_temperature (hashlib-md5 rank targets),
+graph_kcore (synchronous peel from first-principles edges).
 
 Usage: python3 tools/independent_check.py <sfDir> <verifyOutDir>
 (run graft.Verify into <verifyOutDir> first). Verified green 2026-08-12 at
@@ -583,6 +592,262 @@ ok = (got["n"][0] == len(tuples) and got["n_cells"][0] == len(obsm)
       and abs(got["mi"][0] - mi) <= 1e-6
       and abs(got["nmi"][0] - mi / math.sqrt(hx * hy)) <= 1e-6)
 print(f"agg_mutual_info: {'OK' if ok else 'MISMATCH'} (MI~{mi:.6f})")
+fails += 0 if ok else 1
+
+# graph_linkpred (round 12 batch 3): CN / Jaccard / Adamic-Adar for
+# non-adjacent pairs from the SAME first-principles adjacency the
+# graph_clustering check built above
+lp_cn = collections.Counter()
+lp_aa = collections.defaultdict(float)
+for z, nbrs in adjc.items():
+    if len(nbrs) < 2:
+        continue
+    term = 1.0 / math.log(len(nbrs))
+    nz = sorted(nbrs)
+    for i in range(len(nz)):
+        for j in range(i + 1, len(nz)):
+            lp_cn[(nz[i], nz[j])] += 1
+            lp_aa[(nz[i], nz[j])] += term
+exp_lp = sorted((a, b, c) for (a, b), c in lp_cn.items()
+                if c >= 2 and b not in adjc.get(a, ()))
+got = sparkres("graph_linkpred")
+ok = [(a, b, c) for a, b, c in
+      zip(got["a"], got["b"], got["cn"])] == exp_lp
+for a, b, c, jac, ad in zip(got["a"], got["b"], got["cn"],
+                            got["jaccard"], got["adamic_adar"]):
+    da, db = len(adjc[a]), len(adjc[b])
+    ok = ok and abs(jac - c / (da + db - c)) <= 1e-5
+    ok = ok and abs(ad - lp_aa[(a, b)]) <= 1e-5
+print(f"graph_linkpred: {'OK' if ok else 'MISMATCH'} ({len(exp_lp)} pairs)")
+fails += 0 if ok else 1
+
+# ts_trend (round 12 batch 3): Mann-Kendall S / z / Sen's slope from the
+# literal per-type daily series
+mk_daily = collections.Counter()
+for et, ts in zip(ev["event_type"], ev["ts"]):
+    mk_daily[(et, (ts - ts.__class__(1970, 1, 1)).days)] += 1
+mk_series = collections.defaultdict(list)
+for (et, d), c in mk_daily.items():
+    mk_series[et].append((d, c))
+got = sparkres("ts_trend")
+got_mk = {g: (nd, s, z, sen) for g, nd, s, z, sen in
+          zip(got["event_type"], got["nd"], got["s"], got["z"],
+              got["sen_slope"])}
+ok = True
+for et, pts in mk_series.items():
+    pts.sort()
+    nd = len(pts)
+    s = sum((pts[j][1] > pts[i][1]) - (pts[j][1] < pts[i][1])
+            for i in range(nd) for j in range(i + 1, nd))
+    tsum = sum(t * (t - 1) * (2 * t + 5)
+               for t in collections.Counter(c for _, c in pts).values())
+    vs = (nd * (nd - 1) * (2 * nd + 5) - tsum) / 18.0
+    z = (s - 1) / math.sqrt(vs) if s > 0 else \
+        (s + 1) / math.sqrt(vs) if s < 0 else 0.0
+    slopes = sorted((pts[j][1] - pts[i][1]) / (pts[j][0] - pts[i][0])
+                    for i in range(nd) for j in range(i + 1, nd))
+    m = len(slopes)
+    sen = slopes[m // 2] if m % 2 else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+    g = got_mk[et]
+    ok = ok and g[0] == nd and g[1] == s and abs(g[2] - z) <= 1e-5 \
+        and abs(g[3] - sen) <= 1e-5
+print(f"ts_trend: {'OK' if ok else 'MISMATCH'} ({len(mk_series)} types)")
+fails += 0 if ok else 1
+
+# agg_theil (round 12 batch 3): per-segment Theil T + the additive
+# decomposition law, from raw per-customer order counts
+oc = collections.Counter(pq.read_table(f"{sf}/orders.parquet",
+                                       columns=["o_custkey"]).to_pydict()["o_custkey"])
+cust = pq.read_table(f"{sf}/customer.parquet",
+                     columns=["c_custkey", "c_mktsegment"]).to_pydict()
+seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+by_seg = collections.defaultdict(list)
+for ck, x in oc.items():
+    by_seg[seg_of[ck]].append(float(x))
+
+def theil_t(xs):
+    mu = sum(xs) / len(xs)
+    return sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+
+got = sparkres("agg_theil")
+ok = True
+for g, n_cust, th in zip(got["c_mktsegment"], got["n_cust"], got["theil"]):
+    ok = ok and n_cust == len(by_seg[g]) \
+        and abs(th - theil_t(by_seg[g])) <= 1e-5
+total_t = theil_t([x for xs in by_seg.values() for x in xs])
+recon = sum(w + b for w, b in zip(got["within_share"], got["between_term"]))
+ok = ok and abs(recon - total_t) <= 1e-4
+print(f"agg_theil: {'OK' if ok else 'MISMATCH'} "
+      f"(total={total_t:.6f}, reconstructed={recon:.6f})")
+fails += 0 if ok else 1
+
+# text_zipf (round 12 batch 3): OLS over literal token rank/frequency
+zc = collections.Counter()
+for text in docs["text"]:
+    if text:
+        zc.update(text.split(" "))
+ztop = sorted(zc.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+zpts = [(math.log(i + 1), math.log(c)) for i, (_, c) in enumerate(ztop)]
+zn = len(zpts)
+zsx = sum(p[0] for p in zpts); zsy = sum(p[1] for p in zpts)
+zsxx = sum(p[0] * p[0] for p in zpts); zsyy = sum(p[1] * p[1] for p in zpts)
+zsxy = sum(p[0] * p[1] for p in zpts)
+zslope = (zn * zsxy - zsx * zsy) / (zn * zsxx - zsx * zsx)
+zint = (zsy * zsxx - zsx * zsxy) / (zn * zsxx - zsx * zsx)
+zr2 = (zn * zsxy - zsx * zsy) ** 2 / \
+    ((zn * zsxx - zsx * zsx) * (zn * zsyy - zsy * zsy))
+got = sparkres("text_zipf")
+ok = (got["n_tokens"][0] == zn and abs(got["slope"][0] - zslope) <= 1e-5
+      and abs(got["intercept"][0] - zint) <= 1e-5
+      and abs(got["r2"][0] - zr2) <= 1e-5)
+print(f"text_zipf: {'OK' if ok else 'MISMATCH'} "
+      f"(n={zn}, slope~{zslope:.4f})")
+fails += 0 if ok else 1
+
+# agg_auc (round 12 batch 4): AUC from the literal probabilistic
+# definition (wins + half ties over all pos x neg pairs), via a sorted
+# sweep so sf0.1 stays fast
+auc_pos = sorted(v for t, v in zip(ev["event_type"], ev["value"])
+                 if t == "purchase")
+auc_neg = sorted(v for t, v in zip(ev["event_type"], ev["value"])
+                 if t == "view")
+import bisect
+wins = 0.0
+for p in auc_pos:
+    lo = bisect.bisect_left(auc_neg, p)
+    hi = bisect.bisect_right(auc_neg, p)
+    wins += lo + 0.5 * (hi - lo)
+auc = wins / (len(auc_pos) * len(auc_neg))
+got = sparkres("agg_auc")
+ok = (got["n_pos"][0] == len(auc_pos) and got["n_neg"][0] == len(auc_neg)
+      and abs(got["auc"][0] - auc) <= 1e-5
+      and abs(got["gini"][0] - (2 * auc - 1)) <= 1e-5)
+print(f"agg_auc: {'OK' if ok else 'MISMATCH'} (auc~{auc:.6f})")
+fails += 0 if ok else 1
+
+# agg_kendall (round 12 batch 4): tau-b via the O(domain^2) cell-pair
+# sweep from raw lineitem tuples (independent of both engines' joins)
+li = pq.read_table(f"{sf}/lineitem.parquet",
+                   columns=["l_returnflag", "l_quantity", "l_discount"]
+                   ).to_pydict()
+kcells = collections.Counter(zip(li["l_returnflag"], li["l_quantity"],
+                                 li["l_discount"]))
+got = sparkres("agg_kendall")
+gk = {g: (n, c, d, t) for g, n, c, d, t in
+      zip(got["l_returnflag"], got["n"], got["concordant"],
+          got["discordant"], got["tau_b"])}
+ok = True
+for g in set(li["l_returnflag"]):
+    cl = [(x, y, c) for (gg, x, y), c in kcells.items() if gg == g]
+    cc = dd = 0
+    for i in range(len(cl)):
+        for j in range(i + 1, len(cl)):
+            x1, y1, c1 = cl[i]; x2, y2, c2 = cl[j]
+            p = (x1 - x2) * (y1 - y2)
+            if p > 0: cc += c1 * c2
+            elif p < 0: dd += c1 * c2
+    n = sum(c for _, _, c in cl)
+    n0 = n * (n - 1) // 2
+    xs = collections.Counter(); ys = collections.Counter()
+    for x, y, c in cl:
+        xs[x] += c; ys[y] += c
+    tx = sum(c * (c - 1) // 2 for c in xs.values())
+    ty = sum(c * (c - 1) // 2 for c in ys.values())
+    tau = (cc - dd) / math.sqrt((n0 - tx) * (n0 - ty))
+    r = gk[g]
+    ok = ok and r[0] == n and r[1] == cc and r[2] == dd \
+        and abs(r[3] - tau) <= 1e-5
+print(f"agg_kendall: {'OK' if ok else 'MISMATCH'} ({len(gk)} groups)")
+fails += 0 if ok else 1
+
+# eval_calibration (round 12 batch 4): bins + ECE from raw events
+cal = [(math.floor(v / (v + 50.0) * 10), v / (v + 50.0), t == "purchase")
+       for t, v in zip(ev["event_type"], ev["value"])
+       if t in ("purchase", "view")]
+cal_by = collections.defaultdict(list)
+for b, p, y in cal:
+    cal_by[b].append((p, y))
+got = sparkres("eval_calibration")
+nn = len(cal)
+ok = set(got["bin"]) == set(cal_by)
+for b, n, npos, mp, obs, ece in zip(got["bin"], got["n"], got["n_pos"],
+                                    got["mean_pred"], got["obs_rate"],
+                                    got["ece_term"]):
+    v = cal_by[b]
+    m = sum(p for p, _ in v) / len(v)
+    o = sum(1 for _, y in v if y) / len(v)
+    ok = ok and n == len(v) and npos == sum(1 for _, y in v if y) \
+        and abs(mp - m) <= 1e-5 and abs(obs - o) <= 1e-5 \
+        and abs(ece - abs(m - o) * len(v) / nn) <= 1e-5
+print(f"eval_calibration: {'OK' if ok else 'MISMATCH'} ({len(cal_by)} bins)")
+fails += 0 if ok else 1
+
+# events_assoc_rules (round 12 batch 4): rules from literal day baskets
+baskets = collections.defaultdict(set)
+for u, ts, t in zip(ev["user_id"], ev["ts"], ev["event_type"]):
+    baskets[(u, (ts - ts.__class__(1970, 1, 1)).days)].add(t)
+ar_na = collections.Counter()
+ar_nab = collections.Counter()
+for items in baskets.values():
+    for a in items:
+        ar_na[a] += 1
+        for b in items:
+            if a != b:
+                ar_nab[(a, b)] += 1
+exp_rules = {k: v for k, v in ar_nab.items() if v >= 50}
+got = sparkres("events_assoc_rules")
+ok = len(got["antecedent"]) == len(exp_rules)
+for a, b, s, c, l in zip(got["antecedent"], got["consequent"],
+                         got["support"], got["confidence"], got["lift"]):
+    ok = ok and exp_rules.get((a, b)) == s \
+        and abs(c - s / ar_na[a]) <= 1e-5 \
+        and abs(l - s * len(baskets) / (ar_na[a] * ar_na[b])) <= 1e-5
+print(f"events_assoc_rules: {'OK' if ok else 'MISMATCH'} "
+      f"({len(exp_rules)} rules)")
+fails += 0 if ok else 1
+
+# sample_temperature (round 12 batch 4): targets + kept counts from raw
+# language counts and md5 ranks
+import hashlib
+st_counts = collections.Counter(docs["lang"])
+st_dsum = sum(math.sqrt(n) for n in st_counts.values())
+got = sparkres("sample_temperature")
+ok = len(got["lang"]) == len(st_counts)
+ranked = collections.defaultdict(list)
+for d, g in zip(docs["doc_id"], docs["lang"]):
+    ranked[g].append((hashlib.md5(str(d).encode()).hexdigest(), d))
+for g, nd, rs, tshare, tgt, nk, mid in zip(
+        got["lang"], got["n_docs"], got["raw_share"], got["temp_share"],
+        got["target"], got["n_kept"], got["min_id"]):
+    n = st_counts[g]
+    ts_ = math.sqrt(n) / st_dsum
+    t_ = math.floor(ts_ * 200)
+    kept = [d for _, d in sorted(ranked[g])[:t_]]
+    ok = ok and nd == n and abs(rs - n / len(docs["lang"])) <= 1e-5 \
+        and abs(tshare - ts_) <= 1e-5 and tgt == t_ and nk == t_ \
+        and mid == min(kept)
+print(f"sample_temperature: {'OK' if ok else 'MISMATCH'} "
+      f"({len(st_counts)} langs)")
+fails += 0 if ok else 1
+
+# graph_kcore (round 12 batch 4): synchronous peel from the
+# first-principles co-occurrence edges (adjc built for graph_clustering)
+kc_edges = [(a, b) for a, nbrs in adjc.items() for b in nbrs if a < b]
+for _ in range(8):
+    deg = collections.Counter()
+    for a, b in kc_edges:
+        deg[a] += 1; deg[b] += 1
+    kc_edges = [(a, b) for a, b in kc_edges if deg[a] >= 3 and deg[b] >= 3]
+kc_deg = collections.Counter()
+for a, b in kc_edges:
+    kc_deg[a] += 1; kc_deg[b] += 1
+got = sparkres("graph_kcore")
+all_users = set(ev["user_id"])
+ok = set(got["user_id"]) == all_users
+for u, d in zip(got["user_id"], got["core_deg"]):
+    ok = ok and d == kc_deg.get(u, 0)
+print(f"graph_kcore: {'OK' if ok else 'MISMATCH'} "
+      f"({len(kc_deg)} core nodes of {len(all_users)})")
 fails += 0 if ok else 1
 
 sys.exit(1 if fails else 0)
