@@ -1014,6 +1014,90 @@ object Events {
         .orderBy("t_hour")
     }),
 
+    // classical additive seasonal decomposition of the daily purchase
+    // series (the moving-average method of Macaulay 1931, the
+    // "decompose(type='additive')" every ops dashboard runs before
+    // anomaly thresholds): trend = centered 7-day MA (full windows only
+    // — edges carry null, never a shrunken biased window), seasonal =
+    // day-of-week mean of the detrended series, residual = x − trend −
+    // seasonal. The corpus collapses to the ≤|days| daily count table in
+    // ONE agg; all three components derive from that compact frame (two
+    // windows + one 7-row broadcast join), so the single-partition
+    // window is day-domain-bounded — the agg_ks_test compact-frame
+    // shape, never a corpus sort. Float discipline: daily counts are
+    // exact integers, trend = Σ7/7.0 is one identical division, the
+    // detrended terms cast to DECIMAL(38,15) before the seasonal mean so
+    // the per-DOW sums are order-independent, and the final chain is
+    // identical on both engines (6dp).
+    "ts_decompose" -> ((s, sf) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 15)
+      val daily = t(s, sf, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("wn", count(lit(1)).over(w7))
+        .withColumn("trend",
+          when(col("wn") === 7, sum(col("n")).over(w7) / lit(7.0)))
+        .drop("wn")
+      val seas = tr.where(col("trend").isNotNull)
+        .groupBy(pmod(col("d"), lit(7)).as("dow"))
+        .agg((sum((col("n") - col("trend")).cast(d38)).cast("double") /
+          count(lit(1))).as("seasonal"))
+      tr.withColumn("dow", pmod(col("d"), lit(7)))
+        .join(broadcast(seas), Seq("dow"), "left")
+        .select(col("d"), col("n"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("n") - col("trend") - col("seasonal"), 6).as("resid"))
+        .orderBy("d")
+    }),
+
+    // cross-correlation function between the purchase and view daily
+    // series at lags −7..+7 (the CCF of Box & Jenkins, *Time Series
+    // Analysis*, 1970 §11 — "does one metric LEAD the other?", the
+    // question ts_autocorr's single-series ACF cannot ask): per lag,
+    // Pearson r between x_t (purchases) and y_{t+lag} (views) over the
+    // overlapping days. The corpus collapses ONCE to the two ≤|days|
+    // daily count tables; the 15 lags come from one exploded sequence
+    // against the compact frame (the frame stays ≤15·|days| rows —
+    // day-domain-bounded at any SF). Counts are exact integers, so ALL
+    // five sufficient statistics are exact BIGINT sums and the
+    // cross-moment form n·Σxy − Σx·Σy is exact integer arithmetic — the
+    // only float op is the final normalized division (6dp), identical
+    // on both engines.
+    "ts_cross_corr" -> ((s, sf) => {
+      val daily = t(s, sf, "events")
+        .where(col("event_type").isin("purchase", "view"))
+        .groupBy(expr(s"unix_micros(ts) div $DayUs").as("d"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val x = daily.where(col("event_type") === "purchase")
+        .select(col("d"), col("n").as("x"))
+      val y = daily.where(col("event_type") === "view")
+        .select(col("d"), col("n").as("y"))
+      x.select(col("d"), col("x"),
+          explode(expr("sequence(-7, 7)")).as("lag"))
+        .join(y.select(col("d").as("dy"), col("y")),
+          col("d") + col("lag") === col("dy"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .where(col("n_days") >= 8)
+        .select(col("lag").cast("long").as("lag"), col("n_days"),
+          round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n_days") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 6).as("ccf"))
+        .orderBy("lag")
+    }),
+
     // association rules with confidence and lift (Agrawal, Imieliński &
     // Swami, SIGMOD 1993 — the support/confidence framework;
     // Brin et al. SIGMOD 1997 for lift/interest) over (user, day)
@@ -1580,6 +1664,40 @@ object Events {
                ELSE CAST('-infinity' AS DOUBLE) END) OVER (
              ORDER BY t_hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS surv
          FROM risk WHERE d_t > 0 ORDER BY t_hour""",
+    "ts_decompose" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+             count(*) AS n
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         tr AS (SELECT d, n,
+             CASE WHEN count(*) OVER w7 = 7
+               THEN sum(n) OVER w7 / 7.0 END AS trend
+           FROM daily
+           WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         seas AS (SELECT d % 7 AS dow,
+             CAST(sum(CAST(n - trend AS DECIMAL(38,15))) AS DOUBLE)
+               / count(*) AS seasonal
+           FROM tr WHERE trend IS NOT NULL GROUP BY 1)
+         SELECT d, CAST(n AS BIGINT) AS n, round(trend, 6) AS trend,
+           round(seasonal, 6) AS seasonal,
+           round(n - trend - seasonal, 6) AS resid
+         FROM tr LEFT JOIN seas ON d % 7 = seas.dow ORDER BY d""",
+    "ts_cross_corr" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, event_type,
+             count(*) AS n FROM events
+           WHERE event_type IN ('purchase', 'view') GROUP BY 1, 2),
+         x AS (SELECT d, n AS x FROM daily WHERE event_type = 'purchase'),
+         y AS (SELECT d AS dy, n AS y FROM daily WHERE event_type = 'view'),
+         lagged AS (SELECT x.d, x.x, l.lag, y.y
+           FROM x CROSS JOIN (SELECT unnest(range(-7, 8)) AS lag) l
+           JOIN y ON x.d + l.lag = y.dy),
+         agg AS (SELECT lag, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM lagged GROUP BY 1 HAVING count(*) >= 8)
+         SELECT CAST(lag AS BIGINT) AS lag, CAST(n_days AS BIGINT) AS n_days,
+           round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+             sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+               * CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS ccf
+         FROM agg ORDER BY lag""",
     "events_assoc_rules" ->
       """WITH ut AS MATERIALIZED (SELECT DISTINCT user_id,
              epoch_us(ts) // 86400000000 AS d, event_type FROM events),

@@ -664,6 +664,31 @@ object Llm {
         .orderBy("doc_id", "copy_idx")
     }),
 
+    // deterministic k-fold assignment (round 12) — cross-validation's
+    // split primitive beside split_hash's single train/test cut: fold =
+    // the md5-hex-prefix bucket of the order key cut at '33'/'66'/'99'/
+    // 'cc' (the 256-bucket space split 51/51/51/51/52 — the same
+    // lexicographic-equals-numeric hex compare split_hash rides, so
+    // membership is portable, re-run-stable, and oracle-verifiable
+    // cross-engine; a row's fold NEVER depends on partitioning or corpus
+    // growth). Declared as the per-fold audit rollup (the split_hash
+    // shape); the assignment itself is a pure map-stage expression at
+    // any SF.
+    "split_kfold" -> ((s, sf) => {
+      val p = graft.operators.Split.portableBucket(col("o_orderkey"))
+      t(s, sf, "orders")
+        .withColumn("fold",
+          when(p < "33", 0L).when(p < "66", 1L).when(p < "99", 2L)
+            .when(p < "cc", 3L).otherwise(4L))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          graft.T.dsum(col("o_totalprice"), 2).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("fold")
+    }),
+
     // temperature-scaled mixture sampling (the multilingual-corpus
     // rebalancing of Xue et al., *mT5*, NAACL 2021 §3.1 / Conneau et al.,
     // *XLM-R*, ACL 2020: sample language i with p_i ∝ n_i^α, α = 0.5) —
@@ -876,6 +901,24 @@ object Llm {
            FROM documents)
          SELECT lang, rk, doc_id, hk FROM r WHERE rk <= 10
          ORDER BY lang, rk""",
+    "split_kfold" ->
+      """WITH s AS (SELECT *,
+             CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '33'
+                    THEN 0
+                  WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '66'
+                    THEN 1
+                  WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '99'
+                    THEN 2
+                  WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 3
+                  ELSE 4 END AS fold
+           FROM orders)
+         SELECT CAST(fold AS BIGINT) AS fold, count(*) AS n,
+                count(DISTINCT o_custkey) AS n_cust,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM s GROUP BY fold ORDER BY fold""",
     "sample_temperature" ->
       """WITH counts AS (SELECT lang, count(*) AS n_docs
              FROM documents GROUP BY 1),

@@ -222,6 +222,38 @@ object Sources {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"), graft.T.dsum(col("c_acctbal"), 2).as("sum_bal"))
         .orderBy("c_mktsegment")
+    }),
+
+    // snapshot time travel (round 12) — the manifest protocol's read-side
+    // payoff (the Delta/Iceberg `VERSION AS OF` surface): commit a
+    // replace (balances ≤ 5000) then an append (> 5000) and read BOTH the
+    // post-replace snapshot and the head from the SAME table dir,
+    // reporting the per-segment customer counts side by side with the
+    // append's delta. Version selection is RELATIVE (second-to-last of
+    // `versions()`), so the query is deterministic however many commits
+    // this JVM has accumulated in the dir. Each snapshot read lists only
+    // that version's manifest (an O(files) metadata op) and scans only
+    // its files — time travel costs nothing at 100 TB beyond the
+    // snapshot's own scan. Frames after the two scans are ≤|segments|
+    // rows; counts exact.
+    "manifest_time_travel" -> ((s, sf) => {
+      val dir = tmp(sf, "timetravel")
+      val c = t(s, sf, "customer")
+      graft.operators.ManifestTable.commit(s, dir,
+        c.filter(col("c_acctbal") <= 5000), replace = true)
+      graft.operators.ManifestTable.commit(s, dir,
+        c.filter(col("c_acctbal") > 5000))
+      val vs = graft.operators.ManifestTable.versions(s, dir).sorted
+      val v1 = vs(vs.length - 2)
+      val atV1 = graft.operators.ManifestTable.read(s, dir, v1)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_v1"))
+      val head = graft.operators.ManifestTable.read(s, dir)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_head"))
+      head.join(atV1, Seq("c_mktsegment"), "left")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"), col("n_head"),
+          (col("n_head") - coalesce(col("n_v1"), lit(0L))).as("n_added"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -251,6 +283,16 @@ object Sources {
       """SELECT c_mktsegment, count(*) AS n_cust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
+    "manifest_time_travel" ->
+      """WITH v1 AS (SELECT c_mktsegment, count(*) AS n_v1 FROM customer
+             WHERE c_acctbal <= 5000 GROUP BY 1),
+           head AS (SELECT c_mktsegment, count(*) AS n_head FROM customer
+             GROUP BY 1)
+         SELECT head.c_mktsegment, CAST(coalesce(n_v1, 0) AS BIGINT) AS n_v1,
+           CAST(n_head AS BIGINT) AS n_head,
+           CAST(n_head - coalesce(n_v1, 0) AS BIGINT) AS n_added
+         FROM head LEFT JOIN v1 ON head.c_mktsegment = v1.c_mktsegment
+         ORDER BY head.c_mktsegment""",
     "source_partitioned" ->
       """SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -214,6 +214,40 @@ object TextAnalysis {
           round(least(lit(1.0), col("tok_cnt") / 100.0) * (lit(1.0) - col("stop_ratio")), 6))
         .orderBy("doc_id")),
 
+    // Automated Readability Index per language (Senter & Smith, ARI,
+    // Aerospace Medical Research Labs TR 1967: 4.71·chars/word +
+    // 0.5·words/sentence − 21.43) — the readability screen of the
+    // length-family (unlike Flesch it needs NO syllable model, so it is
+    // exactly computable from integer counts and portable cross-engine).
+    // Conventions declared explicitly: words = whitespace tokens, chars =
+    // non-space characters, sentences = max(1, '.' count). All three are
+    // exact integers per doc; the per-doc ARI is ONE identical float
+    // chain; the per-language mean rides per-term DECIMAL(38,15) casts so
+    // the shuffled sum is order-independent (the text_zipf discipline);
+    // min/max of identical chains are portable. One narrow map + one
+    // ≤|langs|-row agg at any SF.
+    "text_readability" -> ((s, sf) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 15)
+      t(s, sf, "documents")
+        .select(col("lang"),
+          (length(col("text")) -
+            (expr("size(split(text, ' '))") - 1)).cast("long").as("chars"),
+          expr("size(split(text, ' '))").cast("long").as("words"),
+          greatest(lit(1L),
+            expr("length(text) - length(replace(text, '.', ''))")
+              .cast("long")).as("sents"))
+        .withColumn("ari",
+          lit(4.71) * col("chars") / col("words") +
+            lit(0.5) * col("words") / col("sents") - lit(21.43))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("ari").cast(d38)).cast("double") / count(lit(1)), 6)
+            .as("avg_ari"),
+          round(min(col("ari")), 6).as("min_ari"),
+          round(max(col("ari")), 6).as("max_ari"))
+        .orderBy("lang")
+    }),
+
     // feature hashing (round 10) — the HashingTF trick with a PORTABLE
     // hash: tokens bucket into a fixed 256-dim space via their md5 hex
     // prefix (the Split.portableBucket discipline) instead of murmur3, so
@@ -766,6 +800,22 @@ object TextAnalysis {
          SELECT doc_id, n_chars, tok_cnt, avg_tok_len, stop_ratio, digit_ratio,
            round(least(1.0, tok_cnt / 100.0) * (1.0 - stop_ratio), 6) AS quality
          FROM q ORDER BY doc_id""",
+    "text_readability" ->
+      """WITH s AS (SELECT lang,
+             CAST(len(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+               AS chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+             greatest(1, CAST(len(text) - len(replace(text, '.', ''))
+               AS BIGINT)) AS sents
+           FROM documents),
+         a AS (SELECT lang,
+             4.71 * chars / words + 0.5 * words / sents - 21.43 AS ari
+           FROM s)
+         SELECT lang, count(*) AS n_docs,
+           round(CAST(sum(CAST(ari AS DECIMAL(38,15))) AS DOUBLE)
+             / count(*), 6) AS avg_ari,
+           round(min(ari), 6) AS min_ari, round(max(ari), 6) AS max_ari
+         FROM a GROUP BY lang ORDER BY lang""",
     "text_tokens" ->
       """SELECT doc_id,
          CAST(len(string_split(text,' ')) AS BIGINT) AS ws_toks,

@@ -358,6 +358,138 @@ class StatsSpec extends AnyFunSuite with SparkFixture with Matchers {
     out.map(_.getAs[Double]("temp_share")).sum shouldBe (1.0 +- 1e-4)
   }
 
+  test("ts_decompose: components recompute raw and reconstruct the series") {
+    val out = SparkEntry.queries("ts_decompose")(spark, sf001).collect()
+    val daily = T.t(spark, sf001, "events")
+      .where(col("event_type") === "purchase")
+      .select(expr("unix_micros(ts) div 86400000000")).collect()
+      .map(_.getLong(0)).groupBy(identity)
+      .map { case (d, v) => d -> v.length.toLong }.toSeq.sortBy(_._1)
+    val n = daily.map(_._2)
+    val trend = daily.indices.map { i =>
+      if (i >= 3 && i < daily.length - 3)
+        Some((i - 3 to i + 3).map(n).sum / 7.0)
+      else None
+    }
+    val seas = daily.indices.flatMap(i =>
+        trend(i).map(tr => (daily(i)._1 % 7, n(i) - tr)))
+      .groupBy(_._1).map { case (dow, v) =>
+        dow -> v.map(_._2).sum / v.length }
+    out.length shouldBe daily.length
+    out.zipWithIndex.foreach { case (r, i) =>
+      r.getAs[Number]("d").longValue shouldBe daily(i)._1
+      r.getAs[Number]("n").longValue shouldBe n(i)
+      trend(i) match {
+        case Some(tr) =>
+          r.getAs[Double]("trend") shouldBe (tr +- 1e-5)
+          r.getAs[Double]("seasonal") shouldBe
+            (seas(daily(i)._1 % 7) +- 1e-5)
+          // the decomposition law: trend + seasonal + resid == x
+          (r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+            r.getAs[Double]("resid")) shouldBe (n(i).toDouble +- 1e-4)
+        case None => r.isNullAt(r.fieldIndex("trend")) shouldBe true
+      }
+    }
+    // seasonal components of a full cycle average to ~0 by construction
+    // only when every DOW has equal weight — just pin they're bounded
+    seas.values.foreach(s => math.abs(s) should be < 100.0)
+  }
+
+  test("ts_cross_corr: per-lag Pearson recomputes from raw daily counts") {
+    val out = SparkEntry.queries("ts_cross_corr")(spark, sf001).collect()
+      .map(r => r.getAs[Number]("lag").longValue ->
+        (r.getAs[Number]("n_days").longValue, r.getAs[Double]("ccf"))).toMap
+    val daily = T.t(spark, sf001, "events")
+      .where(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, d), v) => (t, d) -> v.length.toLong }
+    val x = daily.collect { case (("purchase", d), c) => d -> c }.toMap
+    val y = daily.collect { case (("view", d), c) => d -> c }.toMap
+    (-7L to 7L).foreach { lag =>
+      val pairs = x.toSeq.flatMap { case (d, xv) =>
+        y.get(d + lag).map(yv => (xv.toDouble, yv.toDouble)) }
+      if (pairs.length >= 8) {
+        val m = pairs.length
+        val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val r = (m * sxy - sx * sy) /
+          math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+        out(lag)._1 shouldBe m.toLong
+        out(lag)._2 shouldBe (r +- 1e-5)
+      } else out.contains(lag) shouldBe false
+    }
+    // lag 0 must be present (full overlap) and the CCF is a correlation
+    out.keySet should contain(0L)
+    out.values.foreach(_._2 should (be >= -1.0 and be <= 1.0))
+  }
+
+  test("split_kfold: folds recompute from md5 and partition the table") {
+    val out = SparkEntry.queries("split_kfold")(spark, sf001).collect()
+    val keys = T.t(spark, sf001, "orders").select("o_orderkey").collect()
+      .map(_.getAs[Number](0).longValue)
+    def fold(k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      if (hex < "33") 0L else if (hex < "66") 1L
+      else if (hex < "99") 2L else if (hex < "cc") 3L else 4L
+    }
+    val expected = keys.groupBy(fold).map { case (f, v) => f -> v.length.toLong }
+    out.map(r => r.getAs[Number]("fold").longValue ->
+      r.getAs[Number]("n").longValue).toMap shouldBe expected
+    // the partition law: folds are exhaustive and disjoint by construction
+    out.map(_.getAs[Number]("n").longValue).sum shouldBe keys.length.toLong
+    out.map(_.getAs[Number]("fold").longValue).toSet shouldBe
+      expected.keySet
+  }
+
+  test("text_readability: ARI recomputes from raw integer counts") {
+    val out = SparkEntry.queries("text_readability")(spark, sf001).collect()
+    val docs = T.t(spark, sf001, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.groupBy(_._1).map { case (g, v) =>
+      g -> v.map { case (_, text) =>
+        val words = text.split(" ", -1).length.toLong
+        val chars = text.length.toLong - (words - 1)
+        val sents = math.max(1L, text.count(_ == '.').toLong)
+        4.71 * chars / words + 0.5 * words / sents - 21.43
+      }
+    }
+    out.length shouldBe byLang.size
+    out.foreach { r =>
+      val aris = byLang(r.getAs[String]("lang"))
+      r.getAs[Number]("n_docs").longValue shouldBe aris.length.toLong
+      r.getAs[Double]("avg_ari") shouldBe (aris.sum / aris.length +- 1e-5)
+      r.getAs[Double]("min_ari") shouldBe (aris.min +- 1e-5)
+      r.getAs[Double]("max_ari") shouldBe (aris.max +- 1e-5)
+    }
+  }
+
+  test("manifest_time_travel: v1 sees only the replace, head sees the append") {
+    val out = SparkEntry.queries("manifest_time_travel")(spark, sf001)
+      .collect()
+    val c = T.t(spark, sf001, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal").cast("double")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val low = c.filter(_._2 <= 5000).groupBy(_._1)
+      .map { case (g, v) => g -> v.length.toLong }
+    val all = c.groupBy(_._1).map { case (g, v) => g -> v.length.toLong }
+    out.length shouldBe all.size
+    out.foreach { r =>
+      val g = r.getAs[String]("c_mktsegment")
+      r.getAs[Number]("n_v1").longValue shouldBe low.getOrElse(g, 0L)
+      r.getAs[Number]("n_head").longValue shouldBe all(g)
+      r.getAs[Number]("n_added").longValue shouldBe
+        (all(g) - low.getOrElse(g, 0L))
+    }
+    // the append added someone, so time travel distinguishes snapshots
+    out.map(_.getAs[Number]("n_added").longValue).sum should be > 0L
+  }
+
   test("join_bloom: bloom prefilter is result-identical to the plain join") {
     // no-false-negatives law: the bloom drops only rows the equi-join
     // would drop anyway, so the aggregated results must match EXACTLY

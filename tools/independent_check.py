@@ -850,6 +850,109 @@ print(f"graph_kcore: {'OK' if ok else 'MISMATCH'} "
       f"({len(kc_deg)} core nodes of {len(all_users)})")
 fails += 0 if ok else 1
 
+# ts_decompose (round 12 batch 5): MA trend / DOW seasonal / residual
+# from the literal daily purchase series
+td = collections.Counter((ts - ts.__class__(1970, 1, 1)).days
+                         for t, ts in zip(ev["event_type"], ev["ts"])
+                         if t == "purchase")
+td_days = sorted(td)
+td_n = [td[d] for d in td_days]
+td_trend = [sum(td_n[i - 3:i + 4]) / 7.0
+            if 3 <= i < len(td_n) - 3 else None
+            for i in range(len(td_n))]
+td_seas_src = collections.defaultdict(list)
+for i, d in enumerate(td_days):
+    if td_trend[i] is not None:
+        td_seas_src[d % 7].append(td_n[i] - td_trend[i])
+td_seas = {k: sum(v) / len(v) for k, v in td_seas_src.items()}
+got = sparkres("ts_decompose")
+ok = list(got["d"]) == td_days and list(got["n"]) == td_n
+for i, (tr, se, re_) in enumerate(zip(got["trend"], got["seasonal"],
+                                      got["resid"])):
+    if td_trend[i] is None:
+        ok = ok and tr is None
+    else:
+        ok = ok and abs(tr - td_trend[i]) <= 1e-5 \
+            and abs(se - td_seas[td_days[i] % 7]) <= 1e-5 \
+            and abs((tr + se + re_) - td_n[i]) <= 1e-4
+print(f"ts_decompose: {'OK' if ok else 'MISMATCH'} ({len(td_days)} days)")
+fails += 0 if ok else 1
+
+# ts_cross_corr (round 12 batch 5): per-lag Pearson from literal counts
+cx = collections.Counter((ts - ts.__class__(1970, 1, 1)).days
+                         for t, ts in zip(ev["event_type"], ev["ts"])
+                         if t == "purchase")
+cy = collections.Counter((ts - ts.__class__(1970, 1, 1)).days
+                         for t, ts in zip(ev["event_type"], ev["ts"])
+                         if t == "view")
+got = sparkres("ts_cross_corr")
+gcc = {l: (n, c) for l, n, c in zip(got["lag"], got["n_days"], got["ccf"])}
+ok = True
+for lag in range(-7, 8):
+    pairs = [(cx[d], cy[d + lag]) for d in cx if (d + lag) in cy]
+    if len(pairs) >= 8:
+        m = len(pairs)
+        sx = sum(p[0] for p in pairs); sy = sum(p[1] for p in pairs)
+        sxx = sum(p[0] ** 2 for p in pairs)
+        syy = sum(p[1] ** 2 for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        r = (m * sxy - sx * sy) / math.sqrt(
+            (m * sxx - sx * sx) * (m * syy - sy * sy))
+        ok = ok and lag in gcc and gcc[lag][0] == m \
+            and abs(gcc[lag][1] - r) <= 1e-5
+    else:
+        ok = ok and lag not in gcc
+print(f"ts_cross_corr: {'OK' if ok else 'MISMATCH'} ({len(gcc)} lags)")
+fails += 0 if ok else 1
+
+# split_kfold (round 12 batch 5): fold assignment from hashlib md5
+ok_orders = pq.read_table(f"{sf}/orders.parquet",
+                          columns=["o_orderkey"]).to_pydict()["o_orderkey"]
+kf = collections.Counter()
+for k in ok_orders:
+    h = hashlib.md5(str(k).encode()).hexdigest()[:2]
+    kf[0 if h < "33" else 1 if h < "66" else 2 if h < "99"
+       else 3 if h < "cc" else 4] += 1
+got = sparkres("split_kfold")
+ok = dict(zip(got["fold"], got["n"])) == dict(kf) \
+    and sum(got["n"]) == len(ok_orders)
+print(f"split_kfold: {'OK' if ok else 'MISMATCH'} ({dict(sorted(kf.items()))})")
+fails += 0 if ok else 1
+
+# text_readability (round 12 batch 5): ARI from literal counts
+ra = collections.defaultdict(list)
+for g, text in zip(docs["lang"], docs["text"]):
+    words = len(text.split(" "))
+    chars = len(text) - (words - 1)
+    sents = max(1, text.count("."))
+    ra[g].append(4.71 * chars / words + 0.5 * words / sents - 21.43)
+got = sparkres("text_readability")
+ok = len(got["lang"]) == len(ra)
+for g, nd, avg, mn, mx in zip(got["lang"], got["n_docs"], got["avg_ari"],
+                              got["min_ari"], got["max_ari"]):
+    v = ra[g]
+    ok = ok and nd == len(v) and abs(avg - sum(v) / len(v)) <= 1e-5 \
+        and abs(mn - min(v)) <= 1e-5 and abs(mx - max(v)) <= 1e-5
+print(f"text_readability: {'OK' if ok else 'MISMATCH'} ({len(ra)} langs)")
+fails += 0 if ok else 1
+
+# manifest_time_travel (round 12 batch 5): snapshot counts from raw
+cust = pq.read_table(f"{sf}/customer.parquet",
+                     columns=["c_mktsegment", "c_acctbal"]).to_pydict()
+tt_low = collections.Counter(g for g, b in zip(cust["c_mktsegment"],
+                                               cust["c_acctbal"])
+                             if float(b) <= 5000)
+tt_all = collections.Counter(cust["c_mktsegment"])
+got = sparkres("manifest_time_travel")
+ok = len(got["c_mktsegment"]) == len(tt_all)
+for g, v1, hd, ad in zip(got["c_mktsegment"], got["n_v1"], got["n_head"],
+                         got["n_added"]):
+    ok = ok and v1 == tt_low.get(g, 0) and hd == tt_all[g] \
+        and ad == tt_all[g] - tt_low.get(g, 0)
+print(f"manifest_time_travel: {'OK' if ok else 'MISMATCH'} "
+      f"({sum(tt_all.values())} customers)")
+fails += 0 if ok else 1
+
 sys.exit(1 if fails else 0)
 
 
