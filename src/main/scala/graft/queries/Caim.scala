@@ -147,6 +147,37 @@ object Caim {
         .orderBy("feature", "bin_idx")
     }),
 
+    // ChiMerge discretization (round 12, rows-only) — the BOTTOM-UP
+    // member completing the supervised family (CAIM/Ameva top-down
+    // greedy, MDLP recursive, ChiMerge merge-up): adjacent intervals
+    // merge while their 2×S contingency chi-square stays below the
+    // df = S−1 critical value at alpha = 0.05, so every surviving cut
+    // marks a class-distribution change the data supports. Same bounded
+    // contract as its three siblings: ONE distributed histogram pass
+    // ([[graft.ml.SupervisedHistogram]]), compressed cells to the
+    // driver, deterministic (leftmost-tie) driver merge loop, model and
+    // transform shared with CAIM. No SQL oracle (the merge loop is not
+    // SQL-expressible — the disc_ameva precedent); ChiMergeSpec pins
+    // exact equality against an independent reference merge plus the
+    // significance stop law.
+    "disc_chimerge" -> ((s, sf) => {
+      import s.implicits._
+      val names = (1 to 4).map(i => s"f$i")
+      val df = t(s, sf, "embeddings").select(
+        (1 to 4).map(i => element_at(col("embedding"), i).cast("double").as(s"f$i")) :+
+          col("label"): _*)
+      val model = new graft.ml.ChiMergeDiscretizer()
+        .setInputCols(names.toArray)
+        .setOutputCols(names.map("b" + _).toArray)
+        .setLabelCol("label")
+        .fit(df)
+      model.boundaries.zipWithIndex.flatMap { case (bs, fi) =>
+        bs.zipWithIndex.map { case (b, bi) => (names(fi), bi.toLong, b) }
+      }.toSeq.toDF("feature", "bin_idx", "boundary")
+        .withColumn("boundary", round(col("boundary"), 6))
+        .orderBy("feature", "bin_idx")
+    }),
+
     "disc_mdlp" -> ((s, sf) => {
       import s.implicits._
       val names = (1 to 4).map(i => s"f$i")

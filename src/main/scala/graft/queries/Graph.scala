@@ -144,6 +144,38 @@ object Graph {
     // the peel dispatches through [[graft.operators.KCore]]'s stats gate
     // (driver set arithmetic below 500k edges, per-round degree-agg +
     // two semi-joins with RDD-snapped lineage above).
+    // closeness centrality (round 12) — the "how near is everyone"
+    // centrality completing the tier beside PageRank's influence
+    // propagation (Bavelas 1950; the Wasserman–Faust 1994 normalization
+    // C = r²/((n−1)·Σd) that stays comparable across components): per
+    // nation, the reachable-count and exact integer distance sum over
+    // the K = 6-hop trade-cost distance matrix, via
+    // [[graft.operators.AllSourceDistances]] (Sssp's relaxation from
+    // EVERY source over the composite (src, node) state — stats
+    // dispatch: one driver loop below the edge gate, per-round
+    // join+min-agg supersteps above). Fixed-K contract throughout, so
+    // the unrolled oracle is value-identical with or without
+    // convergence; distances and Σd are exact BIGINT, closeness is ONE
+    // float chain over exact operands (6dp). The n·n distance frame is
+    // the ALGORITHM'S size — right for graph-sized aggregates like this
+    // 25-nation graph, sampled sources at billion-node scale.
+    "graph_closeness" -> ((s, sf) => {
+      val nodes = t(s, sf, "nation")
+        .select(col("n_nationkey").cast("long").as("node"))
+      val d = graft.operators.AllSourceDistances.run(nodes,
+        costEdges(s, sf), rounds = ssspRounds)
+      val tot = nodes.agg(count(lit(1)).as("n_nodes"))
+      d.where(col("src") =!= col("node"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
+        .crossJoin(broadcast(tot))
+        .select(col("src").as("node"), col("n_reached"), col("sum_dist"),
+          round(col("n_reached") * col("n_reached") /
+            ((col("n_nodes") - 1) * col("sum_dist")).cast("double"), 6)
+            .as("closeness"))
+        .orderBy("node")
+    }),
+
     // the feature-join shape (the graph_clustering precedent): EVERY
     // active user gets a row, non-members carry core_deg 0 — so the
     // output is a joinable user feature at any SF, never empty on a
@@ -235,6 +267,44 @@ object Graph {
          |FROM d$ssspRounds WHERE dist < $inf ORDER BY node""".stripMargin
   }
 
+  /** The SAME K relaxation rounds from every source, unrolled over the
+    * (src, node) composite frame — ssspSql generalized. */
+  private def closenessSql: String = {
+    val inf = graft.operators.Sssp.Inf
+    val edges =
+      """SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           1000000 // (count(*) + 1) + 1 AS cost
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2"""
+    val head =
+      s"""WITH e AS MATERIALIZED ($edges),
+         | n AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+         | d0 AS MATERIALIZED (SELECT node AS s, node, 0 AS dist FROM n)""".stripMargin
+    val rounds = (1 to ssspRounds).map { i =>
+      val p = s"d${i - 1}"
+      s""",
+         | m$i AS MATERIALIZED (SELECT $p.s, e.dst AS node,
+         |     min($p.dist + e.cost) AS md
+         |   FROM e JOIN $p ON e.src = $p.node GROUP BY 1, 2),
+         | d$i AS MATERIALIZED (SELECT coalesce($p.s, m$i.s) AS s,
+         |     coalesce($p.node, m$i.node) AS node,
+         |     least(coalesce($p.dist, $inf), coalesce(m$i.md, $inf)) AS dist
+         |   FROM $p FULL JOIN m$i ON $p.s = m$i.s AND $p.node = m$i.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT CAST(s AS BIGINT) AS node,
+         |  CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+         |  round(count(*) * count(*) / CAST(((SELECT count(*) FROM n) - 1)
+         |    * sum(dist) AS DOUBLE), 6) AS closeness
+         |FROM d$ssspRounds WHERE s <> node AND dist < $inf
+         |GROUP BY s ORDER BY node""".stripMargin
+  }
+
   private val kcoreK = 3
   private val kcoreRounds = 8
 
@@ -277,6 +347,7 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "graph_kcore" -> kcoreSql,
+    "graph_closeness" -> closenessSql,
     "graph_pagerank" -> pagerankSql,
     "graph_sssp" -> ssspSql,
     "graph_clustering" ->

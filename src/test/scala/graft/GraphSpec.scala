@@ -109,6 +109,25 @@ class GraphSpec extends AnyFunSuite with SparkFixture with Matchers {
     (one - 0L) shouldBe direct
   }
 
+  test("all-source distances: branches agree bit-exactly; src 0 equals Sssp") {
+    val (nodes, edges0) = tradeGraph()
+    val edges = edges0.select(col("src"), col("dst"),
+      expr("1000000L div (w + 1) + 1").cast("long").as("cost"))
+    def dists(gate: Long): Map[(Long, Long), Long] =
+      graft.operators.AllSourceDistances.run(nodes, edges, rounds = 6,
+          distributedMinEdges = gate)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val driver = dists(Long.MaxValue)
+    val dist = dists(0L)
+    driver shouldBe dist // exact integers: BIT-equal
+    // cross-operator law: the src = 0 slice IS graph_sssp's frame
+    val sssp = graft.operators.Sssp.run(nodes, edges, source = 0L, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    driver.collect { case ((0L, v), d) => v -> d } shouldBe sssp
+    // self distances are zero; symmetry is NOT assumed (directed costs)
+    nodes.collect().map(_.getLong(0)).foreach(v => driver((v, v)) shouldBe 0L)
+  }
+
   /** Independent synchronous peel over a collected edge list. */
   private def refPeel(es: Seq[(Long, Long)], k: Long,
       rounds: Int): Map[Long, Long] = {

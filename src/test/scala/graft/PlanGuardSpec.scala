@@ -97,7 +97,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     "eval_calibration", "events_assoc_rules",
     // the 2-value denominator scalar onto the 5-row language rollup
     // (sample_temperature)
-    "sample_temperature")
+    "sample_temperature",
+    // round 12 batch 6: the 1-row node-count scalar onto the ≤n-row
+    // centrality rollup (graph_closeness)
+    "graph_closeness")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
