@@ -1014,6 +1014,51 @@ object Events {
         .orderBy("t_hour")
     }),
 
+    // out-of-order arrival profile (round 12) — the watermark-sizing
+    // tool of every Structured Streaming deployment (the
+    // `withWatermark` delay is a GUESS unless measured — this measures
+    // it): arrival time = event time + a deterministic portable network
+    // jitter (0..1023 × 1.5 s from two md5 hex chars via ascii() — the
+    // Split hex-prefix discipline extended to an integer draw, identical
+    // on both engines), and each event's lateness is how far its event
+    // time trails the user's running event-time maximum at arrival
+    // (Akidau et al., *The Dataflow Model*, VLDB 2015 — watermarks bound
+    // exactly this skew). Per event type: event count, reordered count,
+    // count late by > 10 min (the stream_* windows' canonical delay),
+    // worst lateness, and the mean lateness among reordered events. The
+    // running max is one window over user-hash partitions (arrival order
+    // within user — no global sort); lateness values are exact µs
+    // BIGINTs so every aggregate before the final µs→s division is
+    // exact integer arithmetic (6dp).
+    "events_out_of_order" -> ((s, sf) => {
+      val md = md5(col("event_id").cast("string").cast("binary"))
+      val jitter = (ascii(substring(md, 1, 1)) * 31 +
+        ascii(substring(md, 2, 1))) % 1024
+      val w = Window.partitionBy("user_id").orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, sf, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("arr_us",
+          col("us") + jitter.cast("long") * 1500000L)
+        .withColumn("late_us",
+          greatest(lit(0L), coalesce(max(col("us")).over(w), col("us"))
+            - col("us")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("late_us") > 0L, 1L).otherwise(0L))
+            .as("n_reordered"),
+          sum(when(col("late_us") > 600000000L, 1L).otherwise(0L))
+            .as("n_late_10m"),
+          round(max(col("late_us")) / lit(1e6), 6).as("max_late_s"),
+          round((sum(when(col("late_us") > 0L, col("late_us"))
+              .otherwise(0L)) /
+            greatest(sum(when(col("late_us") > 0L, 1L).otherwise(0L)),
+              lit(1L))
+              .cast("double")) / lit(1e6), 6).as("avg_reorder_s"))
+        .orderBy("event_type")
+    }),
+
     // classical additive seasonal decomposition of the daily purchase
     // series (the moving-average method of Macaulay 1931, the
     // "decompose(type='additive')" every ops dashboard runs before
@@ -1664,6 +1709,30 @@ object Events {
                ELSE CAST('-infinity' AS DOUBLE) END) OVER (
              ORDER BY t_hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS surv
          FROM risk WHERE d_t > 0 ORDER BY t_hour""",
+    "events_out_of_order" ->
+      """WITH a AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us,
+             epoch_us(ts)
+               + ((ascii(substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) * 31
+                   + ascii(substr(md5(CAST(event_id AS VARCHAR)), 2, 1)))
+                  % 1024) * 1500000 AS arr_us
+           FROM events),
+           l AS (SELECT event_type,
+             greatest(0, coalesce(max(us) OVER (PARTITION BY user_id
+                 ORDER BY arr_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), us)
+               - us) AS late_us
+           FROM a)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reordered,
+           CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_late_10m,
+           round(max(late_us) / 1e6, 6) AS max_late_s,
+           round((sum(CASE WHEN late_us > 0 THEN late_us ELSE 0 END)
+             / CAST(greatest(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END),
+                 1) AS DOUBLE)) / 1e6, 6) AS avg_reorder_s
+         FROM l GROUP BY 1 ORDER BY event_type""",
     "ts_decompose" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
              count(*) AS n

@@ -314,6 +314,34 @@ object Stats {
             .as("r2"))
     }),
 
+    // Herfindahl–Hirschman concentration index per market segment
+    // (Herfindahl 1950; Hirschman 1945 — the antitrust-standard
+    // concentration number) over per-customer order activity, with the
+    // normalized HHI* = (H − 1/n)/(1 − 1/n) that is comparable across
+    // segment sizes: completes the concentration family (agg_gini rank
+    // form, agg_theil decomposable form, HHI the share-squared form
+    // regulators actually quote). H = Σx²/(Σx)² needs only TWO exact
+    // BIGINT sums over the (segment, count) value-domain collapse — both
+    // shuffled statistics are exact integers, and the entire float
+    // finish is one identical chain (6dp).
+    "agg_hhi" -> ((s, sf) => {
+      val x = t(s, sf, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x"))
+      x.join(broadcast(t(s, sf, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("hhi",
+          col("sxx").cast("double") / (col("sx") * col("sx")))
+        .select(col("c_mktsegment"), col("n_cust"),
+          round(col("hhi"), 6).as("hhi"),
+          round((col("hhi") - lit(1.0) / col("n_cust")) /
+            (lit(1.0) - lit(1.0) / col("n_cust")), 6).as("hhi_norm"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ROC AUC of event value as a purchase-vs-view score (Hanley &
     // McNeil, Radiology 1982: AUC is the Mann–Whitney U statistic
     // normalized — P(score_pos > score_neg) + ½P(tie)) — the
@@ -591,6 +619,17 @@ object Stats {
              / ((n_tokens * sxx - sx * sx) * (n_tokens * syy - sy * sy)), 6)
              AS r2
          FROM d""",
+    "agg_hhi" ->
+      """WITH x AS (SELECT o_custkey, count(*) AS x FROM orders GROUP BY 1),
+           g AS (SELECT c_mktsegment, count(*) AS n_cust, sum(x.x) AS sx,
+               sum(x.x * x.x) AS sxx
+             FROM x JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+           h AS (SELECT c_mktsegment, n_cust,
+               CAST(sxx AS DOUBLE) / (sx * sx) AS hhi FROM g)
+         SELECT c_mktsegment, CAST(n_cust AS BIGINT) AS n_cust,
+           round(hhi, 6) AS hhi,
+           round((hhi - 1.0 / n_cust) / (1.0 - 1.0 / n_cust), 6) AS hhi_norm
+         FROM h ORDER BY c_mktsegment""",
     "agg_auc" ->
       """WITH byv AS (SELECT value,
              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,

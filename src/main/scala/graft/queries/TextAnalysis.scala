@@ -214,6 +214,37 @@ object TextAnalysis {
           round(least(lit(1.0), col("tok_cnt") / 100.0) * (lit(1.0) - col("stop_ratio")), 6))
         .orderBy("doc_id")),
 
+    // first-occurrence n-gram novelty per document (the memorization /
+    // template-reuse proxy of the dedup literature — Lee et al.,
+    // *Deduplicating training data makes language models better*, ACL
+    // 2022 measure the inverse, repeated n-grams): for each doc with ≥ 8
+    // tokens, the fraction of its DISTINCT 8-grams whose FIRST corpus
+    // occurrence (min doc_id) is this doc — 1.0 = fully novel text,
+    // → 0 = assembled from earlier material. Executed plan follows the
+    // text_boilerplate hashed-scale-path precedent: grams become
+    // xxhash64 LONGS before the distinct and both shuffles (exchanges
+    // carry (long, doc_id) — never 8-gram text; a collision merges two
+    // gram types at 2⁻⁶⁴ per pair), while the DuckDB oracle keys on the
+    // literal text — value equality across the two keyings IS the
+    // collision-freeness witness at bench SFs, re-checked every round by
+    // the driver. One explode + distinct + min-agg + join-back; all
+    // counts exact.
+    "text_novelty" -> ((s, sf) => {
+      val win = graft.functions.TextWindows
+        .wordWindowsAt(t(s, sf, "documents"), 8)
+        .select(col("doc_id"), xxhash64(col("w")).as("h")).distinct()
+      val first = win.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+      win.join(first, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6)
+            .as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // Automated Readability Index per language (Senter & Smith, ARI,
     // Aerospace Medical Research Labs TR 1967: 4.71·chars/word +
     // 0.5·words/sentence − 21.43) — the readability screen of the
@@ -800,6 +831,24 @@ object TextAnalysis {
          SELECT doc_id, n_chars, tok_cnt, avg_tok_len, stop_ratio, digit_ratio,
            round(least(1.0, tok_cnt / 100.0) * (1.0 - stop_ratio), 6) AS quality
          FROM q ORDER BY doc_id""",
+    "text_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
+             FROM documents WHERE len(string_split(text, ' ')) >= 8),
+           win AS (SELECT DISTINCT doc_id, w FROM (
+             SELECT doc_id, unnest(
+               [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+                || ' ' || tk[i+7]
+                for i in range(1, len(tk) - 6)]) AS w
+             FROM tok)),
+           first AS (SELECT w, min(doc_id) AS first_doc FROM win GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty
+         FROM win JOIN first USING (w)
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_readability" ->
       """WITH s AS (SELECT lang,
              CAST(len(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)

@@ -490,6 +490,105 @@ class StatsSpec extends AnyFunSuite with SparkFixture with Matchers {
     out.map(_.getAs[Number]("n_added").longValue).sum should be > 0L
   }
 
+  test("agg_hhi: HHI recomputes from raw shares and orders the family") {
+    val out = SparkEntry.queries("agg_hhi")(spark, sf001).collect()
+    val perCust = T.t(spark, sf001, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("x"))
+      .join(T.t(spark, sf001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("x")).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue))
+    val byG = perCust.groupBy(_._1).map { case (g, v) => g -> v.map(_._2) }
+    out.length shouldBe byG.size
+    out.foreach { r =>
+      val xs = byG(r.getAs[String]("c_mktsegment"))
+      val tot = xs.sum.toDouble
+      // literal share-squared definition, not the Σx²/(Σx)² the engines
+      // share — a drifted formula would show here
+      val hhi = xs.map(x => math.pow(x / tot, 2)).sum
+      val n = xs.length
+      r.getAs[Number]("n_cust").longValue shouldBe n.toLong
+      r.getAs[Double]("hhi") shouldBe (hhi +- 1e-5)
+      r.getAs[Double]("hhi_norm") shouldBe
+        ((hhi - 1.0 / n) / (1.0 - 1.0 / n) +- 1e-5)
+      // bounds: 1/n <= HHI <= 1, so HHI* in [0, 1]
+      r.getAs[Double]("hhi") should (be >= 1.0 / n - 1e-9 and be <= 1.0)
+      r.getAs[Double]("hhi_norm") should (be >= -1e-9 and be <= 1.0)
+    }
+  }
+
+  test("text_novelty: hashed plan matches a literal text-keyed brute force") {
+    val out = SparkEntry.queries("text_novelty")(spark, sf001).collect()
+    val docs = T.t(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val grams = docs.flatMap { case (id, text) =>
+      val tk = text.split(" ", -1)
+      if (tk.length < 8) Seq.empty
+      else tk.sliding(8).map(w => (id, w.mkString(" "))).toSeq.distinct
+    }
+    val first = grams.groupBy(_._2).map { case (w, v) => w -> v.map(_._1).min }
+    val expected = grams.groupBy(_._1).map { case (id, v) =>
+      id -> (v.size.toLong, v.count(g => first(g._2) == id).toLong) }
+    out.length shouldBe expected.size
+    out.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val (ng, novel) = expected(id)
+      r.getAs[Number]("n_grams").longValue shouldBe ng
+      r.getAs[Number]("n_novel").longValue shouldBe novel
+      r.getAs[Double]("novelty") shouldBe (novel.toDouble / ng +- 1e-5)
+    }
+    // the lowest doc_id with windows is fully novel by construction
+    val firstDoc = expected.keys.min
+    out.find(_.getLong(0) == firstDoc).get
+      .getAs[Double]("novelty") shouldBe 1.0
+    // and duplication exists in the corpus, so novelty < 1 somewhere
+    out.map(_.getAs[Double]("novelty")).min should be < 1.0
+  }
+
+  test("events_out_of_order: lateness recomputes from the jittered arrivals") {
+    val out = SparkEntry.queries("events_out_of_order")(spark, sf001)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Number]("n").longValue,
+          r.getAs[Number]("n_reordered").longValue,
+          r.getAs[Number]("n_late_10m").longValue,
+          r.getAs[Double]("max_late_s"),
+          r.getAs[Double]("avg_reorder_s"))).toMap
+    val ev = T.t(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    def jitter(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ((hex(0).toInt * 31 + hex(1).toInt) % 1024).toLong * 1500000L
+    }
+    val late = ev.groupBy(_._1).values.flatMap { rows =>
+      val byArr = rows.map(r => (r._4 + jitter(r._2), r._2, r._3, r._4))
+        .sortBy(x => (x._1, x._2))
+      var runMax = Long.MinValue
+      byArr.map { case (_, _, t, us) =>
+        val l = if (runMax == Long.MinValue) 0L else math.max(0L, runMax - us)
+        runMax = math.max(runMax, us)
+        (t, l)
+      }
+    }.toSeq
+    late.groupBy(_._1).foreach { case (t, v) =>
+      val ls = v.map(_._2)
+      val re = ls.filter(_ > 0)
+      val got = out(t)
+      got._1 shouldBe ls.length.toLong
+      got._2 shouldBe re.length.toLong
+      got._3 shouldBe ls.count(_ > 600000000L).toLong
+      got._4 shouldBe (ls.max / 1e6 +- 1e-5)
+      val avg = if (re.isEmpty) 0.0 else re.sum.toDouble / re.length / 1e6
+      got._5 shouldBe (avg +- 1e-5)
+    }
+    // the jitter reorders SOMETHING, or the profile asserts nothing
+    out.values.map(_._2).sum should be > 0L
+  }
+
   test("join_bloom: bloom prefilter is result-identical to the plain join") {
     // no-false-negatives law: the bloom drops only rows the equi-join
     // would drop anyway, so the aggregated results must match EXACTLY

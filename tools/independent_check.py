@@ -953,6 +953,78 @@ print(f"manifest_time_travel: {'OK' if ok else 'MISMATCH'} "
       f"({sum(tt_all.values())} customers)")
 fails += 0 if ok else 1
 
+# agg_hhi (round 12 batch 7): literal share-squared Herfindahl
+hh_by = collections.defaultdict(list)
+for ck, x in oc.items():
+    hh_by[seg_of[ck]].append(x)
+got = sparkres("agg_hhi")
+ok = len(got["c_mktsegment"]) == len(hh_by)
+for g, n, h, hn in zip(got["c_mktsegment"], got["n_cust"], got["hhi"],
+                       got["hhi_norm"]):
+    xs = hh_by[g]
+    tot = sum(xs)
+    hhi = sum((x / tot) ** 2 for x in xs)
+    ok = ok and n == len(xs) and abs(h - hhi) <= 1e-5 \
+        and abs(hn - (hhi - 1 / len(xs)) / (1 - 1 / len(xs))) <= 1e-5
+print(f"agg_hhi: {'OK' if ok else 'MISMATCH'} ({len(hh_by)} segments)")
+fails += 0 if ok else 1
+
+# text_novelty (round 12 batch 7): literal text-keyed first occurrence
+nv_first = {}
+nv_grams = {}
+for did, text in zip(docs["doc_id"], docs["text"]):
+    tk = text.split(" ")
+    if len(tk) >= 8:
+        nv_grams[did] = set(" ".join(tk[i:i + 8])
+                            for i in range(len(tk) - 7))
+for did in sorted(nv_grams):
+    for g in nv_grams[did]:
+        nv_first.setdefault(g, did)
+got = sparkres("text_novelty")
+ok = set(got["doc_id"]) == set(nv_grams)
+for did, ng, nn, nov in zip(got["doc_id"], got["n_grams"], got["n_novel"],
+                            got["novelty"]):
+    gs = nv_grams[did]
+    novel = sum(1 for g in gs if nv_first[g] == did)
+    ok = ok and ng == len(gs) and nn == novel \
+        and abs(nov - novel / len(gs)) <= 1e-5
+print(f"text_novelty: {'OK' if ok else 'MISMATCH'} ({len(nv_grams)} docs)")
+fails += 0 if ok else 1
+
+# events_out_of_order (round 12 batch 7): jittered-arrival lateness
+def ooo_jitter(eid):
+    h = hashlib.md5(str(eid).encode()).hexdigest()
+    return ((ord(h[0]) * 31 + ord(h[1])) % 1024) * 1500000
+ooo_by_user = collections.defaultdict(list)
+epoch = None
+for u, eid, t, ts in zip(ev["user_id"], ev["event_id"], ev["event_type"],
+                         ev["ts"]):
+    if epoch is None:
+        epoch = ts.__class__(1970, 1, 1)
+    d = ts - epoch
+    us = d.days * 86400_000_000 + d.seconds * 1_000_000 + d.microseconds
+    ooo_by_user[u].append((us + ooo_jitter(eid), eid, t, us))
+ooo_late = collections.defaultdict(list)
+for rows in ooo_by_user.values():
+    run = None
+    for _, _, t, us in sorted(rows):
+        ooo_late[t].append(0 if run is None else max(0, run - us))
+        run = us if run is None else max(run, us)
+got = sparkres("events_out_of_order")
+ok = True
+for t, n, nr, nl, mx, av in zip(got["event_type"], got["n"],
+                                got["n_reordered"], got["n_late_10m"],
+                                got["max_late_s"], got["avg_reorder_s"]):
+    ls = ooo_late[t]
+    re_ = [l for l in ls if l > 0]
+    avg = (sum(re_) / len(re_) / 1e6) if re_ else 0.0
+    ok = ok and n == len(ls) and nr == len(re_) \
+        and nl == sum(1 for l in ls if l > 600000000) \
+        and abs(mx - max(ls) / 1e6) <= 1e-5 and abs(av - avg) <= 1e-5
+print(f"events_out_of_order: {'OK' if ok else 'MISMATCH'} "
+      f"({sum(len(v) for v in ooo_late.values())} events)")
+fails += 0 if ok else 1
+
 sys.exit(1 if fails else 0)
 
 
