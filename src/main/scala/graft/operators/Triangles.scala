@@ -354,73 +354,92 @@ object Triangles {
     * plan's semantics exactly (including the per-term 1e-15 decimal
     * quantization of the Adamic–Adar terms, so both branches and the SQL
     * oracle sum identical quantities). */
-  /** Per-candidate accumulator: common-neighbour count + the Adamic–Adar
-    * sum in FIXED-POINT 10⁻¹⁵ longs. Each term is the SAME scale-15
-    * HALF_UP quantization the distributed branch's DECIMAL(38,15) cast
-    * applies, and long addition of scale-15 units IS exact decimal
-    * addition, so the driver sum is value-identical to the decimal sum —
-    * without a BigDecimal allocation per wedge (the Σ deg² inner loop;
-    * measured ~4× on the sf0.1 graph). Headroom: terms ≤ 1.443×10¹⁵
-    * (1/ln 2), so overflow needs cn > 6×10³ shared neighbours — far
-    * beyond the bucket cap's degree bound; a require guards it anyway. */
-  private final class LinkAgg { var cn: Long = 0L; var aa15: Long = 0L }
-
   private[graft] def linkScores(es: Array[(Long, Long)],
       minCommon: Long): Seq[(Long, Long, Long, Double, Double)] = {
-    val adj = scala.collection.mutable.HashMap
-      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
-    es.foreach { case (a, b) =>
-      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
-      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    // dense 0..n-1 node indices (sorted, so index order == id order) and
+    // CSR-style primitive adjacency — the per-SOURCE scratch-array sweep
+    // below touches one cache-friendly Int/Long array per wedge, where a
+    // hashed pair map pays a probe per wedge (measured 80 s vs <1 s on
+    // the 7.5M-wedge 10× graph: packed (a<<32|b) keys collide
+    // pathologically in hash mixes)
+    val ids = {
+      val s = scala.collection.mutable.TreeSet.empty[Long]
+      es.foreach { case (a, b) => s += a; s += b }
+      s.toArray
     }
-    val sortedAdj = adj.map { case (k, v) => k -> v.toArray.sorted }
-    val edgeSet = es.toSet
-    // dense node index so the Σ deg² wedge loop keys a primitive LongMap
-    // (idxA << 32 | idxB) instead of boxing a tuple per wedge — node
-    // COUNT (not id range) bounds the index, so the pack never overflows
-    val ids = sortedAdj.keys.toArray.sorted
+    val n = ids.length
     val idxOf = ids.zipWithIndex.toMap
-    val agg = scala.collection.mutable.LongMap.empty[LinkAgg]
-    sortedAdj.foreach { case (_, nz) =>
-      if (nz.length >= 2) {
-      // each wedge a—z—b contributes to the (a, b) candidate; the AA term
-      // quantizes to 15 decimal places exactly as the decimal cast does
-      // (degree-1 hubs spawn no wedge, so ln(deg) ≥ ln 2 here)
-      val term15 = BigDecimal(1.0 / math.log(nz.length.toDouble))
-        .setScale(15, BigDecimal.RoundingMode.HALF_UP)
-        .bigDecimal.unscaledValue().longValueExact()
-      val ni = nz.map(idxOf)
-      var i = 0
-      while (i < ni.length) {
-        var j = i + 1
-        while (j < ni.length) {
-          val key = (ni(i).toLong << 32) | ni(j).toLong
-          val a = agg.getOrNull(key) match {
-            case null => val v = new LinkAgg; agg.update(key, v); v
-            case v => v
-          }
-          a.cn += 1L
-          a.aa15 = Math.addExact(a.aa15, term15)
-          j += 1
-        }
-        i += 1
-      }
-      }
+    val deg = new Array[Int](n)
+    es.foreach { case (a, b) => deg(idxOf(a)) += 1; deg(idxOf(b)) += 1 }
+    val adjIdx = Array.tabulate(n)(i => new Array[Int](deg(i)))
+    val fill = new Array[Int](n)
+    es.foreach { case (a, b) =>
+      val (ia, ib) = (idxOf(a), idxOf(b))
+      adjIdx(ia)(fill(ia)) = ib; fill(ia) += 1
+      adjIdx(ib)(fill(ib)) = ia; fill(ib) += 1
     }
-    agg.iterator
-      .map { case (key, v) =>
-        (ids((key >>> 32).toInt), ids((key & 0xffffffffL).toInt), v) }
-      .filter { case (a, b, v) => v.cn >= minCommon && !edgeSet.contains((a, b)) }
-      .map { case (a, b, v) =>
-        val (da, db) = (sortedAdj(a).length, sortedAdj(b).length)
-        // HALF_UP to match Spark's round() exactly (math.rint is half-even)
-        val jac = BigDecimal(v.cn.toDouble / (da + db - v.cn))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        val ad = BigDecimal(java.math.BigDecimal.valueOf(v.aa15, 15))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (a, b, v.cn, jac, ad)
+    var i = 0
+    while (i < n) { java.util.Arrays.sort(adjIdx(i)); i += 1 }
+    // per-z Adamic–Adar term, fixed-point 10⁻¹⁵ — the SAME scale-15
+    // HALF_UP quantization as the distributed DECIMAL(38,15) cast, so
+    // exact long sums are value-identical to the decimal sums (degree-1
+    // nodes spawn no wedge, so ln(deg) ≥ ln 2 wherever a term is read)
+    val term15 = Array.tabulate(n)(z =>
+      if (deg(z) < 2) 0L
+      else BigDecimal(1.0 / math.log(deg(z).toDouble))
+        .setScale(15, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.unscaledValue().longValueExact())
+    // wedge sweep from each source a: for z ∈ adj(a), b ∈ adj(z), b > a,
+    // accumulate (cn, aa) for the canonical pair (a, b) in scratch arrays
+    // reset via the touched list — Σ deg² primitive ops total
+    val cn = new Array[Long](n)
+    val aa15 = new Array[Long](n)
+    val touched = new Array[Int](n)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double, Double)]
+    var ia = 0
+    while (ia < n) {
+      var nTouched = 0
+      val na = adjIdx(ia)
+      var zi = 0
+      while (zi < na.length) {
+        val z = na(zi)
+        val nb = adjIdx(z)
+        // adj is sorted: skip to the first neighbour index > ia
+        var bi = {
+          val p = java.util.Arrays.binarySearch(nb, ia + 1)
+          if (p >= 0) p else -(p + 1)
+        }
+        while (bi < nb.length) {
+          val b = nb(bi)
+          if (cn(b) == 0L) { touched(nTouched) = b; nTouched += 1 }
+          cn(b) += 1L
+          aa15(b) = Math.addExact(aa15(b), term15(z))
+          bi += 1
+        }
+        zi += 1
       }
-      .toSeq.sortBy(t => (t._1, t._2))
+      var t = 0
+      while (t < nTouched) {
+        val b = touched(t)
+        // non-adjacency check via the sorted adjacency (binary search —
+        // no boxed tuple set)
+        if (cn(b) >= minCommon && java.util.Arrays.binarySearch(na, b) < 0) {
+          // HALF_UP matches Spark's round() exactly (rint is half-even)
+          val jac = BigDecimal(cn(b).toDouble / (deg(ia) + deg(b) - cn(b)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val ad = BigDecimal(java.math.BigDecimal.valueOf(aa15(b), 15))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          out += ((ids(ia), ids(b), cn(b), jac, ad))
+        }
+        cn(b) = 0L; aa15(b) = 0L
+        t += 1
+      }
+      ia += 1
+    }
+    // sources sweep in ascending index == id order and each source's
+    // touched list sorts ascending here, so the global order is (a, b)
+    out.toSeq.sortBy(t => (t._1, t._2))
   }
 
   /** Driver wedge closure over the COLLECTED edge list: canonical (a<b<c)
