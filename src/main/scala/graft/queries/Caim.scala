@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.ml.feature.Bucketizer
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.T.{Q, t}
 
@@ -245,8 +246,115 @@ object Caim {
             .otherwise(col("rem") + expr("(r - 1 - rem * (bsz + 1)) div bsz") + 1))
         .select(col("vec_id"), col("bin").cast("long").as("bin"))
         .orderBy("vec_id")
+    }),
+
+    // naive Bayes MODEL FIT over discretized features (round 12, third
+    // batch) — the classifier the discretization tier exists to feed
+    // (Kurgan–Cios motivate CAIM exactly as a preprocessing step for
+    // classifiers; Domingos & Pazzani, Machine Learning 29, 1997, for NB
+    // under zero–one loss): class-conditional bin counts for three
+    // features (embedding[1..3], 20-bin equal-width grid — the
+    // caim_quanta binning, shared verbatim). ONE corpus pass: the
+    // per-feature (lo, hi) ride a 1-row broadcast, the long form is a
+    // single explode(map(...)) — never one scan per feature — and the
+    // model is a map-side-combined count over (feature, bin, label).
+    // The fitted model is O(d·V·C) rows (60·C here) — the frame every
+    // downstream classify broadcasts.
+    "nb_fit" -> ((s, sf) => {
+      nbLongForm(s, sf)
+        .groupBy("feature", "bin", "label").agg(count(lit(1)).as("cnt"))
+        .orderBy("feature", "bin", "label")
+    }),
+
+    // naive Bayes CLASSIFICATION (round 12, third batch) — argmax_c
+    // P(c)·Π_f P(bin_f | c) with Laplace (add-one) smoothing over the
+    // nb_fit model, scored back over the training rows (the
+    // training-accuracy demo shape). Float discipline — deliberately
+    // STRONGER than the per-term DECIMAL-quantized ln chain, which a
+    // 1-ulp ln() divergence between engines can flip on near-tied
+    // classes (observed in-round: two classes tied at 6dp ranked
+    // oppositely by the two engines' 15dp ln sums): the posterior is
+    // compared as the RAW RATIONAL n_c·Π_f(cnt_f+1) / ((n_c+20)^d·N).
+    // Numerator and denominator are EXACT BIGINTs (no float sum
+    // anywhere), so each engine casts the SAME integers to double and
+    // performs ONE correctly-rounded IEEE division — bit-identical
+    // scores by construction; any double collision collides identically
+    // on both engines and the (score DESC, label ASC) tie-break resolves
+    // it identically. ln() appears only in the REPORTED log_score (a 6dp
+    // display of an identical double), never in the comparison.
+    // Scale posture: the densified model (d·V·C rows, zero-count bins
+    // materialized so absent (bin, class) cells still contribute their
+    // smoothed factor) and the priors BROADCAST; the only corpus-sized
+    // shuffle is the (vec_id, class) pivot aggregation — C rows per
+    // input row, ids and longs only. The window argmax partitions by
+    // vec_id (C rows per partition), never a global sort. Exactness
+    // bound: the BIGINT numerator n_c·Π(cnt+1) ≤ n_c⁴ needs per-class
+    // counts < ~55k to stay inside BIGINT; past that the identical
+    // rationals ride DECIMAL(38,0) unchanged.
+    "nb_classify" -> ((s, sf) => {
+      val lf = nbLongForm(s, sf)
+      val model = lf.groupBy(col("feature"), col("bin"),
+        col("label").as("clabel")).agg(count(lit(1)).as("cnt"))
+      val priors = t(s, sf, "embeddings")
+        .groupBy(col("label").as("clabel")).agg(count(lit(1)).as("n_c"))
+      val tot = priors.agg(sum(col("n_c")).as("n_tot"))
+      val grid = nbFeatsToDF(s)
+        .crossJoin(s.range(20).select(col("id").as("bin")))
+        .crossJoin(priors.select("clabel"))
+      val dense = grid.join(model, Seq("feature", "bin", "clabel"), "left")
+        .select(col("feature"), col("bin"), col("clabel"),
+          (coalesce(col("cnt"), lit(0L)) + lit(1L)).as("csm"))
+      val scores = lf.select("vec_id", "feature", "bin")
+        .join(broadcast(dense), Seq("feature", "bin"))
+        .groupBy("vec_id", "clabel").agg(
+          max(when(col("feature") === "f1", col("csm"))).as("c1"),
+          max(when(col("feature") === "f2", col("csm"))).as("c2"),
+          max(when(col("feature") === "f3", col("csm"))).as("c3"))
+        .join(broadcast(priors), Seq("clabel"))
+        .crossJoin(broadcast(tot))
+        .withColumn("num", col("n_c") * col("c1") * col("c2") * col("c3"))
+        .withColumn("den", (col("n_c") + lit(20L)) * (col("n_c") + lit(20L))
+          * (col("n_c") + lit(20L)) * col("n_tot"))
+        .withColumn("score",
+          col("num").cast("double") / col("den").cast("double"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("score").desc, col("clabel"))
+      scores.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .join(t(s, sf, "embeddings").select("vec_id", "label"), Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("clabel").as("pred"),
+          round(log(col("score")), 6).as("log_score"))
+        .orderBy("vec_id")
     })
   )
+
+  /** Feature names for the naive Bayes pair (embedding[1..3]). */
+  private val nbFeats = Seq("f1", "f2", "f3")
+
+  private def nbFeatsToDF(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    nbFeats.toDF("feature")
+  }
+
+  /** Shared NB long form: (vec_id, label, feature, bin) — caim_quanta's
+    * 20-bin equal-width grid per feature, one corpus scan, one explode. */
+  private def nbLongForm(s: org.apache.spark.sql.SparkSession, sf: String) = {
+    val e = t(s, sf, "embeddings").select(
+      col("vec_id") +: col("label") +:
+        nbFeats.zipWithIndex.map { case (n, i) =>
+          element_at(col("embedding"), i + 1).cast("double").as(n) }: _*)
+    val stats = e.agg(
+      min(col(nbFeats.head)).as(s"lo_${nbFeats.head}"),
+      nbFeats.tail.flatMap(n =>
+        Seq(min(col(n)).as(s"lo_$n"), max(col(n)).as(s"hi_$n"))) :+
+        max(col(nbFeats.head)).as(s"hi_${nbFeats.head}"): _*)
+    val binExprs = nbFeats.flatMap { n =>
+      Seq(lit(n), least(floor((col(n) - col(s"lo_$n")) /
+        ((col(s"hi_$n") - col(s"lo_$n")) / 20)), lit(19L)).cast("long"))
+    }
+    e.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("label"),
+        explode(map(binExprs: _*)).as(Seq("feature", "bin")))
+  }
 
   val oracle: Map[String, String] = Map(
     "caim_candidates" ->
@@ -288,6 +396,72 @@ object Caim {
       """SELECT vec_id,
            CAST(ntile(8) OVER (ORDER BY v, vec_id) AS BIGINT) AS bin
          FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS v FROM embeddings)
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+    "nb_fit" ->
+      """WITH e AS (SELECT vec_id, label,
+             CAST(embedding[1] AS DOUBLE) AS f1,
+             CAST(embedding[2] AS DOUBLE) AS f2,
+             CAST(embedding[3] AS DOUBLE) AS f3 FROM embeddings),
+           st AS (SELECT min(f1) lo1, max(f1) hi1, min(f2) lo2, max(f2) hi2,
+             min(f3) lo3, max(f3) hi3 FROM e),
+           lf AS (SELECT vec_id, label, 'f1' AS feature,
+               least(CAST(floor((f1 - lo1)/((hi1 - lo1)/20)) AS BIGINT), 19)
+                 AS bin FROM e, st
+             UNION ALL SELECT vec_id, label, 'f2',
+               least(CAST(floor((f2 - lo2)/((hi2 - lo2)/20)) AS BIGINT), 19)
+               FROM e, st
+             UNION ALL SELECT vec_id, label, 'f3',
+               least(CAST(floor((f3 - lo3)/((hi3 - lo3)/20)) AS BIGINT), 19)
+               FROM e, st)
+         SELECT feature, bin, label, count(*) AS cnt FROM lf
+         GROUP BY 1, 2, 3 ORDER BY feature, bin, label""",
+    "nb_classify" ->
+      """WITH e AS (SELECT vec_id, label,
+             CAST(embedding[1] AS DOUBLE) AS f1,
+             CAST(embedding[2] AS DOUBLE) AS f2,
+             CAST(embedding[3] AS DOUBLE) AS f3 FROM embeddings),
+           st AS (SELECT min(f1) lo1, max(f1) hi1, min(f2) lo2, max(f2) hi2,
+             min(f3) lo3, max(f3) hi3 FROM e),
+           lf AS (SELECT vec_id, label, 'f1' AS feature,
+               least(CAST(floor((f1 - lo1)/((hi1 - lo1)/20)) AS BIGINT), 19)
+                 AS bin FROM e, st
+             UNION ALL SELECT vec_id, label, 'f2',
+               least(CAST(floor((f2 - lo2)/((hi2 - lo2)/20)) AS BIGINT), 19)
+               FROM e, st
+             UNION ALL SELECT vec_id, label, 'f3',
+               least(CAST(floor((f3 - lo3)/((hi3 - lo3)/20)) AS BIGINT), 19)
+               FROM e, st),
+           model AS (SELECT feature, bin, label AS clabel, count(*) AS cnt
+             FROM lf GROUP BY 1, 2, 3),
+           priors AS (SELECT label AS clabel, count(*) AS n_c FROM e
+             GROUP BY 1),
+           tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n_tot FROM priors),
+           grid AS (SELECT f.feature, g.bin, p.clabel
+             FROM (VALUES ('f1'), ('f2'), ('f3')) f(feature)
+             CROSS JOIN (SELECT unnest(range(20)) AS bin) g
+             CROSS JOIN priors p),
+           dense AS (SELECT grid.feature, grid.bin, grid.clabel,
+               CAST(coalesce(cnt, 0) + 1 AS BIGINT) AS csm
+             FROM grid LEFT JOIN model ON model.feature = grid.feature
+               AND model.bin = grid.bin AND model.clabel = grid.clabel),
+           piv AS (SELECT l.vec_id, d.clabel,
+               max(CASE WHEN d.feature = 'f1' THEN csm END) AS c1,
+               max(CASE WHEN d.feature = 'f2' THEN csm END) AS c2,
+               max(CASE WHEN d.feature = 'f3' THEN csm END) AS c3
+             FROM lf l JOIN dense d ON d.feature = l.feature AND d.bin = l.bin
+             GROUP BY 1, 2),
+           scores AS (SELECT vec_id, piv.clabel,
+               CAST(n_c * c1 * c2 * c3 AS DOUBLE) /
+               CAST((n_c + 20) * (n_c + 20) * (n_c + 20) * n_tot AS DOUBLE)
+                 AS score
+             FROM piv JOIN priors ON priors.clabel = piv.clabel
+               CROSS JOIN tot),
+           ranked AS (SELECT vec_id, clabel, score, row_number() OVER
+               (PARTITION BY vec_id ORDER BY score DESC, clabel) AS rn
+             FROM scores)
+         SELECT r.vec_id, e.label, r.clabel AS pred,
+           round(ln(r.score), 6) AS log_score
+         FROM ranked r JOIN e ON e.vec_id = r.vec_id
+         WHERE rn = 1 ORDER BY r.vec_id"""
   )
 }

@@ -1184,6 +1184,39 @@ object Events {
           round(col("n_ab").cast("double") * col("nb_total") /
             (col("n_a") * col("n_b")), 6).as("lift"))
         .orderBy("antecedent", "consequent")
+    }),
+
+    // symbolic sequence-pattern matching (round 12, third batch) — the
+    // MATCH_RECOGNIZE / CEP capability (SQL:2016 row pattern matching;
+    // Flink CEP's core): each user's full event history becomes a
+    // SYMBOL STRING (one char per event — the five corpus types have
+    // distinct initials) in deterministic (ts, event_id) order, and the
+    // funnel pattern v c* p ("view, then zero or more clicks, then
+    // purchase, with nothing else between") is counted as non-overlapping
+    // regex matches. Regex over a per-user symbol string is the
+    // Spark-first reduction of row-pattern matching: the automaton the
+    // MATCH_RECOGNIZE spec compiles to IS a regex over the symbol
+    // alphabet, and both engines' regex engines agree on leftmost
+    // non-overlapping semantics for this pattern class (no backreference
+    // ambiguity). One sessionize-shaped shuffle (groupBy user); the
+    // symbol string is bounded by per-user activity (≤ a few KB at any
+    // SF — event history per user, never the corpus), and the match
+    // runs map-side after the agg. Deterministic order inside
+    // collect_list via array_sort on (us, event_id) — the events_path
+    // discipline.
+    "events_pattern" -> ((s, sf) => {
+      t(s, sf, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("sym"))
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("sym").as("s")))), x => x.getField("s")), "").as("seq"))
+        .select(col("user_id"), length(col("seq")).as("n_events"),
+          expr("size(regexp_extract_all(seq, 'vc*p', 0))").cast("long")
+            .as("n_funnels"))
+        .where(col("n_funnels") >= 1)
+        .orderBy("user_id")
     })
   )
 
@@ -1786,6 +1819,16 @@ object Events {
          FROM pairs JOIN na ON na.a = pairs.a
                     JOIN na nb ON nb.a = pairs.b
                     CROSS JOIN tot
-         ORDER BY antecedent, consequent"""
+         ORDER BY antecedent, consequent""",
+    "events_pattern" ->
+      """WITH seqs AS (SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+               ORDER BY epoch_us(ts), event_id) AS seq
+           FROM events GROUP BY 1)
+         SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(length(regexp_extract_all(seq, 'vc*p', 0)) AS BIGINT)
+             AS n_funnels
+         FROM seqs WHERE length(regexp_extract_all(seq, 'vc*p', 0)) >= 1
+         ORDER BY user_id"""
   )
 }

@@ -191,6 +191,28 @@ object Graph {
         .select(col("user_id"),
           coalesce(col("core_deg"), lit(0L)).as("core_deg"))
         .orderBy("user_id")
+    }),
+
+    // community detection via deterministic synchronous label propagation
+    // (round 12, third batch) — the COMMUNITY primitive completing the
+    // graph tier (connectivity, density, centrality, distance, proximity,
+    // cohesion, now community): each user of the co-occurrence graph
+    // starts in its own singleton community and R = 4 synchronous rounds
+    // adopt the most frequent neighbour label (ties → min label) — the
+    // near-linear-time community algorithm (Raghavan et al., Phys. Rev. E
+    // 2007) determinized so the round-R frame is a pure graph function
+    // (the graph_sssp / graph_kcore fixed-R contract; the oracle unrolls
+    // the same R rounds as MATERIALIZED CTEs). Exact BIGINT counts and
+    // label compares only — bit-stable under any partitioning. Rides the
+    // shared cached census edge frame and [[graft.operators.LabelProp]]'s
+    // stats dispatch (driver array sweeps below the 500k-edge gate,
+    // RDD-snapped per-round join + windowed argmax above it).
+    "graph_labelprop" -> ((s, sf) => {
+      val (edges, _) =
+        graft.operators.Triangles.cooccurEdges(t(s, sf, "events"))
+      graft.operators.LabelProp.run(edges, rounds = labelpropRounds)
+        .withColumnRenamed("node", "user_id")
+        .orderBy("user_id")
     })
   )
 
@@ -307,6 +329,41 @@ object Graph {
 
   private val kcoreK = 3
   private val kcoreRounds = 8
+  private val labelpropRounds = 4
+
+  /** Same R synchronous label-propagation rounds unrolled as MATERIALIZED
+    * CTEs over the shared co-occurrence edge SQL (the kcoreSql pattern —
+    * un-hinted inlining would copy the label subtree exponentially). The
+    * per-round argmax is a row_number window ordered (count DESC, label
+    * ASC) — the exact tie-break the operator declares. */
+  private def labelpropSql: String = {
+    val head =
+      s"""WITH ua AS MATERIALIZED (SELECT user_id, d, event_type FROM
+         |     (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d,
+         |             event_type FROM events)
+         |   QUALIFY count(*) OVER (PARTITION BY d, event_type) <= 65536),
+         | e0 AS MATERIALIZED (SELECT a.user_id AS u1, b.user_id AS u2
+         |     FROM ua a JOIN ua b ON a.d = b.d AND a.event_type = b.event_type
+         |                         AND a.user_id < b.user_id
+         |     GROUP BY 1, 2 HAVING count(*) >= 30),
+         | adj AS MATERIALIZED (SELECT u1 AS u, u2 AS v FROM e0
+         |   UNION ALL SELECT u2, u1 FROM e0),
+         | l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM adj)""".stripMargin
+    val rounds = (1 to labelpropRounds).map { i =>
+      val p = s"l${i - 1}"
+      s""",
+         | c$i AS MATERIALIZED (SELECT adj.u AS node, $p.lab, count(*) AS c
+         |   FROM adj JOIN $p ON adj.v = $p.node GROUP BY 1, 2),
+         | l$i AS MATERIALIZED (SELECT node, lab FROM
+         |     (SELECT node, lab, row_number() OVER
+         |        (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c$i)
+         |   WHERE rn = 1)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT node AS user_id, lab AS community
+         |FROM l$labelpropRounds ORDER BY 1""".stripMargin
+  }
 
   /** The SAME R synchronous peel rounds [[graft.operators.KCore]] runs,
     * unrolled as MATERIALIZED CTEs (the ssspSql pattern — DuckDB inlines
@@ -347,6 +404,7 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "graph_kcore" -> kcoreSql,
+    "graph_labelprop" -> labelpropSql,
     "graph_closeness" -> closenessSql,
     "graph_pagerank" -> pagerankSql,
     "graph_sssp" -> ssspSql,

@@ -458,6 +458,67 @@ object Stats {
           round(abs(col("mean_p") - col("obs")) * col("n") / col("nn"), 6)
             .as("ece_term"))
         .orderBy("bin")
+    }),
+
+    // covariance / correlation MATRIX (round 12, third batch) — the
+    // multivariate screen behind every feature-selection and PCA pass:
+    // all 10 ordered pairs over lineitem's four measures in ONE corpus
+    // aggregate. Values are fixed-scale (≤ 2dp), so each is rint-scaled
+    // to an exact integer ×100 and the 14 sufficient statistics (4 sums,
+    // 10 cross-products) cross the shuffle as exact DECIMAL(38,0) sums —
+    // order-independent under any partitioning; products peak ~1.1e14 per
+    // row so BIGINT would overflow the sf1 sum but decimal never does.
+    // The pair expansion is a 10-row literal frame crossJoined with the
+    // broadcast 1-row stats (the scalar-subquery shape); cov descales by
+    // the exact 100×100, corr is scale-invariant. Each final statistic is
+    // ONE identical double chain from exact operands on both engines.
+    // Spark-first: a single Tungsten hash-agg computes the full
+    // O(d²) moment block per partition and merges 14 decimals — the
+    // covariance-matrix shape that at 100 TB beats d² separate
+    // covar_samp passes by d² scans.
+    "agg_cov_matrix" -> ((s, sf) => {
+      val cols = Seq("quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
+        "discount" -> "l_discount", "tax" -> "l_tax")
+      val d38 = DecimalType(38, 0)
+      val scaled = t(s, sf, "lineitem").select(
+        cols.map { case (n, c) =>
+          expr(s"CAST(rint($c * 100) AS BIGINT)").as(n) }: _*)
+      val sums = cols.map { case (n, _) => sum(col(n).cast(d38)).as(s"s_$n") }
+      val crosses = for {
+        (i, (x, _)) <- cols.zipWithIndex.map(_.swap)
+        (j, (y, _)) <- cols.zipWithIndex.map(_.swap) if i <= j
+      } yield sum((col(x) * col(y)).cast(d38)).as(s"p_${x}_$y")
+      val stats = scaled.agg(count(lit(1)).as("n"), (sums ++ crosses): _*)
+      val pairs = s.createDataFrame(
+        s.sparkContext.parallelize(for {
+          (i, (x, _)) <- cols.zipWithIndex.map(_.swap)
+          (j, (y, _)) <- cols.zipWithIndex.map(_.swap) if i <= j
+        } yield org.apache.spark.sql.Row(x, y), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("y",
+            org.apache.spark.sql.types.StringType))))
+      val sMap = map(cols.flatMap { case (n, _) =>
+        Seq(lit(n), col(s"s_$n")) }: _*)
+      val pMap = map((for {
+        (i, (x, _)) <- cols.zipWithIndex.map(_.swap)
+        (j, (y, _)) <- cols.zipWithIndex.map(_.swap) if i <= j
+      } yield Seq(lit(s"${x}_$y"), col(s"p_${x}_$y"))).flatten: _*)
+      pairs.crossJoin(broadcast(stats))
+        .withColumn("sx", element_at(sMap, col("x")))
+        .withColumn("sy", element_at(sMap, col("y")))
+        .withColumn("sxy", element_at(pMap, concat_ws("_", col("x"), col("y"))))
+        .withColumn("sxx", element_at(pMap, concat_ws("_", col("x"), col("x"))))
+        .withColumn("syy", element_at(pMap, concat_ws("_", col("y"), col("y"))))
+        .select(col("x"), col("y"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / col("n") / (col("n") - lit(1)) / lit(10000.0), 6).as("cov"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("corr"))
+        .orderBy("x", "y")
     })
   )
 
@@ -687,6 +748,50 @@ object Stats {
            round(CAST(n_pos AS DOUBLE) / n, 6) AS obs_rate,
            round(abs(CAST(sp AS DOUBLE) / n - CAST(n_pos AS DOUBLE) / n)
              * n / nn, 6) AS ece_term
-         FROM bins CROSS JOIN tot ORDER BY bin"""
+         FROM bins CROSS JOIN tot ORDER BY bin""",
+    "agg_cov_matrix" ->
+      """WITH sc AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS e,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l_tax * 100) AS BIGINT) AS t FROM lineitem),
+           st AS (SELECT count(*) AS n,
+             sum(q) AS s_q, sum(e) AS s_e, sum(d) AS s_d, sum(t) AS s_t,
+             sum(q*q) AS p_qq, sum(q*e) AS p_qe, sum(q*d) AS p_qd,
+             sum(q*t) AS p_qt, sum(e*e) AS p_ee, sum(e*d) AS p_ed,
+             sum(e*t) AS p_et, sum(d*d) AS p_dd, sum(d*t) AS p_dt,
+             sum(t*t) AS p_tt FROM sc),
+           pr AS (SELECT * FROM (VALUES
+             ('quantity','quantity'), ('quantity','extendedprice'),
+             ('quantity','discount'), ('quantity','tax'),
+             ('extendedprice','extendedprice'), ('extendedprice','discount'),
+             ('extendedprice','tax'), ('discount','discount'),
+             ('discount','tax'), ('tax','tax')) AS v(x, y)),
+           m AS (SELECT x, y, n,
+             CASE x WHEN 'quantity' THEN s_q WHEN 'extendedprice' THEN s_e
+               WHEN 'discount' THEN s_d ELSE s_t END AS sx,
+             CASE y WHEN 'quantity' THEN s_q WHEN 'extendedprice' THEN s_e
+               WHEN 'discount' THEN s_d ELSE s_t END AS sy,
+             CASE WHEN x = 'quantity' AND y = 'quantity' THEN p_qq
+               WHEN x = 'quantity' AND y = 'extendedprice' THEN p_qe
+               WHEN x = 'quantity' AND y = 'discount' THEN p_qd
+               WHEN x = 'quantity' AND y = 'tax' THEN p_qt
+               WHEN x = 'extendedprice' AND y = 'extendedprice' THEN p_ee
+               WHEN x = 'extendedprice' AND y = 'discount' THEN p_ed
+               WHEN x = 'extendedprice' AND y = 'tax' THEN p_et
+               WHEN x = 'discount' AND y = 'discount' THEN p_dd
+               WHEN x = 'discount' AND y = 'tax' THEN p_dt
+               ELSE p_tt END AS sxy,
+             CASE x WHEN 'quantity' THEN p_qq WHEN 'extendedprice' THEN p_ee
+               WHEN 'discount' THEN p_dd ELSE p_tt END AS sxx,
+             CASE y WHEN 'quantity' THEN p_qq WHEN 'extendedprice' THEN p_ee
+               WHEN 'discount' THEN p_dd ELSE p_tt END AS syy
+             FROM pr CROSS JOIN st)
+         SELECT x, y,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) / n / (n - 1)
+             / 10000.0, 6) AS cov,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                  CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+         FROM m ORDER BY x, y"""
   )
 }

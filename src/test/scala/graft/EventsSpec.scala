@@ -1085,4 +1085,36 @@ class EventsSpec extends AnyFunSuite with SparkFixture with Matchers {
       .select("user_id").distinct().count()
     rows.head._2 shouldBe allUsers
   }
+
+  test("events_pattern: matches recompute from a driver regex over sorted histories") {
+    val out = SparkEntry.queries("events_pattern")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue)).toMap
+    // independent: collect raw events, sort per user by (us, event_id),
+    // count non-overlapping 'vc*p' matches with a hand Matcher loop
+    val hist = T.t(spark, sf001, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).map { case (u, g) =>
+        u -> g.sortBy(e => (e._2, e._3)).map(_._4.head).mkString
+      }
+    val ref = hist.flatMap { case (u, seq) =>
+      val m = java.util.regex.Pattern.compile("vc*p").matcher(seq)
+      var k = 0L
+      while (m.find()) k += 1
+      if (k >= 1) Some(u -> ((seq.length.toLong, k))) else None
+    }.toMap
+    out shouldBe ref
+    out should not be empty
+    // at least one match used the c* arm somewhere (else the pattern
+    // asserts only adjacency): total funnels exceed strict 'vp' count
+    val strict = hist.values.map { seq =>
+      val m = java.util.regex.Pattern.compile("vp").matcher(seq)
+      var k = 0L; while (m.find()) k += 1; k
+    }.sum
+    withClue(s"vc*p total vs vp total: ") {
+      out.values.map(_._2).sum should be >= strict
+    }
+  }
 }

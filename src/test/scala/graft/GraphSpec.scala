@@ -185,4 +185,56 @@ class GraphSpec extends AnyFunSuite with SparkFixture with Matchers {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out2.keySet shouldBe Set(1L, 2L, 3L, 4L)
   }
+
+  /** Independent synchronous label propagation: plain maps, most-frequent
+    * neighbour label, ties to the minimum — no shared code with the
+    * operator's CSR sweep or its DataFrame rounds. */
+  private def refLabelProp(es: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val nbrs = (es ++ es.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, g) => v -> g.map(_._2) }
+    var lab: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lab = nbrs.map { case (v, ns) =>
+        val counts = ns.map(lab).groupBy(identity).map { case (l, g) => l -> g.size }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("labelprop branches agree bit-exactly and match an independent reference") {
+    val (edges, _) = graft.operators.Triangles.cooccurEdges(
+      T.t(spark, sf001, "events"), minShared = 20L)
+    def communities(gate: Long): Map[Long, Long] =
+      graft.operators.LabelProp.run(edges, rounds = 4,
+          distributedMinEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = communities(Long.MaxValue)
+    val dist = communities(0L)
+    driver shouldBe dist // exact integers: BIT-equal
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    driver shouldBe refLabelProp(es, 4)
+    driver should not be empty
+    // propagation actually merged somebody (labels coarser than identity)
+    withClue(s"no label moved across ${driver.size} nodes: ") {
+      driver.values.toSet.size should be < driver.size
+    }
+  }
+
+  test("labelprop on a hand graph: two triangles split at the bridge") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the bridge 3–4: after 4
+    // deterministic rounds each triangle converges to one community and
+    // the bridge does not merge them (hand-traced: {1,2,3}→1, {4,5,6}→3)
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("u1", "u2")
+    def run(gate: Long): Map[Long, Long] =
+      graft.operators.LabelProp.run(es, rounds = 4,
+          distributedMinEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = run(Long.MaxValue)
+    driver shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L)
+    run(0L) shouldBe driver
+  }
 }

@@ -626,4 +626,36 @@ class StatsSpec extends AnyFunSuite with SparkFixture with Matchers {
       o("o_custkey") === col("c_custkey")).count()
     kept should be >= trueMatch
   }
+
+  test("agg_cov_matrix: every cell recomputes from exact BigInt sums") {
+    val out = SparkEntry.queries("agg_cov_matrix")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    out.size shouldBe 10
+    // independent recomputation: exact ×100 integer scaling, BigInt
+    // sufficient statistics, the same single double chain, 6dp HALF_UP
+    val rows = T.t(spark, sf001, "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax")).collect()
+      .map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)).map(v => BigInt(math.rint(v * 100).toLong)))
+    val names = Seq("quantity", "extendedprice", "discount", "tax")
+    val n = BigInt(rows.length)
+    def s(i: Int) = rows.map(_(i)).sum
+    def p(i: Int, j: Int) = rows.map(r => r(i) * r(j)).sum
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (i <- 0 until 4; j <- i until 4) {
+      val (cov, corr) = out((names(i), names(j)))
+      val num = (n * p(i, j) - s(i) * s(j)).toDouble
+      withClue(s"${names(i)}/${names(j)}: ") {
+        cov shouldBe r6(num / n.toDouble / (n - 1).toDouble / 10000.0)
+        corr shouldBe r6(num / math.sqrt((n * p(i, i) - s(i) * s(i)).toDouble
+          * (n * p(j, j) - s(j) * s(j)).toDouble))
+      }
+    }
+    // matrix laws: unit diagonal, |corr| ≤ 1 off-diagonal
+    names.foreach(c => out((c, c))._2 shouldBe 1.0)
+    out.values.foreach { case (_, corr) => math.abs(corr) should be <= 1.0 }
+  }
 }
