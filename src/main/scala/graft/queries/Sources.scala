@@ -26,6 +26,31 @@ object Sources {
   }
 
   val queries: Map[String, Q] = Map(
+    // gzip-compressed JSONL round trip (round 12, third batch) — the
+    // compressed text-ingest path every log pipeline starts from: orders
+    // written as .json.gz (one gz member per task partition), read back
+    // with an explicit DDL schema, aggregated. The honest scale note gzip
+    // forces: a gz member is NOT splittable — each file decompresses in
+    // ONE task — so parallelism at 100 TB comes from file COUNT (the
+    // per-partition writes here produce exactly that shape); a pipeline
+    // wanting intra-file splits uses bzip2 or columnar+snappy/zstd
+    // instead. Values survive the text round trip exactly: Spark writes
+    // shortest-round-trip doubles, and the decimal-sum discipline makes
+    // the aggregate order-independent.
+    "source_gzip" -> ((s, sf) => {
+      val dir = tmp(sf, "gzip")
+      t(s, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").option("compression", "gzip").json(dir)
+      s.read.schema("o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderpriority STRING, o_totalprice DOUBLE")
+        .json(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.T.dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // CSV with header; explicit DDL schema on read (no inference jobs)
     "source_csv" -> ((s, sf) => {
       val dir = tmp(sf, "csv")
@@ -258,6 +283,11 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "source_gzip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
     "source_csv" ->
       """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
          FROM nation GROUP BY 1 ORDER BY n_regionkey""",

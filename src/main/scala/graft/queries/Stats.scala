@@ -25,6 +25,30 @@ object Stats {
 
   private val DayUs = 86400000000L
 
+  /** The four lineitem measures of the multivariate tier (output name →
+    * source column); values carry ≤ 2dp, so ×100 integer scaling is exact. */
+  private val covCols = Seq("quantity" -> "l_quantity",
+    "extendedprice" -> "l_extendedprice", "discount" -> "l_discount",
+    "tax" -> "l_tax")
+
+  /** The one-pass d² moment block shared by agg_cov_matrix and ml_pca:
+    * count + 4 sums + 10 cross-product sums of the ×100-scaled exact
+    * integers, every statistic an order-independent DECIMAL(38,0) sum
+    * (per-row products peak ~1.1e14, past BIGINT's sf1 sum headroom). */
+  private def covStatsFrame(s: org.apache.spark.sql.SparkSession,
+      sf: String): org.apache.spark.sql.DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val scaled = t(s, sf, "lineitem").select(
+      covCols.map { case (n, c) =>
+        expr(s"CAST(rint($c * 100) AS BIGINT)").as(n) }: _*)
+    val sums = covCols.map { case (n, _) => sum(col(n).cast(d38)).as(s"s_$n") }
+    val crosses = for {
+      (i, (x, _)) <- covCols.zipWithIndex.map(_.swap)
+      (j, (y, _)) <- covCols.zipWithIndex.map(_.swap) if i <= j
+    } yield sum((col(x) * col(y)).cast(d38)).as(s"p_${x}_$y")
+    scaled.agg(count(lit(1)).as("n"), (sums ++ crosses): _*)
+  }
+
   val queries: Map[String, Q] = Map(
     // Spearman rank correlation per group (quantity vs discount by return
     // flag) — the monotonic-dependence screen Pearson (agg_corr) can't
@@ -477,18 +501,8 @@ object Stats {
     // covariance-matrix shape that at 100 TB beats d² separate
     // covar_samp passes by d² scans.
     "agg_cov_matrix" -> ((s, sf) => {
-      val cols = Seq("quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
-        "discount" -> "l_discount", "tax" -> "l_tax")
-      val d38 = DecimalType(38, 0)
-      val scaled = t(s, sf, "lineitem").select(
-        cols.map { case (n, c) =>
-          expr(s"CAST(rint($c * 100) AS BIGINT)").as(n) }: _*)
-      val sums = cols.map { case (n, _) => sum(col(n).cast(d38)).as(s"s_$n") }
-      val crosses = for {
-        (i, (x, _)) <- cols.zipWithIndex.map(_.swap)
-        (j, (y, _)) <- cols.zipWithIndex.map(_.swap) if i <= j
-      } yield sum((col(x) * col(y)).cast(d38)).as(s"p_${x}_$y")
-      val stats = scaled.agg(count(lit(1)).as("n"), (sums ++ crosses): _*)
+      val cols = covCols
+      val stats = covStatsFrame(s, sf)
       val pairs = s.createDataFrame(
         s.sparkContext.parallelize(for {
           (i, (x, _)) <- cols.zipWithIndex.map(_.swap)
@@ -519,6 +533,58 @@ object Stats {
               * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
             .as("corr"))
         .orderBy("x", "y")
+    }),
+
+    // PCA (round 12, third batch; rows-only) — eigendecomposition of the
+    // CORRELATION matrix (the standard choice when column scales differ by
+    // 10⁶, as lineitem's do) over the same one-pass d² moment block as
+    // agg_cov_matrix. Spark-first split: the corpus contributes ONLY the
+    // exact-decimal sufficient statistics (one distributed aggregate);
+    // the d×d eigen step is driver arithmetic on 16 doubles via
+    // deterministic cyclic Jacobi ([[graft.ml.Pca]]) — the CAIM bounded
+    // executor→driver contract, invariant in the corpus size. The 1-row
+    // stats collect is the documented driver boundary. Determinism:
+    // exact-integer inputs → identical corr matrix every run; fixed sweep
+    // order; (eigenvalue DESC, column ASC) sort; largest-|loading|-
+    // positive sign convention. Not SQL-expressible (iterative eigen) →
+    // no oracle; PcaSpec asserts the spectral laws (A·v = λ·v against an
+    // independently BigInt-recomputed matrix, orthonormality, trace = d,
+    // λ descending ≥ 0) — stronger than a value pin, it verifies the
+    // DEFINITION.
+    "ml_pca" -> ((s, sf) => {
+      val row = covStatsFrame(s, sf).head()
+      val n = row.getAs[Long]("n")
+      val names = covCols.map(_._1)
+      def sv(x: String) =
+        BigInt(row.getAs[java.math.BigDecimal](s"s_$x").toBigInteger)
+      def pv(x: String, y: String) = {
+        val key = if (covCols.indexWhere(_._1 == x) <=
+          covCols.indexWhere(_._1 == y)) s"p_${x}_$y" else s"p_${y}_$x"
+        BigInt(row.getAs[java.math.BigDecimal](key).toBigInteger)
+      }
+      def num(i: Int, j: Int): BigInt =
+        BigInt(n) * pv(names(i), names(j)) - sv(names(i)) * sv(names(j))
+      val corr = Array.tabulate(4, 4)((i, j) =>
+        num(i, j).toDouble / math.sqrt(num(i, i).toDouble * num(j, j).toDouble))
+      val (vals, vecs) = graft.ml.Pca.eigenSym(corr)
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(vals.indices.map { k =>
+          org.apache.spark.sql.Row(
+            (k + 1).toLong +: r6(vals(k)) +: r6(vals(k) / 4.0) +:
+              vecs(k).map(r6).toSeq: _*)
+        }: _*)
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType) +:
+        org.apache.spark.sql.types.StructField("eigenvalue",
+          org.apache.spark.sql.types.DoubleType) +:
+        org.apache.spark.sql.types.StructField("pct_var",
+          org.apache.spark.sql.types.DoubleType) +:
+        names.map(c => org.apache.spark.sql.types.StructField(s"load_$c",
+          org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(rows, schema)
     })
   )
 
