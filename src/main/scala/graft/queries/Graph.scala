@@ -210,9 +210,103 @@ object Graph {
     "graph_labelprop" -> ((s, sf) => {
       val (edges, _) =
         graft.operators.Triangles.cooccurEdges(t(s, sf, "events"))
-      graft.operators.LabelProp.run(edges, rounds = labelpropRounds)
-        .withColumnRenamed("node", "user_id")
+      val lp = graft.operators.LabelProp.run(edges, rounds = labelpropRounds)
+      // the kcore feature-join shape: EVERY active user gets a row;
+      // isolated users (all of them on a corpus whose ≥30 graph is empty)
+      // are their own singleton community — the algorithm's own fixed
+      // point for a degree-0 node
+      t(s, sf, "events").select(col("user_id")).distinct()
+        .join(lp.withColumnRenamed("node", "user_id"), Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("community"), col("user_id")).as("community"))
         .orderBy("user_id")
+    }),
+
+    // Newman modularity of the labelprop partition (round 12, third
+    // batch) — the quality score that makes a community detection result
+    // auditable (Newman & Girvan, Phys. Rev. E 2004): per community,
+    // q_term = m_in/m − (deg_c/2m)², whose sum is Q. Every count (within-
+    // community edges, degree sums, m) is an exact integer from GRAPH-
+    // sized joins — the only float work is the final per-community chain
+    // (round 6), identical on both engines; the 1-row m rides a
+    // broadcast. Scale posture: two lp-keyed joins on the edge frame
+    // (ids only) and community-keyed aggregates — nothing corpus-sized
+    // past the shared edge collapse.
+    "graph_modularity" -> ((s, sf) => {
+      val (edges, _) =
+        graft.operators.Triangles.cooccurEdges(t(s, sf, "events"))
+      val lp = graft.operators.LabelProp.run(edges, rounds = labelpropRounds)
+      // same all-users partition as graph_labelprop: isolated users are
+      // singleton communities (0 internal edges, degree 0 → q_term = 0);
+      // m = 0 (an edgeless corpus) pins every term to 0.0 by convention
+      val lpAll = t(s, sf, "events").select(col("user_id")).distinct()
+        .join(lp.withColumnRenamed("node", "user_id"), Seq("user_id"), "left")
+        .select(col("user_id").as("node"),
+          coalesce(col("community"), col("user_id")).as("community"))
+      val m = edges.agg(count(lit(1)).as("m"))
+      val deg = edges.select(col("u1").as("u"))
+        .union(edges.select(col("u2").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("dg"))
+      val inn = edges
+        .join(lpAll.select(col("node").as("u1"), col("community").as("la")),
+          Seq("u1"))
+        .join(lpAll.select(col("node").as("u2"), col("community").as("lb")),
+          Seq("u2"))
+        .where(col("la") === col("lb"))
+        .groupBy(col("la").as("community")).agg(count(lit(1)).as("m_in"))
+      val degc = lpAll
+        .join(deg.withColumnRenamed("u", "node"), Seq("node"), "left")
+        .groupBy("community")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(coalesce(col("dg"), lit(0L))).as("deg_sum"))
+      degc.join(inn, Seq("community"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("m_in"), lit(0L)).as("m_in"), col("deg_sum"),
+          when(col("m") === 0, lit(0.0)).otherwise(
+            round(coalesce(col("m_in"), lit(0L)).cast("double") / col("m")
+              - (col("deg_sum").cast("double") / (lit(2) * col("m")))
+                * (col("deg_sum").cast("double") / (lit(2) * col("m"))), 6))
+            .as("q_term"))
+        .orderBy("community")
+    }),
+
+    // degree assortativity (round 12, third batch) — the mixing
+    // coefficient (Newman, PRL 2002): Pearson correlation of endpoint
+    // degrees over the doubled edge list, answering "do hubs attach to
+    // hubs?" — the one-number structural summary that tells a pipeline
+    // whether degree-based sampling or hub-capping will bias it. Every
+    // sufficient statistic is an exact integer sum (DECIMAL-cast so the
+    // sf1 products can't overflow), the finish is one identical double
+    // chain — the agg_cov_matrix discipline on a graph frame.
+    "graph_assortativity" -> ((s, sf) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val (edges, _) =
+        graft.operators.Triangles.cooccurEdges(t(s, sf, "events"))
+      val adj = edges.select(col("u1").as("u"), col("u2").as("v"))
+        .union(edges.select(col("u2").as("u"), col("u1").as("v")))
+      val deg = adj.groupBy("u").agg(count(lit(1)).as("dg"))
+      val pairs = adj.join(deg, Seq("u")).withColumnRenamed("dg", "dx")
+        .join(deg.select(col("u").as("v"), col("dg").as("dy")), Seq("v"))
+      pairs.agg(count(lit(1)).as("m2"),
+          sum(col("dx").cast(d38)).as("sx"), sum(col("dy").cast(d38)).as("sy"),
+          sum((col("dx") * col("dy")).cast(d38)).as("sxy"),
+          sum((col("dx") * col("dx")).cast(d38)).as("sxx"),
+          sum((col("dy") * col("dy")).cast(d38)).as("syy"))
+        // degenerate guard: an edgeless corpus (m2 = 0) or a degree-
+        // regular graph (zero variance) has no defined mixing — report
+        // 0.0 by convention on both engines instead of a NULL/NaN row
+        .select(expr("m2 div 2").as("m"),
+          when(col("m2") === 0 ||
+              (col("m2") * col("sxx") - col("sx") * col("sx")) === 0 ||
+              (col("m2") * col("syy") - col("sy") * col("sy")) === 0,
+            lit(0.0)).otherwise(
+            round((col("m2") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / sqrt((col("m2") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double")
+                * (col("m2") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")), 6)).as("assortativity"))
     })
   )
 
@@ -335,19 +429,27 @@ object Graph {
     * CTEs over the shared co-occurrence edge SQL (the kcoreSql pattern —
     * un-hinted inlining would copy the label subtree exponentially). The
     * per-round argmax is a row_number window ordered (count DESC, label
-    * ASC) — the exact tie-break the operator declares. */
-  private def labelpropSql: String = {
-    val head =
-      s"""WITH ua AS MATERIALIZED (SELECT user_id, d, event_type FROM
-         |     (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d,
-         |             event_type FROM events)
-         |   QUALIFY count(*) OVER (PARTITION BY d, event_type) <= 65536),
-         | e0 AS MATERIALIZED (SELECT a.user_id AS u1, b.user_id AS u2
-         |     FROM ua a JOIN ua b ON a.d = b.d AND a.event_type = b.event_type
-         |                         AND a.user_id < b.user_id
-         |     GROUP BY 1, 2 HAVING count(*) >= 30),
-         | adj AS MATERIALIZED (SELECT u1 AS u, u2 AS v FROM e0
-         |   UNION ALL SELECT u2, u1 FROM e0),
+    * ASC) — the exact tie-break the operator declares. Returns the CTE
+    * prefix (ending after l{R}); graph_labelprop and graph_modularity
+    * append their own final SELECTs. */
+  /** Shared co-occurrence edge CTE prefix (capped buckets, ≥30 shared,
+    * canonical u1 < u2, plus the doubled adjacency) — the SQL twin of
+    * `Triangles.cooccurEdges`, reused by every graph oracle below. */
+  private def edgeCtes: String =
+    s"""WITH ua AS MATERIALIZED (SELECT user_id, d, event_type FROM
+       |     (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d,
+       |             event_type FROM events)
+       |   QUALIFY count(*) OVER (PARTITION BY d, event_type) <= 65536),
+       | e0 AS MATERIALIZED (SELECT a.user_id AS u1, b.user_id AS u2
+       |     FROM ua a JOIN ua b ON a.d = b.d AND a.event_type = b.event_type
+       |                         AND a.user_id < b.user_id
+       |     GROUP BY 1, 2 HAVING count(*) >= 30),
+       | adj AS MATERIALIZED (SELECT u1 AS u, u2 AS v FROM e0
+       |   UNION ALL SELECT u2, u1 FROM e0)""".stripMargin
+
+  private def labelpropCtes: String = {
+    val head = edgeCtes +
+      s""",
          | l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM adj)""".stripMargin
     val rounds = (1 to labelpropRounds).map { i =>
       val p = s"l${i - 1}"
@@ -359,11 +461,67 @@ object Graph {
          |        (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c$i)
          |   WHERE rn = 1)""".stripMargin
     }.mkString
-    head + rounds +
-      s"""
-         |SELECT node AS user_id, lab AS community
-         |FROM l$labelpropRounds ORDER BY 1""".stripMargin
+    head + rounds
   }
+
+  private def labelpropSql: String =
+    labelpropCtes +
+      s""",
+         | users AS (SELECT DISTINCT user_id FROM events)
+         |SELECT user_id, CAST(coalesce(lab, user_id) AS BIGINT) AS community
+         |FROM users LEFT JOIN l$labelpropRounds lr ON lr.node = users.user_id
+         |ORDER BY 1""".stripMargin
+
+  /** Newman modularity of the labelprop partition: per community,
+    * m_in/m − (deg_c/2m)² from exact integer edge/degree counts; the only
+    * float work is the final per-community chain (round 6). */
+  private def modularitySql: String =
+    labelpropCtes +
+      s""",
+         | users AS (SELECT DISTINCT user_id FROM events),
+         | lp AS MATERIALIZED (SELECT user_id AS node,
+         |     CAST(coalesce(lab, user_id) AS BIGINT) AS lab
+         |   FROM users LEFT JOIN l$labelpropRounds lr
+         |     ON lr.node = users.user_id),
+         | m AS (SELECT count(*) AS m FROM e0),
+         | inn AS (SELECT la.lab AS community, count(*) AS m_in
+         |   FROM e0 JOIN lp la ON e0.u1 = la.node
+         |           JOIN lp lb ON e0.u2 = lb.node
+         |   WHERE la.lab = lb.lab GROUP BY 1),
+         | degc AS (SELECT lp.lab AS community, count(*) AS n_nodes,
+         |     CAST(sum(coalesce(d.dg, 0)) AS BIGINT) AS deg_sum
+         |   FROM lp LEFT JOIN (SELECT u, count(*) AS dg FROM adj GROUP BY 1) d
+         |     ON d.u = lp.node GROUP BY 1)
+         |SELECT degc.community, n_nodes,
+         |  CAST(coalesce(m_in, 0) AS BIGINT) AS m_in, deg_sum,
+         |  CASE WHEN m.m = 0 THEN 0.0 ELSE
+         |    round(CAST(coalesce(m_in, 0) AS DOUBLE) / m.m
+         |      - (CAST(deg_sum AS DOUBLE) / (2 * m.m))
+         |        * (CAST(deg_sum AS DOUBLE) / (2 * m.m)), 6) END AS q_term
+         |FROM degc LEFT JOIN inn ON inn.community = degc.community
+         |     CROSS JOIN m
+         |ORDER BY 1""".stripMargin
+
+  /** Degree assortativity (Newman, *Assortative mixing in networks*, PRL
+    * 2002): Pearson correlation of endpoint degrees over the doubled edge
+    * list — every sufficient statistic an exact integer sum. */
+  private def assortativitySql: String =
+    edgeCtes +
+      s""",
+         | deg AS (SELECT u, count(*) AS dg FROM adj GROUP BY 1),
+         | p AS (SELECT dx.dg AS dx, dy.dg AS dy FROM adj
+         |   JOIN deg dx ON dx.u = adj.u JOIN deg dy ON dy.u = adj.v),
+         | s AS (SELECT count(*) AS m2, sum(dx) AS sx, sum(dy) AS sy,
+         |     sum(dx*dy) AS sxy, sum(dx*dx) AS sxx, sum(dy*dy) AS syy
+         |   FROM p)
+         |SELECT CAST(m2 // 2 AS BIGINT) AS m,
+         |  CASE WHEN m2 = 0 OR (m2 * sxx - sx * sx) = 0
+         |         OR (m2 * syy - sy * sy) = 0 THEN 0.0
+         |    ELSE round(CAST(m2 * sxy - sx * sy AS DOUBLE) /
+         |      sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE) *
+         |           CAST(m2 * syy - sy * sy AS DOUBLE)), 6)
+         |  END AS assortativity
+         |FROM s""".stripMargin
 
   /** The SAME R synchronous peel rounds [[graft.operators.KCore]] runs,
     * unrolled as MATERIALIZED CTEs (the ssspSql pattern — DuckDB inlines
@@ -405,6 +563,8 @@ object Graph {
   val oracle: Map[String, String] = Map(
     "graph_kcore" -> kcoreSql,
     "graph_labelprop" -> labelpropSql,
+    "graph_modularity" -> modularitySql,
+    "graph_assortativity" -> assortativitySql,
     "graph_closeness" -> closenessSql,
     "graph_pagerank" -> pagerankSql,
     "graph_sssp" -> ssspSql,

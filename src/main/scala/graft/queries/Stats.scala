@@ -535,6 +535,45 @@ object Stats {
         .orderBy("x", "y")
     }),
 
+    // periodogram (round 12, third batch) — the Schuster/Fourier power
+    // spectrum of the daily event series: P(k) = |Σ_d y_d·e^(−2πikd/D)|²/D
+    // for k = 1..14, the seasonality detector that finds ANY period (the
+    // fixed-lag ts_seasonality/ts_autocorr queries can only confirm a
+    // hypothesized one — a weekly cycle shows as the peak near k = D/7).
+    // Plan: the corpus collapses to the ≤|days| daily frame FIRST (one
+    // map-side-combined agg, the ts_changepoint discipline); the span
+    // rides a 1-row broadcast; frequencies are a broadcast 14-row range,
+    // so the trig stage is 14×|days| rows — day-domain, never corpus.
+    // Float discipline: y_d is an exact integer, the angle is one
+    // identical double chain (2π·k·off/D — constant-folded 2π is the
+    // same double both engines), and each y·cos / y·sin term quantizes to
+    // DECIMAL(38,15) (the graph_linkpred per-term discipline) so the
+    // per-frequency sums are exact order-independent decimal adds; the
+    // power finish is one identical chain (round 6).
+    "ts_periodogram" -> ((s, sf) => {
+      val d15 = DecimalType(38, 15)
+      val daily = t(s, sf, "events")
+        .groupBy(expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .agg(count(lit(1)).as("y"))
+      val span = daily.agg(min("d").as("d0"), max("d").as("d1"))
+      val freqs = s.range(1, 15).select(col("id").as("k"))
+      daily.crossJoin(broadcast(span))
+        .withColumn("off", col("d") - col("d0"))
+        .withColumn("dd", col("d1") - col("d0") + lit(1L))
+        .crossJoin(broadcast(freqs))
+        .withColumn("ang",
+          lit(2.0 * math.Pi) * col("k") * col("off") / col("dd"))
+        .groupBy("k")
+        .agg(max(col("dd")).as("dd"),
+          sum((col("y") * cos(col("ang"))).cast(d15)).as("sc"),
+          sum((col("y") * sin(col("ang"))).cast(d15)).as("ss"))
+        .select(col("k"),
+          round((col("sc").cast("double") * col("sc").cast("double")
+            + col("ss").cast("double") * col("ss").cast("double"))
+            / col("dd"), 6).as("power"))
+        .orderBy("k")
+    }),
+
     // PCA (round 12, third batch; rows-only) — eigendecomposition of the
     // CORRELATION matrix (the standard choice when column scales differ by
     // 10⁶, as lineitem's do) over the same one-pass d² moment block as
@@ -858,6 +897,23 @@ object Stats {
            round(CAST(n * sxy - sx * sy AS DOUBLE) /
              sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
                   CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
-         FROM m ORDER BY x, y"""
+         FROM m ORDER BY x, y""",
+    "ts_periodogram" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+             count(*) AS y FROM events GROUP BY 1),
+           span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+           f AS (SELECT unnest(range(1, 15)) AS k),
+           terms AS (SELECT k, d1 - d0 + 1 AS dd,
+               CAST(y * cos(2 * pi() * k * (d - d0) / (d1 - d0 + 1))
+                 AS DECIMAL(38,15)) AS tc,
+               CAST(y * sin(2 * pi() * k * (d - d0) / (d1 - d0 + 1))
+                 AS DECIMAL(38,15)) AS tsn
+             FROM daily CROSS JOIN span CROSS JOIN f),
+           s AS (SELECT k, max(dd) AS dd, sum(tc) AS sc, sum(tsn) AS ss
+             FROM terms GROUP BY 1)
+         SELECT CAST(k AS BIGINT) AS k,
+           round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+             + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / dd, 6) AS power
+         FROM s ORDER BY k"""
   )
 }

@@ -221,6 +221,85 @@ class GraphSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("graph_modularity: terms recompute from the reference partition and edges") {
+    // sf0.01: the ≥30-shared graph is non-degenerate there (the declared
+    // query's sf0.001 shape — all-singleton, m = 0, q_term ≡ 0 — is
+    // asserted separately below)
+    val out = SparkEntry.queries("graph_modularity")(spark, sf01c).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    val (edges, _) = graft.operators.Triangles.cooccurEdges(
+      T.t(spark, sf01c, "events"))
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val allUsers = T.t(spark, sf01c, "events").select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val inGraph = refLabelProp(es, 4)
+    val lab = allUsers.map(u => u -> inGraph.getOrElse(u, u)).toMap
+    val m = es.size
+    m should be > 0
+    val deg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+      .map { case (v, g) => v -> g.size }
+    val byC = lab.groupBy(_._2)
+    out.keySet shouldBe byC.keySet
+    byC.foreach { case (c, members) =>
+      val nodes = members.keySet
+      val mIn = es.count { case (a, b) =>
+        lab(a) == c && lab(b) == c }
+      val degSum = nodes.toSeq.map(v => deg.getOrElse(v, 0)).sum.toLong
+      val q = mIn.toDouble / m -
+        (degSum.toDouble / (2.0 * m)) * (degSum.toDouble / (2.0 * m))
+      val (gn, gm, gd, gq) = out(c)
+      withClue(s"community $c: ") {
+        gn shouldBe nodes.size.toLong
+        gm shouldBe mIn.toLong
+        gd shouldBe degSum
+        gq shouldBe BigDecimal(q)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    // partition laws: within-edges ≤ m total, degree sums partition 2m,
+    // and Q = Σ q_term is a valid modularity (≤ 1)
+    out.values.map(_._2).sum should be <= m.toLong
+    out.values.map(_._3).sum shouldBe 2L * m
+    out.values.map(_._4).sum should be <= 1.0
+    // the edgeless sf0.001 corpus degrades to all-singletons with q ≡ 0
+    val degenerate =
+      SparkEntry.queries("graph_modularity")(spark, sf001).collect()
+    degenerate.length should be > 0
+    degenerate.foreach { r =>
+      r.getLong(1) shouldBe 1L; r.getLong(2) shouldBe 0L
+      r.getLong(3) shouldBe 0L; r.getDouble(4) shouldBe 0.0
+    }
+  }
+
+  test("graph_assortativity: coefficient recomputes from raw degree pairs") {
+    val row = SparkEntry.queries("graph_assortativity")(spark, sf01c).head()
+    val (edges, _) = graft.operators.Triangles.cooccurEdges(
+      T.t(spark, sf01c, "events"))
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    es should not be empty
+    val deg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+      .map { case (v, g) => v -> BigInt(g.size) }
+    val pairs = es.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val m2 = BigInt(pairs.size)
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val r = (m2 * sxy - sx * sy).toDouble /
+      math.sqrt((m2 * sxx - sx * sx).toDouble * (m2 * syy - sy * sy).toDouble)
+    row.getLong(0) shouldBe es.size.toLong
+    row.getDouble(1) shouldBe BigDecimal(r)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    math.abs(row.getDouble(1)) should be <= 1.0
+    // the edgeless sf0.001 corpus reports the 0.0 convention, not NULL/NaN
+    val degenerate =
+      SparkEntry.queries("graph_assortativity")(spark, sf001).head()
+    degenerate.getLong(0) shouldBe 0L
+    degenerate.getDouble(1) shouldBe 0.0
+  }
+
   test("labelprop on a hand graph: two triangles split at the bridge") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6} joined by the bridge 3–4: after 4

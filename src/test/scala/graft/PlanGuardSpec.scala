@@ -100,7 +100,16 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     "sample_temperature",
     // round 12 batch 6: the 1-row node-count scalar onto the ≤n-row
     // centrality rollup (graph_closeness)
-    "graph_closeness")
+    "graph_closeness",
+    // round 12 batch 8: the 1-row d²-moment scalar onto the 10-row pair
+    // frame (agg_cov_matrix); the 1-row per-feature lo/hi scalar onto the
+    // binning scan — the caim_quanta shape — in both NB queries, plus
+    // nb_classify's 60×C dense-grid construction (feature×bin×class
+    // literal domains, never the corpus); the 1-row span + 14-row
+    // frequency literals onto the day-domain frame (ts_periodogram)
+    "agg_cov_matrix", "nb_fit", "nb_classify", "ts_periodogram",
+    // the 1-row edge-count scalar onto the per-community frame
+    "graph_modularity")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

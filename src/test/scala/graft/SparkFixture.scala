@@ -12,6 +12,7 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
   lazy val spark: SparkSession = SparkFixture.session
 
   val sf001 = "/root/testdata/sf0.001"
+  val sf01c = "/root/testdata/sf0.01"
 
   override def afterAll(): Unit = super.afterAll()
 }

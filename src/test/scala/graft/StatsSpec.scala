@@ -627,6 +627,34 @@ class StatsSpec extends AnyFunSuite with SparkFixture with Matchers {
     kept should be >= trueMatch
   }
 
+  test("ts_periodogram: powers recompute from a driver DFT with the same quantization") {
+    val out = SparkEntry.queries("ts_periodogram")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.keySet shouldBe (1L to 14L).toSet
+    val daily = T.t(spark, sf001, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = daily.map(_._1).min
+    val dd = daily.map(_._1).max - d0 + 1
+    def q15(v: Double) = BigDecimal(v)
+      .setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    (1L to 14L).foreach { k =>
+      var sc = BigDecimal(0); var ss = BigDecimal(0)
+      daily.foreach { case (d, y) =>
+        val ang = 2.0 * math.Pi * k * (d - d0) / dd
+        sc += q15(y * math.cos(ang))
+        ss += q15(y * math.sin(ang))
+      }
+      val p = (sc.toDouble * sc.toDouble + ss.toDouble * ss.toDouble) / dd
+      withClue(s"k=$k: ") {
+        out(k) shouldBe BigDecimal(p)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    out.values.foreach(_ should be >= 0.0)
+  }
+
   test("agg_cov_matrix: every cell recomputes from exact BigInt sums") {
     val out = SparkEntry.queries("agg_cov_matrix")(spark, sf001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
