@@ -337,6 +337,36 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // SCD Type-2 versioned merge (round 12, third batch) — the dimension-
+    // history primitive ([[graft.operators.Upsert.scd2]], spec'd since
+    // round 9, now a DECLARED row): the base customer table opens as
+    // version 0, a delta (every 10th customer, +1000 balance, effective
+    // t = 1s) closes each touched key's open version at t and appends the
+    // new open one; untouched keys and closed history are immutable. The
+    // rollup hash-pins all three outcomes — version counts, open/closed
+    // splits, and the open-version balance sum (updated keys count their
+    // NEW balance, exactly once). Plan: both scd2 joins carry delta-sized
+    // key sides (broadcast at scale; history never shuffles) + a narrow
+    // union — the upsert_merge posture with validity bookkeeping.
+    "upsert_scd2" -> ((s, sf) => {
+      val base = t(s, sf, "customer")
+        .withColumn("valid_from_us", lit(0L))
+        .withColumn("valid_to_us", lit(null).cast("long"))
+      val delta = t(s, sf, "customer")
+        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+        .withColumn("eff_us", lit(1000000L))
+      graft.operators.Upsert.scd2(base, delta, Seq("c_custkey"), "eff_us")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("valid_to_us").isNull, 1L).otherwise(0L)).as("n_open"),
+          sum(when(col("valid_to_us").isNotNull, 1L).otherwise(0L))
+            .as("n_closed"),
+          T.dsum(when(col("valid_to_us").isNull, col("c_acctbal"))
+            .otherwise(lit(0.0)), 2).as("open_bal_sum"))
+        .orderBy("c_mktsegment")
+    }),
+
     // §2.3 three-table selective join (round 9, the TPC-H Q3 shape):
     // filtered customer ⋈ filtered orders ⋈ filtered lineitem, exact
     // decimal revenue, top 10. The query the optimizer stack exists
@@ -683,6 +713,25 @@ object Relational {
            CAST(least(le, re) - greatest(ls, rs) AS BIGINT) AS overlap_us
          FROM v JOIN p ON v.user_id = p.u2 AND ls < re AND rs < le
          ORDER BY a_id, b_id""",
+    "upsert_scd2" ->
+      """WITH delta AS (SELECT c_custkey, c_acctbal + 1000.0 AS new_bal
+             FROM customer WHERE c_custkey % 10 = 0),
+           versions AS (
+             SELECT c.c_mktsegment,
+                 CASE WHEN d.c_custkey IS NOT NULL THEN 1000000 END AS vt,
+                 c.c_acctbal AS bal
+               FROM customer c LEFT JOIN delta d ON d.c_custkey = c.c_custkey
+             UNION ALL
+             SELECT c.c_mktsegment, NULL, d.new_bal
+               FROM delta d JOIN customer c ON c.c_custkey = d.c_custkey)
+         SELECT c_mktsegment, count(*) AS n_versions,
+           CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_open,
+           CAST(sum(CASE WHEN vt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_closed,
+           CAST(sum(CAST(CASE WHEN vt IS NULL THEN bal ELSE 0.0 END
+             AS DECIMAL(18,2))) AS DOUBLE) AS open_bal_sum
+         FROM versions GROUP BY 1 ORDER BY c_mktsegment""",
     "upsert_merge" ->
       """WITH delta AS (
            SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,

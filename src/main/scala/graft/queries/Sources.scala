@@ -51,6 +51,32 @@ object Sources {
         .orderBy("o_orderpriority")
     }),
 
+    // parquet schema evolution (round 12, third batch) — the read-side
+    // capability every long-lived table needs: two write epochs of the
+    // supplier table, the first WITHOUT the balance column (the pre-
+    // migration schema), the second with it, land in one directory tree
+    // (epoch as a partition dir) and read back through mergeSchema — old
+    // files surface the new column as NULL, the epoch column is
+    // reconstructed from directory names, and the aggregate counts the
+    // missing-column rows explicitly. Scale note: mergeSchema fans a
+    // footer-read per file at planning time — at 100 TB pin the merged
+    // schema in a catalog/manifest instead and pass it explicitly
+    // (read.schema(...)); the VALUE semantics asserted here (absent
+    // column ≡ NULL) are identical on both paths.
+    "source_evolution" -> ((s, sf) => {
+      val dir = tmp(sf, "evolve")
+      t(s, sf, "supplier").select("s_suppkey", "s_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/epoch=1")
+      t(s, sf, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").parquet(s"$dir/epoch=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("s_acctbal").isNull.cast("long")).as("n_pre_migration"),
+          graft.T.dsum(coalesce(col("s_acctbal"), lit(0.0)), 2).as("sum_bal"))
+        .orderBy("s_nationkey")
+    }),
+
     // CSV with header; explicit DDL schema on read (no inference jobs)
     "source_csv" -> ((s, sf) => {
       val dir = tmp(sf, "csv")
@@ -283,6 +309,17 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "source_evolution" ->
+      """WITH epochs AS (
+           SELECT s_nationkey, CAST(NULL AS DOUBLE) AS bal FROM supplier
+           UNION ALL
+           SELECT s_nationkey, s_acctbal FROM supplier)
+         SELECT s_nationkey, count(*) AS n_rows,
+           CAST(sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pre_migration,
+           CAST(sum(CAST(coalesce(bal, 0.0) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_bal
+         FROM epochs GROUP BY 1 ORDER BY s_nationkey""",
     "source_gzip" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
