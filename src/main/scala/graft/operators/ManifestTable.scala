@@ -106,10 +106,29 @@ object ManifestTable {
     * head, recompute `df`, commit with the new head as `readVersion`.
     */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
-      replace: Boolean = false, readVersion: Long = -1L): Long = {
+      replace: Boolean = false, readVersion: Long = -1L,
+      tag: String = null): Long = {
     val fs = fsOf(spark, dir)
-    val batch = java.util.UUID.randomUUID().toString
+    // idempotent-commit support (the exactly-once streaming-sink
+    // contract): a caller with a STABLE retry identity — Spark's
+    // foreachBatch batchId — passes it as `tag`. The manifest reference
+    // is the commit point, so the check is exact: if the head snapshot
+    // already lists this tag's files, the batch committed and the retry
+    // is a no-op; if the tag's data dir exists but NO manifest references
+    // it (a crash between data write and manifest rename), the torn
+    // attempt is invisible garbage — delete and redo. Spark's foreachBatch
+    // replays a batchId with identical data, which is what makes the
+    // skip sound.
+    val batch = if (tag != null) tag else java.util.UUID.randomUUID().toString
     val dataRel = s"data/$batch"
+    if (tag != null) {
+      val vs0 = versions(spark, dir)
+      if (vs0.nonEmpty &&
+          manifestFiles(fs, dir, vs0.last).exists(_.startsWith(dataRel + "/")))
+        return vs0.last
+      val dp = new Path(s"$dir/$dataRel")
+      if (fs.exists(dp)) fs.delete(dp, true)
+    }
     df.write.parquet(s"$dir/$dataRel")
     val newFiles = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted

@@ -15,6 +15,10 @@ import graft.T.{Q, t}
 object Streams {
   import org.apache.spark.sql.DataFrame
 
+  /** Per-JVM sink/checkpoint namespace (the Sources.tmp discipline):
+    * distinct driver runs never share streaming state. */
+  private lazy val runTag = java.util.UUID.randomUUID().toString.take(8)
+
   /** Write-once event-time transforms: valid on a batch DataFrame (declared
     * queries below) and on a readStream DataFrame (StreamingSpec). Results
     * are unordered — batch callers add their ORDER BY.
@@ -109,6 +113,51 @@ object Streams {
     "stream_session" -> ((s, sf) =>
       session(t(s, sf, "events")).orderBy("user_id", "ws_us")),
 
+    // exactly-once transactional streaming sink (round 12, third batch) —
+    // the END of the streaming story the tumbling/session/join queries
+    // start: a REAL Structured Streaming job (file source, AvailableNow)
+    // lands every micro-batch in a ManifestTable through
+    // [[graft.streaming.TxnSink]], whose batchId-tagged commits make
+    // retries no-ops; the query then DELIBERATELY replays the last
+    // batchId (the foreachBatch crash-retry) and reads the table back.
+    // Hash-matching the plain-table oracle IS the exactly-once assertion:
+    // one lost batch fails counts low, one duplicated replay fails them
+    // high. Re-runs inside one JVM are deterministic twice over — the
+    // checkpoint yields no new files and committed tags skip. Scale:
+    // per batch one parquet write + one O(files) manifest swap; the
+    // aggregate reads the manifest's file list, never a directory
+    // listing.
+    "stream_sink_txn" -> ((s, sf) => {
+      val tag = new java.io.File(sf).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_txnsink_${runTag}_$tag"
+      val (inDir, tblDir, ckpt) = (s"$base/in", s"$base/tbl", s"$base/ckpt")
+      t(s, sf, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .coalesce(4).write.mode("overwrite").parquet(inDir)
+      val q = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.TxnSink.commitBatch(tblDir, b, id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the crash-retry: replay the highest committed batchId with the
+      // same rows — the tagged commit must no-op, not duplicate
+      val lastBatch = graft.operators.ManifestTable
+        .versions(s, tblDir).size - 1L
+      graft.streaming.TxnSink.commitBatch(tblDir,
+        s.read.parquet(inDir), lastBatch)
+      graft.operators.ManifestTable.read(s, tblDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // event-time interval join: view → purchase by the same user within
     // 10 minutes (the stream-stream join shape; StreamingSpec runs the
     // same expression over two watermarked MemoryStreams)
@@ -124,6 +173,14 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    // the exactly-once law as a hash check: the transactional sink's
+    // table must contain the source rows exactly once — lost batches
+    // fail low, duplicated replays fail high
+    "stream_sink_txn" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "stream_topk" ->
       """WITH c AS (SELECT epoch_us(date_trunc('hour', ts)) AS ws_us,
              event_type, count(*) AS cnt

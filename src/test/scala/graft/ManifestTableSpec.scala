@@ -209,4 +209,31 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     asSet(ManifestTable.read(spark, dir, version = 2L)) shouldBe
       Set(1L -> "a", 2L -> "b", 3L -> "c")
   }
+
+  test("tagged commits are exactly-once: retries no-op, torn attempts redo") {
+    val dir = tmpDir()
+    // first commit under a stable tag (a foreachBatch batchId)
+    val v1 = ManifestTable.commit(spark, dir, df(1L -> "a"), tag = "batch-0")
+    v1 shouldBe 1L
+    // the crash-retry: same tag, same data → no new version, no new rows
+    ManifestTable.commit(spark, dir, df(1L -> "a"), tag = "batch-0") shouldBe 1L
+    ManifestTable.versions(spark, dir) shouldBe Seq(1L)
+    asSet(ManifestTable.read(spark, dir)) shouldBe Set(1L -> "a")
+    // a TORN first attempt: data dir written under the tag but no
+    // manifest references it (crash before the rename) → the retry
+    // must delete the garbage and commit exactly once
+    val torn = s"$dir/data/batch-1"
+    df(9L -> "junk").write.parquet(torn)
+    ManifestTable.commit(spark, dir, df(2L -> "b"), tag = "batch-1") shouldBe 2L
+    asSet(ManifestTable.read(spark, dir)) shouldBe Set(1L -> "a", 2L -> "b")
+    // untagged commits keep their blind-append semantics
+    ManifestTable.commit(spark, dir, df(3L -> "c")) shouldBe 3L
+    asSet(ManifestTable.read(spark, dir)) shouldBe
+      Set(1L -> "a", 2L -> "b", 3L -> "c")
+    // TxnSink is exactly this composition
+    graft.streaming.TxnSink.commitBatch(dir, df(4L -> "d"), 3L) shouldBe 4L
+    graft.streaming.TxnSink.commitBatch(dir, df(4L -> "d"), 3L) shouldBe 4L
+    asSet(ManifestTable.read(spark, dir)) shouldBe
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+  }
 }
