@@ -1186,6 +1186,48 @@ object Events {
         .orderBy("antecedent", "consequent")
     }),
 
+    // A/B experiment readout (round 12, third batch) — the two-proportion
+    // z-test every experimentation pipeline ends in: users split 50/50 by
+    // the PORTABLE md5 bucket (graft.operators.Split.portableBucket — the
+    // same engine-reproducible assignment the split/sample tier rides, so
+    // the oracle assigns identically), conversion = any purchase event,
+    // then the pooled-variance z statistic. Per-user conversion collapses
+    // in ONE map-side-combined aggregate; every count is an exact BIGINT;
+    // the z is one identical float chain over exact operands (round 6).
+    // On a hash-random split of one population z ≈ 0 — the null holds by
+    // construction, which is exactly what a correctness row should pin
+    // (an assignment bug or a count leak shows up as |z| inflation).
+    "events_ab_test" -> ((s, sf) => {
+      val v = when(graft.operators.Split.portableBucket(col("user_id"))
+        < lit("80"), "control").otherwise("treatment")
+      val users = t(s, sf, "events")
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 14L).cast("long").as("conv"))
+        .withColumn("variant", v)
+      users.agg(
+          sum(when(col("variant") === "control", 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("variant") === "control", col("conv")).otherwise(0L))
+            .as("x_c"),
+          sum(when(col("variant") === "treatment", 1L).otherwise(0L))
+            .as("n_t"),
+          sum(when(col("variant") === "treatment", col("conv")).otherwise(0L))
+            .as("x_t"))
+        .select(col("n_c"), col("x_c"), col("n_t"), col("x_t"),
+          round(col("x_c").cast("double") / col("n_c"), 6).as("rate_c"),
+          round(col("x_t").cast("double") / col("n_t"), 6).as("rate_t"),
+          when(col("x_c") + col("x_t") === 0 ||
+              col("x_c") + col("x_t") === col("n_c") + col("n_t"), lit(0.0))
+            .otherwise(round((col("x_t").cast("double") / col("n_t")
+                - col("x_c").cast("double") / col("n_c"))
+              / sqrt((col("x_c") + col("x_t")).cast("double")
+                  / (col("n_c") + col("n_t"))
+                * (lit(1.0) - (col("x_c") + col("x_t")).cast("double")
+                  / (col("n_c") + col("n_t")))
+                * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))), 6))
+            .as("z"))
+    }),
+
     // symbolic sequence-pattern matching (round 12, third batch) — the
     // MATCH_RECOGNIZE / CEP capability (SQL:2016 row pattern matching;
     // Flink CEP's core): each user's full event history becomes a
@@ -1820,6 +1862,32 @@ object Events {
                     JOIN na nb ON nb.a = pairs.b
                     CROSS JOIN tot
          ORDER BY antecedent, consequent""",
+    "events_ab_test" ->
+      """WITH u AS (SELECT user_id,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) >= 14 THEN 1 ELSE 0 END AS conv,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+               THEN 'control' ELSE 'treatment' END AS variant
+           FROM events GROUP BY user_id),
+           s AS (SELECT
+             CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN variant = 'control' THEN conv ELSE 0 END)
+               AS BIGINT) AS x_c,
+             CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN variant = 'treatment' THEN conv ELSE 0 END)
+               AS BIGINT) AS x_t
+           FROM u)
+         SELECT n_c, x_c, n_t, x_t,
+           round(CAST(x_c AS DOUBLE) / n_c, 6) AS rate_c,
+           round(CAST(x_t AS DOUBLE) / n_t, 6) AS rate_t,
+           CASE WHEN x_c + x_t = 0 OR x_c + x_t = n_c + n_t THEN 0.0
+             ELSE round((CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+               / sqrt(CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)
+                 * (1.0 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+                 * (1.0 / n_c + 1.0 / n_t)), 6) END AS z
+         FROM s""",
     "events_pattern" ->
       """WITH seqs AS (SELECT user_id,
              string_agg(substr(event_type, 1, 1), ''

@@ -131,9 +131,15 @@ object Streams {
       val tag = new java.io.File(sf).getName
       val base = s"${sys.props("java.io.tmpdir")}/graft_txnsink_${runTag}_$tag"
       val (inDir, tblDir, ckpt) = (s"$base/in", s"$base/tbl", s"$base/ckpt")
-      t(s, sf, "events")
-        .select("event_id", "user_id", "event_type", "value")
-        .coalesce(4).write.mode("overwrite").parquet(inDir)
+      // stage the source ONCE per JVM: a re-run must re-observe the same
+      // committed table, not feed the checkpointed stream a fresh set of
+      // part filenames (which would be new data to a file source — the
+      // re-run would legitimately append a second copy)
+      if (!new java.io.File(inDir).exists()) {
+        t(s, sf, "events")
+          .select("event_id", "user_id", "event_type", "value")
+          .coalesce(4).write.parquet(inDir)
+      }
       val q = s.readStream
         .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
         .parquet(inDir)
