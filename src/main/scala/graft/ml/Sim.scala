@@ -340,6 +340,40 @@ object Sim {
     * the candidate volume (still nprobe/nCells = 25% of exact) and clears
     * the ≥ 0.55 floor RecallSpec asserts on the shipped default.
     */
+  /** K-means clustering as a USER-FACING operator — the ivfTopK coarse
+    * quantizer exposed on its own: centroids come from the driver Lloyd
+    * fit over the ONE `maxTrainRows`-bounded sample collect (the standard
+    * production shape — quantizers/clusterers train on a bounded sample
+    * regardless of corpus size), and every corpus vector is then assigned
+    * to its nearest centroid by the codegen'd `graft_nearest_cells`
+    * kernel over the broadcast centroid literal — pure map work, zero
+    * joins, zero extra jobs at any corpus size. Deterministic for a fixed
+    * (corpus, seed): the sample is vec_id-ordered before the collect, the
+    * Lloyd init is a seeded shuffle, and argmin ties break to the lower
+    * index on both the trainer and the kernel.
+    *
+    * @return (vec_id, cluster 0-based long, d2 squared-L2 distance to the
+    *         assigned centroid) */
+  def kmeansAssign(emb: DataFrame, k: Int, maxIter: Int = 10,
+      seed: Long = 42L, maxTrainRows: Long = 262144): DataFrame = {
+    val e0 = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+      .where(col("e").isNotNull)
+    val n = if (maxTrainRows <= 0) 0L else e0.count()
+    val sample = collectTrainSample(e0, n, maxTrainRows, seed)
+    require(sample.nonEmpty, "kmeansAssign needs a non-empty corpus")
+    val cents = lloydLocal(sample, k, maxIter, seed)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    e0.select(col("vec_id"),
+        element_at(call_function("graft_nearest_cells", col("e"), centsLit,
+          lit(1)), 1).cast("long").as("cluster"),
+        col("e"))
+      .withColumn("c", element_at(centsLit, (col("cluster") + 1).cast("int")))
+      .withColumn("d2", aggregate(zip_with(col("e"), col("c"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, b) => a + b))
+      .select("vec_id", "cluster", "d2")
+  }
+
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 4,
       seed: Long = 42L, maxIter: Int = 4,
       maxTrainRows: Long = 262144, nRows: Long = -1L): DataFrame = {

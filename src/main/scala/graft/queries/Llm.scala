@@ -405,6 +405,26 @@ object Llm {
     // ever shuffled.
     "sim_topk" -> ((s, sf) => graft.ml.Sim.bruteTopK(t(s, sf, "embeddings"), 5)),
 
+    // k-means clustering (round 12, third batch; rows-only) — the
+    // unsupervised-segmentation operator every feature store ships,
+    // exposed from the IVF coarse quantizer ([[graft.ml.Sim
+    // .kmeansAssign]]): driver Lloyd over the one bounded sample collect,
+    // then corpus assignment as a single codegen'd map stage over the
+    // broadcast centroid literal — no join, no shuffle before the
+    // per-cluster rollup. Per-cluster within-cluster squared error rides
+    // per-term DECIMAL(38,15) quantization so the reported WSS is
+    // order-independent under any partitioning. Not SQL-expressible
+    // (iterative fit) → no oracle; KmeansSpec recomputes every
+    // assignment and the WSS from the deterministic centroids.
+    "ml_kmeans" -> ((s, sf) =>
+      graft.ml.Sim.kmeansAssign(t(s, sf, "embeddings"), k = 8)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("d2")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+            .cast("double"), 6).as("wss"))
+        .orderBy("cluster")),
+
     // IVF approximate nearest neighbours (capability row: the 100 TB scale
     // path for sim_topk). A KMeans coarse quantizer partitions vectors into
     // cells; each query probes its nprobe=4 nearest cells (the r12 shipped
