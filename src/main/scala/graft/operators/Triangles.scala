@@ -183,7 +183,15 @@ object Triangles {
     val key = (System.identityHashCode(events.sparkSession),
       plan.semanticHash(), minShared, bucketCap, repartitionGate)
     edgeCache.synchronized {
-      edgeCache.get(key).filter(_._1.sameResult(plan)).map(e => (e._2, e._3))
+      // a harness clearCache() (Verify/Bench/Prof run one between queries)
+      // silently unpersists the cached frame while this map still points
+      // at it — serving that frame makes EVERY downstream consumer redo
+      // the full corpus→edge pipeline (a union alone recomputes it twice).
+      // Detect the eviction and rebuild+re-seal instead.
+      edgeCache.get(key)
+        .filter(_._1.sameResult(plan))
+        .filter(_._2.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        .map(e => (e._2, e._3))
     } match {
       case Some(hit) => hit
       case None =>
