@@ -210,6 +210,51 @@ object Aggregates {
     // unpivots the wide row. The oracle pays four scans instead (UNION
     // ALL per column) — at 100 TB that difference is the point of the
     // operator shape.
+    // data-quality EXPECTATIONS (round 12, third batch) — the validation
+    // report every production table gate runs before publishing (the
+    // constraint-suite capability of Deequ / dbt tests / Great
+    // Expectations): primary-key uniqueness, referential integrity,
+    // accepted value sets, range bounds, and null checks, each reported
+    // as (check, violation count, passed). One scan per table — the
+    // per-table checks aggregate together and unpivot via stack, never
+    // one scan per check; the FK check is a left-anti join whose build
+    // side is the key column only. All counts exact BIGINTs.
+    // `customer_balance_nonnegative` FAILS BY DESIGN on this corpus
+    // (TPC-H balances go negative): the report must demonstrate a real
+    // violation count flowing through, not just zeros.
+    "quality_expectations" -> ((s, sf) => {
+      val o = t(s, sf, "orders"); val l = t(s, sf, "lineitem")
+      val c = t(s, sf, "customer"); val e = t(s, sf, "events")
+      val ord = o.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH",
+          "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), 1L).otherwise(0L))
+          .as("prio"))
+        .select(expr("stack(2, 'orders_pk_unique', pk, " +
+          "'orders_priority_accepted', prio) AS (check_name, n_violations)"))
+      val li = l.join(o.select("o_orderkey"),
+          l("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_fk_orders").as("check_name"),
+          col("n_violations"))
+      val cu = c.agg(
+        sum(when(col("c_acctbal") < -1000.0 || col("c_acctbal") > 10000.0,
+          1L).otherwise(0L)).as("rng"),
+        sum(when(col("c_acctbal") < 0.0, 1L).otherwise(0L)).as("neg"))
+        .select(expr("stack(2, 'customer_balance_in_range', rng, " +
+          "'customer_balance_nonnegative', neg) " +
+          "AS (check_name, n_violations)"))
+      val ev = e.agg(
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("nul"),
+        sum(when(col("ts") < lit("2024-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("tsb"))
+        .select(expr("stack(2, 'events_value_nonnull', nul, " +
+          "'events_ts_min_bound', tsb) AS (check_name, n_violations)"))
+      ord.unionByName(li).unionByName(cu).unionByName(ev)
+        .withColumn("passed", col("n_violations") === 0L)
+        .orderBy("check_name")
+    }),
+
     "profile_table" -> ((s, sf) => {
       val cols = Seq("doc_id", "lang", "source", "n_chars")
       val aggs = cols.flatMap(c => Seq(
@@ -880,6 +925,30 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "quality_expectations" ->
+      """WITH checks AS (
+           SELECT 'orders_pk_unique' AS check_name,
+               count(*) - count(DISTINCT o_orderkey) AS n FROM orders
+           UNION ALL SELECT 'orders_priority_accepted',
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+                 '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 1 ELSE 0 END)
+             FROM orders
+           UNION ALL SELECT 'lineitem_fk_orders', count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_orderkey = l.l_orderkey)
+           UNION ALL SELECT 'customer_balance_in_range',
+               sum(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000
+                 THEN 1 ELSE 0 END) FROM customer
+           UNION ALL SELECT 'customer_balance_nonnegative',
+               sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) FROM customer
+           UNION ALL SELECT 'events_value_nonnull',
+               sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) FROM events
+           UNION ALL SELECT 'events_ts_min_bound',
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END)
+             FROM events)
+         SELECT check_name, CAST(n AS BIGINT) AS n_violations,
+           n = 0 AS passed
+         FROM checks ORDER BY check_name""",
     // ground truth for the bitmap pipeline: plain exact distinct
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
