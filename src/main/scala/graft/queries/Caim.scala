@@ -324,8 +324,42 @@ object Caim {
         .select(col("vec_id"), col("label"), col("clabel").as("pred"),
           round(log(col("score")), 6).as("log_score"))
         .orderBy("vec_id")
-    })
+    }),
+
+    "ml_logreg" -> lrQuery
   )
+
+  /** Logistic regression (round 12, third batch; rows-only) — the GLM
+    * workhorse beside the NB pair: binary target y = label mod 2 over the
+    * same embedding[1..3] features, fitted by [[graft.ml.LogReg]]'s
+    * distributed IRLS (per iteration ONE aggregate computes the exact
+    * X'WX / X'(y−p) sufficient statistics from coefficient literals; the
+    * (d+1)-dim solve is driver arithmetic — corpus passes = iterations,
+    * shuffle = (d+1)(d+2)/2+d+1 doubles, the textbook cluster-statistics
+    * GLM that scales in d², not n). Not SQL-expressible (iterative
+    * reweighted fit) → no oracle; LogRegSpec compares against an
+    * independent driver IRLS at 1e-6 and pins sign recovery on a planted
+    * separable set. Coefficients round to 6dp (the moment sums are IEEE
+    * partial sums — last-ulp partition noise is below that). */
+  private def lrQuery: Q = (s, sf) => {
+    val df = t(s, sf, "embeddings").select(
+      element_at(col("embedding"), 1).cast("double").as("f1"),
+      element_at(col("embedding"), 2).cast("double").as("f2"),
+      element_at(col("embedding"), 3).cast("double").as("f3"),
+      (col("label") % 2).cast("int").as("y"))
+    val beta = graft.ml.LogReg.fit(df, Seq("f1", "f2", "f3"), "y")
+    val names = Seq("intercept", "f1", "f2", "f3")
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(names.zip(beta).map { case (n, b) =>
+        org.apache.spark.sql.Row(n, BigDecimal(b)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }: _*)
+    s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("coef",
+        org.apache.spark.sql.types.DoubleType))))
+  }
 
   /** Feature names for the naive Bayes pair (embedding[1..3]). */
   private val nbFeats = Seq("f1", "f2", "f3")

@@ -51,6 +51,44 @@ object Sources {
         .orderBy("o_orderpriority")
     }),
 
+    // malformed-record ingest policy (round 12, third batch) — the
+    // PERMISSIVE corrupt-record contract every raw-log reader needs:
+    // a JSONL file of real supplier rows salted with three broken lines
+    // (truncated JSON, a bare string, schema-violating types) is read
+    // with an explicit schema + columnNameOfCorruptRecord; broken lines
+    // land intact in the corrupt column (auditable, re-parseable) instead
+    // of killing the job or silently vanishing, and good rows aggregate
+    // exactly. The report pins BOTH halves: n_corrupt = the planted 3,
+    // and the good-row aggregate hash-matches the plain table. FAILFAST /
+    // DROPMALFORMED are the same reader one option away; PERMISSIVE is
+    // declared because it is the only policy that loses nothing.
+    "source_corrupt" -> ((s, sf) => {
+      val dir = tmp(sf, "corrupt")
+      if (!new java.io.File(dir).exists()) {
+        t(s, sf, "supplier")
+          .select(to_json(struct(col("s_suppkey"), col("s_nationkey"),
+            col("s_acctbal")))).coalesce(1)
+          .write.text(dir)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/part-badlines.txt"),
+          java.util.Arrays.asList(
+            """{"s_suppkey": 1, "s_nationkey":""",
+            """not json at all""",
+            """{"s_suppkey": "NaN-key", "s_nationkey": [], "s_acctbal": {}}"""))
+      }
+      val read = s.read
+        .schema("s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE, " +
+          "_bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(dir)
+      read.agg(
+          sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+          graft.T.dsum(when(col("_bad").isNull, col("s_acctbal"))
+            .otherwise(lit(0.0)), 2).as("good_bal_sum"))
+    }),
+
     // parquet schema evolution (round 12, third batch) — the read-side
     // capability every long-lived table needs: two write epochs of the
     // supplier table, the first WITHOUT the balance column (the pre-
@@ -309,6 +347,12 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "source_corrupt" ->
+      """SELECT CAST(3 AS BIGINT) AS n_corrupt,
+                count(*) AS n_good,
+                CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  AS good_bal_sum
+         FROM supplier""",
     "source_evolution" ->
       """WITH epochs AS (
            SELECT s_nationkey, CAST(NULL AS DOUBLE) AS bal FROM supplier
