@@ -134,6 +134,42 @@ object Scalars {
     // PATH / QUERY(key) semantics are cross-validated, not assumed.
     // Narrow per-row map stage at any scale. NULL lang/source → NULL url
     // → NULL parts, identically in both engines.
+    // geospatial distance (round 12, third batch) — the haversine
+    // great-circle workhorse (the one geo function every event/logistics
+    // pipeline needs before it reaches for a full GIS stack): synthetic
+    // but DETERMINISTIC coordinates derived arithmetically from the keys
+    // (no geo columns in the corpus — the derivation is part of the
+    // declared semantics, identical on both engines), customer→supplier
+    // pairs within a nation, top 20 by distance. Float discipline: one
+    // identical sin/cos/asin chain per pair with the asin argument
+    // clamped (rounding can push sqrt past 1), and the RANKING key is the
+    // ROUNDED distance (3dp) + both ids — a last-ulp trig divergence
+    // cannot reorder the cut. The nation equi-join bounds the pair
+    // fan-out; the top-k is a TakeOrderedAndProject.
+    "fn_geo" -> ((s, sf) => {
+      def lat(k: org.apache.spark.sql.Column) =
+        (k % 120 - 60).cast("double") + lit(0.25)
+      def lon(k: org.apache.spark.sql.Column) =
+        ((k * 7) % 360 - 180).cast("double") + lit(0.25)
+      val c = t(s, sf, "customer").select(col("c_custkey"),
+        lat(col("c_custkey")).as("clat"), lon(col("c_custkey")).as("clon"),
+        col("c_nationkey"))
+      val sup = t(s, sf, "supplier").select(col("s_suppkey"),
+        lat(col("s_suppkey")).as("slat"), lon(col("s_suppkey")).as("slon"),
+        col("s_nationkey"))
+      val dphi = radians((col("slat") - col("clat")) / 2)
+      val dlam = radians((col("slon") - col("clon")) / 2)
+      val h = sin(dphi) * sin(dphi) +
+        cos(radians(col("clat"))) * cos(radians(col("slat"))) *
+        sin(dlam) * sin(dlam)
+      c.join(sup, col("c_nationkey") === col("s_nationkey"))
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(lit(2 * 6371.0088) * asin(least(lit(1.0), sqrt(h))), 3)
+            .as("km"))
+        .orderBy(desc("km"), col("c_custkey"), col("s_suppkey"))
+        .limit(20)
+    }),
+
     "fn_url" -> ((s, sf) =>
       t(s, sf, "documents")
         .withColumn("url", concat(lit("https://"), col("source"),
@@ -191,6 +227,25 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_geo" ->
+      """WITH c AS (SELECT c_custkey,
+             CAST(c_custkey % 120 - 60 AS DOUBLE) + 0.25 AS clat,
+             CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) + 0.25 AS clon,
+             c_nationkey FROM customer),
+           s AS (SELECT s_suppkey,
+             CAST(s_suppkey % 120 - 60 AS DOUBLE) + 0.25 AS slat,
+             CAST((s_suppkey * 7) % 360 - 180 AS DOUBLE) + 0.25 AS slon,
+             s_nationkey FROM supplier),
+           d AS (SELECT c_custkey, s_suppkey,
+             2 * 6371.0088 * asin(least(1.0, sqrt(
+               sin(radians((slat - clat) / 2)) * sin(radians((slat - clat) / 2))
+               + cos(radians(clat)) * cos(radians(slat))
+               * sin(radians((slon - clon) / 2))
+               * sin(radians((slon - clon) / 2))))) AS km
+             FROM c JOIN s ON c_nationkey = s_nationkey)
+         SELECT c_custkey, s_suppkey, round(km, 3) AS km
+         FROM d ORDER BY round(km, 3) DESC, c_custkey, s_suppkey
+         LIMIT 20""",
     "fn_string" ->
       """SELECT p_partkey, upper(p_name) AS up, substring(p_name, 1, 5) AS sub,
          CAST(length(p_name) AS BIGINT) AS len,
