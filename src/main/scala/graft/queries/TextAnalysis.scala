@@ -374,6 +374,42 @@ object TextAnalysis {
     // map-side-combined agg; the top-3 cut is a row_number over the
     // (doc, token) count table — state ∝ distinct tokens per doc, the
     // window partitions on doc_id so no token crosses documents.
+    // BM25 keyword-search ranking (round 12, third batch) — the retrieval
+    // scoring function (Robertson & Zaragoza, *The Probabilistic Relevance
+    // Framework: BM25 and Beyond*, FnTIR 2009; k1 = 1.2, b = 0.75) that
+    // completes the search stack tfidf/hashing_tf start: a fixed 3-term
+    // keyword query ('dup' is rare — df 25/500 — so idf actually ranks)
+    // scored over the documents corpus, top 20. Plan: ONE token explode
+    // feeds both the per-doc length rollup and the (term-filtered,
+    // 3-term-tiny) tf frame; df and the (total, N) scalars broadcast; the
+    // scoring join is tf-sized. Float discipline: idf and the saturation
+    // term are ONE identical chain from exact integers and the identical
+    // avgdl double; each per-term score quantizes to DECIMAL(38,15) (the
+    // per-term-decimal discipline) so the per-doc sum is exact and the
+    // (score DESC, doc_id) cut compares decimals, never raw-float ranks.
+    "text_bm25" -> ((s, sf) => {
+      val d15 = org.apache.spark.sql.types.DecimalType(38, 15)
+      val tok = t(s, sf, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(sum(col("dl")).as("tot"), count(lit(1)).as("nd"))
+      val tf = tok.where(col("tk").isin("dup", "vector", "merge"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+      tf.join(dl, Seq("doc_id"))
+        .join(broadcast(dfq), Seq("tk"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("nd") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))))
+        .withColumn("term15", (col("idf") * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl")
+            / (col("tot").cast("double") / col("nd"))))).cast(d15))
+        .groupBy("doc_id").agg(sum(col("term15")).as("s"))
+        .orderBy(desc("s"), col("doc_id")).limit(20)
+        .select(col("doc_id"), round(col("s").cast("double"), 6).as("bm25"))
+    }),
+
     "text_top_tokens" -> ((s, sf) =>
       t(s, sf, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
@@ -891,6 +927,25 @@ object TextAnalysis {
          SELECT doc_id, tk, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
            round(score, 6) AS score
          FROM r WHERE rnk = 1 ORDER BY doc_id""",
+    "text_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+             FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+           st AS (SELECT CAST(sum(dl) AS BIGINT) AS tot, count(*) AS nd
+             FROM dl),
+           tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok
+             WHERE tk IN ('dup', 'vector', 'merge') GROUP BY 1, 2),
+           dfq AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+           terms AS (SELECT tf.doc_id,
+               CAST(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+                 / (tf + 1.2 * (0.25 + 0.75 * dl
+                   / (CAST(tot AS DOUBLE) / nd)))
+                 AS DECIMAL(38,15)) AS term15
+             FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tk)
+               CROSS JOIN st),
+           sc AS (SELECT doc_id, sum(term15) AS s FROM terms GROUP BY 1)
+         SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS bm25
+         FROM sc ORDER BY s DESC, doc_id LIMIT 20""",
     "text_top_tokens" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
              FROM documents),
