@@ -109,7 +109,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // frequency literals onto the day-domain frame (ts_periodogram)
     "agg_cov_matrix", "nb_fit", "nb_classify", "ts_periodogram",
     // the 1-row edge-count scalar onto the per-community frame
-    "graph_modularity")
+    "graph_modularity",
+    // the 1-row (total, N) corpus scalar onto the term-filtered tf frame
+    "text_bm25")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
