@@ -379,9 +379,10 @@ object TextAnalysis {
     // Framework: BM25 and Beyond*, FnTIR 2009; k1 = 1.2, b = 0.75) that
     // completes the search stack tfidf/hashing_tf start: a fixed 3-term
     // keyword query ('dup' is rare — df 25/500 — so idf actually ranks)
-    // scored over the documents corpus, top 20. Plan: ONE token explode
-    // feeds both the per-doc length rollup and the (term-filtered,
-    // 3-term-tiny) tf frame; df and the (total, N) scalars broadcast; the
+    // scored over the documents corpus, top 20. Plan: per-doc lengths
+    // come from size(split(...)) — one row per doc with NO explode — and
+    // the token explode exists only for the term-filtered (3-term-tiny)
+    // tf frame; df and the (total, N) scalars broadcast; the
     // scoring join is tf-sized. Float discipline: idf and the saturation
     // term are ONE identical chain from exact integers and the identical
     // avgdl double; each per-term score quantizes to DECIMAL(38,15) (the
@@ -389,11 +390,13 @@ object TextAnalysis {
     // (score DESC, doc_id) cut compares decimals, never raw-float ranks.
     "text_bm25" -> ((s, sf) => {
       val d15 = org.apache.spark.sql.types.DecimalType(38, 15)
-      val tok = t(s, sf, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val docs = t(s, sf, "documents")
+      val dl = docs.select(col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("dl"))
       val stats = dl.agg(sum(col("dl")).as("tot"), count(lit(1)).as("nd"))
-      val tf = tok.where(col("tk").isin("dup", "vector", "merge"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+        .where(col("tk").isin("dup", "vector", "merge"))
         .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
       val dfq = tf.groupBy("tk").agg(count(lit(1)).as("df"))
       tf.join(dl, Seq("doc_id"))
@@ -930,7 +933,9 @@ object TextAnalysis {
     "text_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
              FROM documents),
-           dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+           dl AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             FROM documents),
            st AS (SELECT CAST(sum(dl) AS BIGINT) AS tot, count(*) AS nd
              FROM dl),
            tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok
