@@ -210,6 +210,45 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
       Set(1L -> "a", 2L -> "b", 3L -> "c")
   }
 
+  test("txn sink across a RESTART: checkpoint resumes, replays no-op, table exact") {
+    // the full production story: an AvailableNow run commits what exists,
+    // the 'job' stops, more data lands, a SECOND run with the SAME
+    // checkpoint picks up only the new file — and deliberate replays of
+    // both batchIds (the crash-retry) change nothing. The read-back must
+    // be each source row exactly once.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-txnsink").toString
+    val (inDir, tbl, ckpt) = (s"$base/in", s"$base/tbl", s"$base/ckpt")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("k LONG, v STRING").parquet(inDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.TxnSink.commitBatch(tbl, b, id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq(1L -> "a", 2L -> "b").toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    asSet(ManifestTable.read(spark, tbl)) shouldBe Set(1L -> "a", 2L -> "b")
+    Seq(3L -> "c").toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce() // restart: the checkpoint must deliver ONLY the new file
+    val want = Set(1L -> "a", 2L -> "b", 3L -> "c")
+    asSet(ManifestTable.read(spark, tbl)) shouldBe want
+    val versions = ManifestTable.versions(spark, tbl)
+    // crash-retries of every delivered batchId: all no-ops
+    versions.indices.foreach { i =>
+      graft.streaming.TxnSink.commitBatch(tbl,
+        spark.read.parquet(inDir), i.toLong)
+    }
+    ManifestTable.versions(spark, tbl) shouldBe versions
+    asSet(ManifestTable.read(spark, tbl)) shouldBe want
+  }
+
   test("tagged commits are exactly-once: retries no-op, torn attempts redo") {
     val dir = tmpDir()
     // first commit under a stable tag (a foreachBatch batchId)
