@@ -51,6 +51,33 @@ object Sources {
         .orderBy("o_orderpriority")
     }),
 
+    // snapshot expiry / vacuum (round 12, third batch) — the retention
+    // half of the manifest protocol's lifecycle (commit → time-travel →
+    // compact → EXPIRE — Delta VACUUM / Iceberg expire_snapshots): three
+    // commits build the table, expiry retains the last two snapshots and
+    // physically deletes every data batch no retained manifest references.
+    // The declared read is the HEAD AFTER EXPIRY — hash-matching the plain
+    // table proves retention never touches live data (a vacuum that eats
+    // a referenced batch fails the hash; one that misses garbage fails
+    // the spec's file-count assertion, ManifestTableSpec). Metadata-only
+    // at scale: expiry lists manifests + batch dirs, never reads rows.
+    "manifest_expire" -> ((s, sf) => {
+      val dir = tmp(sf, "expire")
+      val c = t(s, sf, "customer")
+      graft.operators.ManifestTable.commit(s, dir,
+        c.filter(col("c_acctbal") <= 2000), replace = true)
+      graft.operators.ManifestTable.commit(s, dir,
+        c.filter(col("c_acctbal") > 2000 && col("c_acctbal") <= 5000))
+      graft.operators.ManifestTable.commit(s, dir,
+        c.filter(col("c_acctbal") > 5000))
+      graft.operators.ManifestTable.expire(s, dir, keepLast = 2)
+      graft.operators.ManifestTable.read(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          graft.T.dsum(col("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // malformed-record ingest policy (round 12, third batch) — the
     // PERMISSIVE corrupt-record contract every raw-log reader needs:
     // a JSONL file of real supplier rows salted with three broken lines
@@ -391,6 +418,10 @@ object Sources {
                 CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM part GROUP BY 1 ORDER BY p_brand""",
     "manifest_commit" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
+    "manifest_expire" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
