@@ -112,19 +112,32 @@ object ManifestTable {
     // idempotent-commit support (the exactly-once streaming-sink
     // contract): a caller with a STABLE retry identity — Spark's
     // foreachBatch batchId — passes it as `tag`. The manifest reference
-    // is the commit point, so the check is exact: if the head snapshot
-    // already lists this tag's files, the batch committed and the retry
-    // is a no-op; if the tag's data dir exists but NO manifest references
-    // it (a crash between data write and manifest rename), the torn
-    // attempt is invisible garbage — delete and redo. Spark's foreachBatch
-    // replays a batchId with identical data, which is what makes the
-    // skip sound.
+    // is the commit point, so the check is exact: if ANY retained snapshot
+    // lists this tag's files, the batch committed and the retry is a
+    // no-op; if the tag's data dir exists but NO retained manifest
+    // references it (a crash between data write and manifest rename), the
+    // torn attempt is invisible garbage — delete and redo. Spark's
+    // foreachBatch replays a batchId with identical data, which is what
+    // makes the skip sound.
+    //
+    // The sweep is over ALL retained manifests, not just the head (r12
+    // ADVICE): a concurrent replace/compact may have folded the batch's
+    // rows into rewritten files and retracted data/<tag> from the HEAD
+    // while older retained manifests still reference it. A head-only check
+    // would then (a) delete data/<tag>, breaking time-travel reads of
+    // those older snapshots, and (b) re-append rows the compacted head
+    // already contains — a duplicate. Newest-first so the common
+    // crash-retry (tag in the head) answers on the first manifest read.
+    // Honestly out of scope: if EVERY manifest referencing the tag has
+    // been expire()d, the retry cannot tell the batch ever committed —
+    // retention must outlive the source's replay horizon, the same
+    // operational contract Delta's VACUUM has with its sources.
     val batch = if (tag != null) tag else java.util.UUID.randomUUID().toString
     val dataRel = s"data/$batch"
     if (tag != null) {
       val vs0 = versions(spark, dir)
-      if (vs0.nonEmpty &&
-          manifestFiles(fs, dir, vs0.last).exists(_.startsWith(dataRel + "/")))
+      if (vs0.reverse.exists(v =>
+          manifestFiles(fs, dir, v).exists(_.startsWith(dataRel + "/"))))
         return vs0.last
       val dp = new Path(s"$dir/$dataRel")
       if (fs.exists(dp)) fs.delete(dp, true)
@@ -167,6 +180,15 @@ object ManifestTable {
       val base = if (replace || vs.isEmpty) Seq.empty
                  else manifestFiles(fs, dir, vs.last)
       val tmp = new Path(manifestDir(dir), s".tmp-$batch-$next")
+      // a pre-existing tmp at this name can only be a TORN earlier attempt
+      // of this same (batch, version) pair — a crash between create and
+      // rename. Without this delete, fs.create(overwrite=false) throws
+      // FileAlreadyExists on every replay of the same batchId at the same
+      // version, wedging the stream in exactly the crash-retry scenario
+      // the sink exists to handle (r12 ADVICE). No live writer shares the
+      // name: untagged batches are UUIDs, and tagged replays are serial
+      // by the foreachBatch contract.
+      if (fs.exists(tmp)) fs.delete(tmp, false)
       val out = fs.create(tmp, false)
       try out.write(((base ++ newFiles).mkString("\n") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

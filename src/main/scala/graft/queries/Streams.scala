@@ -152,11 +152,14 @@ object Streams {
         .start()
       q.awaitTermination()
       // the crash-retry: replay the highest committed batchId with the
-      // same rows — the tagged commit must no-op, not duplicate
+      // same rows — the tagged commit must no-op, not duplicate. Outside
+      // the stream the queryId property is unset, so the replay passes the
+      // query's own id (checkpoint-stable) to land in the same tag
+      // namespace the in-stream commits used.
       val lastBatch = graft.operators.ManifestTable
         .versions(s, tblDir).size - 1L
       graft.streaming.TxnSink.commitBatch(tblDir,
-        s.read.parquet(inDir), lastBatch)
+        s.read.parquet(inDir), lastBatch, queryId = q.id.toString)
       graft.operators.ManifestTable.read(s, tblDir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),

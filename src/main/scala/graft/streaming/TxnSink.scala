@@ -29,8 +29,29 @@ import org.apache.spark.sql.DataFrame
 object TxnSink {
 
   /** Commit one micro-batch; returns the committed (or already-committed)
-    * snapshot version. Use as the body of `writeStream.foreachBatch`. */
-  def commitBatch(dir: String, batch: DataFrame, batchId: Long): Long =
+    * snapshot version. Use as the body of `writeStream.foreachBatch`.
+    *
+    * The idempotence tag is namespaced by the STREAMING QUERY's identity,
+    * matching Spark's (queryId, batchId) convention (r12 ADVICE): a bare
+    * `batch-<id>` tag would make two different queries (or one restarted
+    * with a fresh checkpoint) writing the same table silently skip each
+    * other's batch 0, 1, ... as "already committed" — data loss, not a
+    * conflict. `queryId` defaults to the `sql.streaming.queryId` local
+    * property StreamExecution sets on the micro-batch thread foreachBatch
+    * runs on, so in-stream use needs no extra plumbing; the id persists in
+    * the checkpoint, so a restart of the SAME query (same checkpoint)
+    * still no-ops its replays, while a fresh checkpoint gets a fresh
+    * namespace and appends. Driver-side replays outside the stream (tests,
+    * manual recovery) must pass the query's id explicitly — outside a
+    * stream the property is unset and the tag falls back to the bare
+    * batchId namespace.
+    */
+  def commitBatch(dir: String, batch: DataFrame, batchId: Long,
+      queryId: String = null): Long = {
+    val qid = Option(queryId).orElse(Option(
+      batch.sparkSession.sparkContext.getLocalProperty("sql.streaming.queryId")))
+    val tag = qid.map(q => s"$q-batch-$batchId").getOrElse(s"batch-$batchId")
     graft.operators.ManifestTable.commit(batch.sparkSession, dir, batch,
-      replace = false, tag = s"batch-$batchId")
+      replace = false, tag = tag)
+  }
 }

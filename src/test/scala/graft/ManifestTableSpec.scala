@@ -219,7 +219,9 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-txnsink").toString
     val (inDir, tbl, ckpt) = (s"$base/in", s"$base/tbl", s"$base/ckpt")
-    def runOnce(): Unit = {
+    // the query id is CHECKPOINT-stable: both runs must report the same
+    // one, and out-of-stream replays address its tag namespace with it
+    def runOnce(): String = {
       val q = spark.readStream.schema("k LONG, v STRING").parquet(inDir)
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
@@ -229,21 +231,23 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      q.id.toString
     }
     Seq(1L -> "a", 2L -> "b").toDF("k", "v")
       .coalesce(1).write.mode("append").parquet(inDir)
-    runOnce()
+    val qid1 = runOnce()
     asSet(ManifestTable.read(spark, tbl)) shouldBe Set(1L -> "a", 2L -> "b")
     Seq(3L -> "c").toDF("k", "v")
       .coalesce(1).write.mode("append").parquet(inDir)
-    runOnce() // restart: the checkpoint must deliver ONLY the new file
+    val qid2 = runOnce() // restart: the checkpoint must deliver ONLY the new file
+    qid2 shouldBe qid1 // same checkpoint = same query identity across restarts
     val want = Set(1L -> "a", 2L -> "b", 3L -> "c")
     asSet(ManifestTable.read(spark, tbl)) shouldBe want
     val versions = ManifestTable.versions(spark, tbl)
     // crash-retries of every delivered batchId: all no-ops
     versions.indices.foreach { i =>
       graft.streaming.TxnSink.commitBatch(tbl,
-        spark.read.parquet(inDir), i.toLong)
+        spark.read.parquet(inDir), i.toLong, queryId = qid1)
     }
     ManifestTable.versions(spark, tbl) shouldBe versions
     asSet(ManifestTable.read(spark, tbl)) shouldBe want
@@ -274,5 +278,67 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     graft.streaming.TxnSink.commitBatch(dir, df(4L -> "d"), 3L) shouldBe 4L
     asSet(ManifestTable.read(spark, dir)) shouldBe
       Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+  }
+
+  test("tagged retry after a compacting replace: no-op, tag's batch survives") {
+    // r12 ADVICE (medium): a head-only idempotence check would let a
+    // replay that races a compaction (a) delete data/<tag> that older
+    // retained manifests still reference — breaking their time travel —
+    // and (b) re-append rows the compacted head already folded in. The
+    // check must consult every retained manifest.
+    val dir = tmpDir()
+    ManifestTable.commit(spark, dir, df(1L -> "a"), tag = "batch-0") shouldBe 1L
+    // compaction: rewrite the SAME rows into fresh files and publish as a
+    // replace — the head (v2) no longer references data/batch-0, v1 does
+    val compacted = ManifestTable.read(spark, dir)
+    ManifestTable.commit(spark, dir, compacted, replace = true) shouldBe 2L
+    // the delayed foreachBatch retry of batch-0 arrives AFTER the compact
+    ManifestTable.commit(spark, dir, df(1L -> "a"), tag = "batch-0") shouldBe 2L
+    // exactly-once held: no new version, no duplicate rows
+    ManifestTable.versions(spark, dir) shouldBe Seq(1L, 2L)
+    asSet(ManifestTable.read(spark, dir)) shouldBe Set(1L -> "a")
+    // and the retained v1 snapshot still time-travels — its batch dir was
+    // NOT clobbered by the retry
+    asSet(ManifestTable.read(spark, dir, version = 1L)) shouldBe Set(1L -> "a")
+  }
+
+  test("a torn tmp manifest at the deterministic name does not wedge the retry") {
+    // r12 ADVICE (low): a crash between fs.create(.tmp-<batch>-<v>) and
+    // the rename used to make every replay of that (batch, version) pair
+    // die with FileAlreadyExists — permanently, in exactly the crash-retry
+    // scenario the sink exists for
+    val dir = tmpDir()
+    ManifestTable.commit(spark, dir, df(1L -> "a")) shouldBe 1L
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate the torn attempt: batch-7's data written, tmp manifest
+    // created at the name the retry will recompute, rename never happened
+    df(2L -> "b").write.parquet(s"$dir/data/batch-7")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_manifests/.tmp-batch-7-2")
+    val out = fs.create(tmp, false)
+    try out.write("torn".getBytes("UTF-8")) finally out.close()
+    // the replay must clear the torn tmp and commit normally
+    ManifestTable.commit(spark, dir, df(2L -> "b"), tag = "batch-7") shouldBe 2L
+    asSet(ManifestTable.read(spark, dir)) shouldBe Set(1L -> "a", 2L -> "b")
+  }
+
+  test("two streaming queries sharing a table dir do not skip each other's batches") {
+    // r12 ADVICE (low): with bare batch-<id> tags, query B's batch 0 was
+    // silently dropped as "already committed" by query A's batch 0 —
+    // data loss. queryId-namespaced tags keep the identities disjoint
+    // while each query's OWN replays still no-op.
+    val dir = tmpDir()
+    graft.streaming.TxnSink.commitBatch(dir, df(1L -> "a"), 0L,
+      queryId = "queryA") shouldBe 1L
+    graft.streaming.TxnSink.commitBatch(dir, df(2L -> "b"), 0L,
+      queryId = "queryB") shouldBe 2L
+    asSet(ManifestTable.read(spark, dir)) shouldBe Set(1L -> "a", 2L -> "b")
+    // replays inside each namespace: no-ops
+    graft.streaming.TxnSink.commitBatch(dir, df(1L -> "a"), 0L,
+      queryId = "queryA") shouldBe 2L
+    graft.streaming.TxnSink.commitBatch(dir, df(2L -> "b"), 0L,
+      queryId = "queryB") shouldBe 2L
+    ManifestTable.versions(spark, dir) shouldBe Seq(1L, 2L)
+    asSet(ManifestTable.read(spark, dir)) shouldBe Set(1L -> "a", 2L -> "b")
   }
 }
