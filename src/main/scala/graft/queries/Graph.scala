@@ -39,6 +39,8 @@ import graft.T.{Q, t}
   */
 object Graph {
 
+  private lazy val runTag = java.util.UUID.randomUUID().toString.take(8)
+
   private val damping = 0.85
   private val iters = 10
 
@@ -111,6 +113,35 @@ object Graph {
     "graph_clustering" -> ((s, sf) =>
       graft.operators.Triangles.perNode(t(s, sf, "events"))
         .orderBy("user_id")),
+
+    // the graph census AS A SURFACE (round 13, verdict item 4): the
+    // corpus→edge collapse is the expensive shared front end of the whole
+    // co-occurrence graph family (triangles, clustering, link prediction,
+    // k-core, labelprop, modularity, assortativity), and the production
+    // path at 100 TB is BUILD ONCE, PERSIST, READ — the metrics are cheap
+    // against the kept graph, and only this query pays the corpus scan.
+    // Declared as exactly that: [[graft.operators.Triangles.cooccurEdges]]
+    // builds the canonical (u1 < u2, ≥ 30 shared buckets, capped) edge
+    // list, a replace-commit publishes it ATOMICALLY through
+    // [[graft.operators.ManifestTable]] (a reader never sees a torn edge
+    // list; re-publication is one more snapshot, and time travel keeps the
+    // graph-as-of-yesterday readable), and the RESULT is the read-back
+    // through the head manifest — so the hash check against the DuckDB
+    // edge CTE verifies the full write→commit→read round trip, not just
+    // the in-memory frame. Downstream metrics in one session reuse the
+    // same sealed frame via the census cache; a multi-job deployment reads
+    // this table instead of rebuilding (the bench accounting note in
+    // PLANS.md separates census cost from metric cost on exactly this
+    // basis). Output is GRAPH-sized (the edge list); everything
+    // corpus-sized stays inside the census pipeline's documented plan.
+    "graph_census" -> ((s, sf) => {
+      val tag = new java.io.File(sf).getName
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_census_${runTag}_$tag"
+      val (edges, _) =
+        graft.operators.Triangles.cooccurEdges(t(s, sf, "events"))
+      graft.operators.ManifestTable.commit(s, dir, edges, replace = true)
+      graft.operators.ManifestTable.read(s, dir).orderBy("u1", "u2")
+    }),
 
     // link prediction (round 12) — the PREDICTIVE primitive completing the
     // graph tier (connectivity, density, centrality, distance, now
@@ -561,6 +592,13 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    // the census surface: the canonical edge list itself, hash-checked
+    // against the same capped/thresholded co-occurrence CTE every graph
+    // oracle below builds on (edgeCtes is the single source of truth)
+    "graph_census" -> (edgeCtes +
+      """
+        |SELECT CAST(u1 AS BIGINT) AS u1, CAST(u2 AS BIGINT) AS u2
+        |FROM e0 ORDER BY u1, u2""".stripMargin),
     "graph_kcore" -> kcoreSql,
     "graph_labelprop" -> labelpropSql,
     "graph_modularity" -> modularitySql,

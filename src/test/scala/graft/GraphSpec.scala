@@ -316,4 +316,23 @@ class GraphSpec extends AnyFunSuite with SparkFixture with Matchers {
       4L -> 3L, 5L -> 3L, 6L -> 3L)
     run(0L) shouldBe driver
   }
+
+  test("graph_census: manifest read-back equals the live edge frame, re-run stable") {
+    // the declared census surface publishes cooccurEdges through a
+    // ManifestTable replace-commit and returns the READ-BACK; the round
+    // trip must be lossless and a second publication (QueriesSpec runs
+    // every query twice per JVM) must read back the same head
+    val q = graft.queries.Graph.queries("graph_census")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue)).toSeq
+    val first = pairs(q(spark, sf001))
+    val (live, n) = graft.operators.Triangles.cooccurEdges(
+      T.t(spark, sf001, "events"))
+    first.toSet shouldBe pairs(live.orderBy("u1", "u2")).toSet
+    first.length.toLong shouldBe n
+    // canonical orientation survives the round trip
+    all(first.map { case (a, b) => a < b }) shouldBe true
+    pairs(q(spark, sf001)) shouldBe first
+  }
 }
