@@ -37,11 +37,22 @@ object Triangles {
   /** Kept-activity-row boundary between the two pair-generation regimes
     * (see the dispatch note in `pipeline`): below it the capped activity
     * frame is broadcast as the build side and the probe is u1-partitioned
-    * for full map-side combine; above it both sides co-partition on the
-    * bucket key with pinned parallelism. ~4M rows ≈ 160 MB of
-    * (user, day, type) — a comfortable executor broadcast budget; past it
-    * the build side stops being broadcastable. */
-  val repartitionMinRows = 4194304L
+    * for FULL map-side combine (a pair's every instance lands in u1's
+    * task, so the exchange carries distinct pairs, not Σ bucket²
+    * instances); above it both sides co-partition on the bucket key with
+    * pinned parallelism and the exchange carries raw pair instances —
+    * combine-poor by measurement (~1.5×), linear in Σ bucket².
+    *
+    * r13 sizing: the 100× scaling sweep showed the regimes differ by
+    * ~20× in exchange volume (100× corpus: 2.17 G raw instances / 11.8 GB
+    * +10 GB sort-spill raw, vs ~112 M distinct pairs combined), so the
+    * gate is placed where the BROADCAST stops being cheap, not earlier:
+    * 16M rows ≈ 650 MB of (user, day, type) packed rows — a deliberate
+    * spend on executors provisioned for a 100 TB job (broadcast cost is
+    * one-time per census; the raw exchange is per-corpus-linear). Deploy
+    * knob: pass `repartitionGate` explicitly to match the cluster's
+    * executor memory. */
+  val repartitionMinRows = 16777216L
 
   /** Edge-count boundary for the wedge phase (see `pipeline`): below it
     * the sealed edge list collects once and triangles close on the driver
@@ -222,10 +233,13 @@ object Triangles {
     // below needs (the PageRank/knn stats-dispatch move: no second job)
     val st = sizes.agg(
       sum(when(col("m") > bucketCap, 1L).otherwise(0L)).as("capped"),
-      sum(when(col("m") <= bucketCap, col("m")).otherwise(lit(0L))).as("kept"))
+      sum(when(col("m") <= bucketCap, col("m")).otherwise(lit(0L))).as("kept"),
+      sum(when(col("m") <= bucketCap, expr("m * (m - 1) div 2"))
+        .otherwise(lit(0L))).as("pair_inst"))
       .head()
     val capped = Option(st.get(0)).fold(0L)(_.asInstanceOf[Long])
     val keptRows = Option(st.get(1)).fold(0L)(_.asInstanceOf[Long])
+    val pairInst = Option(st.get(2)).fold(0L)(_.asInstanceOf[Long])
     if (capped > 0)
       log.warn(s"triangles: $capped (day, event_type) buckets exceeded " +
         s"cap=$bucketCap and were DROPPED — edge set is a lower bound")
@@ -274,6 +288,24 @@ object Triangles {
           .join(ua.select(col("d"), col("event_type"), col("user_id").as("u2")),
             Seq("d", "event_type"))
       }
+    // Pair-aggregation shape (r13 100× sweep): in the broadcast-combine
+    // regime the probe is u1-partitioned, so the map-side partial agg
+    // collapses the ~20× cross-bucket pair repetition to distinct pairs
+    // before the exchange. In the pinned-repartition regime a pair's
+    // instances spread across (d, type) buckets in DIFFERENT tasks, so
+    // the partial agg only collapses ~1.5× — measured at the 100× corpus
+    // (2.17 G instances): 11.8 GB exchange + ~10 GB of external-sort
+    // spill either way (an explicit fan-out-sized repartition that skips
+    // the partial was re-measured at the SAME wall time with 1.5× MORE
+    // wire, so the planner's partial+AQE-sized-final shape is kept — the
+    // combine is worth its cost on the wire even when it can't collapse
+    // much). The raw pair exchange is that regime's declared intrinsic
+    // intermediate: linear in Σ bucket² (pairInst, logged below), which
+    // is linear in the corpus at constant bucket size.
+    if (keptRows >= repartitionGate)
+      log.warn(s"triangles: pair stage in the raw-exchange regime — " +
+        s"$pairInst pair instances ($keptRows kept activity rows ≥ gate " +
+        s"$repartitionGate); the exchange is corpus-linear and combine-poor")
     val (edges, nEdges) = tr.sealCounted(
       pairs.where(col("u1") < col("u2"))
         .groupBy("u1", "u2").agg(count(lit(1)).as("shared"))

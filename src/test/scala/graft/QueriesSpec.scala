@@ -15,10 +15,11 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     // graph_linkpred scores only non-adjacent pairs of the ≥30-shared-
     // bucket graph, whose sf0.001 edge set is EMPTY (measured: first edge
     // appears near sf0.01, where the driver oracle checks 105 scored
-    // pairs) — the one declared query whose honest sf0.001 answer is
-    // zero rows. TrianglesSpec exercises its values non-vacuously at
-    // sf0.001 on the denser minShared=20 graph.
-    val sparseByDesign = Set("graph_linkpred")
+    // pairs) — and graph_census (r13) IS that edge set, so both share
+    // the honest zero-row answer at sf0.001. TrianglesSpec/GraphSpec
+    // exercise their values non-vacuously at sf0.001 on the denser
+    // minShared=20 graph; the driver oracle hash-checks both at sf0.01.
+    val sparseByDesign = Set("graph_linkpred", "graph_census")
     val empties = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val n = SparkEntry.queries(name)(spark, sf001).count()
       if (n == 0) Some(name) else None

@@ -18,6 +18,13 @@ sf0.1, not ten literal copies —
 Remaining tables are copied verbatim (Prof's warmup + loader need them).
 
 Usage: python3 tools/scale10.py [srcDir=/root/testdata/sf0.1] [dst=/tmp/sf1]
+                                [replicas=10]
+
+Round 13: the replica count is a parameter, so the same composer builds
+the 100x (sf10-equivalent) corpus for the second measured scaling point:
+    python3 tools/scale10.py /root/testdata/sf0.1 /tmp/sf10 100
+(events -> 10M rows, documents -> 500k docs; offsets sized for 1000
+replicas before id collision).
 """
 import os
 import shutil
@@ -27,28 +34,29 @@ import duckdb
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 os.makedirs(dst, exist_ok=True)
 
 con = duckdb.connect()
 con.execute("SET threads=8")
 
 docs = " UNION ALL ".join(
-    f"""SELECT doc_id + {i} * 1000000 AS doc_id,
+    f"""SELECT doc_id + CAST({i * 1000000} AS BIGINT) AS doc_id,
           regexp_replace(text, '(\\S+)', '\\1{i}', 'g') AS text,
           lang, source,
           CAST(length(regexp_replace(text, '(\\S+)', '\\1{i}', 'g')) AS BIGINT)
             AS n_chars
         FROM read_parquet('{src}/documents.parquet')"""
-    for i in range(10))
+    for i in range(reps))
 con.execute(f"COPY ({docs}) TO '{dst}/documents.parquet' (FORMAT PARQUET)")
 
 events = " UNION ALL ".join(
-    f"""SELECT event_id + {i} * 100000000 AS event_id,
+    f"""SELECT event_id + CAST({i * 100000000} AS BIGINT) AS event_id,
           ts + INTERVAL {i * 365} DAY AS ts,
-          user_id + {i} * 10000000 AS user_id,
+          user_id + CAST({i * 10000000} AS BIGINT) AS user_id,
           event_type, value, props
         FROM read_parquet('{src}/events.parquet')"""
-    for i in range(10))
+    for i in range(reps))
 con.execute(f"COPY ({events}) TO '{dst}/events.parquet' (FORMAT PARQUET)")
 
 for t in ("region", "nation", "customer", "supplier", "part", "orders",
