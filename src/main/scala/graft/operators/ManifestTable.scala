@@ -42,13 +42,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `readVersion = -1` (default) opts out: blind appends/replaces
   *    serialize optimistically exactly as before.
   *
-  * Still honestly out of scope: transactions spanning tables, and the CAS
-  * rests on atomic rename — object stores without it (raw S3) need a
-  * coordination service instead. Those are exactly the reasons a
-  * multi-writer 100 TB production pipeline sits on Delta/Iceberg; this
-  * operator exists so the single-writer pipelines this library targets
-  * (Upsert/Compact/Layout rewrites) publish ATOMICALLY instead of
-  * in-place.
+  * Transactions spanning tables live one layer up in [[Catalog]] (r13),
+  * which pins `table -> version` in a catalog pointer file committed by
+  * this same rename CAS. Still honestly out of scope: the CAS rests on
+  * atomic rename — object stores without it (raw S3) need a coordination
+  * service instead (the Iceberg REST-catalog / Delta commit-service
+  * role). That is the remaining reason a multi-writer 100 TB production
+  * pipeline sits on Delta/Iceberg; this operator exists so the
+  * single-writer pipelines this library targets (Upsert/Compact/Layout
+  * rewrites) publish ATOMICALLY instead of in-place.
   */
 object ManifestTable {
 

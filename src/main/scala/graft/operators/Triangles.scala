@@ -365,13 +365,33 @@ object Triangles {
         org.apache.spark.sql.types.StructField("adamic_adar",
           org.apache.spark.sql.types.DoubleType))))
     } else {
+      val s = edges.sparkSession
       val adj = tr.seal(edges.select(col("u1").as("u"), col("u2").as("v"))
         .union(edges.select(col("u2").as("u"), col("u1").as("v"))))
       val deg = adj.groupBy("u").agg(count(lit(1)).as("dg"))
-      val cand = adj.select(col("v").as("a"), col("u").as("z"))
-        .join(adj.select(col("u").as("z"), col("v").as("b")), Seq("z"))
-        .where(col("a") < col("b"))
+      // r13 (the 100× sweep's regime-placement lesson, applied to the wedge
+      // exchange): a z-keyed self-join generates each pair's wedges in
+      // DIFFERENT z-partitioned tasks, so the (a, b) partial agg is
+      // combine-poor and the exchange carries Σ deg² raw wedge instances
+      // (measured 221 s warm at the 100× corpus). With the dz-annotated
+      // adjacency BROADCAST as the build side and the probe partitioned by
+      // the downstream aggregation key prefix `a`, every wedge of (a, b)
+      // is generated in a's task and the partial agg collapses the wedge
+      // fan-out to the distinct candidate set BEFORE the exchange. The
+      // broadcast is graph-sized (3 longs × 2·edges — ~140 MB at the 100×
+      // corpus's 2.9M edges), gated by the same executor-memory budget as
+      // the pair stage; past it the z-join regime remains the declared
+      // raw-exchange path.
+      val build = adj.select(col("u").as("z"), col("v").as("b"))
         .join(deg.select(col("u").as("z"), col("dg").as("dz")), Seq("z"))
+      val probe = adj.select(col("v").as("a"), col("u").as("z"))
+      val wedges =
+        if (2 * nEdges <= repartitionGate) {
+          val nPart = s.sessionState.conf.numShufflePartitions
+          probe.repartition(nPart, col("a")).join(broadcast(build), Seq("z"))
+        } else probe.join(build, Seq("z"))
+      val cand = wedges
+        .where(col("a") < col("b"))
         .groupBy("a", "b")
         .agg(count(lit(1)).as("cn"),
           sum((lit(1.0) / org.apache.spark.sql.functions.log(col("dz")))

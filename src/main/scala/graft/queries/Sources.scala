@@ -370,6 +370,44 @@ object Sources {
           coalesce(col("n_v1"), lit(0L)).as("n_v1"), col("n_head"),
           (col("n_head") - coalesce(col("n_v1"), lit(0L))).as("n_added"))
         .orderBy("c_mktsegment")
+    }),
+
+    // cross-TABLE atomic commit (round 13) — the catalog layer closing the
+    // "transactions spanning tables" manifest gap: TWO derived orders
+    // tables (by-priority and by-status rollups, the materialized-view
+    // pair a reporting pipeline refreshes together) are published in one
+    // transaction per refresh — first over the even-orderkey half, then
+    // over the full corpus — through operators/Catalog: per-table
+    // ManifestTable snapshots made durable first (catalog-invisible),
+    // then ONE pointer-file rename pins both new versions atomically, so
+    // a catalog reader can never see by_prio refreshed without by_status.
+    // The query reads BOTH tables AS OF both catalog versions (relative
+    // selection — deterministic under per-JVM commit accumulation) and
+    // returns the four rollups; hash-matching the oracle proves every
+    // snapshot read-back is exact and consistent. Crash/conflict/merge
+    // semantics are spec-pinned (ManifestTableSpec catalog tests); reads
+    // cost one manifest + one pointer-file metadata op beyond the
+    // snapshot's own scan at any corpus size.
+    "manifest_catalog" -> ((s, sf) => {
+      val dir = tmp(sf, "catalog")
+      val o = t(s, sf, "orders")
+      def refresh(src: org.apache.spark.sql.DataFrame) = Map(
+        "by_prio" -> src.groupBy(col("o_orderpriority").as("k"))
+          .agg(count(lit(1)).as("n"), graft.T.dsum(col("o_totalprice"), 2).as("sv")),
+        "by_status" -> src.groupBy(col("o_orderstatus").as("k"))
+          .agg(count(lit(1)).as("n"), graft.T.dsum(col("o_totalprice"), 2).as("sv")))
+      graft.operators.Catalog.commit(s, dir,
+        refresh(o.filter(col("o_orderkey") % 2 === 0)))
+      graft.operators.Catalog.commit(s, dir, refresh(o))
+      val vs = graft.operators.Catalog.versions(s, dir).sorted
+      val v1 = vs(vs.length - 2)
+      val legs = for {
+        (cv, snap) <- Seq(v1 -> "v1", vs.last -> "head")
+        tbl <- Seq("by_prio", "by_status")
+      } yield graft.operators.Catalog.readTable(s, dir, tbl, cv)
+        .select(lit(snap).as("snapshot"), lit(tbl).as("tbl"),
+          col("k"), col("n"), col("sv"))
+      legs.reduce(_ unionAll _).orderBy("snapshot", "tbl", "k")
     })
   )
 
@@ -425,6 +463,26 @@ object Sources {
       """SELECT c_mktsegment, count(*) AS n_cust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
+    "manifest_catalog" ->
+      """WITH half AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+           legs AS (
+             SELECT 'v1' AS snapshot, 'by_prio' AS tbl, o_orderpriority AS k,
+                    count(*) AS n,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv
+             FROM half GROUP BY 3
+             UNION ALL
+             SELECT 'v1', 'by_status', o_orderstatus, count(*),
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             FROM half GROUP BY 3
+             UNION ALL
+             SELECT 'head', 'by_prio', o_orderpriority, count(*),
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             FROM orders GROUP BY 3
+             UNION ALL
+             SELECT 'head', 'by_status', o_orderstatus, count(*),
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             FROM orders GROUP BY 3)
+         SELECT * FROM legs ORDER BY snapshot, tbl, k""",
     "manifest_time_travel" ->
       """WITH v1 AS (SELECT c_mktsegment, count(*) AS n_v1 FROM customer
              WHERE c_acctbal <= 5000 GROUP BY 1),

@@ -162,7 +162,18 @@ class TrianglesSpec extends AnyFunSuite with SparkFixture with Matchers {
       minShared = 1L).collect()
     val toyDist = Triangles.linkPrediction(eventsFor(edges), minCommon = 1L,
       minShared = 1L, wedgeGate = 0L).collect()
+    // r13: repartitionGate = 0 additionally forces the distributed branch's
+    // raw z-join wedge regime (the beyond-broadcast path) — all three
+    // must agree
+    val toyRaw = Triangles.linkPrediction(eventsFor(edges), minCommon = 1L,
+      minShared = 1L, wedgeGate = 0L, repartitionGate = 0L).collect()
     toy.map(key) shouldBe toyDist.map(key)
+    toy.map(key) shouldBe toyRaw.map(key)
+    toy.zip(toyRaw).foreach { case (d, x) =>
+      d.getAs[Long]("cn") shouldBe x.getAs[Long]("cn")
+      d.getAs[Double]("adamic_adar") shouldBe
+        (x.getAs[Double]("adamic_adar") +- 1e-6)
+    }
     toy.zip(toyDist).foreach { case (d, x) =>
       d.getAs[Long]("cn") shouldBe x.getAs[Long]("cn")
       d.getAs[Double]("jaccard") shouldBe (x.getAs[Double]("jaccard") +- 1e-6)
