@@ -152,4 +152,33 @@ object Catalog {
     }
     committed
   }
+
+  /** Catalog-scoped retention: keep the latest `keepLast` catalog
+    * versions, delete older pointer files, then run each member table's
+    * own [[ManifestTable.expire]] sized so that EVERY version still
+    * pinned by a retained catalog survives. This is the safe form of
+    * vacuum here — calling ManifestTable.expire directly with a small
+    * `keepLast` could delete a manifest an older retained catalog still
+    * pins, breaking catalog time travel. Per table, everything from the
+    * oldest retained pin to the table head is kept (orphaned versions in
+    * between are over-retained — safe, and bounded by the catalog
+    * retention window); data batches referenced by no surviving manifest
+    * are vacuumed by the per-table expire. Same operational contract as
+    * ManifestTable.expire: run after readers of expired catalog versions
+    * are gone.
+    */
+  def expire(spark: SparkSession, dir: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must retain at least one catalog version")
+    val fs = fsOf(spark, dir)
+    val vs = versions(spark, dir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    drop.foreach(v => fs.delete(new Path(catDir(dir), s"v$v.catalog"), false))
+    val pinsByTable = keep.flatMap(v => readPins(fs, dir, v).toSeq)
+      .groupBy(_._1).map { case (t, ps) => t -> ps.map(_._2).min }
+    pinsByTable.foreach { case (table, minPinned) =>
+      val tDir = s"$dir/$table"
+      val head = ManifestTable.versions(spark, tDir).last
+      ManifestTable.expire(spark, tDir, (head - minPinned + 1).toInt)
+    }
+  }
 }

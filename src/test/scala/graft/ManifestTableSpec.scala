@@ -384,4 +384,23 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     asSet(Catalog.readTable(spark, dir, "a")) shouldBe Set(2L -> "a2")
     asSet(Catalog.readTable(spark, dir, "b")) shouldBe Set(2L -> "b2")
   }
+
+  test("catalog expire: retained pins survive, expired catalog versions go") {
+    val dir = tmpDir()
+    Catalog.commit(spark, dir,
+      Map("a" -> df(1L -> "a1"), "b" -> df(1L -> "b1")))
+    Catalog.commit(spark, dir,
+      Map("a" -> df(2L -> "a2"), "b" -> df(2L -> "b2")))
+    Catalog.commit(spark, dir, Map("a" -> df(3L -> "a3")))
+    Catalog.expire(spark, dir, keepLast = 2)
+    // catalog v1 is gone; v2 and v3 remain readable — INCLUDING b's pin,
+    // which v3 merely inherited from v2 (the case a naive per-table
+    // keepLast-of-head expire would get wrong)
+    Catalog.versions(spark, dir) shouldBe Seq(2L, 3L)
+    an[Exception] should be thrownBy Catalog.readTable(spark, dir, "a", 1L)
+    asSet(Catalog.readTable(spark, dir, "a", 2L)) shouldBe Set(2L -> "a2")
+    asSet(Catalog.readTable(spark, dir, "a", 3L)) shouldBe Set(3L -> "a3")
+    asSet(Catalog.readTable(spark, dir, "b", 2L)) shouldBe Set(2L -> "b2")
+    asSet(Catalog.readTable(spark, dir, "b", 3L)) shouldBe Set(2L -> "b2")
+  }
 }
