@@ -63,7 +63,10 @@ object Prof {
         Thread.sleep(300) // let the listener bus drain the previous run
         val before = metrics.snap()
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
+        // noop-sink forcing — same contract as Bench (count() lets the
+        // optimizer prune columns and collapse global-agg finals)
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
         val sec = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         Thread.sleep(300)
