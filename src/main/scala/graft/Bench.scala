@@ -77,15 +77,24 @@ object Bench {
     // Spark's own JSON reader — no extra dependency, fixed schema so a
     // malformed line degrades to nulls, not a crash.
     val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")
+    // Medians come ONLY from journal lines measured under the SAME forcing
+    // contract (r13 ADVICE): count()-forced history is systematically fast
+    // (pruned columns, collapsed one-row finals — e.g. quality_gopher 0.2 s
+    // count-forced vs its honest noop reading), so mixing contracts would
+    // flag many honest readings as load outliers on every run. Each line
+    // stamps its contract in a "force" field; lines without a matching
+    // stamp never contribute to medians.
+    val forceContract = "noop"
     val medians: Map[String, Double] =
       try {
         import org.apache.spark.sql.types._
         val sch = StructType(Seq(StructField("metric", StringType),
-          StructField("sf", StringType),
+          StructField("sf", StringType), StructField("force", StringType),
           StructField("queries", MapType(StringType, DoubleType))))
         val runs = spark.read.schema(sch).json(histPath)
           .where(org.apache.spark.sql.functions.col("metric") === "total" &&
-            org.apache.spark.sql.functions.col("sf") === sfTag)
+            org.apache.spark.sql.functions.col("sf") === sfTag &&
+            org.apache.spark.sql.functions.col("force") === forceContract)
           .select("queries").collect()
           .flatMap(r => Option(r.getMap[String, Double](0)).map(_.toMap))
         runs.flatten.groupBy(_._1).collect {
@@ -130,20 +139,19 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       (name, sec, err)
     }
-    // Outlier re-run pass (round-12 verdict item 1, tightened per round-13
-    // item 2): a first reading more than 2x the journal median — with at
-    // least half a second of absolute excess, so sub-second queries don't
-    // retry on pure timer noise — is attributed to machine load and
-    // re-measured once, AFTER the whole pass. Headline comparable-set
-    // members (the graded ratio) retry at the tighter 1.5x-median trigger.
-    // The min of the two readings is the reported time; both land in the
-    // artifact so the attribution is in the data, not in prose.
-    val headline = Set("agg_group", "join_inner", "topk_per_group", "sessionize",
-      "sim_topk", "text_wordcount", "caim_quanta", "fn_json", "dedup_exact")
+    // Outlier re-run pass (round-12 verdict item 1): a first reading more
+    // than 1.5x the journal median — with at least half a second of
+    // absolute excess, so sub-second queries don't retry on pure timer
+    // noise — is attributed to machine load and re-measured once, AFTER
+    // the whole pass. ONE multiplier for every query (r13 ADVICE): the
+    // earlier graded-set-only 1.5x trigger made the retry policy one-sided
+    // — headline queries got a second chance at a high reading while the
+    // rest of the total kept theirs. The min of the two readings is the
+    // reported time; both land in the artifact so the attribution is in
+    // the data, not in prose.
     val flagged = results.collect {
       case (n, sec, None) if medians.get(n).exists { m =>
-        val mult = if (headline(n)) 1.5 else 2.0
-        sec > mult * m && sec - m > 0.5
+        sec > 1.5 * m && sec - m > 0.5
       } => n -> sec
     }.toMap
     // A retry that THROWS must not contribute a timing: its elapsed time is
@@ -191,7 +199,8 @@ object Bench {
       "\"" + k + "\":{\"time\":" + r3(first) + "," + retryField + ",\"outlier\":true}"
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},""" +
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","force":"$forceContract",""" +
+      s""""n_queries":${ok.size},""" +
       s""""n_errors":${errs.size},"errors":$em,"outliers":$outl,"queries":$qs,"sf":"$sfTag"}"""
     // a failed detail write (read-only cwd, whatever) must NOT take the
     // stdout line down with it — the line is the driver's only signal,

@@ -108,14 +108,32 @@ object Catalog {
     * semantics per table — see the object doc for why appends are out of
     * scope). Returns the committed catalog version. `readVersion` (≥ 0)
     * arms the per-table write-write conflict check; -1 is a blind
-    * last-writer-wins merge onto the head.
+    * last-writer-wins merge onto the head. `readVersion = 0` means
+    * "computed against the EMPTY catalog" (version numbers start at 1, so
+    * 0 is never a committed version — the ManifestTable convention, r13
+    * ADVICE): two concurrent initializers then CONFLICT on any shared
+    * table instead of silently last-writer-winning.
     */
   def commit(spark: SparkSession, dir: String, writes: Map[String, DataFrame],
       readVersion: Long = -1L): Long = {
     require(writes.nonEmpty, "a catalog transaction must write at least one table")
     val fs = fsOf(spark, dir)
-    // Phase 1: durable, catalog-invisible per-table snapshots.
+    // Phase 1: durable, catalog-invisible per-table snapshots. Each member
+    // table is first stamped `_catalog_managed` so that DIRECT
+    // ManifestTable APPENDS to it fail fast (r13 ADVICE): a conflict-losing
+    // transaction has already advanced the table's own head past the last
+    // catalog-published version, and an append basing its manifest on that
+    // head would resurrect never-published data — invisible to the caller,
+    // so the guard lives in ManifestTable.commit where the append happens.
     val newPins = writes.map { case (table, df) =>
+      val marker = new Path(s"$dir/$table", ManifestTable.CatalogManagedMarker)
+      if (!fs.exists(marker)) {
+        fs.mkdirs(marker.getParent)
+        val out = fs.create(marker, true)
+        try out.write(("tables under this catalog take appends only " +
+          "through Catalog.commit\n").getBytes("UTF-8"))
+        finally out.close()
+      }
       table -> ManifestTable.commit(spark, s"$dir/$table", df, replace = true)
     }
     // Phase 2: one CAS on the catalog pointer — the commit point.
@@ -126,10 +144,14 @@ object Catalog {
       val next = vs.lastOption.getOrElse(0L) + 1
       val headPins = vs.lastOption.fold(Map.empty[String, Long])(readPins(fs, dir, _))
       if (readVersion >= 0 && vs.lastOption.exists(_ != readVersion)) {
-        require(vs.contains(readVersion),
+        require(readVersion == 0 || vs.contains(readVersion),
           s"catalog readVersion $readVersion was never committed (or was " +
             s"expired mid-transaction); committed set: $vs")
-        val readPinsAt = readPins(fs, dir, readVersion)
+        // readVersion 0 = the empty catalog: no table had a pin, so ANY
+        // head pin on a written table is a concurrent initializer's commit
+        val readPinsAt =
+          if (readVersion == 0) Map.empty[String, Long]
+          else readPins(fs, dir, readVersion)
         val clobbered = writes.keys.filter(t =>
           headPins.get(t) != readPinsAt.get(t))
         if (clobbered.nonEmpty)

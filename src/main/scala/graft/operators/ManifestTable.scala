@@ -54,6 +54,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ManifestTable {
 
+  /** Marker file [[Catalog.commit]] stamps into member table dirs; its
+    * presence makes direct appends here fail fast (see [[commit]]). */
+  private[operators] val CatalogManagedMarker = "_catalog_managed"
+
   private val ManifestName = """v(\d+)\.manifest""".r
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
@@ -106,11 +110,31 @@ object ManifestTable {
     * throws [[java.util.ConcurrentModificationException]] instead of
     * publishing a lost update. The caller's retry loop is: re-read the
     * head, recompute `df`, commit with the new head as `readVersion`.
+    *
+    * Catalog-managed tables (r13 ADVICE): a table that has ever been
+    * written through [[Catalog.commit]] carries a `_catalog_managed`
+    * marker, and APPENDS here fail fast against it. The table's own head
+    * may sit past the last catalog-published version — a catalog
+    * transaction commits its per-table snapshots durably BEFORE the
+    * catalog CAS, so a conflict loser (or a crash before phase 2) leaves
+    * the head pointing at a snapshot NO catalog version ever published.
+    * An append bases its manifest on that head and would resurrect the
+    * orphaned data into a future catalog publish. Replaces stay allowed
+    * (they carry their own complete file list and cannot resurrect
+    * anything) — which is also what lets Catalog's own phase 1 commit
+    * through this guard.
     */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
       replace: Boolean = false, readVersion: Long = -1L,
       tag: String = null): Long = {
     val fs = fsOf(spark, dir)
+    if (!replace && fs.exists(new Path(dir, CatalogManagedMarker)))
+      throw new IllegalStateException(
+        s"$dir is catalog-managed (it has been written through " +
+          "Catalog.commit): its own head may include snapshots no catalog " +
+          "version ever published, so a direct append basing on that head " +
+          "could resurrect orphaned data. Publish through Catalog.commit, " +
+          "or use replace semantics.")
     // idempotent-commit support (the exactly-once streaming-sink
     // contract): a caller with a STABLE retry identity — Spark's
     // foreachBatch batchId — passes it as `tag`. The manifest reference
@@ -122,14 +146,21 @@ object ManifestTable {
     // foreachBatch replays a batchId with identical data, which is what
     // makes the skip sound.
     //
-    // The sweep is over ALL retained manifests, not just the head (r12
-    // ADVICE): a concurrent replace/compact may have folded the batch's
-    // rows into rewritten files and retracted data/<tag> from the HEAD
-    // while older retained manifests still reference it. A head-only check
-    // would then (a) delete data/<tag>, breaking time-travel reads of
-    // those older snapshots, and (b) re-append rows the compacted head
-    // already contains — a duplicate. Newest-first so the common
-    // crash-retry (tag in the head) answers on the first manifest read.
+    // Sweep scope (r12 ADVICE, cost-bounded per r13 ADVICE): a concurrent
+    // replace/compact may have folded the batch's rows into rewritten
+    // files and retracted data/<tag> from the HEAD while older retained
+    // manifests still reference it. A head-only check would then (a)
+    // delete data/<tag>, breaking time-travel reads of those older
+    // snapshots, and (b) re-append rows the compacted head already
+    // contains — a duplicate. But sweeping EVERY retained manifest on
+    // every commit made the common NEW-batch miss path O(retained
+    // versions) metadata reads — table lifetime O(n²) between expire()s.
+    // The data dir is the discriminator: expire() deletes a batch dir
+    // only once NO retained manifest references it, so committed-in-a-
+    // retained-manifest ⇒ data/<tag> exists. A NEW batch (no data dir)
+    // therefore needs only the head read — one metadata op — and the
+    // full older-manifest sweep runs only when data/<tag> exists but the
+    // head misses, the single state the compaction race can produce.
     // Honestly out of scope: if EVERY manifest referencing the tag has
     // been expire()d, the retry cannot tell the batch ever committed —
     // retention must outlive the source's replay horizon, the same
@@ -138,11 +169,17 @@ object ManifestTable {
     val dataRel = s"data/$batch"
     if (tag != null) {
       val vs0 = versions(spark, dir)
-      if (vs0.reverse.exists(v =>
-          manifestFiles(fs, dir, v).exists(_.startsWith(dataRel + "/"))))
-        return vs0.last
       val dp = new Path(s"$dir/$dataRel")
-      if (fs.exists(dp)) fs.delete(dp, true)
+      val dataDirExists = fs.exists(dp)
+      if (vs0.nonEmpty) {
+        if (manifestFiles(fs, dir, vs0.last)
+            .exists(_.startsWith(dataRel + "/")))
+          return vs0.last
+        if (dataDirExists && vs0.init.reverse.exists(v =>
+            manifestFiles(fs, dir, v).exists(_.startsWith(dataRel + "/"))))
+          return vs0.last
+      }
+      if (dataDirExists) fs.delete(dp, true)
     }
     df.write.parquet(s"$dir/$dataRel")
     val newFiles = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq

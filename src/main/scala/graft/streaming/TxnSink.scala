@@ -43,15 +43,26 @@ object TxnSink {
     * still no-ops its replays, while a fresh checkpoint gets a fresh
     * namespace and appends. Driver-side replays outside the stream (tests,
     * manual recovery) must pass the query's id explicitly — outside a
-    * stream the property is unset and the tag falls back to the bare
-    * batchId namespace.
+    * stream the property is unset, and a silent fallback to a bare
+    * `batch-<id>` namespace would be a trap, not a convenience (r13
+    * ADVICE): the in-stream commits it is supposed to replay live under
+    * `<queryId>-batch-<id>`, so the mismatched-namespace replay would
+    * RE-APPEND an already-committed batch as a duplicate instead of
+    * no-oping — the exact failure this sink exists to prevent. No query
+    * id from either source is therefore an error, not a namespace.
     */
   def commitBatch(dir: String, batch: DataFrame, batchId: Long,
       queryId: String = null): Long = {
     val qid = Option(queryId).orElse(Option(
       batch.sparkSession.sparkContext.getLocalProperty("sql.streaming.queryId")))
-    val tag = qid.map(q => s"$q-batch-$batchId").getOrElse(s"batch-$batchId")
+      .getOrElse(throw new IllegalArgumentException(
+        "TxnSink.commitBatch has no query identity: outside a streaming " +
+          "micro-batch thread the sql.streaming.queryId property is unset, " +
+          "so pass queryId explicitly (StreamingQuery.id — stable in the " +
+          "checkpoint). A bare batch-" + batchId + " tag would not match " +
+          "in-stream commits made under '<queryId>-batch-" + batchId +
+          "' and the replay would re-append the batch as a duplicate."))
     graft.operators.ManifestTable.commit(batch.sparkSession, dir, batch,
-      replace = false, tag = tag)
+      replace = false, tag = s"$qid-batch-$batchId")
   }
 }

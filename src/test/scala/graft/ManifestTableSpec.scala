@@ -273,9 +273,19 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     ManifestTable.commit(spark, dir, df(3L -> "c")) shouldBe 3L
     asSet(ManifestTable.read(spark, dir)) shouldBe
       Set(1L -> "a", 2L -> "b", 3L -> "c")
-    // TxnSink is exactly this composition
-    graft.streaming.TxnSink.commitBatch(dir, df(4L -> "d"), 3L) shouldBe 4L
-    graft.streaming.TxnSink.commitBatch(dir, df(4L -> "d"), 3L) shouldBe 4L
+    // TxnSink is exactly this composition (queryId-namespaced)
+    graft.streaming.TxnSink.commitBatch(dir, df(4L -> "d"), 3L,
+      queryId = "q") shouldBe 4L
+    graft.streaming.TxnSink.commitBatch(dir, df(4L -> "d"), 3L,
+      queryId = "q") shouldBe 4L
+    asSet(ManifestTable.read(spark, dir)) shouldBe
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    // r13 ADVICE (medium): with NO query identity — outside a stream and
+    // no explicit queryId — the commit must FAIL FAST, not fall back to a
+    // bare batch-<id> namespace that no in-stream commit ever used (the
+    // mismatched replay would re-append an already-committed batch)
+    an[IllegalArgumentException] should be thrownBy
+      graft.streaming.TxnSink.commitBatch(dir, df(5L -> "e"), 4L)
     asSet(ManifestTable.read(spark, dir)) shouldBe
       Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
   }
@@ -402,5 +412,50 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     asSet(Catalog.readTable(spark, dir, "a", 3L)) shouldBe Set(3L -> "a3")
     asSet(Catalog.readTable(spark, dir, "b", 2L)) shouldBe Set(2L -> "b2")
     asSet(Catalog.readTable(spark, dir, "b", 3L)) shouldBe Set(2L -> "b2")
+  }
+
+  test("catalog: readVersion 0 means the empty catalog — concurrent " +
+      "initializers conflict instead of last-writer-winning") {
+    // r13 ADVICE (low): version numbers start at 1, so there was no way to
+    // say "I computed against NOTHING" — two initial transactions writing
+    // the same table silently merged last-writer-wins. readVersion = 0 is
+    // that statement (the ManifestTable convention): any head pin on a
+    // written table is then a concurrent initializer's commit → conflict.
+    val dir = tmpDir()
+    Catalog.commit(spark, dir, Map("a" -> df(1L -> "first")),
+      readVersion = 0L) shouldBe 1L
+    // the racing initializer, also computed against the empty catalog
+    a[java.util.ConcurrentModificationException] should be thrownBy
+      Catalog.commit(spark, dir, Map("a" -> df(1L -> "second")),
+        readVersion = 0L)
+    asSet(Catalog.readTable(spark, dir, "a")) shouldBe Set(1L -> "first")
+    // an empty-catalog txn over a DISJOINT table still commutes
+    Catalog.commit(spark, dir, Map("b" -> df(1L -> "b1")),
+      readVersion = 0L) shouldBe 2L
+    asSet(Catalog.readTable(spark, dir, "a")) shouldBe Set(1L -> "first")
+    asSet(Catalog.readTable(spark, dir, "b")) shouldBe Set(1L -> "b1")
+  }
+
+  test("catalog-managed tables refuse direct ManifestTable appends") {
+    // r13 ADVICE (low): a catalog conflict loser leaves the member table's
+    // OWN head at a snapshot no catalog version published; a direct append
+    // bases on that head and would resurrect the orphaned data. The
+    // catalog stamps members `_catalog_managed`; appends fail fast.
+    val dir = tmpDir()
+    Catalog.commit(spark, dir, Map("a" -> df(1L -> "a1"))) shouldBe 1L
+    // the orphan: a crashed/losing txn advanced a's head past the pin
+    ManifestTable.commit(spark, s"$dir/a", df(9L -> "orphan"), replace = true)
+    // a direct APPEND must fail fast — it would base on the orphan head
+    an[IllegalStateException] should be thrownBy
+      ManifestTable.commit(spark, s"$dir/a", df(2L -> "a2"))
+    // replaces stay allowed (complete file list — nothing to resurrect),
+    // which is also how Catalog's own phase 1 passes the guard
+    Catalog.commit(spark, dir, Map("a" -> df(2L -> "a2")))
+    asSet(Catalog.readTable(spark, dir, "a")) shouldBe Set(2L -> "a2")
+    // non-catalog tables keep plain append semantics
+    val plain = tmpDir()
+    ManifestTable.commit(spark, plain, df(1L -> "x")) shouldBe 1L
+    ManifestTable.commit(spark, plain, df(2L -> "y")) shouldBe 2L
+    asSet(ManifestTable.read(spark, plain)) shouldBe Set(1L -> "x", 2L -> "y")
   }
 }
