@@ -84,14 +84,32 @@ object Triangles {
       bucketCap: Long = DefaultBucketCap,
       repartitionGate: Long = repartitionMinRows,
       wedgeGate: Long = DriverMaxEdges): DataFrame = {
-    val (edges, tri) =
-      pipeline(events, minShared, bucketCap, repartitionGate, wedgeGate)
-    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val (edges, nEdges) =
+      cooccurEdges(events, minShared, bucketCap, repartitionGate)
+    summaryOf(edges, nEdges, wedgeGate)
+  }
+
+  /** [[run]]'s summary over a PRE-BUILT canonical (u1 < u2) edge frame —
+    * the read-the-published-census path (round 14): the corpus collapse
+    * is paid by whoever built `edges` (typically [[Census]]); this is the
+    * metric alone. `nEdges` drives the wedge-phase dispatch. */
+  def summaryOf(edges: DataFrame, nEdges: Long,
+      wedgeGate: Long = DriverMaxEdges): DataFrame = {
+    val tri = trianglesOf(edges, nEdges, wedgeGate)
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
     val nTri = tri.agg(count(lit(1)).as("n_triangles"))
     val nUsers = tri.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
       .agg(countDistinct(col("u")).as("n_tri_users"))
-    nEdges.crossJoin(nTri).crossJoin(nUsers)
+    nE.crossJoin(nTri).crossJoin(nUsers)
   }
+
+  /** The closed-triangle frame of a pre-built edge list — the shared
+    * wedge phase behind [[summaryOf]]/[[perNodeOf]], dispatched on
+    * `nEdges` exactly like the events-based pipeline. */
+  def trianglesOf(edges: DataFrame, nEdges: Long,
+      wedgeGate: Long = DriverMaxEdges): DataFrame =
+    if (nEdges <= wedgeGate) driverTriangles(edges)
+    else distributedTriangles(edges, new Tracked)
 
   /** Per-node census (r12): degree, triangle participation, and the LOCAL
     * CLUSTERING COEFFICIENT 2T/(d(d−1)) — Watts & Strogatz (*Collective
@@ -109,9 +127,20 @@ object Triangles {
       bucketCap: Long = DefaultBucketCap,
       repartitionGate: Long = repartitionMinRows,
       wedgeGate: Long = DriverMaxEdges): DataFrame = {
-    val (edges, tri) =
-      pipeline(events, minShared, bucketCap, repartitionGate, wedgeGate)
-    val users = events.select(col("user_id").as("u")).distinct()
+    val (edges, nEdges) =
+      cooccurEdges(events, minShared, bucketCap, repartitionGate)
+    perNodeOf(events.select(col("user_id")).distinct(), edges, nEdges,
+      wedgeGate)
+  }
+
+  /** [[perNode]] over a pre-built edge frame (the published-census path):
+    * `users` is the one-column (`user_id`) frame of ALL active users —
+    * the feature-join shape needs every user, including isolated ones the
+    * edge list never mentions. */
+  def perNodeOf(users0: DataFrame, edges: DataFrame, nEdges: Long,
+      wedgeGate: Long = DriverMaxEdges): DataFrame = {
+    val tri = trianglesOf(edges, nEdges, wedgeGate)
+    val users = users0.select(col("user_id").as("u"))
     val deg = edges.select(col("u1").as("u"))
       .union(edges.select(col("u2").as("u")))
       .groupBy("u").agg(count(lit(1)).as("dg"))
@@ -127,30 +156,16 @@ object Triangles {
           .otherwise(lit(0.0)), 6).as("coeff"))
   }
 
-  /** Shared census pipeline: (sealed undirected edges, sealed closed
-    * triangles). Both returned frames are persisted (Tracked-owned by the
-    * pipeline's consumers via the session cache — callers run inside one
-    * query and the harness clears caches per query). */
-  private def pipeline(events: DataFrame, minShared: Long,
-      bucketCap: Long, repartitionGate: Long,
-      wedgeGate: Long): (DataFrame, DataFrame) = {
-    val (tr, edges, nEdges) =
-      edgePipeline(events, minShared, bucketCap, repartitionGate)
-    // Wedge-phase dispatch (the Components/PageRank bounded-boundary move,
-    // r12): the edge list is GRAPH-sized — 10k rows at sf0.1, 104k at the
-    // 10× corpus — and the distributed wedge plan below spends its time in
-    // per-job stage latency (degree joins + two sealed self-joins ≈ 2.5 s
-    // of scheduling for microseconds of math). Below `wedgeGate` edges the
-    // sealed list collects ONCE (≤ 8 MB at the gate — the Components
-    // smallThreshold contract) and triangles close on the driver via
-    // sorted-adjacency intersection (Σ min-degree ops, ≤ ~0.5 G compares
-    // at the gate's densest graph); at or above the gate the degree-
-    // ordered wedge join runs distributed. Branch equality is spec-pinned.
-    val tri =
-      if (nEdges <= wedgeGate) driverTriangles(edges)
-      else distributedTriangles(edges, tr)
-    (edges, tri)
-  }
+  // Wedge-phase dispatch (the Components/PageRank bounded-boundary move,
+  // r12), shared by trianglesOf: the edge list is GRAPH-sized — 10k rows
+  // at sf0.1, 104k at the 10× corpus — and the distributed wedge plan
+  // spends its time in per-job stage latency (degree joins + two sealed
+  // self-joins ≈ 2.5 s of scheduling for microseconds of math). Below
+  // `wedgeGate` edges the list collects ONCE (≤ 8 MB at the gate — the
+  // Components smallThreshold contract) and triangles close on the driver
+  // via sorted-adjacency intersection (Σ min-degree ops, ≤ ~0.5 G compares
+  // at the gate's densest graph); at or above the gate the degree-ordered
+  // wedge join runs distributed. Branch equality is spec-pinned.
 
   /** Session-scoped materialization cache for the sealed edge frame —
     * the census front end is consumed by FOUR declared operators
@@ -172,14 +187,6 @@ object Triangles {
   private[graft] def clearEdgeCache(): Unit = edgeCache.synchronized {
     edgeCache.values.foreach(_._2.unpersist(false))
     edgeCache.clear()
-  }
-
-  /** Edge half of the census pipeline: a fresh [[Tracked]] for the
-    * caller's downstream phases plus the (possibly cached) sealed edges. */
-  private def edgePipeline(events: DataFrame, minShared: Long,
-      bucketCap: Long, repartitionGate: Long): (Tracked, DataFrame, Long) = {
-    val (edges, n) = cooccurEdges(events, minShared, bucketCap, repartitionGate)
-    (new Tracked, edges, n)
   }
 
   /** The sealed canonical (u1 < u2) co-occurrence edge list plus its row
@@ -340,8 +347,18 @@ object Triangles {
       bucketCap: Long = DefaultBucketCap,
       repartitionGate: Long = repartitionMinRows,
       wedgeGate: Long = DriverMaxEdges): DataFrame = {
-    val (tr, edges, nEdges) =
-      edgePipeline(events, minShared, bucketCap, repartitionGate)
+    val (edges, nEdges) =
+      cooccurEdges(events, minShared, bucketCap, repartitionGate)
+    linkPredictionOf(edges, nEdges, minCommon, repartitionGate, wedgeGate)
+  }
+
+  /** [[linkPrediction]] over a pre-built edge frame (the published-census
+    * path); `repartitionGate` still sizes the broadcast-vs-raw wedge
+    * regime, `nEdges` drives both that and the driver dispatch. */
+  def linkPredictionOf(edges: DataFrame, nEdges: Long, minCommon: Long = 2L,
+      repartitionGate: Long = repartitionMinRows,
+      wedgeGate: Long = DriverMaxEdges): DataFrame = {
+    val tr = new Tracked
     if (nEdges <= wedgeGate) {
       val s = edges.sparkSession
       val es = edges.select(col("u1"), col("u2"))

@@ -600,9 +600,15 @@ object Events {
     // (degree, id) vertex — the orientation that bounds every wedge list
     // by O(sqrt(m)) on power-law graphs, vs the max total degree under raw
     // id order (the "last reducer"). The summary is orientation-invariant,
-    // so the id-ordered DuckDB oracle is unchanged.
-    "events_triangles" -> ((s, sf) =>
-      graft.operators.Triangles.run(t(s, sf, "events"))),
+    // so the id-ordered DuckDB oracle is unchanged. r14: the edge list
+    // comes from the PUBLISHED census snapshot (graft.operators.Census —
+    // read-or-publish), so only the run's first census-family query pays
+    // the corpus collapse; this query is the wedge phase + summary.
+    "events_triangles" -> ((s, sf) => {
+      val (edges, n) =
+        graft.operators.Census.edges(s, sf, t(s, sf, "events"))
+      graft.operators.Triangles.summaryOf(edges, n)
+    }),
 
     // Mann–Whitney U rank-sum test (round 12) — the nonparametric
     // two-sample location test completing the inference family beside

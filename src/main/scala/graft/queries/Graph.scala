@@ -39,10 +39,19 @@ import graft.T.{Q, t}
   */
 object Graph {
 
-  private lazy val runTag = java.util.UUID.randomUUID().toString.take(8)
-
   private val damping = 0.85
   private val iters = 10
+
+  /** The co-occurrence census, READ FROM ITS PUBLISHED SNAPSHOT (round
+    * 14, r13 verdict item 1): the first census-family query of a run pays
+    * the corpus→edge collapse once and commits it through
+    * [[graft.operators.ManifestTable]]; every later metric query reads
+    * the committed parquet — the production build-once/read-many shape is
+    * now the DECLARED path, not just the priced one. GraphSpec pins the
+    * read-back frame identical to a direct rebuild for every metric. */
+  private def census(s: org.apache.spark.sql.SparkSession,
+      sf: String): (DataFrame, Long) =
+    graft.operators.Census.edges(s, sf, t(s, sf, "events"))
 
   /** Directed weighted trade edges (src nation → dst nation, w lineitems),
     * self-loops excluded, plus the node frame (all nations). */
@@ -110,9 +119,12 @@ object Graph {
     // output is never empty on a sparse corpus whose edge set is). The
     // id-ordered DuckDB oracle matches because triangle membership is
     // orientation-invariant.
-    "graph_clustering" -> ((s, sf) =>
-      graft.operators.Triangles.perNode(t(s, sf, "events"))
-        .orderBy("user_id")),
+    "graph_clustering" -> ((s, sf) => {
+      val (edges, n) = census(s, sf)
+      graft.operators.Triangles.perNodeOf(
+          t(s, sf, "events").select(col("user_id")).distinct(), edges, n)
+        .orderBy("user_id")
+    }),
 
     // the graph census AS A SURFACE (round 13, verdict item 4): the
     // corpus→edge collapse is the expensive shared front end of the whole
@@ -134,14 +146,9 @@ object Graph {
     // PLANS.md separates census cost from metric cost on exactly this
     // basis). Output is GRAPH-sized (the edge list); everything
     // corpus-sized stays inside the census pipeline's documented plan.
-    "graph_census" -> ((s, sf) => {
-      val tag = new java.io.File(sf).getName
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_census_${runTag}_$tag"
-      val (edges, _) =
-        graft.operators.Triangles.cooccurEdges(t(s, sf, "events"))
-      graft.operators.ManifestTable.commit(s, dir, edges, replace = true)
-      graft.operators.ManifestTable.read(s, dir).orderBy("u1", "u2")
-    }),
+    "graph_census" -> ((s, sf) =>
+      graft.operators.Census.publish(s, sf, t(s, sf, "events"))
+        ._1.orderBy("u1", "u2")),
 
     // link prediction (round 12) — the PREDICTIVE primitive completing the
     // graph tier (connectivity, density, centrality, distance, now
@@ -155,8 +162,10 @@ object Graph {
     // DECIMAL(38,15) casts so the only inexact arithmetic is the per-term
     // 1/ln(deg) chain, identical on both engines. See
     // [[graft.operators.Triangles.linkPrediction]].
-    "graph_linkpred" -> ((s, sf) =>
-      graft.operators.Triangles.linkPrediction(t(s, sf, "events"))),
+    "graph_linkpred" -> ((s, sf) => {
+      val (edges, n) = census(s, sf)
+      graft.operators.Triangles.linkPredictionOf(edges, n)
+    }),
 
     // k-core extraction (round 12) — the COHESION primitive completing
     // the graph tier (connectivity, density, centrality, distance,
@@ -212,8 +221,7 @@ object Graph {
     // output is a joinable user feature at any SF, never empty on a
     // sparse corpus whose core is.
     "graph_kcore" -> ((s, sf) => {
-      val (edges, _) =
-        graft.operators.Triangles.cooccurEdges(t(s, sf, "events"))
+      val (edges, _) = census(s, sf)
       val core = graft.operators.KCore.run(edges, k = kcoreK,
         rounds = kcoreRounds)
       t(s, sf, "events").select(col("user_id")).distinct()
@@ -239,8 +247,7 @@ object Graph {
     // stats dispatch (driver array sweeps below the 500k-edge gate,
     // RDD-snapped per-round join + windowed argmax above it).
     "graph_labelprop" -> ((s, sf) => {
-      val (edges, _) =
-        graft.operators.Triangles.cooccurEdges(t(s, sf, "events"))
+      val (edges, _) = census(s, sf)
       val lp = graft.operators.LabelProp.run(edges, rounds = labelpropRounds)
       // the kcore feature-join shape: EVERY active user gets a row;
       // isolated users (all of them on a corpus whose ≥30 graph is empty)
@@ -264,8 +271,7 @@ object Graph {
     // (ids only) and community-keyed aggregates — nothing corpus-sized
     // past the shared edge collapse.
     "graph_modularity" -> ((s, sf) => {
-      val (edges, _) =
-        graft.operators.Triangles.cooccurEdges(t(s, sf, "events"))
+      val (edges, _) = census(s, sf)
       val lp = graft.operators.LabelProp.run(edges, rounds = labelpropRounds)
       // same all-users partition as graph_labelprop: isolated users are
       // singleton communities (0 internal edges, degree 0 → q_term = 0);
@@ -312,8 +318,7 @@ object Graph {
     // chain — the agg_cov_matrix discipline on a graph frame.
     "graph_assortativity" -> ((s, sf) => {
       val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val (edges, _) =
-        graft.operators.Triangles.cooccurEdges(t(s, sf, "events"))
+      val (edges, _) = census(s, sf)
       val adj = edges.select(col("u1").as("u"), col("u2").as("v"))
         .union(edges.select(col("u2").as("u"), col("u1").as("v")))
       val deg = adj.groupBy("u").agg(count(lit(1)).as("dg"))
