@@ -45,9 +45,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    catalog could therefore resurrect data no catalog version ever
   *    published. Until an append can be based on a catalog-pinned
   *    manifest, it stays a single-table ManifestTable operation.
-  *  - Like ManifestTable, the CAS rests on atomic rename: object stores
-  *    without it need a coordination service — the Iceberg REST catalog /
-  *    Delta commit-service role.
+  *  - Like ManifestTable, the slot claim is pluggable (r14,
+  *    [[CommitCas]]): rename CAS by default, [[LockedCas]] — the
+  *    lock-file / conditional-put shim — on object stores whose rename
+  *    silently overwrites. LockedCas's lease-expiry contract applies;
+  *    beyond it, a real coordination service (Iceberg REST catalog /
+  *    Delta commit service) is the production answer.
   */
 object Catalog {
 
@@ -115,7 +118,7 @@ object Catalog {
     * table instead of silently last-writer-winning.
     */
   def commit(spark: SparkSession, dir: String, writes: Map[String, DataFrame],
-      readVersion: Long = -1L): Long = {
+      readVersion: Long = -1L, cas: CommitCas = RenameCas): Long = {
     require(writes.nonEmpty, "a catalog transaction must write at least one table")
     val fs = fsOf(spark, dir)
     // Phase 1: durable, catalog-invisible per-table snapshots. Each member
@@ -134,7 +137,8 @@ object Catalog {
           "through Catalog.commit\n").getBytes("UTF-8"))
         finally out.close()
       }
-      table -> ManifestTable.commit(spark, s"$dir/$table", df, replace = true)
+      table -> ManifestTable.commit(spark, s"$dir/$table", df,
+        replace = true, cas = cas)
     }
     // Phase 2: one CAS on the catalog pointer — the commit point.
     fs.mkdirs(catDir(dir))
@@ -162,15 +166,15 @@ object Catalog {
               "snapshot (lost update); re-read the head and recompute")
       }
       val pins = headPins ++ newPins // untouched tables inherit the head
+      // the pointer claim rides the same pluggable slot primitive as the
+      // per-table manifests (RenameCas / LockedCas — see CommitCas)
       val tmp = new Path(catDir(dir), s".tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
-      try out.write((pins.toSeq.sortBy(_._1)
+      val content = (pins.toSeq.sortBy(_._1)
         .map { case (t, v) => s"$t=$v" }.mkString("\n") + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (fs.rename(tmp, new Path(catDir(dir), s"v$next.catalog")))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (cas.claim(fs, tmp, new Path(catDir(dir), s"v$next.catalog"), content))
         committed = next
-      else fs.delete(tmp, false) // lost the CAS — re-validate and retry
+      // else: lost the slot — re-validate against the new head and retry
     }
     committed
   }

@@ -44,13 +44,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Transactions spanning tables live one layer up in [[Catalog]] (r13),
   * which pins `table -> version` in a catalog pointer file committed by
-  * this same rename CAS. Still honestly out of scope: the CAS rests on
-  * atomic rename — object stores without it (raw S3) need a coordination
-  * service instead (the Iceberg REST-catalog / Delta commit-service
-  * role). That is the remaining reason a multi-writer 100 TB production
-  * pipeline sits on Delta/Iceberg; this operator exists so the
-  * single-writer pipelines this library targets (Upsert/Compact/Layout
-  * rewrites) publish ATOMICALLY instead of in-place.
+  * the same slot-claim primitive. That primitive is pluggable (r14,
+  * [[CommitCas]]): [[RenameCas]] on stores with atomic fail-on-existing
+  * rename (HDFS, file://), [[LockedCas]] — the public lock-file /
+  * conditional-put pattern — on raw object stores whose rename is a
+  * silently-overwriting copy+delete. LockedCas carries a lease-expiry
+  * operational contract (see its doc); writer fleets beyond it belong on
+  * a real coordination service (the Iceberg REST-catalog / Delta
+  * commit-service role).
   */
 object ManifestTable {
 
@@ -126,7 +127,7 @@ object ManifestTable {
     */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
       replace: Boolean = false, readVersion: Long = -1L,
-      tag: String = null): Long = {
+      tag: String = null, cas: CommitCas = RenameCas): Long = {
     val fs = fsOf(spark, dir)
     if (!replace && fs.exists(new Path(dir, CatalogManagedMarker)))
       throw new IllegalStateException(
@@ -218,23 +219,16 @@ object ManifestTable {
       // head, not the one read before the race
       val base = if (replace || vs.isEmpty) Seq.empty
                  else manifestFiles(fs, dir, vs.last)
+      // the slot claim is the pluggable primitive (CommitCas): rename CAS
+      // on stores with atomic fail-on-existing rename, the lock-file shim
+      // on raw object stores — same one-winner-per-slot contract either way
       val tmp = new Path(manifestDir(dir), s".tmp-$batch-$next")
-      // a pre-existing tmp at this name can only be a TORN earlier attempt
-      // of this same (batch, version) pair — a crash between create and
-      // rename. Without this delete, fs.create(overwrite=false) throws
-      // FileAlreadyExists on every replay of the same batchId at the same
-      // version, wedging the stream in exactly the crash-retry scenario
-      // the sink exists to handle (r12 ADVICE). No live writer shares the
-      // name: untagged batches are UUIDs, and tagged replays are serial
-      // by the foreachBatch contract.
-      if (fs.exists(tmp)) fs.delete(tmp, false)
-      val out = fs.create(tmp, false)
-      try out.write(((base ++ newFiles).mkString("\n") + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (fs.rename(tmp, new Path(manifestDir(dir), s"v$next.manifest")))
+      val content = ((base ++ newFiles).mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (cas.claim(fs, tmp, new Path(manifestDir(dir), s"v$next.manifest"),
+          content))
         committed = next
-      else fs.delete(tmp, false) // lost the CAS — recompute and retry
+      // else: lost the slot — recompute base/conflicts against the new head
     }
     committed
   }

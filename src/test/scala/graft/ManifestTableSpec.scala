@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 import graft.operators.{Catalog, ManifestTable, Upsert}
+import scala.jdk.CollectionConverters._
 
 /** Manifest-swap commit protocol (round 11, verdict item 7): readers only
   * ever see fully-committed snapshots; uncommitted data batches are
@@ -457,5 +458,99 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     ManifestTable.commit(spark, plain, df(1L -> "x")) shouldBe 1L
     ManifestTable.commit(spark, plain, df(2L -> "y")) shouldBe 2L
     asSet(ManifestTable.read(spark, plain)) shouldBe Set(1L -> "x", 2L -> "y")
+  }
+
+  // ---- LockedCas: commits on stores without atomic rename (round 14) ----
+
+  /** A table dir on the clobber: scheme — rename silently overwrites, so
+    * the rename CAS is unsound there and LockedCas is the correct claim. */
+  private def clobberDir(): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.clobber.impl", classOf[ClobberFileSystem].getName)
+    "clobber://" +
+      java.nio.file.Files.createTempDirectory("graft-clobber").toString + "/t"
+  }
+
+  test("the clobber store really is rename-unsafe (the simulated hazard)") {
+    val dir = clobberDir()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getScheme shouldBe "clobber"
+    val a = new org.apache.hadoop.fs.Path(s"$dir/a")
+    val b = new org.apache.hadoop.fs.Path(s"$dir/b")
+    fs.mkdirs(a.getParent)
+    Seq(a, b).foreach { p =>
+      val o = fs.create(p, false); o.write(p.getName.getBytes); o.close()
+    }
+    // rename onto an EXISTING path succeeds and overwrites — exactly the
+    // object-store behavior that breaks the one-winner-per-slot rename CAS
+    fs.rename(a, b) shouldBe true
+    val in = fs.open(b)
+    try scala.io.Source.fromInputStream(in).mkString shouldBe "a"
+    finally in.close()
+  }
+
+  test("locked CAS: two concurrent committers on a rename-clobbering " +
+      "store lose no commits") {
+    val dir = clobberDir()
+    val cas = graft.operators.LockedCas(staleLockMs = 60000L, pollMs = 5L)
+    val perWriter = 4
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { w =>
+      new Thread(() =>
+        try (0 until perWriter).foreach { i =>
+          ManifestTable.commit(spark, dir, df((w * 100 + i).toLong -> s"w$w-$i"),
+            cas = cas)
+        } catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    errs.asScala.toSeq shouldBe Seq.empty
+    // every commit won a distinct version slot; the head holds ALL rows —
+    // on this store a rename CAS would have silently lost overwritten slots
+    ManifestTable.versions(spark, dir) shouldBe (1L to 2L * perWriter)
+    asSet(ManifestTable.read(spark, dir)) shouldBe
+      (for (w <- 0 until 2; i <- 0 until perWriter)
+        yield (w * 100 + i).toLong -> s"w$w-$i").toSet
+    // no lock left behind
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_manifests/_commit.lock")) shouldBe false
+  }
+
+  test("locked CAS: a torn (dead-holder) lock is broken after the lease " +
+      "and the commit proceeds") {
+    val dir = clobberDir()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a holder that crashed mid-commit: lock file exists, stamped
+    // in the past (beyond the lease)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_manifests/_commit.lock")
+    fs.mkdirs(lock.getParent)
+    val o = fs.create(lock, false); o.write("dead-holder".getBytes); o.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 10000L, -1L)
+    val cas = graft.operators.LockedCas(staleLockMs = 500L, pollMs = 5L)
+    ManifestTable.commit(spark, dir, df(1L -> "a"), cas = cas) shouldBe 1L
+    asSet(ManifestTable.read(spark, dir)) shouldBe Set(1L -> "a")
+    fs.exists(lock) shouldBe false
+    // a FRESH foreign lock (live holder that then dies without releasing):
+    // the commit waits out the lease, breaks it, and still lands
+    val o2 = fs.create(lock, false); o2.write("dying".getBytes); o2.close()
+    val t0 = System.nanoTime()
+    ManifestTable.commit(spark, dir, df(2L -> "b"), cas = cas) shouldBe 2L
+    (System.nanoTime() - t0) / 1e6 should be >= 400.0 // honored the lease
+    asSet(ManifestTable.read(spark, dir)) shouldBe Set(1L -> "a", 2L -> "b")
+  }
+
+  test("catalog cross-table commits ride LockedCas on the clobber store") {
+    val dir = clobberDir()
+    val cas = graft.operators.LockedCas(staleLockMs = 60000L, pollMs = 5L)
+    Catalog.commit(spark, dir,
+      Map("a" -> df(1L -> "a1"), "b" -> df(1L -> "b1")), cas = cas) shouldBe 1L
+    Catalog.commit(spark, dir,
+      Map("a" -> df(2L -> "a2")), cas = cas) shouldBe 2L
+    asSet(Catalog.readTable(spark, dir, "a")) shouldBe Set(2L -> "a2")
+    asSet(Catalog.readTable(spark, dir, "b")) shouldBe Set(1L -> "b1")
+    asSet(Catalog.readTable(spark, dir, "a", 1L)) shouldBe Set(1L -> "a1")
   }
 }
