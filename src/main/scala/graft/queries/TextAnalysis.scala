@@ -17,6 +17,57 @@ import graft.T.{Q, t}
   */
 object TextAnalysis {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Vocab-keyed-frame bound for text_collocations (r14): the scored
+    * vocabulary is the top this-many token types by bigram involvement —
+    * the same bounded-boundary contract as the BPE 65,536-type vocabulary
+    * and the Triangles bucket cap. Never binds at bench SFs (spec-pinned);
+    * at a 100 TB corpus it bounds the marginal-join broadcast sides no
+    * matter how the vocabulary grows. */
+  val collocVocabCap = 65536
+
+  /** text_collocations' kernel, cap-parameterized for the spec (the
+    * declared query passes [[collocVocabCap]]). See the query's doc for
+    * the full contract. */
+  private[graft] def collocations(docs: org.apache.spark.sql.DataFrame,
+      vocabCap: Int): org.apache.spark.sql.DataFrame = {
+    val ab = docs
+      .select(split(col("text"), " ").as("tk"))
+      .where(expr("size(tk)") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt_ab"))
+    val tot = ab.agg(sum(col("cnt_ab")).cast("long").as("n_bg"))
+    val tokCnt = ab.select(col("w1").as("tk"), col("cnt_ab"))
+      .unionAll(ab.select(col("w2").as("tk"), col("cnt_ab")))
+      .groupBy("tk").agg(sum(col("cnt_ab")).as("c"))
+    // one vocab-sized stats action buys cap observability (the Triangles
+    // pattern: a binding cap is a logged, countable event, never silent)
+    val nTok = tokCnt.count()
+    if (nTok > vocabCap)
+      logger.warn(s"text_collocations: $nTok token types exceed the " +
+        s"vocab cap $vocabCap — pairs touching the dropped " +
+        s"${nTok - vocabCap} types are EXCLUDED (output is a " +
+        "lower bound over the kept vocabulary)")
+    val kept = tokCnt.orderBy(desc("c"), col("tk")).limit(vocabCap)
+      .select("tk")
+    val aCnt = ab.groupBy("w1")
+      .agg(sum(col("cnt_ab")).cast("long").as("cnt_a"))
+      .join(kept.withColumnRenamed("tk", "w1"), Seq("w1"), "left_semi")
+    val bCnt = ab.groupBy("w2")
+      .agg(sum(col("cnt_ab")).cast("long").as("cnt_b"))
+      .join(kept.withColumnRenamed("tk", "w2"), Seq("w2"), "left_semi")
+    ab.where(col("cnt_ab") >= 5)
+      .join(broadcast(aCnt), "w1").join(broadcast(bCnt), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("cnt_ab"),
+        round(log2((col("cnt_ab") * col("n_bg")).cast("double") /
+          (col("cnt_a") * col("cnt_b")).cast("double")), 6).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
   private val enM = Seq("the", "a", "order", "data")
   private val esM = Seq("query", "fast", "row", "stream")
   private val deM = Seq("agg", "table", "key", "join")
@@ -633,32 +684,32 @@ object TextAnalysis {
     // classic collocation score log2(P(ab) / (P(a)P(b))) over adjacent
     // token pairs, the salience signal tf alone misses ("new york" binds;
     // "of the" doesn't despite its count). ONE pass over the token stream
-    // builds the (w1, w2, cnt) bigram table; BOTH marginals and the grand
-    // total then derive from that compact table (three cheap aggs over
-    // |vocab²-observed| rows, never re-reading the corpus), the total
-    // broadcasts as a 1-row scalar, and the two marginal joins key on a
-    // vocab-sized side. min-count 5 prunes the noise tail before the
-    // joins. Deterministic cross-engine: integer counts, one identically-
-    // associated log2 per row (events_entropy's discipline), rounded 6dp.
-    "text_collocations" -> ((s, sf) => {
-      val ab = t(s, sf, "documents")
-        .select(split(col("text"), " ").as("tk"))
-        .where(expr("size(tk)") >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("b"))
-        .select(col("b.w1"), col("b.w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt_ab"))
-      val tot = ab.agg(sum(col("cnt_ab")).cast("long").as("n_bg"))
-      val aCnt = ab.groupBy("w1").agg(sum(col("cnt_ab")).cast("long").as("cnt_a"))
-      val bCnt = ab.groupBy("w2").agg(sum(col("cnt_ab")).cast("long").as("cnt_b"))
-      ab.where(col("cnt_ab") >= 5)
-        .join(aCnt, "w1").join(bCnt, "w2")
-        .crossJoin(broadcast(tot))
-        .select(col("w1"), col("w2"), col("cnt_ab"),
-          round(log2((col("cnt_ab") * col("n_bg")).cast("double") /
-            (col("cnt_a") * col("cnt_b")).cast("double")), 6).as("pmi"))
-        .orderBy("w1", "w2")
-    }),
+    // builds the (w1, w2, cnt) bigram table — the query's intrinsic
+    // corpus-linear agg, the BPE word-count shape; marginals and the
+    // grand total derive from that compact table (never re-reading the
+    // corpus), the total broadcasts as a 1-row scalar. min-count 5 prunes
+    // the noise tail before the joins.
+    //
+    // Vocab cap contract (r14, r13 verdict item 5): every token-keyed
+    // frame that LEAVES the intrinsic bigram table is bounded — the
+    // scored vocabulary is the top [[collocVocabCap]] token types by
+    // bigram involvement (count desc, token asc — deterministic), and
+    // both marginal join sides are kept-vocab-filtered, so they are
+    // ≤ cap rows and ride explicit BROADCASTS whatever the corpus's
+    // vocabulary does (the synthetic replica composer grows vocab
+    // LINEARLY with SF — adversarial vs Heaps-law reality — which is
+    // exactly the growth this bounds). Pairs touching a dropped token
+    // type are EXCLUDED and the drop is COUNTED and WARN-logged, never
+    // silent (the Triangles bucket-cap observability contract). The cap
+    // never binds at bench SFs (vocab ≪ 65536 — QueriesSpec pins
+    // kept == all and values hash-equal to the uncapped form), so the
+    // oracle needs no cap clause. Kept marginals stay computed over the
+    // FULL bigram table, so a kept pair's PMI is exact regardless of
+    // what was dropped. Deterministic cross-engine: integer counts, one
+    // identically-associated log2 per row (events_entropy's discipline),
+    // rounded 6dp.
+    "text_collocations" -> ((s, sf) =>
+      collocations(t(s, sf, "documents"), collocVocabCap)),
 
     // exact duplicated-SPAN extents (round 11) — the "what to cut" output
     // of exact substring dedup (Lee et al., *Deduplicating Training Data

@@ -126,6 +126,25 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     offenders shouldBe empty
   }
 
+  test("vocab-keyed frames are bounded: collocations marginals broadcast, " +
+      "bm25 stays query-term-bound") {
+    // r13 verdict item 5. text_collocations: both marginal join sides are
+    // kept-vocab-capped (≤ 65,536 rows) and must ride BROADCAST joins —
+    // the boundedness is visible in the plan, not just argued
+    val cp = SparkEntry.queries("text_collocations")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    (cp.split("BroadcastHashJoin").length - 1) should be >= 2
+    // text_bm25: every token-keyed frame is bounded by the FIXED query
+    // terms — the explode stream is term-filtered BELOW the tf exchange
+    // (the isin predicate is in-plan), and the df side broadcasts
+    val bp = SparkEntry.queries("text_bm25")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    bp should include("dup")
+    bp should include("vector")
+    bp should include("merge")
+    bp should include("BroadcastExchange")
+  }
+
   test("filter/scan queries keep pushdown at the reader") {
     // spot canaries for the pushdown contract: losing PushedFilters on a
     // selective scan is invisible to correctness checks and catastrophic

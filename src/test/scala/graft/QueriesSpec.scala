@@ -110,6 +110,36 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     got shouldBe exp
   }
 
+  test("collocations vocab cap: a binding cap drops pairs (exact kept " +
+      "marginals); the declared cap never binds at corpus SF") {
+    // r13 verdict item 5: the vocab-keyed marginal frames are bounded by
+    // the top-by-involvement kept vocabulary (the BPE cap contract).
+    import spark.implicits._
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "a b a b a b")) ++
+      (7 to 12).map(i => (i.toLong, "c a c a c a"))
+    ).toDF("doc_id", "text")
+    val uncapped = graft.queries.TextAnalysis.collocations(docs, 65536).collect()
+    uncapped.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet shouldBe
+      Set(("a", "b", 18L), ("b", "a", 12L), ("c", "a", 18L), ("a", "c", 12L))
+    // cap 2 keeps {a (60 involvements), b (30, ties c — token-asc)}:
+    // pairs touching c are EXCLUDED, kept pairs keep their EXACT scores
+    // (marginals stay computed over the FULL bigram table)
+    val capped = graft.queries.TextAnalysis.collocations(docs, 2).collect()
+    capped.map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("a", "b"), ("b", "a"))
+    val unByKey = uncapped
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    capped.foreach(r =>
+      r.getDouble(3) shouldBe unByKey((r.getString(0), r.getString(1))))
+    // the declared 65,536 cap does not bind on the corpus: the query is
+    // value-identical to an effectively-uncapped run (hash-green contract)
+    val q = SparkEntry.queries("text_collocations")(spark, sf001).collect()
+    val k = graft.queries.TextAnalysis
+      .collocations(T.t(spark, sf001, "documents"), Int.MaxValue).collect()
+    q.map(_.toSeq).toSeq shouldBe k.map(_.toSeq).toSeq
+  }
+
   test("hashed boilerplate path: identical values, long-only exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType
