@@ -602,5 +602,68 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally q.stop()
   }
 
+  test("stateful streaming state is bounded by the watermark horizon, " +
+      "not the stream length") {
+    // r13 verdict item 4: the thing that decides whether stream_dedup /
+    // stream_session survive an endless 100 TB stream is that their state
+    // store holds ONLY the keys inside the watermark horizon. Feed an
+    // ADVERSARIAL stream — every event a brand-new dedup key, event time
+    // advancing steadily — and assert the state-store row count (the
+    // progress API's stateOperators.numRowsTotal) stays near one
+    // horizon's worth of keys while the stream grows 20 horizons long.
+    // An unbounded dropDuplicates would hold every key ever seen.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val base = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val q = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      val chunks = 20; val perChunk = 500 // one chunk = one event-hour
+      val stateSeen = (0 until chunks).map { c =>
+        ms.addData((0 until perChunk).map { i =>
+          val evId = (c * perChunk + i).toLong // every key unique: worst case
+          val t = new Timestamp(base + c * 3600000L + i * 3600000L / perChunk)
+          (evId, t, evId % 97, "click", 1.0)
+        })
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.head.numRowsTotal
+      }
+      // total distinct keys = 10,000; a horizon (30 min) holds ~250. The
+      // state must stay within ~2 chunks' worth — eviction is keeping up —
+      // and the LAST reading must be far below the total key count.
+      stateSeen.max should be < (3L * perChunk)
+      stateSeen.last should be < (3L * perChunk)
+      stateSeen.last.toDouble / (chunks * perChunk) should be < 0.15
+    } finally q.stop()
+
+    // session windows: state is one row per OPEN session — continuous
+    // activity holds it at ~active-user count; a silent user's session
+    // closes when the watermark passes its end + gap and is EVICTED
+    val ms2 = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q2 = Streams.session(
+        ms2.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .withWatermark("ts", "10 minutes"))
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      val users = 50L
+      val states = (0 until 12).map { c =>
+        ms2.addData((0 until 200).map { i =>
+          val t = new Timestamp(base + c * 3600000L + i * 18000L)
+          ((c * 200 + i).toLong, t, i % users, "click", 1.0)
+        })
+        q2.processAllAvailable()
+        q2.lastProgress.stateOperators.head.numRowsTotal
+      }
+      // 12 event-hours, 2,400 events, 50 users: each hour's burst closes
+      // (next chunk starts > 30-min gap later), so state never accumulates
+      // sessions — it stays within a small multiple of the user count
+      states.max should be < (4L * users)
+      states.last should be < (4L * users)
+    } finally q2.stop()
+  }
+
   private def unixMicros(s: String): Long = Instant.parse(s).toEpochMilli * 1000L
 }

@@ -59,10 +59,29 @@ events = " UNION ALL ".join(
     for i in range(reps))
 con.execute(f"COPY ({events}) TO '{dst}/events.parquet' (FORMAT PARQUET)")
 
+# embeddings (round 14, ANN scaling point): replicas with disjoint ids and
+# a small deterministic per-(vector, dim, replica) jitter, renormalized to
+# unit length — literal copies would make every replica an exact duplicate
+# (degenerate ties for ANN), while the jitter keeps the corpus isotropic
+# and the intra-replica neighbourhood structure intact.
+embs = " UNION ALL ".join(
+    f"""SELECT vec_id + CAST({i * 10000000} AS BIGINT) AS vec_id,
+          list_transform(jit, x -> CAST(x / nrm AS FLOAT)) AS embedding,
+          label
+        FROM (
+          SELECT vec_id, label,
+            list_transform(embedding,
+              (x, j) -> x + ((hash(vec_id * 131 + j * 7 + {i} * 1000003)
+                              % 1000) / 1000.0 - 0.4995) * 0.1) AS jit
+          FROM read_parquet('{src}/embeddings.parquet'))
+        , LATERAL (SELECT sqrt(list_sum(list_transform(jit, x -> x * x))) AS nrm)"""
+    for i in range(reps))
+con.execute(f"COPY ({embs}) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
+
 for t in ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "embeddings"):
+          "lineitem"):
     shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
 
-for t in ("documents", "events"):
+for t in ("documents", "events", "embeddings"):
     n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
     print(f"{t}: {n} rows -> {dst}")
