@@ -23,6 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object AnnSweep {
 
+  /** Exact (a_id, b_id) top-k pairs for the deterministic query sample
+    * `vec_id % step == 0` — sample × corpus via the codegen'd graft_dot
+    * inside map tasks (the broadcast keeps it ONE scan of the corpus:
+    * |sample| × n dots, linear in n — the sampled-ground-truth protocol
+    * published ANN benchmarks use, because a full brute truth is the
+    * quadratic non-starter the ANN tier exists to avoid). Shared with
+    * RecallSpec's composed-corpus floor. */
+  private[graft] def sampledExactTopK(emb: org.apache.spark.sql.DataFrame,
+      k: Int, step: Long): org.apache.spark.sql.DataFrame = {
+    val v = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+    val sampleQ = v.where(col("vec_id") % step === 0)
+      .select(col("vec_id").as("a_id"), col("e").as("ea"),
+        col("nrm").as("na"))
+    graft.ml.Sim.topKHits(
+      v.select(col("vec_id").as("b_id"), col("e").as("eb"),
+          col("nrm").as("nb"))
+        .join(broadcast(sampleQ), col("a_id") =!= col("b_id"))
+        .withColumn("sim",
+          expr("graft_dot(ea, eb)") / (col("na") * col("nb"))),
+      k).select("a_id", "b_id")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ops = args.drop(1).headOption.getOrElse("brute,ivf,ivfpq")
@@ -50,22 +74,8 @@ object AnnSweep {
     val step = math.max(1L, n / 200L)
     def r2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
 
-    // exact ground truth for the SAMPLED queries: sample × corpus via the
-    // codegen'd graft_dot inside map tasks (the broadcast keeps it one
-    // scan of the corpus — 200 × n dots, linear in n)
-    val v = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
-    val sampleQ = v.where(col("vec_id") % step === 0)
-      .select(col("vec_id").as("a_id"), col("e").as("ea"),
-        col("nrm").as("na"))
     val t0 = System.nanoTime()
-    val exact = graft.ml.Sim.topKHits(
-      v.select(col("vec_id").as("b_id"), col("e").as("eb"),
-          col("nrm").as("nb"))
-        .join(broadcast(sampleQ), col("a_id") =!= col("b_id"))
-        .withColumn("sim", expr("graft_dot(ea, eb)") / (col("na") * col("nb"))),
-      k).select("a_id", "b_id").persist()
+    val exact = sampledExactTopK(emb, k, step).persist()
     val nExact = exact.count()
     val bruteSec = (System.nanoTime() - t0) / 1e9
     val nQ = nExact / k
@@ -92,15 +102,19 @@ object AnnSweep {
         s"sec=${r2(sec)} recall=${r2(rec)}")
     }
 
-    if (ops("ivfpq")) Seq(8).foreach { np =>
+    // refine sweep: on a near-duplicate-heavy corpus the ADC shortlist
+    // must cover the local duplicate multiplicity (quantization error >
+    // the sibling margin), so recall is a function of k·refine vs the
+    // duplicate-cluster size — the sizing rule PLANS.md documents
+    if (ops("ivfpq")) Seq(4, 16, 32).foreach { rf =>
       val t1 = System.nanoTime()
-      force(graft.ml.Sim.ivfpqTopK(emb, k, nCells = nCells, nprobe = np,
-        m = 8))
+      force(graft.ml.Sim.ivfpqTopK(emb, k, nCells = nCells, nprobe = 8,
+        m = 8, refine = rf))
       val sec = (System.nanoTime() - t1) / 1e9
       val rec = recallOf(graft.ml.Sim.ivfpqTopK(emb, k, nCells = nCells,
-        nprobe = np, m = 8).where(col("a_id") % step === 0))
+        nprobe = 8, m = 8, refine = rf).where(col("a_id") % step === 0))
       println(s"[annsweep] dir=$dir n=$n op=ivfpq nCells=$nCells " +
-        s"nprobe=$np m=8 sec=${r2(sec)} recall=${r2(rec)}")
+        s"nprobe=8 m=8 refine=$rf sec=${r2(sec)} recall=${r2(rec)}")
     }
     spark.stop()
   }
