@@ -374,6 +374,17 @@ object Sim {
       .select("vec_id", "cluster", "d2")
   }
 
+  /** Auto cell sizing (r14, the composed-corpus sweep's rule): `nCells <=
+    * 0` sizes the coarse quantizer as max(16, ⌈√n⌉) — the standard IVF
+    * heuristic balancing per-probe cell-scan cost (n/nCells) against
+    * probe count, and the sizing that held recall 1.0 at the 10× and 100×
+    * composed corpora with nprobe = 4 (PLANS.md r14 ANN table). A FIXED
+    * cell count does not survive scale: candidates grow as n²·nprobe/
+    * nCells, so 16 cells at 200k vectors is a 10-gigapair join. */
+  private def sizeCells(nCells: Int, n: Long): Int =
+    if (nCells > 0) nCells
+    else math.max(16, math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt)
+
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 4,
       seed: Long = 42L, maxIter: Int = 4,
       maxTrainRows: Long = 262144, nRows: Long = -1L): DataFrame = {
@@ -394,7 +405,7 @@ object Sim {
     if (sample.isEmpty)
       return topKHits(e0.select(col("vec_id").as("a_id"),
         col("vec_id").as("b_id"), lit(0.0).as("sim")).limit(0), k)
-    val cents = lloydLocal(sample, nCells, maxIter, seed)
+    val cents = lloydLocal(sample, sizeCells(nCells, n), maxIter, seed)
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     // nprobe nearest centroids per query vector; data side carries its
     // own (1-probe) cell — the cell id is the join/bucketing key at scale
@@ -464,6 +475,7 @@ object Sim {
     val dim = stats.getInt(0)
     val n = stats.getLong(1)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
+    val cells = sizeCells(nCells, n) // auto √n sizing when nCells <= 0 (r14)
     val ds = dim / m
     // THE one bounded collect: the seeded training sample (≤ maxTrainRows
     // vectors, vec_id-ordered so the quantizer is partition-layout
@@ -474,7 +486,7 @@ object Sim {
         col("vec_id").as("b_id"), lit(0.0).as("sim")).limit(0), k)
     // local coarse quantizer + per-subspace codebooks over the sample's
     // residuals — pure driver arithmetic on the bounded sample
-    val cents = lloydLocal(sample, nCells, maxIter, seed)
+    val cents = lloydLocal(sample, cells, maxIter, seed)
     val kc = cents.length
     def nearestIdx(x: Array[Double]): Int = {
       var best = 0; var bd = Double.MaxValue; var c = 0
@@ -579,7 +591,7 @@ object Sim {
     * tests.
     */
   def topK(emb: DataFrame, k: Int, auto: Boolean = false,
-      ivfThreshold: Long = 500000, nCells: Int = 16, nprobe: Int = 4,
+      ivfThreshold: Long = 500000, nCells: Int = -1, nprobe: Int = 4,
       pqThreshold: Long = 50000000L, pqM: Int = 8): DataFrame =
     if (!auto) bruteTopK(emb, k)
     else {

@@ -433,8 +433,12 @@ object Llm {
     // by RecallSpec) and re-ranks exactly with graft_dot. Candidate volume
     // drops from O(n²) to O(n²·nprobe/k) — at scale the cell assignment
     // also becomes the shuffle/bucketing key so each cell joins co-located.
+    // r14: auto √n cell sizing (nCells = -1) — a FIXED cell count does
+    // not survive scale (candidates ∝ n²·nprobe/nCells); the composed-
+    // corpus sweep (PLANS.md r14) measured recall 1.0 at 10×/100× under
+    // √n cells with nprobe = 4
     "sim_ann_ivf" -> ((s, sf) =>
-      graft.ml.Sim.ivfTopK(t(s, sf, "embeddings"), 5, nCells = 16, nprobe = 4)),
+      graft.ml.Sim.ivfTopK(t(s, sf, "embeddings"), 5, nCells = -1, nprobe = 4)),
 
     // IVF-PQ approximate nearest neighbours (round 11, capability row: the
     // memory tier above sim_ann_ivf — KMeans-dependent, rows-only; SimSpec
@@ -445,7 +449,7 @@ object Llm {
     // re-rank — emitted sims are TRUE cosines. At 100 TB this is what
     // keeps the ANN join's shuffle volume independent of embedding width.
     "sim_ann_ivfpq" -> ((s, sf) =>
-      graft.ml.Sim.ivfpqTopK(t(s, sf, "embeddings"), 5, nCells = 16,
+      graft.ml.Sim.ivfpqTopK(t(s, sf, "embeddings"), 5, nCells = -1,
         nprobe = 4, m = 8)),
 
     // k-NN majority-vote classification over the embedding table
