@@ -96,8 +96,38 @@ object Sim {
       cosinePairs(emb, col("a_id") < col("b_id"))
         .where(col("sim") >= tau)
         .select(col("a_id"), col("b_id"), col("sim"))
-    else if (tau >= 0.8) cosineLshPairs(emb, tau, nBands = 8, bandBits = 8, tr = tr)
+    else if (tau >= 0.8) cosineLshPairs(emb, tau, nBands = 7, bandBits = 8, tr = tr)
     else cosineLshPairs(emb, tau, tr = tr)
+  }
+
+  /** [[cosineLshPairs]] with SCALE-SIZED band width (r14, the composed-
+    * corpus sweep's second sizing rule): a fixed 2-bit band partitions
+    * each band into 4 buckets, so bucket membership is ~n/4 and the
+    * bucket join's fan-out grows as n²/4 per band — at 200k vectors that
+    * is a 10¹¹-pair non-starter the maxBucket cap (a SKEW guard, not a
+    * sizing rule) never catches because every bucket is legitimately
+    * huge. Band width must grow with the corpus: bandBits =
+    * clamp(⌈log₂(n/1024)⌉, 2, 8) keeps expected bucket membership in the
+    * ~256–1024 range (fan-out ∝ n × bucketSize, linear at fixed
+    * membership). The recall trade is the documented LSH contract: wider
+    * bands lower p_band at LOW sims (at 8 bits, a sim-0.4 pair's
+    * p_band ≈ 0.33) while near-dup pairs — the dedup use case — keep
+    * p_band ≈ 1 (sim 0.95 ⇒ p^8 ≈ 0.66, 16 bands ⇒ ~1−10⁻⁷). Bench-SF
+    * corpora (n ≤ 4096) keep today's 2-bit geometry bit-for-bit.
+    */
+  def cosineLshPairsAuto(emb: DataFrame, tau: Double,
+      seed: Long = 42L, tr: graft.operators.Tracked = null,
+      maxBucket: Int = 65536): DataFrame = {
+    val n = countOnce(emb)
+    val bits = math.max(2, math.min(8,
+      math.ceil(math.log(math.max(n, 1L).toDouble / 1024.0) / math.log(2.0)).toInt))
+    // the signature packs every band into ONE long, so bands are sized
+    // jointly with the width: nBands = min(16, 63/bits). Recall stays in
+    // the near-dup regime either way (sim 0.95, bits=8, 7 bands:
+    // p_band ≈ 1 − (1 − 0.95^8)^7 ≈ 0.9995); what shrinks is the LOW-sim
+    // tail — the documented trade of wider bands.
+    val bands = math.min(16, 63 / bits)
+    cosineLshPairs(emb, tau, bands, bits, seed, tr, maxBucket)
   }
 
   /** Random-hyperplane LSH near-dup pairs (Charikar, *Similarity estimation
@@ -135,6 +165,7 @@ object Sim {
   def cosineLshPairs(emb: DataFrame, tau: Double, nBands: Int = 16,
       bandBits: Int = 2, seed: Long = 42L,
       tr: graft.operators.Tracked = null, maxBucket: Int = 65536): DataFrame = {
+    require(bandBits > 0, "use cosineLshPairsAuto for scale-sized bands")
     val nBits = nBands * bandBits
     require(nBits <= 63, s"nBands*bandBits must fit a long, got $nBits")
     val spark = emb.sparkSession

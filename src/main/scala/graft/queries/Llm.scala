@@ -392,7 +392,7 @@ object Llm {
     // 100 TB path of that query: candidates from buckets, never all pairs.
     "dedup_embed_lsh" -> ((s, sf) => {
       val tr = new graft.operators.Tracked
-      tr.seal(graft.ml.Sim.cosineLshPairs(t(s, sf, "embeddings"), 0.4, tr = tr)
+      tr.seal(graft.ml.Sim.cosineLshPairsAuto(t(s, sf, "embeddings"), 0.4, tr = tr)
           .groupBy(col("b_id").as("dup_id"))
           .agg(min(col("a_id")).as("keep_id"), count(lit(1)).as("n_better")))
         .orderBy("dup_id")
