@@ -119,13 +119,20 @@ object Sim {
       seed: Long = 42L, tr: graft.operators.Tracked = null,
       maxBucket: Int = 65536): DataFrame = {
     val n = countOnce(emb)
-    val bits = math.max(2, math.min(8,
-      math.ceil(math.log(math.max(n, 1L).toDouble / 1024.0) / math.log(2.0)).toInt))
-    // the signature packs every band into ONE long, so bands are sized
-    // jointly with the width: nBands = min(16, 63/bits). Recall stays in
-    // the near-dup regime either way (sim 0.95, bits=8, 7 bands:
-    // p_band ≈ 1 − (1 − 0.95^8)^7 ≈ 0.9995); what shrinks is the LOW-sim
-    // tail — the documented trade of wider bands.
+    // target EXPECTED bucket membership ~128: candidate volume is
+    // n × membership × nBands / 2, so holding membership constant keeps
+    // the candidate stream LINEAR in the corpus (measured at the 10×
+    // composed corpus: the earlier 1024-membership target produced a 75M-
+    // candidate stream whose sort-merge re-rank spilled 25 GB; at 128 the
+    // same corpus is ~5M candidates). Width is capped at 15 bits by the
+    // one-long signature pack; bands are sized jointly (min(16, 63/bits),
+    // so always ≥ 4 bands). Recall follows the banding curve: near-dup
+    // pairs (sim ≥ 0.99, p ≥ 0.955) keep p_band ≥ 0.94 at every sizing,
+    // while the low-sim tail shrinks as bands widen — the documented LSH
+    // trade (τ-0.4 completeness at 100 TB wants the IVF/exact tiers, not
+    // hyperplane buckets).
+    val bits = math.max(2, math.min(15,
+      math.ceil(math.log(math.max(n, 1L).toDouble / 128.0) / math.log(2.0)).toInt))
     val bands = math.min(16, 63 / bits)
     cosineLshPairs(emb, tau, bands, bits, seed, tr, maxBucket)
   }
@@ -230,9 +237,21 @@ object Sim {
     // (≤ nBands, typically 1-2), and a codegen'd dot is far cheaper than
     // shuffling the row. sim is a deterministic function of the pair, so
     // the post-cut distinct collapses band-duplicates exactly.
+    //
+    // Join shape (r14): the vector side carries the shuffle_hash hint.
+    // Past the broadcast threshold the planner's default is a sort-merge
+    // join, which SORTS the candidate stream with 8·dim-byte vectors
+    // attached — measured 2.4 GB of external-sort spill at the 10×
+    // composed corpus for a 5M-candidate stream. A shuffled hash join
+    // builds on the VECTOR side (n/parts rows per partition — the small
+    // side per key at any corpus size) and streams the candidates with no
+    // sort at all; below the broadcast threshold the hint is moot (the
+    // planner still broadcasts the tiny side).
     cand
-      .join(v.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na")), "a_id")
-      .join(v.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb")), "b_id")
+      .join(v.select(col("vec_id").as("a_id"), col("e").as("ea"),
+        col("nrm").as("na")).hint("shuffle_hash"), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("e").as("eb"),
+        col("nrm").as("nb")).hint("shuffle_hash"), "b_id")
       .withColumn("sim", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
       .where(col("sim") >= tau)
       .select(col("a_id"), col("b_id"), col("sim"))
