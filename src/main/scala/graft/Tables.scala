@@ -35,7 +35,26 @@ object T {
     *    as epoch-nano longs under `nanosAsLong=true` are truncated to
     *    microseconds — the same ns→µs truncation DuckDB applies.
     */
+  // Loader memo (r14, the fixed-cost shave): every t() paid a file
+  // listing + parquet footer schema read (~90 ms measured at sf0.1), and
+  // a full harness run makes ~400 such calls — tens of seconds of pure
+  // relation-resolution re-work for immutable corpus dirs. The memo keys
+  // on (session identity, dir, table) and stores the LOGICAL frame (a
+  // plan, not data — nothing here pins executor memory, and the harness's
+  // cacheManager.clearCache() between queries is irrelevant to it).
+  // Bounded; eviction wholesale (corpus tables number ~10 per SF). The
+  // corpus contract makes the staleness trade explicit: /root/testdata
+  // and the composed /tmp corpora are write-once per run — a table
+  // REWRITTEN under a memoized path within one session would serve the
+  // old file list, which is why sink/round-trip queries use their own
+  // run-tagged dirs and never read through t().
+  private val tMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String), DataFrame]()
+
   def t(s: SparkSession, sf: String, n: String): DataFrame = {
+    val key = (System.identityHashCode(s), sf, n)
+    val hit = tMemo.get(key)
+    if (hit != null) return hit
     // pushdown-preserving NTZ fix for sessions built without our configs —
     // schema inference happens inside read.parquet, so the conf only needs
     // to hold across that call; restore the caller's value afterwards
@@ -49,7 +68,7 @@ object T {
                case Some(v) => s.conf.set(ntzKey, v)
                case None => s.conf.unset(ntzKey)
              }
-    df.schema.fields.foldLeft(df) { (d, f) =>
+    val out = df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
         case org.apache.spark.sql.types.TimestampNTZType =>
           d.withColumn(f.name, col(f.name).cast("timestamp"))
@@ -58,6 +77,9 @@ object T {
         case _ => d
       }
     }
+    if (tMemo.size >= 256) tMemo.clear()
+    tMemo.put(key, out)
+    out
   }
 
   /** Exact order-independent sum of a fixed-scale double column. */
