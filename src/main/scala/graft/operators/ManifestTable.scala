@@ -233,6 +233,42 @@ object ManifestTable {
     committed
   }
 
+  /** Incremental read (r14): the rows of data files present in `toVersion`
+    * (default: the head) but NOT in `fromVersion` — the manifest
+    * protocol's CDC-consume surface. For APPEND-only tables this is exact
+    * change capture ("everything committed since the version I last
+    * processed") at O(new files) cost: the two manifests diff as string
+    * sets and only the delta files are scanned — at 100 TB an incremental
+    * consumer pays for its increment, never the table. On a table that
+    * has seen REPLACE/compaction commits the file-set delta is still
+    * exactly "files added since", but rewritten files re-deliver rows the
+    * consumer may have seen (file-level granularity — the same contract
+    * as Delta's file-based CDF before deletion vectors); pair with
+    * replace-aware consumers or read row-level diffs via two snapshot
+    * reads and an anti-join when replaces are in play.
+    */
+  def readIncremental(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir has no committed snapshot")
+    val to = if (toVersion < 0) vs.last else toVersion
+    require(vs.contains(to), s"version $to not in committed set $vs")
+    require(vs.contains(fromVersion),
+      s"fromVersion $fromVersion not in committed set $vs (expired? " +
+        "retention must outlive the consumer's lag — the VACUUM contract)")
+    require(fromVersion <= to,
+      s"fromVersion $fromVersion is past toVersion $to")
+    val fs = fsOf(spark, dir)
+    val before = manifestFiles(fs, dir, fromVersion).toSet
+    val added = manifestFiles(fs, dir, to).filterNot(before)
+    if (added.isEmpty)
+      // preserve the table schema on an empty increment: zero-row read of
+      // the to-version snapshot, not an empty zero-column frame
+      read(spark, dir, to).limit(0)
+    else
+      spark.read.parquet(added.map(f => s"$dir/$f"): _*)
+  }
+
   /** Retention: keep the latest `keepLast` manifests, delete older ones,
     * then delete data batches no retained manifest references (the vacuum
     * half of the lifecycle). Runs AFTER readers of expired snapshots are

@@ -422,6 +422,36 @@ object Sources {
     // overwrites — where the rename CAS loses commits — is spec-pinned
     // against a simulated clobbering store (ManifestTableSpec: two
     // concurrent committers lose nothing; torn-lock lease recovery).
+    // incremental consumption (round 14) — the manifest protocol's CDC
+    // surface: a consumer checkpointed at version V reads ONLY the rows of
+    // files committed after V (ManifestTable.readIncremental — the two
+    // manifests diff as string sets, so the consumer pays O(its
+    // increment), never O(the table) — the production incremental-ETL
+    // shape at 100 TB). The query appends the orders table in three
+    // deterministic thirds (o_orderkey mod 3), checkpoints after the
+    // first, and aggregates the increment — exactly batches 2+3, which is
+    // what hash-matching the mod-filtered plain-table oracle proves.
+    // Version selection is RELATIVE (two commits before the head), so
+    // per-JVM commit accumulation across re-runs leaves the delta
+    // identical (the manifest_time_travel discipline). Exactness contract:
+    // exact CDC for append-only tables; file-granularity (re-delivery on
+    // rewrites) under replace/compaction — documented on the operator.
+    "manifest_incremental" -> ((s, sf) => {
+      val dir = tmp(sf, "incr")
+      val o = t(s, sf, "orders")
+      (0 to 2).foreach { r =>
+        graft.operators.ManifestTable.commit(s, dir,
+          o.filter(col("o_orderkey") % 3 === r))
+      }
+      val vs = graft.operators.ManifestTable.versions(s, dir)
+      val checkpointed = vs(vs.length - 3) // after this run's first batch
+      graft.operators.ManifestTable.readIncremental(s, dir, checkpointed)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.T.dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     "manifest_locked" -> ((s, sf) => {
       val dir = tmp(sf, "locked")
       val cas = graft.operators.LockedCas()
@@ -494,6 +524,11 @@ object Sources {
       """SELECT s_nationkey, count(*) AS n_supp,
                 CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM supplier GROUP BY 1 ORDER BY s_nationkey""",
+    "manifest_incremental" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderkey % 3 <> 0
+         GROUP BY 1 ORDER BY o_orderstatus""",
     "manifest_catalog" ->
       """WITH half AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
            legs AS (

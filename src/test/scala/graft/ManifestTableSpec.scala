@@ -460,6 +460,39 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     asSet(ManifestTable.read(spark, plain)) shouldBe Set(1L -> "x", 2L -> "y")
   }
 
+  test("incremental reads deliver exactly the files committed after the " +
+      "checkpoint version") {
+    val dir = tmpDir()
+    val v1 = ManifestTable.commit(spark, dir, df(1L -> "a"))
+    val v2 = ManifestTable.commit(spark, dir, df(2L -> "b"))
+    ManifestTable.commit(spark, dir, df(3L -> "c"))
+    // consumer checkpointed at v1: the increment is batches 2+3, never 1
+    asSet(ManifestTable.readIncremental(spark, dir, v1)) shouldBe
+      Set(2L -> "b", 3L -> "c")
+    // bounded to an explicit toVersion: just batch 2
+    asSet(ManifestTable.readIncremental(spark, dir, v1, v2)) shouldBe
+      Set(2L -> "b")
+    // caught-up consumer: empty increment, SCHEMA preserved
+    val empty = ManifestTable.readIncremental(spark, dir, 3L)
+    empty.count() shouldBe 0L
+    empty.columns.toSeq shouldBe Seq("k", "v")
+    // a checkpoint expired out of retention must fail loudly (the VACUUM
+    // lag contract), not silently deliver a wrong delta
+    ManifestTable.expire(spark, dir, keepLast = 2)
+    an[IllegalArgumentException] should be thrownBy
+      ManifestTable.readIncremental(spark, dir, v1)
+    // surviving checkpoints keep working after retention
+    asSet(ManifestTable.readIncremental(spark, dir, v2)) shouldBe
+      Set(3L -> "c")
+    // file-granularity contract under replace: rewritten files ARE the
+    // delta (re-delivery documented — exact CDC is the append-only claim)
+    val v4 = ManifestTable.versions(spark, dir).last
+    ManifestTable.commit(spark, dir,
+      df(1L -> "a", 2L -> "b", 3L -> "c"), replace = true)
+    asSet(ManifestTable.readIncremental(spark, dir, v4)) shouldBe
+      Set(1L -> "a", 2L -> "b", 3L -> "c")
+  }
+
   // ---- LockedCas: commits on stores without atomic rename (round 14) ----
 
   /** A table dir on the clobber: scheme — rename silently overwrites, so
