@@ -94,20 +94,27 @@ object LabelProp {
         kept = rdd :: kept
         s.createDataFrame(rdd, df.schema)
       }
-      import org.apache.spark.sql.expressions.Window
       val adj = snap(e0.select(col("u1").as("u"), col("u2").as("v"))
         .union(e0.select(col("u2").as("u"), col("u1").as("v"))))
       var labels = snap(adj.select(col("u").as("node")).distinct()
         .select(col("node"), col("node").as("lab")))
-      val w = Window.partitionBy("node").orderBy(desc("c"), col("lab"))
       for (_ <- 1 to rounds) {
+        // per-node argmax as a HASH AGGREGATE, not a window (r14): the
+        // (count DESC, label ASC) winner is max_by over the (c, -lab)
+        // struct — (c, -lab) is unique per (node, lab) group, so the
+        // argmax is deterministic with no tie to break — which keeps the
+        // round in two pipelined hash aggs instead of paying a per-node
+        // SORT under a window (measured at the 100× corpus's 2.9M-edge
+        // graph: 55–79 s → see PLANS.md r14). Bit-identical to the window
+        // form and to the DuckDB oracle's row_number — GraphSpec pins
+        // branch equality and the independent reference.
         labels = snap(adj
           .join(labels.select(col("node").as("v"), col("lab")), Seq("v"))
           .groupBy(col("u").as("node"), col("lab"))
           .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select("node", "lab"))
+          .groupBy("node")
+          .agg(max_by(col("lab"), struct(col("c"), (-col("lab")).as("nl")))
+            .as("lab")))
       }
       val out = tr.seal(labels.select(col("node"),
         col("lab").as("community")))
