@@ -59,6 +59,21 @@ object ManifestTable {
     * presence makes direct appends here fail fast (see [[commit]]). */
   private[operators] val CatalogManagedMarker = "_catalog_managed"
 
+  /** File-skipping predicates evaluated against per-file min/max stats
+    * (see [[readPruned]]). `v` is the comparison value: pass numerics as
+    * numerics; pass date/timestamp values as their canonical
+    * cast-to-string form (`"2024-01-11 00:00:00"`) — the same rendering
+    * the stats sidecar records. Null rows never satisfy any of these
+    * predicates (SQL comparison semantics), which is what makes
+    * pruning on non-null min/max sound.
+    */
+  sealed trait StatsPred { def col: String; def v: Any }
+  /** keep file unless max(col) <  v */ case class ColGe(col: String, v: Any) extends StatsPred
+  /** keep file unless max(col) <= v */ case class ColGt(col: String, v: Any) extends StatsPred
+  /** keep file unless min(col) >  v */ case class ColLe(col: String, v: Any) extends StatsPred
+  /** keep file unless min(col) >= v */ case class ColLt(col: String, v: Any) extends StatsPred
+  /** keep file unless v outside [min,max] */ case class ColEq(col: String, v: Any) extends StatsPred
+
   private val ManifestName = """v(\d+)\.manifest""".r
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
@@ -127,7 +142,8 @@ object ManifestTable {
     */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
       replace: Boolean = false, readVersion: Long = -1L,
-      tag: String = null, cas: CommitCas = RenameCas): Long = {
+      tag: String = null, cas: CommitCas = RenameCas,
+      statsCols: Seq[String] = Nil): Long = {
     val fs = fsOf(spark, dir)
     if (!replace && fs.exists(new Path(dir, CatalogManagedMarker)))
       throw new IllegalStateException(
@@ -183,6 +199,18 @@ object ManifestTable {
       if (dataDirExists) fs.delete(dp, true)
     }
     df.write.parquet(s"$dir/$dataRel")
+    // File-skipping stats (r14): one distributed pass over the batch just
+    // written, grouped by physical file, recording min/max/non-null-count
+    // per requested column into a `_stats.tsv` sidecar INSIDE the batch
+    // dir. Written before the manifest CAS, so a committed batch either
+    // has its stats or (crash window) readers degrade to keep-all for it —
+    // pruning is an optimization, never a correctness dependency. The
+    // sidecar is immutable alongside its data files, inherited by every
+    // manifest that references the batch, and vacuumed with it by
+    // expire(). At 100 TB this is the Delta/Iceberg data-skipping shape:
+    // a selective read touches O(manifest + sidecars) metadata and only
+    // the files whose ranges intersect the predicate.
+    if (statsCols.nonEmpty) writeStats(spark, fs, dir, dataRel, statsCols)
     val newFiles = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataRel/$n")
@@ -267,6 +295,186 @@ object ManifestTable {
       read(spark, dir, to).limit(0)
     else
       spark.read.parquet(added.map(f => s"$dir/$f"): _*)
+  }
+
+  private val StatsName = "_stats.tsv"
+
+  /** One file's recorded column stat: canonical-string min/max over the
+    * non-null values (None when the file has no non-null value). */
+  private[operators] case class ColStat(typeName: String, rows: Long,
+      nonNull: Long, min: Option[String], max: Option[String])
+
+  private def b64(s: String): String = java.util.Base64.getEncoder
+    .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def unb64(s: String): String = new String(
+    java.util.Base64.getDecoder.decode(s),
+    java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Collect per-file min/max/non-null stats for `statsCols` over the batch
+    * at `dir/dataRel` and write the `_stats.tsv` sidecar. One distributed
+    * scan (group by physical file); driver state is files × columns lines.
+    * Values are rendered via CAST(.. AS STRING) — the one canonical,
+    * writer-independent encoding Spark already defines per type — and
+    * base64-wrapped in the sidecar so arbitrary string data can never break
+    * the line format.
+    */
+  private def writeStats(spark: SparkSession, fs: FileSystem, dir: String,
+      dataRel: String, statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val bdf = spark.read.parquet(s"$dir/$dataRel")
+    val fields = bdf.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = statsCols.distinct
+    cols.foreach(c => require(fields.contains(c),
+      s"statsCols column $c not in batch schema ${fields.keys.toSeq.sorted}"))
+    val aggs = cols.flatMap { c => Seq(
+      min(col(c)).cast("string").as(s"min__$c"),
+      max(col(c)).cast("string").as(s"max__$c"),
+      count(col(c)).as(s"cnt__$c")) }
+    val allAggs = count(lit(1)).as("rows") +: aggs
+    val rows = bdf.groupBy(input_file_name().as("f"))
+      .agg(allAggs.head, allAggs.tail: _*)
+      .collect()
+    val lines = rows.flatMap { r =>
+      val base = r.getAs[String]("f").split('/').last
+      val n = r.getAs[Long]("rows")
+      cols.map { c =>
+        val mn = Option(r.getAs[String](s"min__$c")).map(b64).getOrElse("-")
+        val mx = Option(r.getAs[String](s"max__$c")).map(b64).getOrElse("-")
+        s"$base\t$c\t${fields(c).typeName}\t$n\t${r.getAs[Long](s"cnt__$c")}\t$mn\t$mx"
+      }
+    }
+    // empty part files produce no group row; record explicit zero-row
+    // stats for them so they prune under any predicate instead of being
+    // conservatively kept forever
+    val seen = rows.map(_.getAs[String]("f").split('/').last).toSet
+    val empties = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !seen.contains(n))
+      .flatMap(n => cols.map(c => s"$n\t$c\t${fields(c).typeName}\t0\t0\t-\t-"))
+    val out = fs.create(new Path(s"$dir/$dataRel/$StatsName"), true)
+    try out.write(((lines ++ empties).mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Stats for every file of snapshot `v`, keyed by manifest-relative path.
+    * Batches committed without statsCols simply have no entries — their
+    * files are never pruned. */
+  private def statsFor(fs: FileSystem, dir: String,
+      files: Seq[String]): Map[String, Map[String, ColStat]] = {
+    val batches = files.map(_.split('/').dropRight(1).mkString("/")).distinct
+    batches.flatMap { b =>
+      val p = new Path(s"$dir/$b/$StatsName")
+      if (!fs.exists(p)) Nil
+      else {
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toList finally in.close()
+        lines.flatMap { ln =>
+          ln.split('\t') match {
+            case Array(f, c, tn, n, nn, mn, mx) =>
+              Some((s"$b/$f", c, ColStat(tn, n.toLong, nn.toLong,
+                if (mn == "-") None else Some(unb64(mn)),
+                if (mx == "-") None else Some(unb64(mx)))))
+            case _ => None
+          }
+        }
+      }
+    }.groupBy(_._1).map { case (f, ts) =>
+      f -> ts.map(t => t._2 -> t._3).toMap }
+  }
+
+  /** Timestamp/date canonical strings may differ only in trailing
+    * fractional zeros ("..05" vs "..05.0"); normalize so lexicographic
+    * compare is value compare. Applied ONLY to temporal types — never to
+    * string data. */
+  private def normFrac(s: String): String =
+    if (s.contains('.'))
+      s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    else s
+
+  private def cmpStat(typeName: String, a: String, b: String): Int =
+    typeName match {
+      case "byte" | "short" | "integer" | "long" | "float" | "double" =>
+        BigDecimal(a).compare(BigDecimal(b))
+      case t if t.startsWith("decimal") => BigDecimal(a).compare(BigDecimal(b))
+      case "timestamp" | "timestamp_ntz" | "date" =>
+        normFrac(a).compareTo(normFrac(b))
+      case _ => a.compareTo(b)
+    }
+
+  private def renderV(v: Any): String = v match {
+    case s: String => s
+    case other => String.valueOf(other)
+  }
+
+  /** Can predicate `p` be satisfied by ANY row of a file with stats `st`?
+    * Missing column stats → unknowable → keep. All-null column → no
+    * non-null value exists → no row can satisfy a comparison → prune. */
+  private def mightMatch(st: Map[String, ColStat], p: StatsPred): Boolean =
+    st.get(p.col) match {
+      case None => true
+      case Some(cs) =>
+        if (cs.nonNull == 0L) false
+        else {
+          val v = renderV(p.v)
+          val mn = cs.min.get
+          val mx = cs.max.get
+          p match {
+            case ColGe(_, _) => cmpStat(cs.typeName, mx, v) >= 0
+            case ColGt(_, _) => cmpStat(cs.typeName, mx, v) > 0
+            case ColLe(_, _) => cmpStat(cs.typeName, mn, v) <= 0
+            case ColLt(_, _) => cmpStat(cs.typeName, mn, v) < 0
+            case ColEq(_, _) => cmpStat(cs.typeName, mn, v) <= 0 &&
+              cmpStat(cs.typeName, mx, v) >= 0
+          }
+        }
+    }
+
+  /** The file-skipping decision for snapshot `version` under `preds`
+    * (conjunctive): (kept manifest-relative paths, total files). Exposed
+    * so specs and metrics can assert how much a predicate pruned. */
+  def pruneFiles(spark: SparkSession, dir: String, preds: Seq[StatsPred],
+      version: Long = -1L): (Seq[String], Int) = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir has no committed snapshot")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    val fs = fsOf(spark, dir)
+    val files = manifestFiles(fs, dir, v)
+    val stats = statsFor(fs, dir, files)
+    val kept = files.filter { f =>
+      stats.get(f) match {
+        case None => true // batch committed without stats — never pruned
+        case Some(st) => preds.forall(p => mightMatch(st, p))
+      }
+    }
+    (kept, files.size)
+  }
+
+  /** Read snapshot `version` with FILE SKIPPING: files whose recorded
+    * min/max ranges cannot satisfy the conjunctive `preds` are never
+    * opened, and the predicates are re-applied as real row filters on the
+    * survivors (pruning is a superset guarantee, the filter is the
+    * semantics — a batch without stats degrades to filtered-scan, never
+    * to wrong rows). The read-side half of `statsCols` commits: at 100 TB
+    * a time-range query over a time-ordered ingest touches O(days asked)
+    * files instead of the table.
+    */
+  def readPruned(spark: SparkSession, dir: String, preds: Seq[StatsPred],
+      version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(preds.nonEmpty, "readPruned without predicates is read()")
+    val (kept, _) = pruneFiles(spark, dir, preds, version)
+    val residual = preds.map {
+      case ColGe(c, v) => col(c) >= lit(v)
+      case ColGt(c, v) => col(c) > lit(v)
+      case ColLe(c, v) => col(c) <= lit(v)
+      case ColLt(c, v) => col(c) < lit(v)
+      case ColEq(c, v) => col(c) === lit(v)
+    }.reduce(_ && _)
+    if (kept.isEmpty) read(spark, dir, version).where(residual).limit(0)
+    else spark.read.parquet(kept.map(f => s"$dir/$f"): _*).where(residual)
   }
 
   /** Retention: keep the latest `keepLast` manifests, delete older ones,

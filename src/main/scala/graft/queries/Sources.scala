@@ -452,6 +452,40 @@ object Sources {
         .orderBy("o_orderstatus")
     }),
 
+    // file-level data skipping (round 14) — the stats half of the manifest
+    // protocol (Delta/Iceberg's min-max skipping): events are committed in
+    // six appends keyed by 5-day ingest windows with `statsCols` on
+    // (ts, user_id, value), so each batch's sidecar records per-file
+    // min/max ranges; the query then reads a 10-day window through
+    // readPruned, which opens ONLY the files whose recorded ts range
+    // intersects the predicate (SourcesSpec asserts ≥ 2/3 of the files
+    // never open) and re-applies the predicate as a row filter on the
+    // survivors — pruning is a superset guarantee, the filter is the
+    // semantics. Hash-matching the plain filtered-table oracle proves
+    // skipping never changes values. At 100 TB over a time-ordered ingest
+    // this is the difference between scanning the table and scanning the
+    // days asked for, before any row group is decoded.
+    "manifest_skipping" -> ((s, sf) => {
+      import graft.operators.ManifestTable
+      import graft.operators.ManifestTable.{ColGe, ColLt}
+      val dir = tmp(sf, "skipping")
+      val e = t(s, sf, "events").withColumn("d", dayofmonth(col("ts")))
+      (0 to 5).foreach { w =>
+        val lo = w * 5 + 1
+        val batch = if (w == 5) e.filter(col("d") >= lo)
+                    else e.filter(col("d") >= lo && col("d") <= lo + 4)
+        ManifestTable.commit(s, dir, batch.drop("d"), replace = w == 0,
+          statsCols = Seq("ts", "user_id", "value"))
+      }
+      ManifestTable.readPruned(s, dir, Seq(
+          ColGe("ts", "2024-01-11 00:00:00"), ColLt("ts", "2024-01-21 00:00:00")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          graft.T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "manifest_locked" -> ((s, sf) => {
       val dir = tmp(sf, "locked")
       val cas = graft.operators.LockedCas()
@@ -520,6 +554,14 @@ object Sources {
       """SELECT c_mktsegment, count(*) AS n_cust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
+    "manifest_skipping" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-21 00:00:00'
+         GROUP BY 1 ORDER BY event_type""",
     "manifest_locked" ->
       """SELECT s_nationkey, count(*) AS n_supp,
                 CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal

@@ -586,4 +586,70 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     asSet(Catalog.readTable(spark, dir, "b")) shouldBe Set(1L -> "b1")
     asSet(Catalog.readTable(spark, dir, "a", 1L)) shouldBe Set(1L -> "a1")
   }
+
+  test("file stats skip the batches a range predicate cannot touch") {
+    import ManifestTable.{ColEq, ColGe, ColLt}
+    val dir = tmpDir()
+    ManifestTable.commit(spark, dir, df(1L -> "a", 2L -> "b").repartition(1),
+      statsCols = Seq("k", "v"))
+    ManifestTable.commit(spark, dir, df(10L -> "j", 12L -> "m").repartition(1),
+      statsCols = Seq("k", "v"))
+    ManifestTable.commit(spark, dir, df(20L -> "t").repartition(1),
+      statsCols = Seq("k", "v"))
+    val preds = Seq(ColGe("k", 10L), ColLt("k", 20L))
+    val (kept, total) = ManifestTable.pruneFiles(spark, dir, preds)
+    total shouldBe 3
+    kept.size shouldBe 1 // only the middle batch's range intersects
+    asSet(ManifestTable.readPruned(spark, dir, preds)) shouldBe
+      Set(10L -> "j", 12L -> "m")
+    // string equality pruning: "t" is outside both other batches' [min,max]
+    val (keptEq, _) = ManifestTable.pruneFiles(spark, dir, Seq(ColEq("v", "t")))
+    keptEq.size shouldBe 1
+    asSet(ManifestTable.readPruned(spark, dir, Seq(ColEq("v", "t")))) shouldBe
+      Set(20L -> "t")
+  }
+
+  test("pruning is conservative: boundaries keep, no-stats keep, all-null prunes") {
+    import ManifestTable.{ColEq, ColGe}
+    val dir = tmpDir()
+    ManifestTable.commit(spark, dir, df(4L -> "d", 5L -> "e").repartition(1),
+      statsCols = Seq("k", "v"))
+    // a batch committed WITHOUT stats can never be pruned
+    ManifestTable.commit(spark, dir, df(100L -> "x").repartition(1))
+    // predicate value exactly at a file's max: the file must stay
+    ManifestTable.pruneFiles(spark, dir, Seq(ColGe("k", 5L)))._1.size shouldBe 2
+    // past the max: only the stats-less batch survives, and the residual
+    // row filter still applies on it
+    val (kept, _) = ManifestTable.pruneFiles(spark, dir, Seq(ColGe("k", 6L)))
+    kept.size shouldBe 1
+    asSet(ManifestTable.readPruned(spark, dir, Seq(ColGe("k", 6L)))) shouldBe
+      Set(100L -> "x")
+    // an all-null column can satisfy no comparison predicate: prunes
+    ManifestTable.commit(spark, dir, df(7L -> null).repartition(1),
+      statsCols = Seq("k", "v"))
+    val (keptEq, totalEq) = ManifestTable.pruneFiles(spark, dir,
+      Seq(ColEq("v", "zz")))
+    totalEq shouldBe 3
+    keptEq.size shouldBe 1 // only the stats-less batch; "zz" > max("e") prunes batch 1
+    ManifestTable.readPruned(spark, dir, Seq(ColEq("v", "zz")))
+      .count() shouldBe 0L
+  }
+
+  test("timestamp stats compare by value across fractional-second renderings") {
+    import ManifestTable.{ColGt, ColLe}
+    val dir = tmpDir()
+    import spark.implicits._
+    val tdf = Seq("2024-01-10 00:00:05", "2024-01-10 00:00:05.5").toDF("s")
+      .select(col("s").cast("timestamp").as("ts")).repartition(1)
+    ManifestTable.commit(spark, dir, tdf, statsCols = Seq("ts"))
+    // max is ..05.5: strictly-greater-than ..05 can match (the .5 row)
+    ManifestTable.pruneFiles(spark, dir,
+      Seq(ColGt("ts", "2024-01-10 00:00:05")))._1.size shouldBe 1
+    // strictly-greater-than the max itself cannot — even though the
+    // canonical strings differ in fraction rendering ("..05.5" vs "..05.50")
+    ManifestTable.pruneFiles(spark, dir,
+      Seq(ColGt("ts", "2024-01-10 00:00:05.50")))._1.size shouldBe 0
+    ManifestTable.readPruned(spark, dir,
+      Seq(ColLe("ts", "2024-01-10 00:00:05"))).count() shouldBe 1L
+  }
 }

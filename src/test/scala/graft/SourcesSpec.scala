@@ -145,6 +145,35 @@ class SourcesSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should include regex "PartitionFilters: \\[[^\\]]*event_type"
   }
 
+  test("declared manifest_skipping shape prunes at least 2/3 of the files") {
+    import graft.operators.ManifestTable
+    import graft.operators.ManifestTable.{ColGe, ColLt}
+    // the declared query's exact composition at sf0.001: six 5-day
+    // appends with ts stats, a 10-day read window — 4 of the 6 batches'
+    // ranges cannot intersect the predicate and must never open
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-skipspec").toString + "/t"
+    val e = T.t(spark, sf001, "events")
+      .withColumn("d", dayofmonth(col("ts")))
+    (0 to 5).foreach { w =>
+      val lo = w * 5 + 1
+      val b = if (w == 5) e.filter(col("d") >= lo)
+              else e.filter(col("d") >= lo && col("d") <= lo + 4)
+      ManifestTable.commit(spark, dir, b.drop("d"), replace = w == 0,
+        statsCols = Seq("ts", "user_id", "value"))
+    }
+    val preds = Seq(ColGe("ts", "2024-01-11 00:00:00"),
+      ColLt("ts", "2024-01-21 00:00:00"))
+    val (kept, total) = ManifestTable.pruneFiles(spark, dir, preds)
+    assert(kept.size * 3 <= total,
+      s"expected >= 2/3 of files pruned, kept ${kept.size} of $total")
+    // and the pruned read is value-identical to the unpruned filtered read
+    val full = ManifestTable.read(spark, dir)
+      .where(col("ts") >= "2024-01-11 00:00:00" &&
+        col("ts") < "2024-01-21 00:00:00").count()
+    ManifestTable.readPruned(spark, dir, preds).count() shouldBe full
+  }
+
   test("T.t restores the caller's NTZ-inference conf and still reads timestamps") {
     // round-11 advice: the loader must not mutate shared session state at
     // a distance. Simulate a stray session that deliberately enabled NTZ
