@@ -308,6 +308,30 @@ object Graph {
         .orderBy("community")
     }),
 
+    // betweenness centrality (round 14) — the BROKERAGE primitive
+    // completing the centrality tier beside PageRank (influence) and
+    // closeness (proximity): bc(v) = Σ_s δ_s(v), the Brandes 2001
+    // dependency accumulation over the shortest-path DAG of the
+    // trade-cost graph — "who sits on the cheap trade routes", the
+    // cut-vertex / chokepoint ranking every logistics or
+    // information-flow analysis starts from. Fixed-iteration contract at
+    // every stage (K = 6 relaxations for distances, K Jacobi iterates
+    // for the exact-BIGINT path counts σ and the float dependencies δ),
+    // so the oracle — the same iterates unrolled as MATERIALIZED CTEs —
+    // is value-identical with or without convergence; the only float
+    // work is the δ chain, per-term identical on both engines, rounded
+    // 6dp in the final output only (the pagerank discipline). Sources
+    // are all 25 nations here; at billion-node scale the operator takes
+    // a sampled source set (Brandes–Pich 2007) — the composite frames
+    // scale as |sources|·|reachable|. See [[graft.operators.Betweenness]].
+    "graph_betweenness" -> ((s, sf) => {
+      val nodes = t(s, sf, "nation")
+        .select(col("n_nationkey").cast("long").as("node"))
+      graft.operators.Betweenness.run(nodes, costEdges(s, sf),
+          rounds = ssspRounds)
+        .orderBy("node")
+    }),
+
     // degree assortativity (round 12, third batch) — the mixing
     // coefficient (Newman, PRL 2002): Pearson correlation of endpoint
     // degrees over the doubled edge list, answering "do hubs attach to
@@ -455,6 +479,80 @@ object Graph {
          |    * sum(dist) AS DOUBLE), 6) AS closeness
          |FROM d$ssspRounds WHERE s <> node AND dist < $inf
          |GROUP BY s ORDER BY node""".stripMargin
+  }
+
+  /** Brandes betweenness unrolled: the closenessSql distance CTEs, then
+    * the shortest-path DAG, then K Jacobi iterates each for σ (exact
+    * BIGINT) and δ (doubles, per-term order matched to the operator:
+    * CAST(σu AS DOUBLE) / σv * (1 + δv) — same IEEE op sequence). */
+  private def betweennessSql: String = {
+    val inf = graft.operators.Sssp.Inf
+    val k = ssspRounds
+    val edges =
+      """SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           1000000 // (count(*) + 1) + 1 AS cost
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2"""
+    val head =
+      s"""WITH e AS MATERIALIZED ($edges),
+         | n AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+         | d0 AS MATERIALIZED (SELECT node AS s, node, 0 AS dist FROM n)""".stripMargin
+    val distRounds = (1 to k).map { i =>
+      val p = s"d${i - 1}"
+      s""",
+         | m$i AS MATERIALIZED (SELECT $p.s, e.dst AS node,
+         |     min($p.dist + e.cost) AS md
+         |   FROM e JOIN $p ON e.src = $p.node GROUP BY 1, 2),
+         | d$i AS MATERIALIZED (SELECT coalesce($p.s, m$i.s) AS s,
+         |     coalesce($p.node, m$i.node) AS node,
+         |     least(coalesce($p.dist, $inf), coalesce(m$i.md, $inf)) AS dist
+         |   FROM $p FULL JOIN m$i ON $p.s = m$i.s AND $p.node = m$i.node)""".stripMargin
+    }.mkString
+    val dag =
+      s""",
+         | dd AS MATERIALIZED (SELECT * FROM d$k WHERE dist < $inf),
+         | dag AS MATERIALIZED (SELECT du.s, du.node AS u, dv.node AS v
+         |   FROM dd du JOIN e ON e.src = du.node
+         |   JOIN dd dv ON dv.s = du.s AND dv.node = e.dst
+         |              AND du.dist + e.cost = dv.dist),
+         | sg0 AS MATERIALIZED (SELECT node AS s, node,
+         |     CAST(1 AS BIGINT) AS sig FROM n)""".stripMargin
+    val sigRounds = (1 to k).map { i =>
+      val p = s"sg${i - 1}"
+      s""",
+         | sg$i AS MATERIALIZED (
+         |   SELECT s, node, sig FROM sg0
+         |   UNION ALL
+         |   SELECT dag.s, dag.v AS node, CAST(sum(p.sig) AS BIGINT) AS sig
+         |   FROM dag JOIN $p p ON p.s = dag.s AND p.node = dag.u
+         |   WHERE dag.v <> dag.s GROUP BY 1, 2)""".stripMargin
+    }.mkString
+    val delRounds = (1 to k).map { i =>
+      val p = s"dl${i - 1}"
+      s""",
+         | dl$i AS MATERIALIZED (SELECT dag.s, dag.u AS node,
+         |     sum(CAST(su.sig AS DOUBLE) / sv.sig
+         |         * (1.0 + coalesce(p.del, 0.0))) AS del
+         |   FROM dag JOIN sg$k su ON su.s = dag.s AND su.node = dag.u
+         |   JOIN sg$k sv ON sv.s = dag.s AND sv.node = dag.v
+         |   LEFT JOIN $p p ON p.s = dag.s AND p.node = dag.v
+         |   GROUP BY 1, 2)""".stripMargin
+    }.mkString
+    val dl0 =
+      s""",
+         | dl0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS s,
+         |     CAST(NULL AS BIGINT) AS node, CAST(NULL AS DOUBLE) AS del
+         |   WHERE false)""".stripMargin
+    head + distRounds + dag + sigRounds + dl0 + delRounds +
+      s"""
+         |SELECT CAST(n.node AS BIGINT) AS node,
+         |  round(coalesce(b.bc, 0.0), 6) AS betweenness
+         |FROM n LEFT JOIN (SELECT node, sum(del) AS bc FROM dl$k
+         |  WHERE s <> node GROUP BY 1) b ON b.node = n.node
+         |ORDER BY node""".stripMargin
   }
 
   private val kcoreK = 3
@@ -609,6 +707,7 @@ object Graph {
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
     "graph_closeness" -> closenessSql,
+    "graph_betweenness" -> betweennessSql,
     "graph_pagerank" -> pagerankSql,
     "graph_sssp" -> ssspSql,
     "graph_clustering" ->

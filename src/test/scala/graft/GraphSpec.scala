@@ -370,4 +370,66 @@ class GraphSpec extends AnyFunSuite with SparkFixture with Matchers {
     rows(SparkEntry.queries("graph_kcore")(spark, sf01c)) shouldBe
       rows(SparkEntry.queries("graph_kcore")(spark, sf01c))
   }
+
+  test("betweenness branches agree to rounding on the trade graph") {
+    val (nodes, edges0) = tradeGraph()
+    val edges = edges0.select(col("src"), col("dst"),
+      expr("1000000L div (w + 1) + 1").cast("long").as("cost"))
+    def bc(gate: Long): Map[Long, Double] =
+      graft.operators.Betweenness.run(nodes, edges, rounds = 6,
+          distributedMinEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val driver = bc(Long.MaxValue)
+    val dist = bc(0L)
+    driver.keySet shouldBe dist.keySet
+    driver.keySet should not be empty
+    driver.foreach { case (n, v) =>
+      withClue(s"node $n: ") { dist(n) shouldBe v +- 1e-9 }
+    }
+    // data-dependent: at least one broker exists on the trade graph, or
+    // the query asserts nothing
+    withClue("all-zero betweenness — trivial topology: ") {
+      driver.values.exists(_ > 0.0) shouldBe true
+    }
+  }
+
+  test("betweenness on a hand graph: the bridge carries the dependency") {
+    import spark.implicits._
+    // a --1--> b --1--> c, plus a decoy direct a --3--> c: the only
+    // shortest a→c route goes through b, so bc(b) = 1 and others 0
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 3L))
+      .toDF("src", "dst", "cost")
+    for (gate <- Seq(Long.MaxValue, 0L)) {
+      val got = graft.operators.Betweenness.run(nodes, edges, rounds = 4,
+          distributedMinEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      withClue(s"gate $gate: ") {
+        got shouldBe Map(0L -> 0.0, 1L -> 1.0, 2L -> 0.0)
+      }
+    }
+    // two equal-cost routes split the dependency: a→b→d and a→c→d give
+    // σ(d) = 2, so each middle node carries 0.5
+    val nodes2 = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val edges2 = Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "cost")
+    val got2 = graft.operators.Betweenness.run(nodes2, edges2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got2 shouldBe Map(0L -> 0.0, 1L -> 0.5, 2L -> 0.5, 3L -> 0.0)
+  }
+
+  test("betweenness fixed-K contract has converged on the corpus: K and K+1 agree") {
+    val (nodes, edges0) = tradeGraph()
+    val edges = edges0.select(col("src"), col("dst"),
+      expr("1000000L div (w + 1) + 1").cast("long").as("cost"))
+    def bc(k: Int): Map[Long, Double] =
+      graft.operators.Betweenness.run(nodes, edges, rounds = k)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val atK = bc(6)
+    val atK1 = bc(7)
+    atK.keySet shouldBe atK1.keySet
+    atK.foreach { case (n, v) =>
+      withClue(s"node $n: ") { atK1(n) shouldBe v +- 1e-6 }
+    }
+  }
 }
