@@ -72,6 +72,18 @@ object Llm {
     * (at 100 TB that join is ∝ pairs, not corpus).
     */
   private[graft] def jaccardPairs(docsRaw: DataFrame, tau: Double,
+      tr: graft.operators.Tracked): DataFrame =
+    pairIntersections(docsRaw, tr)
+      .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .where(col("jac") >= tau)
+      .select(col("da"), col("db"), col("jac"))
+
+  /** The shared exact intersection-count core: unordered doc pairs with
+    * ≥ 1 shared 3-shingle, as (da, db, na, nb, i) — |A|, |B|, |A∩B| from
+    * the hash-compacted inverted-index self-join. [[jaccardPairs]] maps it
+    * to symmetric Jaccard; `dedup_containment` maps it to the ASYMMETRIC
+    * containment pair (Broder 1997's r(A,B) = |A∩B|/|A|). */
+  private[graft] def pairIntersections(docsRaw: DataFrame,
       tr: graft.operators.Tracked): DataFrame = {
     // persist the per-doc ARRAY table (one small row per doc), not the
     // exploded rows: referencing size(ss) and explode(ss) over a computed
@@ -102,9 +114,6 @@ object Llm {
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
-      .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .where(col("jac") >= tau)
-      .select(col("da"), col("db"), col("jac"))
   }
 
   /** Banded MinHash-LSH candidate pairs (a_id, b_id) over a PERSISTED
@@ -263,6 +272,30 @@ object Llm {
       tr.seal(jaccardPairsAuto(t(s, sf, "documents"), 0.5, tr)
           .select(col("da"), col("db"), round(col("jac"), 6).as("jac")))
         .orderBy("da", "db")
+    }),
+
+    // asymmetric n-gram CONTAINMENT pairs (round 14) — Broder 1997's
+    // r(A,B) = |A∩B|/|A|, the quote / partial-copy / superset detector
+    // Jaccard structurally cannot be: a short doc fully embedded in a long
+    // one has jac ≈ |A|/|B| (arbitrarily small) but containment 1.0 —
+    // exactly the "document A is quoted inside B" case a training-data
+    // pipeline must catch to kill leaked snippets without deduping the
+    // host doc. Rides the SAME hash-compacted inverted-index core as
+    // dedup_jaccard ([[pairIntersections]] — the self-join runs once and
+    // both directed rows come off one inline(), no second pass); output
+    // is DIRECTED (src contained-in dst) at τ = 0.8. Scale posture
+    // inherited from the kernel: candidate volume ∝ shared-shingle
+    // buckets, never corpus²; the LSH sibling remains the declared scale
+    // path for candidate generation.
+    "dedup_containment" -> ((s, sf) => {
+      val tr = new graft.operators.Tracked
+      tr.seal(pairIntersections(t(s, sf, "documents"), tr)
+          .select(expr("""inline(array(
+            struct(da AS src, db AS dst, cast(i AS double)/na AS c),
+            struct(db AS src, da AS dst, cast(i AS double)/nb AS c)))"""))
+          .where(col("c") >= 0.8)
+          .select(col("src"), col("dst"), round(col("c"), 6).as("containment")))
+        .orderBy("src", "dst")
     }),
 
     // MinHash-LSH near-dup pairs (capability row: hash-seed dependent, no
@@ -803,6 +836,21 @@ object Llm {
            SELECT da, db, i*1.0/(sa.n + sb.n - i) AS jac
            FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id)
          WHERE jac >= 0.5 ORDER BY da, db""",
+    "dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(
+                    [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)])) AS s
+                  FROM tok),
+           sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+           inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+                     JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           dirs AS (SELECT da AS src, db AS dst, CAST(i AS DOUBLE)/sa.n AS c
+                      FROM inter JOIN sz sa ON da = sa.doc_id
+                    UNION ALL
+                    SELECT db, da, CAST(i AS DOUBLE)/sb.n
+                      FROM inter JOIN sz sb ON db = sb.doc_id)
+         SELECT src, dst, round(c, 6) AS containment FROM dirs
+         WHERE c >= 0.8 ORDER BY src, dst""",
     "sim_cosine_pairs" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
                     sqrt(list_sum(list_transform(embedding,

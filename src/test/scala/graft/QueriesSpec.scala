@@ -329,6 +329,37 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     lsh shouldBe exact
   }
 
+  test("containment catches full quoting that Jaccard structurally cannot") {
+    import spark.implicits._
+    // B embeds ALL of A's shingles plus many more: containment(A→B) = 1.0
+    // while jac = |A|/|B| sits far below any useful threshold — the quote
+    // detector's reason to exist
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = a + " eta theta iota kappa lambda mu nu xi omicron pi rho " +
+      "sigma tau upsilon phi chi psi omega one two three four five six"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val tr = new graft.operators.Tracked
+    val pi = graft.queries.Llm.pairIntersections(docs, tr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    tr.free()
+    pi.length shouldBe 1
+    val (da, db, na, nb, i) = pi.head
+    (da, db) shouldBe (1L, 2L)
+    i shouldBe na // every A-shingle is in B
+    val contAB = i.toDouble / na
+    val jac = i.toDouble / (na + nb - i)
+    contAB shouldBe 1.0
+    jac should be < 0.2
+    // and the declared query surfaces exactly the directed row on corpus
+    // data too: every (src, dst) it emits has containment >= 0.8 and the
+    // reverse direction only when it independently clears the threshold
+    val out = SparkEntry.queries("dedup_containment")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.foreach { case (_, _, c) => c should be >= 0.8 }
+    out.map(t => (t._1, t._2)).toSet.size shouldBe out.length // directed keys unique
+  }
+
   test("caim_fit emits per-feature strictly-increasing boundary arrays") {
     val rows = SparkEntry.queries("caim_fit")(spark, sf001).collect()
     val byF = rows.groupBy(_.getString(0))
