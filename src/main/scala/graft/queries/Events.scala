@@ -551,6 +551,42 @@ object Events {
     // window order — deterministic), folded by a codegen'd higher-order
     // aggregate; the oracle uses an equivalent dense-grid range
     // self-join. Σwₖ closes to 2 − 0.5^(m−1) for an m-row frame.
+    // Holt double exponential smoothing (round 14) — the ADAPTIVE
+    // level+trend model the ts tier stopped short of (ts_ewma smooths
+    // level only; ts_forecast evaluates static baselines): per event
+    // type's daily-count series, l_t = αy_t + (1−α)(l_{t−1}+b_{t−1}),
+    // b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1} (Holt 1957, per Hyndman &
+    // Athanasopoulos §8.2), initialized l_1 = y_1, b_1 = 0; output the
+    // final state and the h = 7 forecast l + 7b. CROSS-ENGINE EXACTNESS
+    // BY CONSTRUCTION: the recursion is sequential per key — both engines
+    // execute the IDENTICAL IEEE op sequence in the identical order
+    // (the oracle's recursive CTE repeats the same literals and
+    // parenthesization), so unlike order-free float aggregates this needs
+    // no tolerance at all; round(6) is cosmetic. Plan shape: the corpus
+    // collapses to ≤ |types|·|days| rows in one map-side-combined agg,
+    // then ONE codegen'd aggregate() fold over each key's sorted
+    // day-array — per-key state is bounded by the series length (days,
+    // not events), the right shape for millions of keys at 100 TB.
+    "ts_holt" -> ((s, sf) =>
+      t(s, sf, "events")
+        .groupBy(col("event_type"), expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("sr"))
+        .select(col("event_type"),
+          size(col("sr")).cast("long").as("n_days"),
+          expr("""aggregate(slice(sr, 2, size(sr) - 1),
+            struct(CAST(sr[0].y AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b),
+            (acc, x) -> struct(
+              0.3 * x.y + 0.7 * (acc.l + acc.b) AS l,
+              0.2 * ((0.3 * x.y + 0.7 * (acc.l + acc.b)) - acc.l)
+                + 0.8 * acc.b AS b)) AS hb"""))
+        .select(col("event_type"), col("n_days"),
+          round(col("hb.l"), 6).as("level"),
+          round(col("hb.b"), 6).as("trend"),
+          round(col("hb.l") + lit(7.0) * col("hb.b"), 6).as("fc_7"))
+        .orderBy("event_type")),
+
     "ts_ewma" -> ((s, sf) => {
       val w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-7, 0)
       dailyGrid(s, sf)
@@ -1404,6 +1440,30 @@ object Events {
          FROM st a JOIN st b ON a.user_id = b.user_id AND a.sess = b.sess
            AND a.event_type < b.event_type
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ts_holt" ->
+      """WITH RECURSIVE
+           daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               count(*) AS y
+             FROM events GROUP BY 1, 2),
+           s AS (SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS idx,
+               CAST(y AS DOUBLE) AS y
+             FROM daily),
+           n AS (SELECT event_type, count(*) AS n_days FROM s GROUP BY 1),
+           h AS (
+             SELECT event_type, idx, y AS l, CAST(0.0 AS DOUBLE) AS b
+             FROM s WHERE idx = 1
+             UNION ALL
+             SELECT s.event_type, s.idx,
+               0.3 * s.y + 0.7 * (h.l + h.b) AS l,
+               0.2 * ((0.3 * s.y + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b AS b
+             FROM h JOIN s ON s.event_type = h.event_type
+               AND s.idx = h.idx + 1)
+         SELECT n.event_type, CAST(n.n_days AS BIGINT) AS n_days,
+           round(h.l, 6) AS level, round(h.b, 6) AS trend,
+           round(h.l + 7.0 * h.b, 6) AS fc_7
+         FROM h JOIN n ON n.event_type = h.event_type AND h.idx = n.n_days
+         ORDER BY n.event_type""",
     "ts_ewma" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value
              FROM events),
