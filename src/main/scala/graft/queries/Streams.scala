@@ -167,6 +167,56 @@ object Streams {
         .orderBy("event_type")
     }),
 
+    // manifest table as a STREAMING SOURCE (round 14) — the consume side
+    // of the manifest protocol as a first-class DSv2 MicroBatchStream
+    // ([[graft.streaming.ManifestTableProvider]] — the Delta-streaming-
+    // source role): manifest VERSIONS are the offsets, each micro-batch
+    // reads exactly the file-set diff between two manifests, and the
+    // engine's offset checkpoint is the consumer's readVersion. Declared
+    // end to end: the events table is PRODUCED as three manifest commits,
+    // CONSUMED by a real Structured Streaming query through the source
+    // (AvailableNow), landed exactly-once in a second manifest table
+    // through [[graft.streaming.TxnSink]], and the result is the
+    // read-back rollup — so the hash check against the plain-table
+    // oracle proves the whole produce→stream→commit→read loop loses and
+    // duplicates nothing (including the timestamp column surviving the
+    // parquet-physical-type round trip). Re-runs in one JVM are
+    // deterministic: the source commits stage once, the checkpointed
+    // stream consumes nothing new, and the tagged sink commits no-op.
+    // Scale: planning a batch is two manifest reads + a set diff; each
+    // added file is one input partition — a consumer pays O(increment),
+    // never O(table).
+    "stream_manifest_source" -> ((s, sf) => {
+      val tag = new java.io.File(sf).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_msrc_${runTag}_$tag"
+      val (srcTbl, outTbl, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      if (graft.operators.ManifestTable.versions(s, srcTbl).isEmpty) {
+        val e = t(s, sf, "events")
+        (0 to 2).foreach { r =>
+          graft.operators.ManifestTable.commit(s, srcTbl,
+            e.filter(pmod(col("event_id"), lit(3)) === r))
+        }
+      }
+      val q = s.readStream
+        .format(classOf[graft.streaming.ManifestTableProvider].getName)
+        .option("path", srcTbl).load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.TxnSink.commitBatch(outTbl, b, id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.ManifestTable.read(s, outTbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          T.dsum(col("value"), 2).as("sum_value"),
+          max(unix_micros(col("ts"))).as("max_us"))
+        .orderBy("event_type")
+    }),
+
     // event-time interval join: view → purchase by the same user within
     // 10 minutes (the stream-stream join shape; StreamingSpec runs the
     // same expression over two watermarked MemoryStreams)
@@ -189,6 +239,15 @@ object Streams {
       """SELECT event_type, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    // produce→stream→commit→read must be lossless and exactly-once: the
+    // sink table's rollup equals the plain source-table rollup
+    "stream_manifest_source" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value,
+                max(epoch_us(ts)) AS max_us
          FROM events GROUP BY 1 ORDER BY event_type""",
     "stream_topk" ->
       """WITH c AS (SELECT epoch_us(date_trunc('hour', ts)) AS ws_us,

@@ -1,0 +1,235 @@
+package graft.streaming
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structured Streaming SOURCE over a [[graft.operators.ManifestTable]] —
+  * the consume side of the manifest protocol as a first-class stream (the
+  * role Delta's streaming source plays over its log): OFFSETS ARE MANIFEST
+  * VERSIONS, and a micro-batch reads exactly the data files present in the
+  * end-offset's manifest but not the start-offset's — the same file-set
+  * diff [[graft.operators.ManifestTable.readIncremental]] defines, now
+  * with checkpointed offsets and restart recovery handled by the engine.
+  *
+  * Contract (inherited from the manifest protocol's CDC surface):
+  *  - APPEND-ONLY tables: exact change capture, each committed row
+  *    delivered exactly once across restarts (the offset checkpoint is
+  *    the consumer's readVersion);
+  *  - REPLACE/compaction commits: file-granularity re-delivery (rewritten
+  *    files reappear in the diff) — pair with idempotent/merging sinks,
+  *    the same stance Delta's file-based CDF takes without deletion
+  *    vectors.
+  *
+  * Scale: `latestOffset` is one manifest-dir listing; planning a batch is
+  * two manifest reads and a string-set diff (O(files), no data I/O); each
+  * surviving file becomes ONE input partition read in place — a consumer
+  * at 100 TB pays for its increment, never the table. Readers use the
+  * public parquet-mr Group API (no Spark-internal reader classes), which
+  * bounds the supported schema to FLAT tables of the primitive types the
+  * corpus uses (long/int/double/float/boolean/string/binary/timestamp);
+  * nested/decimal columns are rejected at scan build, not silently
+  * mangled.
+  *
+  * Usage: `spark.readStream.format(classOf[ManifestTableProvider].getName)
+  * .option("path", dir).load()`.
+  */
+class ManifestTableProvider extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def dirOf(options: CaseInsensitiveStringMap): String = {
+    val dir = options.get("path")
+    require(dir != null, "manifest source needs .option(\"path\", <table dir>)")
+    dir
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    graft.operators.ManifestTable
+      .read(SparkSession.active, dirOf(options)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dir = properties.get("path")
+    require(dir != null, "manifest source needs .option(\"path\", <table dir>)")
+    new ManifestStreamTable(dir, schema)
+  }
+}
+
+private[streaming] class ManifestStreamTable(dir: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-manifest(`$dir`)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ManifestMicroBatchStream(dir, tableSchema)
+      }
+    }
+}
+
+/** One committed version as a streaming offset; version 0 = "nothing
+  * consumed yet" (the empty table — the readVersion-0 convention). */
+private[streaming] case class ManifestOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[streaming] case class ManifestFilePartition(path: String)
+    extends InputPartition
+
+private[streaming] class ManifestMicroBatchStream(dir: String,
+    schema: StructType) extends MicroBatchStream {
+
+  ManifestMicroBatchStream.requireSupported(schema)
+
+  private def spark = SparkSession.active
+  private def versions = graft.operators.ManifestTable.versions(spark, dir)
+
+  override def initialOffset(): Offset = ManifestOffset(0L)
+
+  override def latestOffset(): Offset =
+    ManifestOffset(versions.lastOption.getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    ManifestOffset(json.toLong)
+
+  /** The readIncremental file-set diff, one partition per added file. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ManifestOffset].version
+    val e = end.asInstanceOf[ManifestOffset].version
+    if (e <= 0L || e == s) return Array.empty
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(v: Long): Seq[String] =
+      if (v <= 0L) Seq.empty
+      else {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/_manifests/v$v.manifest"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      }
+    val before = files(s).toSet
+    files(e).filterNot(before).map(f =>
+      ManifestFilePartition(s"$dir/$f"): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[streaming] object ManifestMicroBatchStream {
+  private[streaming] def requireSupported(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+             StringType | BinaryType | TimestampType | TimestampNTZType => ()
+        case other => throw new IllegalArgumentException(
+          s"manifest stream source supports flat primitive schemas only; " +
+            s"column ${f.name} has unsupported type ${other.simpleString}")
+      }
+    }
+}
+
+private[streaming] class ManifestReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GroupRowReader(
+      partition.asInstanceOf[ManifestFilePartition].path, schema)
+}
+
+/** Flat-schema parquet → InternalRow via the public parquet-mr example
+  * Group API. Fields are matched BY NAME against the file footer (a batch
+  * written column-reordered still reads correctly); a field absent from
+  * the file reads as null (the schema-evolution backfill semantics
+  * source_evolution declares). */
+private[streaming] class GroupRowReader(path: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] = ParquetReader
+    .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
+    .withConf(new Configuration())
+    .build()
+
+  private var cur: Group = _
+  // per-file field-name -> parquet index map, built on the first record
+  private var idx: Array[Int] = _
+  // per-field: timestamp physically stored as INT96 (Spark's default
+  // writer format) rather than INT64 micros (the corpus contract)
+  private var int96: Array[Boolean] = _
+
+  /** INT96 nanos-in-day + julian-day → epoch micros (the parquet-mr
+    * legacy timestamp layout, little-endian). */
+  private def int96Micros(bytes: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = bb.getLong
+    val julianDay = bb.getInt
+    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+  }
+
+  override def next(): Boolean = {
+    cur = reader.read()
+    cur != null
+  }
+
+  override def get(): InternalRow = {
+    val gt = cur.getType
+    if (idx == null) {
+      idx = schema.fields.map(f =>
+        if (gt.containsField(f.name)) gt.getFieldIndex(f.name) else -1)
+      int96 = schema.fields.zip(idx).map { case (_, pi) =>
+        pi >= 0 && gt.getType(pi).isPrimitive &&
+          gt.getType(pi).asPrimitiveType().getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96
+      }
+    }
+    val row = new GenericInternalRow(schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val pi = idx(i)
+      if (pi < 0 || cur.getFieldRepetitionCount(pi) == 0) row.setNullAt(i)
+      else schema.fields(i).dataType match {
+        case LongType => row.setLong(i, cur.getLong(pi, 0))
+        case IntegerType => row.setInt(i, cur.getInteger(pi, 0))
+        case DoubleType => row.setDouble(i, cur.getDouble(pi, 0))
+        case FloatType => row.setFloat(i, cur.getFloat(pi, 0))
+        case BooleanType => row.setBoolean(i, cur.getBoolean(pi, 0))
+        case StringType =>
+          row.update(i, UTF8String.fromBytes(cur.getBinary(pi, 0).getBytes))
+        case BinaryType => row.update(i, cur.getBinary(pi, 0).getBytes)
+        case TimestampType | TimestampNTZType =>
+          // INT64 micros (the corpus contract) or INT96 (Spark's default
+          // writer format) — both land as Spark's internal micros long
+          if (int96(i))
+            row.setLong(i, int96Micros(cur.getInt96(pi, 0).getBytes))
+          else row.setLong(i, cur.getLong(pi, 0))
+        case other => throw new IllegalStateException(
+          s"unreachable: $other passed requireSupported")
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}
