@@ -283,10 +283,15 @@ object Llm {
     // host doc. Rides the SAME hash-compacted inverted-index core as
     // dedup_jaccard ([[pairIntersections]] — the self-join runs once and
     // both directed rows come off one inline(), no second pass); output
-    // is DIRECTED (src contained-in dst) at τ = 0.8. Scale posture
-    // inherited from the kernel: candidate volume ∝ shared-shingle
-    // buckets, never corpus²; the LSH sibling remains the declared scale
-    // path for candidate generation.
+    // is DIRECTED (src contained-in dst) at τ = 0.8. Scale posture:
+    // candidate volume ∝ Σ shingle-bucket², never corpus² (measured
+    // sub-linear at the composed 10×/100× corpora, 0 spill). Honest
+    // limit: minhash-LSH banding is NOT a valid candidate generator for
+    // containment — it targets symmetric Jaccard and misses exactly the
+    // high-containment/low-jaccard short-in-long pairs this operator
+    // exists for — so at true scale the knob is a df-cap on hot
+    // shingles (the text_boilerplate move) or the dedup_spans suffix
+    // machinery, never banding.
     "dedup_containment" -> ((s, sf) => {
       val tr = new graft.operators.Tracked
       tr.seal(pairIntersections(t(s, sf, "documents"), tr)
