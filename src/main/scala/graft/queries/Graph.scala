@@ -308,6 +308,36 @@ object Graph {
         .orderBy("community")
     }),
 
+    // eccentricity / radius / diameter (round 14) — the distance tier's
+    // EXTREMAL summary beside closeness's average: per nation, the
+    // K = 6-hop eccentricity ecc(v) = max over reached nodes of the
+    // exact integer trade-cost distance (Harary, *Graph Theory* ch. 2),
+    // with the graph radius (min ecc → centers) and diameter (max ecc →
+    // periphery) as broadcast 1-row flags — the "worst-case reach" facts
+    // a routing/placement analysis reads first. Same fixed-K contract
+    // and exact-BIGINT arithmetic as graph_closeness (the unrolled
+    // oracle is value-identical with or without convergence); rides the
+    // SAME AllSourceDistances kernel, so the n·r frame is computed once
+    // per query, the rollup is one max/count agg, and the radius/
+    // diameter scalar is a broadcast. Sampled sources at billion-node
+    // scale, as documented on the kernel.
+    "graph_eccentricity" -> ((s, sf) => {
+      val nodes = t(s, sf, "nation")
+        .select(col("n_nationkey").cast("long").as("node"))
+      val d = graft.operators.AllSourceDistances.run(nodes,
+        costEdges(s, sf), rounds = ssspRounds)
+      val ecc = d.where(col("src") =!= col("node"))
+        .groupBy(col("src").as("node"))
+        .agg(max(col("dist")).as("ecc"), count(lit(1)).as("n_reached"))
+      val rd = ecc.agg(min(col("ecc")).as("radius"),
+        max(col("ecc")).as("diameter"))
+      ecc.crossJoin(broadcast(rd))
+        .select(col("node"), col("ecc"), col("n_reached"),
+          (col("ecc") === col("radius")).as("is_center"),
+          (col("ecc") === col("diameter")).as("is_periphery"))
+        .orderBy("node")
+    }),
+
     // betweenness centrality (round 14) — the BROKERAGE primitive
     // completing the centrality tier beside PageRank (influence) and
     // closeness (proximity): bc(v) = Σ_s δ_s(v), the Brandes 2001
@@ -555,6 +585,44 @@ object Graph {
          |ORDER BY node""".stripMargin
   }
 
+  /** Eccentricity oracle: the closenessSql all-source distance CTEs with
+    * the extremal rollup + broadcast radius/diameter flags. */
+  private def eccentricitySql: String = {
+    val inf = graft.operators.Sssp.Inf
+    val edges =
+      """SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           1000000 // (count(*) + 1) + 1 AS cost
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2"""
+    val head =
+      s"""WITH e AS MATERIALIZED ($edges),
+         | n AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+         | d0 AS MATERIALIZED (SELECT node AS s, node, 0 AS dist FROM n)""".stripMargin
+    val rounds = (1 to ssspRounds).map { i =>
+      val p = s"d${i - 1}"
+      s""",
+         | m$i AS MATERIALIZED (SELECT $p.s, e.dst AS node,
+         |     min($p.dist + e.cost) AS md
+         |   FROM e JOIN $p ON e.src = $p.node GROUP BY 1, 2),
+         | d$i AS MATERIALIZED (SELECT coalesce($p.s, m$i.s) AS s,
+         |     coalesce($p.node, m$i.node) AS node,
+         |     least(coalesce($p.dist, $inf), coalesce(m$i.md, $inf)) AS dist
+         |   FROM $p FULL JOIN m$i ON $p.s = m$i.s AND $p.node = m$i.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s""",
+         | ecc AS (SELECT s AS node, CAST(max(dist) AS BIGINT) AS ecc,
+         |     CAST(count(*) AS BIGINT) AS n_reached
+         |   FROM d$ssspRounds WHERE s <> node AND dist < $inf GROUP BY 1),
+         | rd AS (SELECT min(ecc) AS radius, max(ecc) AS diameter FROM ecc)
+         |SELECT CAST(node AS BIGINT) AS node, ecc, n_reached,
+         |  ecc = rd.radius AS is_center, ecc = rd.diameter AS is_periphery
+         |FROM ecc CROSS JOIN rd ORDER BY node""".stripMargin
+  }
+
   private val kcoreK = 3
   private val kcoreRounds = 8
   private val labelpropRounds = 4
@@ -707,6 +775,7 @@ object Graph {
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
     "graph_closeness" -> closenessSql,
+    "graph_eccentricity" -> eccentricitySql,
     "graph_betweenness" -> betweennessSql,
     "graph_pagerank" -> pagerankSql,
     "graph_sssp" -> ssspSql,

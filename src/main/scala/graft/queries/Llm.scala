@@ -709,6 +709,33 @@ object Llm {
     // w, like the downsampler). Weights: en 2.5, es 1.25, de/fr/zh 0.5,
     // anything else 0. Pure map stage + constant-factor explode at any
     // scale; copy_idx makes replication itself hash-verifiable.
+    // token-budget curriculum selection (round 14) — the data-curation
+    // primitive sample_mixture's PROPORTIONS can't express: each source
+    // gets a fixed TOKEN budget (the unit training actually bills by),
+    // filled best-first — docs ranked by the declared priority
+    // (n_chars DESC, doc_id) and kept while the per-source cumulative
+    // token count stays inside 10,000 — the "take the best N tokens per
+    // domain" loop of every curriculum/budget mix (Gopher/Llama-style
+    // token-count mixes). One window cumsum per source (the exchange is
+    // source-keyed, the sort per group — no global sort) + one rollup;
+    // order is total (doc_id tiebreak), so RANGE≡ROWS and both engines
+    // cut identically. At 100 TB the frame shuffles once on source and
+    // each group's sort is its own partition — the topk_per_group shape.
+    "sample_token_budget" -> ((s, sf) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, sf, "documents").where(col("text").isNotNull)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .where(col("cum") <= 10000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("n_tokens")) / lit(10000.0), 6).as("budget_fill"))
+        .orderBy("source")
+    }),
+
     "sample_mixture" -> ((s, sf) => {
       val base = when(col("lang") === "en", 2)
         .when(col("lang") === "es", 1)
@@ -962,6 +989,19 @@ object Llm {
            FROM documents WHERE lang IN ('en', 'es', 'de', 'fr', 'zh'))
          SELECT doc_id, CAST(unnest([i for i in range(1, copies + 1)]) AS BIGINT) AS copy_idx, lang
          FROM w WHERE copies > 0 ORDER BY doc_id, copy_idx""",
+    "sample_token_budget" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents WHERE text IS NOT NULL),
+           c AS (SELECT source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+             FROM d)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / 10000.0, 6) AS budget_fill
+         FROM c WHERE cum <= 10000 GROUP BY 1 ORDER BY source""",
     "split_hash" ->
       """WITH s AS (SELECT *,
              CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '40'
