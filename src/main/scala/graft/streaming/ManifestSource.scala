@@ -130,8 +130,18 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
       ManifestFilePartition(s"$dir/$f"): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Hadoop conf crosses to executors as plain entries (Configuration
+    // itself is not serializable): without this a cluster reader would
+    // build a default Configuration and lose the driver's filesystem
+    // credentials/endpoints (s3a keys, defaultFS) — works on file://,
+    // breaks everywhere production runs
+    val conf = spark.sessionState.newHadoopConf()
+    val kvs = new scala.collection.mutable.ArrayBuffer[(String, String)]
+    val it = conf.iterator()
+    while (it.hasNext) { val e = it.next(); kvs += e.getKey -> e.getValue }
+    new ManifestReaderFactory(schema, kvs.toArray)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -150,11 +160,14 @@ private[streaming] object ManifestMicroBatchStream {
     }
 }
 
-private[streaming] class ManifestReaderFactory(schema: StructType)
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+private[streaming] class ManifestReaderFactory(schema: StructType,
+    confKVs: Array[(String, String)]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val conf = new Configuration(false)
+    confKVs.foreach { case (k, v) => conf.set(k, v) }
     new GroupRowReader(
-      partition.asInstanceOf[ManifestFilePartition].path, schema)
+      partition.asInstanceOf[ManifestFilePartition].path, schema, conf)
+  }
 }
 
 /** Flat-schema parquet → InternalRow via the public parquet-mr example
@@ -162,12 +175,12 @@ private[streaming] class ManifestReaderFactory(schema: StructType)
   * written column-reordered still reads correctly); a field absent from
   * the file reads as null (the schema-evolution backfill semantics
   * source_evolution declares). */
-private[streaming] class GroupRowReader(path: String, schema: StructType)
-    extends PartitionReader[InternalRow] {
+private[streaming] class GroupRowReader(path: String, schema: StructType,
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] = ParquetReader
     .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
-    .withConf(new Configuration())
+    .withConf(conf)
     .build()
 
   private var cur: Group = _

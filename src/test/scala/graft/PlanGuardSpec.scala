@@ -111,7 +111,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // the 1-row edge-count scalar onto the per-community frame
     "graph_modularity",
     // the 1-row (total, N) corpus scalar onto the term-filtered tf frame
-    "text_bm25")
+    "text_bm25",
+    // round 14: the 1-row (radius, diameter) scalar onto the ≤n-row
+    // eccentricity rollup — the graph_closeness shape
+    "graph_eccentricity")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
