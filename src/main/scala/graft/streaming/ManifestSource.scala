@@ -65,11 +65,21 @@ class ManifestTableProvider extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val dir = properties.get("path")
     require(dir != null, "manifest source needs .option(\"path\", <table dir>)")
-    new ManifestStreamTable(dir, schema)
+    // startingVersion V = "consume commits AFTER version V" (exclusive —
+    // the readIncremental fromVersion convention); default 0 = full
+    // initial backfill. Applies only when no checkpoint exists yet: once
+    // the engine has an offset, the checkpoint wins (standard source
+    // semantics).
+    val startingVersion =
+      Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    require(startingVersion >= 0L,
+      s"startingVersion must be >= 0, got $startingVersion")
+    new ManifestStreamTable(dir, schema, startingVersion)
   }
 }
 
-private[streaming] class ManifestStreamTable(dir: String, tableSchema: StructType)
+private[streaming] class ManifestStreamTable(dir: String,
+    tableSchema: StructType, startingVersion: Long = 0L)
     extends Table with SupportsRead {
   override def name(): String = s"graft-manifest(`$dir`)"
   override def schema(): StructType = tableSchema
@@ -80,7 +90,7 @@ private[streaming] class ManifestStreamTable(dir: String, tableSchema: StructTyp
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ManifestMicroBatchStream(dir, tableSchema)
+          new ManifestMicroBatchStream(dir, tableSchema, startingVersion)
       }
     }
 }
@@ -95,14 +105,14 @@ private[streaming] case class ManifestFilePartition(path: String)
     extends InputPartition
 
 private[streaming] class ManifestMicroBatchStream(dir: String,
-    schema: StructType) extends MicroBatchStream {
+    schema: StructType, startingVersion: Long = 0L) extends MicroBatchStream {
 
   ManifestMicroBatchStream.requireSupported(schema)
 
   private def spark = SparkSession.active
   private def versions = graft.operators.ManifestTable.versions(spark, dir)
 
-  override def initialOffset(): Offset = ManifestOffset(0L)
+  override def initialOffset(): Offset = ManifestOffset(startingVersion)
 
   override def latestOffset(): Offset =
     ManifestOffset(versions.lastOption.getOrElse(0L))
@@ -115,6 +125,15 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
     val s = start.asInstanceOf[ManifestOffset].version
     val e = end.asInstanceOf[ManifestOffset].version
     if (e <= 0L || e == s) return Array.empty
+    // a checkpointed/startingVersion offset must still be readable — the
+    // readIncremental VACUUM-lag contract, failed loudly instead of a
+    // bare FileNotFoundException from a vacuumed manifest
+    val vs = versions
+    Seq(s, e).foreach(v => require(v == 0L || vs.contains(v),
+      s"offset version $v is not in the committed set " +
+        s"${vs.headOption.getOrElse(0L)}..${vs.lastOption.getOrElse(0L)} " +
+        "(expired? retention must outlive the consumer's lag — the " +
+        "VACUUM contract)"))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def files(v: Long): Seq[String] =

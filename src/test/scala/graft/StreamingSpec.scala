@@ -704,6 +704,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     sinkRows() shouldBe (1 to 6).map(i => (i.toLong, s"r$i")).toSet
   }
 
+  test("manifest stream source: startingVersion skips the backfill") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-msrc3").toString
+    val tbl = s"$base/tbl"
+    def mk(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    val v1 = graft.operators.ManifestTable.commit(spark, tbl, mk(1, 3))
+    graft.operators.ManifestTable.commit(spark, tbl, mk(4, 5))
+    // start AFTER v1 (exclusive): only the second commit's rows arrive
+    val q = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).option("startingVersion", v1.toString).load()
+      .writeStream.format("memory").queryName("msrc_sv").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("msrc_sv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      Set(4L -> "r4", 5L -> "r5")
+  }
+
   test("manifest stream source: timestamps and nulls round-trip; nested types refuse") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-msrc2").toString
