@@ -839,6 +839,35 @@ object Aggregates {
         .orderBy("o_orderstatus")
     }),
 
+    // exact WEIGHTED median (round 14) — the aggregation primitive
+    // percentile()/median() can't express (every row counts equally
+    // there): the smallest value whose cumulative weight reaches half
+    // the group's total — the lower weighted median (Edgeworth 1888),
+    // the "median order price weighted by line count" class of question.
+    // One group-keyed sort window for the cumulative weight + the
+    // group-total window on the SAME partitioning (one exchange serves
+    // both), then 2·cum ≥ total selects an upward-closed suffix of the
+    // (value, key) order, whose min IS the first qualifying row — exact
+    // integer weight arithmetic, no float threshold anywhere; the
+    // tiebreak key makes both engines cut identically.
+    "agg_weighted_median" -> ((s, sf) => {
+      val w1 = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wg = Window.partitionBy("o_orderpriority")
+      t(s, sf, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), (pmod(col("o_orderkey"), lit(5)) + 1).as("wt"))
+        .withColumn("cw", sum(col("wt")).over(w1))
+        .withColumn("tw", sum(col("wt")).over(wg))
+        .where(col("cw") * 2 >= col("tw"))
+        .groupBy("o_orderpriority")
+        .agg(min(struct(col("o_totalprice"), col("o_orderkey"))).as("f"),
+          max(col("tw")).as("total_w"))
+        .select(col("o_orderpriority"), col("f.o_totalprice").as("wmedian"),
+          col("total_w"))
+        .orderBy("o_orderpriority")
+    }),
+
     // §2.4 string aggregation (round 9) — LISTAGG, the report-friendly
     // collapse of a group's values into one delimited string: per
     // priority the sorted distinct status set. collect_set's arrival
@@ -1326,6 +1355,22 @@ object Aggregates {
            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
              AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_weighted_median" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+               o_orderkey % 5 + 1 AS wt FROM orders),
+           c AS (SELECT *,
+               sum(wt) OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(wt) OVER (PARTITION BY o_orderpriority) AS tw
+             FROM o),
+           f AS (SELECT o_orderpriority, o_totalprice, tw,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey) AS rn
+             FROM c WHERE cw * 2 >= tw)
+         SELECT o_orderpriority, o_totalprice AS wmedian,
+           CAST(tw AS BIGINT) AS total_w
+         FROM f WHERE rn = 1 ORDER BY o_orderpriority""",
     "agg_mad" ->
       """WITH m AS (SELECT o_orderstatus, median(o_totalprice) AS med0
              FROM orders GROUP BY 1),

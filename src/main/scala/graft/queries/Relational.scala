@@ -337,6 +337,47 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // CDC changelog apply (round 14) — the full change-data-capture
+    // consume pipeline upsert_merge's key-unique contract delegates
+    // upstream: an OUT-OF-ORDER changelog (I/U/D rows with sequence
+    // numbers; one key can carry several competing changes) is first
+    // COMPACTED to latest-per-key (one row_number window over the
+    // delta-sized changelog — never the base), then applied through
+    // [[graft.operators.Upsert.applyChanges]]: D deletes its key, U/I
+    // upsert, untouched base rows pass through the keys-only anti-join
+    // (delta-sized side broadcasts at scale; the base never shuffles).
+    // The changelog is deterministic: U (+100 balance, seq 1) for
+    // custkey%5, D (seq 2) for custkey%7 — so %35 keys exercise the
+    // ordering, the DELETE must win — and I (new key, segment NEW,
+    // seq 3) for custkey%11. Hash-matching the oracle's identical
+    // compact-then-apply SQL pins all four outcomes: untouched,
+    // updated, deleted (including the U-then-D race), inserted.
+    "upsert_cdc" -> ((s, sf) => {
+      val c = t(s, sf, "customer")
+      val u = c.filter(pmod(col("c_custkey"), lit(5)) === 0)
+        .select(col("c_custkey"), lit("U").as("op"), lit(1L).as("seq"),
+          (col("c_acctbal") + lit(100.0)).as("bal"),
+          col("c_mktsegment").as("seg"))
+      val del = c.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey"), lit("D").as("op"), lit(2L).as("seq"),
+          lit(null).cast("double").as("bal"),
+          lit(null).cast("string").as("seg"))
+      val ins = c.filter(pmod(col("c_custkey"), lit(11)) === 0)
+        .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+          lit("I").as("op"), lit(3L).as("seq"), lit(0.0).as("bal"),
+          lit("NEW").as("seg"))
+      val w = Window.partitionBy("c_custkey").orderBy(col("seq").desc)
+      val latest = u.unionByName(del).unionByName(ins)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn", "seq")
+      val base = c.select(col("c_custkey"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+      graft.operators.Upsert.applyChanges(base, latest, Seq("c_custkey"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_cust"), T.dsum(col("bal"), 2).as("sum_bal"))
+        .orderBy("seg")
+    }),
+
     // SCD Type-2 versioned merge (round 12, third batch) — the dimension-
     // history primitive ([[graft.operators.Upsert.scd2]], spec'd since
     // round 9, now a DECLARED row): the base customer table opens as
@@ -732,6 +773,31 @@ object Relational {
            CAST(sum(CAST(CASE WHEN vt IS NULL THEN bal ELSE 0.0 END
              AS DECIMAL(18,2))) AS DOUBLE) AS open_bal_sum
          FROM versions GROUP BY 1 ORDER BY c_mktsegment""",
+    "upsert_cdc" ->
+      """WITH ch AS (
+           SELECT c_custkey AS k, 'U' AS op, 1 AS seq,
+                  c_acctbal + 100.0 AS bal, c_mktsegment AS seg
+           FROM customer WHERE c_custkey % 5 = 0
+           UNION ALL
+           SELECT c_custkey, 'D', 2, CAST(NULL AS DOUBLE),
+                  CAST(NULL AS VARCHAR)
+           FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'I', 3, 0.0, 'NEW'
+           FROM customer WHERE c_custkey % 11 = 0),
+         latest AS (
+           SELECT k, op, bal, seg FROM (
+             SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) rn
+             FROM ch) WHERE rn = 1),
+         applied AS (
+           SELECT c.c_custkey AS k, c.c_acctbal AS bal, c.c_mktsegment AS seg
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = c.c_custkey)
+           UNION ALL
+           SELECT k, bal, seg FROM latest WHERE op <> 'D')
+         SELECT seg, count(*) AS n_cust,
+           CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM applied GROUP BY 1 ORDER BY seg""",
     "upsert_merge" ->
       """WITH delta AS (
            SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
