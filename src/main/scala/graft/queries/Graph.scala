@@ -308,6 +308,39 @@ object Graph {
         .orderBy("community")
     }),
 
+    // reciprocity (round 14) — the DIRECTEDNESS summary the undirected
+    // census metrics can't ask (Garlaschelli & Loffredo, PRL 2004): of
+    // the above-mean-weight trade edges, what fraction is returned in
+    // kind (u→v AND v→u), in counts and in weight (Σ min(w_uv, w_vu)
+    // over mutual ordered pairs / Σ w) — the "is trade mutual or
+    // one-way" structural fact. The raw trade graph is COMPLETE at every
+    // SF (reciprocity would pin 1.0 and assert nothing), so the declared
+    // graph thresholds on the global mean weight — a 1-row broadcast
+    // scalar (the agg_ttest shape), which also makes the metric
+    // data-dependent (0.45 at sf0.01). Exact integer counts/weights into
+    // two rounded divisions; the mutual join is an equi-join of the
+    // GRAPH-sized edge frame on the reversed key.
+    "graph_reciprocity" -> ((s, sf) => {
+      val e0 = tradeEdges(s, sf)
+      val mw = e0.agg((sum(col("w")).cast("double") / count(lit(1)))
+        .as("mw"))
+      val e = e0.crossJoin(broadcast(mw)).where(col("w") > col("mw"))
+        .select(col("src"), col("dst"), col("w"))
+      val mut = e.as("a").join(e.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .select(col("a.w").as("wa"), col("b.w").as("wb"))
+      val tot = e.agg(count(lit(1)).as("m"), sum(col("w")).as("w_total"))
+      val rec = mut.agg(count(lit(1)).as("n_recip"),
+        sum(least(col("wa"), col("wb"))).as("w_recip"))
+      tot.crossJoin(broadcast(rec))
+        .select(col("m"), col("n_recip"),
+          round(col("n_recip").cast("double") / col("m"), 6)
+            .as("reciprocity"),
+          col("w_total"), col("w_recip"),
+          round(col("w_recip").cast("double") / col("w_total"), 6)
+            .as("w_reciprocity"))
+    }),
+
     // eccentricity / radius / diameter (round 14) — the distance tier's
     // EXTREMAL summary beside closeness's average: per nation, the
     // K = 6-hop eccentricity ecc(v) = max over reached nodes of the
@@ -776,6 +809,27 @@ object Graph {
     "graph_assortativity" -> assortativitySql,
     "graph_closeness" -> closenessSql,
     "graph_eccentricity" -> eccentricitySql,
+    "graph_reciprocity" ->
+      """WITH e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               count(*) AS w
+             FROM orders o
+             JOIN customer c ON o.o_custkey = c.c_custkey
+             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
+           mm AS (SELECT CAST(sum(w) AS DOUBLE) / count(*) AS mw FROM e0),
+           e AS (SELECT src, dst, w FROM e0, mm WHERE w > mw),
+           mut AS (SELECT a.w AS wa, b.w AS wb FROM e a
+             JOIN e b ON a.src = b.dst AND a.dst = b.src),
+           tot AS (SELECT count(*) AS m, CAST(sum(w) AS BIGINT) AS w_total
+             FROM e),
+           rec AS (SELECT count(*) AS n_recip,
+               CAST(sum(least(wa, wb)) AS BIGINT) AS w_recip FROM mut)
+         SELECT m, n_recip,
+           round(CAST(n_recip AS DOUBLE) / m, 6) AS reciprocity,
+           w_total, w_recip,
+           round(CAST(w_recip AS DOUBLE) / w_total, 6) AS w_reciprocity
+         FROM tot CROSS JOIN rec""",
     "graph_betweenness" -> betweennessSql,
     "graph_pagerank" -> pagerankSql,
     "graph_sssp" -> ssspSql,

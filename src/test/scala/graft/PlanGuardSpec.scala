@@ -113,8 +113,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // the 1-row (total, N) corpus scalar onto the term-filtered tf frame
     "text_bm25",
     // round 14: the 1-row (radius, diameter) scalar onto the ≤n-row
-    // eccentricity rollup — the graph_closeness shape
-    "graph_eccentricity")
+    // eccentricity rollup — the graph_closeness shape; the 1-row
+    // mean-weight threshold + 1-row mutual rollup onto the graph-sized
+    // edge frame (graph_reciprocity — the agg_ttest shape twice)
+    "graph_eccentricity", "graph_reciprocity")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
