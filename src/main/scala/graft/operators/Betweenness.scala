@@ -35,32 +35,46 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   * over the persisted DAG — the Pregel superstep shape, lineage RDD-snapped
   * per round. At 100 TB betweenness is SAMPLED-SOURCE by construction
   * (Brandes & Pich, *Centrality estimation in large networks*, IJBC 2007):
-  * pass the sample as `nodes` — the composite frames scale as
-  * |sources|·|reachable|, the algorithm's honest size.
+  * pass the sample as `sources` — every stage is then keyed by the sampled
+  * s, so the composite frames scale as |sources|·|reachable|, the
+  * algorithm's honest size — while `nodes` stays the full output universe.
+  * bc is ADDITIVE over disjoint source sets (bc = Σ_s δ_s), which is what
+  * makes the sampled estimator unbiased under uniform sampling and is
+  * spec-pinned (GraphSpec).
   */
 object Betweenness {
 
-  /** @param nodes one `node: long` column — the SOURCE set (all nodes for
-    *              exact bc; a sample for the Brandes–Pich estimator)
+  /** @param nodes one `node: long` column — the node universe (every row
+    *              gets a betweenness, zero when no sampled path crosses it)
     * @param edges `src`/`dst` (castable to long) + `cost: long` ≥ 1
+    * @param sources optional `node: long` SOURCE sample (the Brandes–Pich
+    *                estimator — bc restricted to Σ over the sampled s);
+    *                null = all of `nodes` (exact bc)
     * @return (node, betweenness) for every node in `nodes`, 6dp */
   def run(nodes: DataFrame, edges: DataFrame, rounds: Int,
-      distributedMinEdges: Long = 500000L): DataFrame = {
+      distributedMinEdges: Long = 500000L,
+      sources: DataFrame = null): DataFrame = {
     val s = nodes.sparkSession
     val tr = new Tracked
     val e = tr.persist(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("cost").cast("long").as("cost")))
     val n = tr.persist(nodes.select(col("node").cast("long").as("node")))
+    val src = if (sources == null) n
+      else tr.persist(sources.select(col("node").cast("long").as("node")))
     val eCnt = e.count()
     val outSchema = StructType(Seq(StructField("node", LongType),
       StructField("betweenness", DoubleType)))
     if (eCnt < distributedMinEdges) {
       val es = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val ns = n.collect().map(_.getLong(0)).sorted
+      val srcs = if (sources == null) ns
+        else src.collect().map(_.getLong(0)).sorted
       tr.free()
       val Inf = Sssp.Inf
       val bc = scala.collection.mutable.Map(ns.map(_ -> 0.0): _*)
-      for (source <- ns) {
+      require(srcs.forall(bc.contains),
+        "betweenness sources must be a subset of nodes")
+      for (source <- srcs) {
         var dist = ns.map(v => v -> (if (v == source) 0L else Inf)).toMap
         for (_ <- 1 to rounds) {
           val nd = scala.collection.mutable.Map(dist.toSeq: _*)
@@ -102,7 +116,7 @@ object Betweenness {
         kept = rdd :: kept
         s.createDataFrame(rdd, df.schema)
       }
-      val dd = AllSourceDistances.run(n, e, rounds, distributedMinEdges)
+      val dd = AllSourceDistances.run(src, e, rounds, distributedMinEdges)
       // shortest-path DAG per source: (s, u, v) — two composite-keyed
       // equi-joins; persisted, it drives every σ/δ superstep below
       val dag = snap(dd.select(col("src").as("s"), col("node").as("u"),
@@ -112,7 +126,8 @@ object Betweenness {
           col("dist").as("dv")), Seq("s"))
         .where(col("dst") === col("v") && col("du") + col("cost") === col("dv"))
         .select(col("s"), col("u"), col("v")))
-      val sig0 = n.select(col("node").as("s"), col("node"), lit(1L).as("sig"))
+      val sig0 = src.select(col("node").as("s"), col("node"),
+        lit(1L).as("sig"))
       var sig = snap(sig0)
       for (_ <- 1 to rounds) {
         val inc = dag.join(sig.withColumnRenamed("node", "u"), Seq("s", "u"))

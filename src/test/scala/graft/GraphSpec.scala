@@ -418,6 +418,37 @@ class GraphSpec extends AnyFunSuite with SparkFixture with Matchers {
     got2 shouldBe Map(0L -> 0.0, 1L -> 0.5, 2L -> 0.5, 3L -> 0.0)
   }
 
+  test("betweenness is additive over disjoint source sets (the sampling law)") {
+    import spark.implicits._
+    val (nodes, edges0) = tradeGraph()
+    val edges = edges0.select(col("src"), col("dst"),
+      expr("1000000L div (w + 1) + 1").cast("long").as("cost"))
+    val ids = nodes.collect().map(_.getLong(0)).sorted
+    val (s1, s2) = ids.splitAt(ids.length / 2)
+    def bc(srcs: Seq[Long]): Map[Long, Double] =
+      graft.operators.Betweenness.run(nodes, edges, rounds = 6,
+          sources = srcs.toDF("node"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = graft.operators.Betweenness.run(nodes, edges, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = bc(s1); val b = bc(s2)
+    // every node keeps a row under sampling, and bc = Σ_s δ_s splits
+    // exactly across a partition of the sources (to rounding)
+    a.keySet shouldBe full.keySet
+    full.foreach { case (n, v) =>
+      withClue(s"node $n: ") { (a(n) + b(n)) shouldBe v +- 2e-6 }
+    }
+    // all-nodes-as-sources IS the default
+    bc(ids.toSeq) shouldBe full
+    // and both dispatch branches honor the sample identically
+    val dist = graft.operators.Betweenness.run(nodes, edges, rounds = 6,
+        distributedMinEdges = 0L, sources = s1.toSeq.toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a.foreach { case (n, v) =>
+      withClue(s"node $n: ") { dist(n) shouldBe v +- 1e-9 }
+    }
+  }
+
   test("betweenness fixed-K contract has converged on the corpus: K and K+1 agree") {
     val (nodes, edges0) = tradeGraph()
     val edges = edges0.select(col("src"), col("dst"),
