@@ -205,9 +205,13 @@ private[streaming] class GroupRowReader(path: String, schema: StructType,
   private var cur: Group = _
   // per-file field-name -> parquet index map, built on the first record
   private var idx: Array[Int] = _
-  // per-field: timestamp physically stored as INT96 (Spark's default
-  // writer format) rather than INT64 micros (the corpus contract)
+  // per-field physical-type notes, resolved per file on its first record:
+  // timestamp stored as INT96 (Spark's default writer format) vs INT64
+  // micros (the corpus contract); int32/float files under long/double
+  // table columns (widened schema-evolution reads)
   private var int96: Array[Boolean] = _
+  private var narrowInt: Array[Boolean] = _
+  private var narrowFloat: Array[Boolean] = _
 
   /** INT96 nanos-in-day + julian-day → epoch micros (the parquet-mr
     * legacy timestamp layout, little-endian). */
@@ -227,13 +231,18 @@ private[streaming] class GroupRowReader(path: String, schema: StructType,
   override def get(): InternalRow = {
     val gt = cur.getType
     if (idx == null) {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
       idx = schema.fields.map(f =>
         if (gt.containsField(f.name)) gt.getFieldIndex(f.name) else -1)
-      int96 = schema.fields.zip(idx).map { case (_, pi) =>
+      def prim(pi: Int, t: PrimitiveTypeName): Boolean =
         pi >= 0 && gt.getType(pi).isPrimitive &&
-          gt.getType(pi).asPrimitiveType().getPrimitiveTypeName ==
-            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96
-      }
+          gt.getType(pi).asPrimitiveType().getPrimitiveTypeName == t
+      int96 = idx.map(prim(_, PrimitiveTypeName.INT96))
+      // widened reads (the schema-evolution direction a table grows in):
+      // a long/double table column backed by an int32/float file still
+      // reads — the same promotion Spark's own reader applies
+      narrowInt = idx.map(prim(_, PrimitiveTypeName.INT32))
+      narrowFloat = idx.map(prim(_, PrimitiveTypeName.FLOAT))
     }
     val row = new GenericInternalRow(schema.length)
     var i = 0
@@ -241,9 +250,13 @@ private[streaming] class GroupRowReader(path: String, schema: StructType,
       val pi = idx(i)
       if (pi < 0 || cur.getFieldRepetitionCount(pi) == 0) row.setNullAt(i)
       else schema.fields(i).dataType match {
-        case LongType => row.setLong(i, cur.getLong(pi, 0))
+        case LongType =>
+          if (narrowInt(i)) row.setLong(i, cur.getInteger(pi, 0).toLong)
+          else row.setLong(i, cur.getLong(pi, 0))
         case IntegerType => row.setInt(i, cur.getInteger(pi, 0))
-        case DoubleType => row.setDouble(i, cur.getDouble(pi, 0))
+        case DoubleType =>
+          if (narrowFloat(i)) row.setDouble(i, cur.getFloat(pi, 0).toDouble)
+          else row.setDouble(i, cur.getDouble(pi, 0))
         case FloatType => row.setFloat(i, cur.getFloat(pi, 0))
         case BooleanType => row.setBoolean(i, cur.getBoolean(pi, 0))
         case StringType =>

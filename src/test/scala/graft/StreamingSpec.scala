@@ -723,6 +723,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
       Set(4L -> "r4", 5L -> "r5")
   }
 
+  test("manifest stream source: widened schema reads int32/float files as long/double") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-msrc4").toString
+    val tbl = s"$base/tbl"
+    // files written NARROW (int, float) — the pre-widening epoch
+    graft.operators.ManifestTable.commit(spark, tbl,
+      Seq((1, 1.5f), (2, 2.5f)).toDF("k", "x"))
+    // consumer reads under the WIDENED table schema (long, double)
+    val q = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .schema("k BIGINT, x DOUBLE")
+      .option("path", tbl).load()
+      .writeStream.format("memory").queryName("msrc_wide").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("msrc_wide").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet shouldBe
+      Set(1L -> 1.5, 2L -> 2.5)
+  }
+
   test("manifest stream source: timestamps and nulls round-trip; nested types refuse") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-msrc2").toString
