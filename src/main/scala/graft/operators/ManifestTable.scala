@@ -431,6 +431,21 @@ object ManifestTable {
         }
     }
 
+  /** The skipping decision over an explicit manifest-relative file list —
+    * the core [[pruneFiles]] and the streaming source's per-batch pushdown
+    * share: files whose recorded ranges cannot satisfy the conjunctive
+    * `preds` drop; files without stats always keep. */
+  private[graft] def pruneFileList(spark: SparkSession, dir: String,
+      files: Seq[String], preds: Seq[StatsPred]): Seq[String] = {
+    val stats = statsFor(fsOf(spark, dir), dir, files)
+    files.filter { f =>
+      stats.get(f) match {
+        case None => true // batch committed without stats — never pruned
+        case Some(st) => preds.forall(p => mightMatch(st, p))
+      }
+    }
+  }
+
   /** The file-skipping decision for snapshot `version` under `preds`
     * (conjunctive): (kept manifest-relative paths, total files). Exposed
     * so specs and metrics can assert how much a predicate pruned. */
@@ -440,16 +455,8 @@ object ManifestTable {
     require(vs.nonEmpty, s"$dir has no committed snapshot")
     val v = if (version < 0) vs.last else version
     require(vs.contains(v), s"version $v not in committed set $vs")
-    val fs = fsOf(spark, dir)
-    val files = manifestFiles(fs, dir, v)
-    val stats = statsFor(fs, dir, files)
-    val kept = files.filter { f =>
-      stats.get(f) match {
-        case None => true // batch committed without stats — never pruned
-        case Some(st) => preds.forall(p => mightMatch(st, p))
-      }
-    }
-    (kept, files.size)
+    val files = manifestFiles(fsOf(spark, dir), dir, v)
+    (pruneFileList(spark, dir, files, preds), files.size)
   }
 
   /** Read snapshot `version` with FILE SKIPPING: files whose recorded

@@ -74,12 +74,42 @@ class ManifestTableProvider extends TableProvider {
       Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L)
     require(startingVersion >= 0L,
       s"startingVersion must be >= 0, got $startingVersion")
-    new ManifestStreamTable(dir, schema, startingVersion)
+    // skipFilters: per-batch FILE SKIPPING from the stats sidecars — the
+    // streaming half of readPruned, passed explicitly because Spark's
+    // filter-pushdown rule does not visit micro-batch DSv2 scans (the
+    // residual .where() the consumer writes anyway stays the semantics;
+    // this option only prunes which files open). Grammar:
+    // "col>=v;col<v" with >=, >, <=, <, = over numeric/string values
+    // (numeric columns compare numerically via the sidecar type; pass
+    // date/timestamp values in canonical cast-to-string form).
+    val skipPreds = Option(properties.get("skipFilters"))
+      .map(parseSkipFilters).getOrElse(Nil)
+    new ManifestStreamTable(dir, schema, startingVersion, skipPreds)
+  }
+
+  private def parseSkipFilters(
+      spec: String): Seq[graft.operators.ManifestTable.StatsPred] = {
+    import graft.operators.ManifestTable._
+    spec.split(';').map(_.trim).filter(_.nonEmpty).map { term =>
+      val m = java.util.regex.Pattern
+        .compile("^([^<>=!]+?)\\s*(>=|<=|>|<|=)\\s*(.+)$").matcher(term)
+      require(m.matches(),
+        s"skipFilters term '$term' is not <col> <op> <value> with op in >=,>,<=,<,=")
+      val (c, v) = (m.group(1).trim, m.group(3).trim)
+      m.group(2) match {
+        case ">=" => ColGe(c, v)
+        case ">" => ColGt(c, v)
+        case "<=" => ColLe(c, v)
+        case "<" => ColLt(c, v)
+        case "=" => ColEq(c, v)
+      }
+    }.toSeq
   }
 }
 
 private[streaming] class ManifestStreamTable(dir: String,
-    tableSchema: StructType, startingVersion: Long = 0L)
+    tableSchema: StructType, startingVersion: Long = 0L,
+    skipPreds: Seq[graft.operators.ManifestTable.StatsPred] = Nil)
     extends Table with SupportsRead {
   override def name(): String = s"graft-manifest(`$dir`)"
   override def schema(): StructType = tableSchema
@@ -90,7 +120,8 @@ private[streaming] class ManifestStreamTable(dir: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ManifestMicroBatchStream(dir, tableSchema, startingVersion)
+          new ManifestMicroBatchStream(dir, tableSchema, startingVersion,
+            skipPreds)
       }
     }
 }
@@ -105,7 +136,9 @@ private[streaming] case class ManifestFilePartition(path: String)
     extends InputPartition
 
 private[streaming] class ManifestMicroBatchStream(dir: String,
-    schema: StructType, startingVersion: Long = 0L) extends MicroBatchStream {
+    schema: StructType, startingVersion: Long = 0L,
+    skipPreds: Seq[graft.operators.ManifestTable.StatsPred] = Nil)
+    extends MicroBatchStream {
 
   ManifestMicroBatchStream.requireSupported(schema)
 
@@ -145,8 +178,16 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
         finally in.close()
       }
     val before = files(s).toSet
-    files(e).filterNot(before).map(f =>
-      ManifestFilePartition(s"$dir/$f"): InputPartition).toArray
+    val added = files(e).filterNot(before)
+    // pushed-filter file skipping: the batch half of readPruned — files
+    // whose sidecar ranges cannot satisfy the pushed predicates never
+    // open; files without stats always keep, and the engine re-applies
+    // every filter on the rows (superset guarantee, not semantics)
+    val kept =
+      if (skipPreds.isEmpty) added
+      else graft.operators.ManifestTable
+        .pruneFileList(spark, dir, added, skipPreds)
+    kept.map(f => ManifestFilePartition(s"$dir/$f"): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

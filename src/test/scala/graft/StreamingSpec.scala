@@ -723,6 +723,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
       Set(4L -> "r4", 5L -> "r5")
   }
 
+  test("manifest stream source: skipFilters prune files per micro-batch") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-msrc5").toString
+    val tbl = s"$base/tbl"
+    def mk(lo: Int, hi: Int) = (lo to hi).map(i => (i.toLong, s"r$i"))
+      .toDF("k", "v").repartition(1)
+    graft.operators.ManifestTable.commit(spark, tbl, mk(1, 3),
+      statsCols = Seq("k"))
+    graft.operators.ManifestTable.commit(spark, tbl, mk(10, 12),
+      statsCols = Seq("k"))
+    graft.operators.ManifestTable.commit(spark, tbl, mk(20, 22),
+      statsCols = Seq("k"))
+    val q = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).option("skipFilters", "k >= 10").load()
+      .where(col("k") >= 10L) // the residual filter stays the semantics
+      .writeStream.format("memory").queryName("msrc_push").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // values: the residual row filter holds regardless of skipping
+    spark.table("msrc_push").collect().map(_.getLong(0)).sorted shouldBe
+      Array(10L, 11L, 12L, 20L, 21L, 22L)
+    // and the [1..3] batch's file never fed the stream: only 6 of the 9
+    // committed rows entered the source (file skipping, not row filtering)
+    val fed = q.recentProgress.map(_.numInputRows).sum
+    fed shouldBe 6L
+  }
+
   test("manifest stream source: widened schema reads int32/float files as long/double") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-msrc4").toString
