@@ -96,8 +96,9 @@ object Sim {
       cosinePairs(emb, col("a_id") < col("b_id"))
         .where(col("sim") >= tau)
         .select(col("a_id"), col("b_id"), col("sim"))
-    else if (tau >= 0.8) cosineLshPairs(emb, tau, nBands = 7, bandBits = 8, tr = tr)
-    else cosineLshPairs(emb, tau, tr = tr)
+    else if (tau >= 0.8)
+      cosineLshPairs(emb, tau, nBands = 7, bandBits = 8, tr = tr, vecCount = n)
+    else cosineLshPairs(emb, tau, tr = tr, vecCount = n)
   }
 
   /** [[cosineLshPairs]] with SCALE-SIZED band width (r14, the composed-
@@ -134,7 +135,7 @@ object Sim {
     val bits = math.max(2, math.min(15,
       math.ceil(math.log(math.max(n, 1L).toDouble / 128.0) / math.log(2.0)).toInt))
     val bands = math.min(16, 63 / bits)
-    cosineLshPairs(emb, tau, bands, bits, seed, tr, maxBucket)
+    cosineLshPairs(emb, tau, bands, bits, seed, tr, maxBucket, vecCount = n)
   }
 
   /** Random-hyperplane LSH near-dup pairs (Charikar, *Similarity estimation
@@ -171,7 +172,8 @@ object Sim {
     */
   def cosineLshPairs(emb: DataFrame, tau: Double, nBands: Int = 16,
       bandBits: Int = 2, seed: Long = 42L,
-      tr: graft.operators.Tracked = null, maxBucket: Int = 65536): DataFrame = {
+      tr: graft.operators.Tracked = null, maxBucket: Int = 65536,
+      vecCount: Long = -1L): DataFrame = {
     require(bandBits > 0, "use cosineLshPairsAuto for scale-sized bands")
     val nBits = nBands * bandBits
     require(nBits <= 63, s"nBands*bandBits must fit a long, got $nBits")
@@ -238,20 +240,26 @@ object Sim {
     // shuffling the row. sim is a deterministic function of the pair, so
     // the post-cut distinct collapses band-duplicates exactly.
     //
-    // Join shape (r14): the vector side carries the shuffle_hash hint.
-    // Past the broadcast threshold the planner's default is a sort-merge
-    // join, which SORTS the candidate stream with 8·dim-byte vectors
-    // attached — measured 2.4 GB of external-sort spill at the 10×
-    // composed corpus for a 5M-candidate stream. A shuffled hash join
-    // builds on the VECTOR side (n/parts rows per partition — the small
-    // side per key at any corpus size) and streams the candidates with no
-    // sort at all; below the broadcast threshold the hint is moot (the
-    // planner still broadcasts the tiny side).
+    // Join shape (r14, gated r15): past the broadcast scale the planner's
+    // default is a sort-merge join, which SORTS the candidate stream with
+    // 8·dim-byte vectors attached — measured 2.4 GB of external-sort
+    // spill at the 10× composed corpus for a 5M-candidate stream. A
+    // shuffled hash join builds on the VECTOR side (n/parts rows per
+    // partition — the small side per key at any corpus size) and streams
+    // the candidates with no sort at all. The hint is SIZE-GATED (r15,
+    // the nCells move): Spark gives user join hints priority over its own
+    // broadcast choice, so an unconditional shuffle_hash FORCES two extra
+    // full-stream exchanges at bench SF where the vector side would
+    // simply broadcast — the r14 bench regression. Known-small corpora
+    // (vecCount from the Auto path) leave the planner free to broadcast;
+    // unknown or large corpora keep the spill-proof hash shape.
+    val hintShj = vecCount < 0L || vecCount > 65536L
+    def sideHint(d: DataFrame) = if (hintShj) d.hint("shuffle_hash") else d
     cand
-      .join(v.select(col("vec_id").as("a_id"), col("e").as("ea"),
-        col("nrm").as("na")).hint("shuffle_hash"), "a_id")
-      .join(v.select(col("vec_id").as("b_id"), col("e").as("eb"),
-        col("nrm").as("nb")).hint("shuffle_hash"), "b_id")
+      .join(sideHint(v.select(col("vec_id").as("a_id"), col("e").as("ea"),
+        col("nrm").as("na"))), "a_id")
+      .join(sideHint(v.select(col("vec_id").as("b_id"), col("e").as("eb"),
+        col("nrm").as("nb"))), "b_id")
       .withColumn("sim", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
       .where(col("sim") >= tau)
       .select(col("a_id"), col("b_id"), col("sim"))

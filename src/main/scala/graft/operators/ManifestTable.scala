@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Minimal manifest-swap commit protocol over plain parquet — the atomic
   * layer Upsert/Compact/partition-overwrite were missing (round-10 verdict
@@ -61,10 +61,12 @@ object ManifestTable {
 
   /** File-skipping predicates evaluated against per-file min/max stats
     * (see [[readPruned]]). `v` is the comparison value: pass numerics as
-    * numerics; pass date/timestamp values as their canonical
-    * cast-to-string form (`"2024-01-11 00:00:00"`) — the same rendering
-    * the stats sidecar records. Null rows never satisfy any of these
-    * predicates (SQL comparison semantics), which is what makes
+    * numerics; pass date values as `"2024-01-11"`; pass TIMESTAMP values
+    * as `"2024-01-11 00:00:00"` strings (interpreted in the READER
+    * session's spark.sql.session.timeZone — the same zone the residual
+    * row filter applies to the literal), as `java.sql.Timestamp` /
+    * `Instant`, or as epoch-micros numerics. Null rows never satisfy any
+    * of these predicates (SQL comparison semantics), which is what makes
     * pruning on non-null min/max sound.
     */
   sealed trait StatsPred { def col: String; def v: Any }
@@ -99,6 +101,13 @@ object ManifestTable {
     finally in.close()
   }
 
+  /** Manifest entries are table-relative by default; a SHALLOW CLONE
+    * ([[clone]]) manifest lists the source's files absolutely. */
+  private def isAbsEntry(f: String): Boolean =
+    f.startsWith("/") || f.contains("://")
+  private def resolve(dir: String, f: String): String =
+    if (isAbsEntry(f)) f else s"$dir/$f"
+
   /** Read snapshot `version` (default: the latest committed). The file
     * list comes from the manifest, never from a directory listing — data
     * batches that never committed (crashed writers) are invisible.
@@ -112,7 +121,7 @@ object ManifestTable {
     if (files.isEmpty)
       spark.emptyDataFrame
     else
-      spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+      spark.read.parquet(files.map(resolve(dir, _)): _*)
   }
 
   /** Commit `df` as the next snapshot: append (new files join the current
@@ -294,7 +303,47 @@ object ManifestTable {
       // the to-version snapshot, not an empty zero-column frame
       read(spark, dir, to).limit(0)
     else
-      spark.read.parquet(added.map(f => s"$dir/$f"): _*)
+      spark.read.parquet(added.map(resolve(dir, _)): _*)
+  }
+
+  /** SHALLOW (zero-copy) snapshot clone — Delta's `CLONE TABLE` shape
+    * (round 15): publish at `dstDir` a new snapshot whose manifest lists
+    * `srcDir`'s version-`version` data files ABSOLUTELY. No data moves:
+    * the clone is one manifest write, O(files) metadata at any table
+    * size. The clone is a full ManifestTable afterwards — time travel,
+    * appends (local batches mix with the cloned absolute entries), data
+    * skipping (absolute entries resolve to the SOURCE's stats sidecars),
+    * and [[expire]] (which vacuums only LOCAL batches — see the
+    * isAbsEntry filter there). Lifecycle contract, same as Delta shallow
+    * clones: the clone references the source's files logically, so the
+    * SOURCE's expire()/vacuum can delete files a clone still lists —
+    * clone retention must be coordinated with source retention.
+    */
+  def clone(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Long = -1L, cas: CommitCas = RenameCas): Long = {
+    val vs = versions(spark, srcDir)
+    require(vs.nonEmpty, s"$srcDir has no committed snapshot")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    // resolve against the source ONCE: entries become source-rooted
+    // absolute paths (cloning a clone keeps already-absolute entries)
+    val files = manifestFiles(fsOf(spark, srcDir), srcDir, v)
+      .map(resolve(srcDir, _))
+    val fs = fsOf(spark, dstDir)
+    fs.mkdirs(manifestDir(dstDir))
+    var committed = -1L
+    while (committed < 0) {
+      val next = versions(spark, dstDir).lastOption.getOrElse(0L) + 1
+      val tmp = new Path(manifestDir(dstDir),
+        s".tmp-clone-${java.util.UUID.randomUUID()}")
+      val content = (files.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (cas.claim(fs, tmp, new Path(manifestDir(dstDir),
+          s"v$next.manifest"), content))
+        committed = next
+      // else: lost the slot to a concurrent committer — retry at the next
+    }
+    committed
   }
 
   private val StatsName = "_stats.tsv"
@@ -316,7 +365,15 @@ object ManifestTable {
     * Values are rendered via CAST(.. AS STRING) — the one canonical,
     * writer-independent encoding Spark already defines per type — and
     * base64-wrapped in the sidecar so arbitrary string data can never break
-    * the line format.
+    * the line format. The one exception is TIMESTAMP (the instant type):
+    * its string rendering depends on the writer session's
+    * spark.sql.session.timeZone, so a reader in another zone would compare
+    * against foreign renderings and could prune files whose rows match.
+    * Timestamp stats are therefore stored as epoch MICROS (zone-free); the
+    * reader converts its predicate to micros under ITS session zone — the
+    * same zone Spark uses for the residual row filter, so pruning and
+    * filtering agree by construction. timestamp_ntz and date renderings are
+    * zone-independent and stay as strings.
     */
   private def writeStats(spark: SparkSession, fs: FileSystem, dir: String,
       dataRel: String, statsCols: Seq[String]): Unit = {
@@ -326,9 +383,14 @@ object ManifestTable {
     val cols = statsCols.distinct
     cols.foreach(c => require(fields.contains(c),
       s"statsCols column $c not in batch schema ${fields.keys.toSeq.sorted}"))
+    def render(c: String, agg: Column): Column = fields(c) match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(agg).cast("string")
+      case _ => agg.cast("string")
+    }
     val aggs = cols.flatMap { c => Seq(
-      min(col(c)).cast("string").as(s"min__$c"),
-      max(col(c)).cast("string").as(s"max__$c"),
+      render(c, min(col(c))).as(s"min__$c"),
+      render(c, max(col(c))).as(s"max__$c"),
       count(col(c)).as(s"cnt__$c")) }
     val allAggs = count(lit(1)).as("rows") +: aggs
     val rows = bdf.groupBy(input_file_name().as("f"))
@@ -364,7 +426,9 @@ object ManifestTable {
       files: Seq[String]): Map[String, Map[String, ColStat]] = {
     val batches = files.map(_.split('/').dropRight(1).mkString("/")).distinct
     batches.flatMap { b =>
-      val p = new Path(s"$dir/$b/$StatsName")
+      // resolve() so shallow-clone entries read the SOURCE's sidecar —
+      // a clone keeps the source's data skipping
+      val p = new Path(s"${resolve(dir, b)}/$StatsName")
       if (!fs.exists(p)) Nil
       else {
         val in = fs.open(p)
@@ -393,40 +457,101 @@ object ManifestTable {
       s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
     else s
 
-  private def cmpStat(typeName: String, a: String, b: String): Int =
-    typeName match {
-      case "byte" | "short" | "integer" | "long" | "float" | "double" =>
-        BigDecimal(a).compare(BigDecimal(b))
-      case t if t.startsWith("decimal") => BigDecimal(a).compare(BigDecimal(b))
-      case "timestamp" | "timestamp_ntz" | "date" =>
-        normFrac(a).compareTo(normFrac(b))
-      case _ => a.compareTo(b)
-    }
-
   private def renderV(v: Any): String = v match {
     case s: String => s
     case other => String.valueOf(other)
   }
 
+  /** Spark min/max over STRING order by UTF-8 bytes (UTF8String's binary
+    * order = code-point order), while Java's String.compareTo orders by
+    * UTF-16 code UNITS — the two disagree once supplementary-plane chars
+    * mix with U+E000..U+FFFF, and a wrong order here silently prunes
+    * matching files. Compare the way Spark ordered when it computed the
+    * stats: unsigned UTF-8 bytes. */
+  private def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** "yyyy-MM-dd[ HH:mm:ss[.f..]]" under `zone` → epoch micros. */
+  private def parseLocalMicros(s: String,
+      zone: java.time.ZoneId): Option[Long] =
+    try {
+      val t = s.trim
+      val ldt =
+        if (t.contains(' ') || t.contains('T'))
+          java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        else java.time.LocalDate.parse(t).atStartOfDay()
+      val ins = ldt.atZone(zone).toInstant
+      Some(ins.getEpochSecond * 1000000L + ins.getNano / 1000L)
+    } catch { case _: java.time.format.DateTimeParseException => None }
+
+  /** A recorded timestamp stat: epoch micros (current sidecars); legacy
+    * sidecars carried the UTC-pinned session rendering — parse those as
+    * UTC so pre-existing tables keep pruning correctly. */
+  private def statTsMicros(s: String): Option[Long] =
+    if (s.nonEmpty && s.forall(ch => ch.isDigit || ch == '-')) {
+      try Some(s.toLong) catch { case _: NumberFormatException => None }
+    } else parseLocalMicros(s, java.time.ZoneOffset.UTC)
+
+  /** The reader-side timestamp predicate value → epoch micros. Strings
+    * parse under the READER session's zone — the exact zone Spark will use
+    * when the residual row filter casts the same literal, so the prune
+    * decision and the row semantics cannot diverge. */
+  private def predTsMicros(v: Any,
+      zone: java.time.ZoneId): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      val ins = t.toInstant
+      Some(ins.getEpochSecond * 1000000L + ins.getNano / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case n: Number => Some(n.longValue()) // already micros
+    case s: String => parseLocalMicros(s, zone)
+    case _ => None
+  }
+
   /** Can predicate `p` be satisfied by ANY row of a file with stats `st`?
     * Missing column stats → unknowable → keep. All-null column → no
-    * non-null value exists → no row can satisfy a comparison → prune. */
-  private def mightMatch(st: Map[String, ColStat], p: StatsPred): Boolean =
+    * non-null value exists → no row can satisfy a comparison → prune.
+    * UNPARSEABLE stats or predicate values (a NaN/Infinity min-max in a
+    * float column, a malformed timestamp literal) are unknowable, NOT an
+    * error: the file is kept and the residual row filter decides — one
+    * odd value must never make a committed table's pruned-read path
+    * throw. */
+  private def mightMatch(st: Map[String, ColStat], p: StatsPred,
+      zone: java.time.ZoneId): Boolean =
     st.get(p.col) match {
       case None => true
       case Some(cs) =>
         if (cs.nonNull == 0L) false
         else {
-          val v = renderV(p.v)
-          val mn = cs.min.get
-          val mx = cs.max.get
+          // compare one recorded bound against the predicate value; None →
+          // unknowable → conservative keep. Bounds are independent so one
+          // non-finite min can't blind a max-only check (and vice versa).
+          def cmpBound(stat: String): Option[Int] = cs.typeName match {
+            case "timestamp" =>
+              for {
+                a <- statTsMicros(stat)
+                v <- predTsMicros(p.v, zone)
+              } yield a.compare(v)
+            case t
+                if t == "byte" || t == "short" || t == "integer" ||
+                  t == "long" || t == "float" || t == "double" ||
+                  t.startsWith("decimal") =>
+              try Some(BigDecimal(stat).compare(BigDecimal(renderV(p.v))))
+              catch { case _: NumberFormatException => None }
+            case "timestamp_ntz" | "date" =>
+              Some(normFrac(stat).compareTo(normFrac(renderV(p.v))))
+            case _ => Some(utf8Cmp(stat, renderV(p.v)))
+          }
+          def mnOk(f: Int => Boolean) = cmpBound(cs.min.get).forall(f)
+          def mxOk(f: Int => Boolean) = cmpBound(cs.max.get).forall(f)
           p match {
-            case ColGe(_, _) => cmpStat(cs.typeName, mx, v) >= 0
-            case ColGt(_, _) => cmpStat(cs.typeName, mx, v) > 0
-            case ColLe(_, _) => cmpStat(cs.typeName, mn, v) <= 0
-            case ColLt(_, _) => cmpStat(cs.typeName, mn, v) < 0
-            case ColEq(_, _) => cmpStat(cs.typeName, mn, v) <= 0 &&
-              cmpStat(cs.typeName, mx, v) >= 0
+            case ColGe(_, _) => mxOk(_ >= 0)
+            case ColGt(_, _) => mxOk(_ > 0)
+            case ColLe(_, _) => mnOk(_ <= 0)
+            case ColLt(_, _) => mnOk(_ < 0)
+            case ColEq(_, _) => mnOk(_ <= 0) && mxOk(_ >= 0)
           }
         }
     }
@@ -438,10 +563,12 @@ object ManifestTable {
   private[graft] def pruneFileList(spark: SparkSession, dir: String,
       files: Seq[String], preds: Seq[StatsPred]): Seq[String] = {
     val stats = statsFor(fsOf(spark, dir), dir, files)
+    val zone =
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     files.filter { f =>
       stats.get(f) match {
         case None => true // batch committed without stats — never pruned
-        case Some(st) => preds.forall(p => mightMatch(st, p))
+        case Some(st) => preds.forall(p => mightMatch(st, p, zone))
       }
     }
   }
@@ -481,7 +608,7 @@ object ManifestTable {
       case ColEq(c, v) => col(c) === lit(v)
     }.reduce(_ && _)
     if (kept.isEmpty) read(spark, dir, version).where(residual).limit(0)
-    else spark.read.parquet(kept.map(f => s"$dir/$f"): _*).where(residual)
+    else spark.read.parquet(kept.map(resolve(dir, _)): _*).where(residual)
   }
 
   /** Retention: keep the latest `keepLast` manifests, delete older ones,
@@ -496,7 +623,10 @@ object ManifestTable {
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
     drop.foreach(v => fs.delete(new Path(manifestDir(dir), s"v$v.manifest"), false))
+    // absolute entries (shallow-clone references into a SOURCE table) are
+    // not this table's batches: vacuum only sweeps LOCAL batch dirs
     val live = keep.flatMap(v => manifestFiles(fs, dir, v))
+      .filterNot(isAbsEntry)
       .map(f => f.split('/').take(2).mkString("/")).toSet // live batch dirs
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot))

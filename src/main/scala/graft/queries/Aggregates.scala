@@ -285,6 +285,27 @@ object Aggregates {
     // agg. Determinism: counts exact, the two divisions produce identical
     // doubles from identical integer operands on both engines, and the max
     // is over those — round(…,6) only at the end.
+    // empirical CDF over the full price value domain (round 15) — the
+    // GlobalRank kernel as a FIRST-CLASS operator, not just plumbing: the
+    // distinct-value frame grows with the corpus (continuous prices), so
+    // the running count is the two-pass distributed prefix sum
+    // (range-partition + per-group offsets), never a one-task global
+    // window. Exact integers end-to-end; the only float is the final
+    // cum/n division, identical on both engines; the 1-row total is a
+    // broadcast scalar (the agg_ttest shape).
+    "agg_cdf" -> ((s, sf) => {
+      val byV = t(s, sf, "orders")
+        .groupBy(col("o_totalprice").cast("decimal(18,4)").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val pre = graft.operators.GlobalRank
+        .prefix(byV, Nil, Seq("v"), Seq("c" -> "cum_n"), inclusive = true)
+      val tot = pre.agg(sum(col("c")).as("n"))
+      pre.crossJoin(broadcast(tot))
+        .select(col("v"), col("cum_n"),
+          round(col("cum_n").cast("double") / col("n"), 6).as("cdf"))
+        .orderBy("v")
+    }),
+
     "agg_ks_test" -> ((s, sf) => {
       val o = t(s, sf, "orders")
         .select(col("o_totalprice").cast("decimal(18,4)").as("v"),
@@ -294,12 +315,16 @@ object Aggregates {
         .select(col("v"), when(col("us") < col("m"), 1L).otherwise(0L).as("b"))
       val byV = tagged.groupBy("v")
         .agg(sum(col("b")).as("c1"), sum(lit(1L) - col("b")).as("c2"))
-      val tot = byV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-      val w = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      byV.withColumn("f1", sum(col("c1")).over(w))
-        .withColumn("f2", sum(col("c2")).over(w))
-        .crossJoin(broadcast(tot))
+      // distributed CDF: the distinct-value frame grows with the corpus
+      // (continuous prices), so the running sums ride the two-pass
+      // GlobalRank kernel, not a single-partition global window
+      val pre = graft.operators.GlobalRank
+        .prefix(byV, Nil, Seq("v"), Seq("c1" -> "f1", "c2" -> "f2"),
+          inclusive = true)
+      // totals aggregate the KERNEL output (the pinned range shuffle) —
+      // aggregating byV here would re-run the corpus agg a second time
+      val tot = pre.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      pre.crossJoin(broadcast(tot))
         .agg(max(col("n1")).as("n_base"), max(col("n2")).as("n_cur"),
           round(max(abs(col("f1").cast("double") / col("n1")
             - col("f2").cast("double") / col("n2"))), 6).as("ks_d"))
@@ -352,9 +377,13 @@ object Aggregates {
         .select(col("c_mktsegment").as("seg"),
           col("o_totalprice").cast("decimal(18,4)").as("v"),
           col("o_orderkey").as("k"))
-      val rn = row_number().over(
-        Window.partitionBy("seg").orderBy(col("v"), col("k")))
-      x.withColumn("rn", rn.cast("decimal(18,0)"))
+      // per-segment global rank over ~n/5-row frames: two-pass GlobalRank
+      // (range partition + broadcast offsets), not one window task per
+      // segment — the (v, k) order is tie-free (k is the unique order key)
+      graft.operators.GlobalRank
+        .prefix(x, Seq("seg"), Seq("v", "k"), Nil,
+          inclusive = false, rnCol = Some("rn0"))
+        .withColumn("rn", col("rn0").cast("decimal(18,0)"))
         .groupBy("seg")
         .agg(count(lit(1)).as("n"),
           sum(col("v")).as("sv"),
@@ -982,6 +1011,18 @@ object Aggregates {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_cdf" ->
+      """WITH byv AS (SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS v,
+             count(*) AS c FROM orders GROUP BY 1),
+           tot AS (SELECT sum(c) AS n FROM byv)
+         SELECT v,
+           CAST(sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_n,
+           round(CAST(sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS cdf
+         FROM byv ORDER BY v""",
     "agg_ks_test" ->
       """WITH o AS (SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS v,
              epoch_us(o_orderdate) AS us FROM orders),

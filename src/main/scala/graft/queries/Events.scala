@@ -575,7 +575,9 @@ object Events {
         .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("sr"))
         .select(col("event_type"),
           size(col("sr")).cast("long").as("n_days"),
-          expr("""aggregate(slice(sr, 2, size(sr) - 1),
+          // greatest(..,0): a one-day series would pass length -1 and
+          // slice throws; clamp so it folds to the (l=y1, b=0) init state
+          expr("""aggregate(slice(sr, 2, greatest(size(sr) - 1, 0)),
             struct(CAST(sr[0].y AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b),
             (acc, x) -> struct(
               0.3 * x.y + 0.7 * (acc.l + acc.b) AS l,
@@ -841,6 +843,36 @@ object Events {
           round(sum(col("n")).cast("double") / max(col("tot")), 6)
             .as("share"))
         .orderBy("decile")
+    }),
+
+    // Lorenz curve over user activity (round 15) — events_pareto's decile
+    // view made a proper cumulative-distribution curve (Lorenz 1905; the
+    // Gini construction's x-axis): users ranked ASCENDING by event count
+    // (user_id tiebreak — the GlobalRank kernel's tie-free order
+    // contract), 20 ventile points of (cumulative user share, cumulative
+    // event share). The per-user frame grows with the corpus, so BOTH the
+    // global rank and the running event sum ride the two-pass GlobalRank
+    // kernel — at 100 TB this is range-partitioned parallel work, not a
+    // one-task window. Integer arithmetic end-to-end (the ventile id is
+    // exact ceil division on BIGINTs); shares are two IEEE divisions of
+    // exact longs, identical cross-engine; the 1-row (n_users, n_events)
+    // total is a broadcast scalar (the events_pareto shape).
+    "events_lorenz" -> ((s, sf) => {
+      val u = t(s, sf, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val pre = graft.operators.GlobalRank
+        .prefix(u, Nil, Seq("n", "user_id"), Seq("n" -> "cum"),
+          inclusive = true, rnCol = Some("rn"))
+      val tot = pre.agg(count(lit(1)).as("nu"), sum(col("n")).as("ne"))
+      pre.crossJoin(broadcast(tot))
+        .select(expr("(rn * 20 + nu - 1) div nu").as("ventile"),
+          col("rn"), col("cum"), col("nu"), col("ne"))
+        .groupBy("ventile")
+        .agg(round(max(col("rn")).cast("double") / max(col("nu")), 6)
+            .as("u_frac"),
+          round(max(col("cum")).cast("double") / max(col("ne")), 6)
+            .as("e_frac"))
+        .orderBy("ventile")
     }),
 
     // session-length histogram (round 9) — the engagement distribution
@@ -1576,6 +1608,20 @@ object Events {
            CAST(sum(n) AS BIGINT) AS n_events,
            round(CAST(sum(n) AS DOUBLE) / max(tot), 6) AS share
          FROM u, q, tot GROUP BY 1 ORDER BY 1""",
+    "events_lorenz" ->
+      """WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+           r AS (SELECT user_id, n,
+               row_number() OVER (ORDER BY n, user_id) AS rn,
+               sum(n) OVER (ORDER BY n, user_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM u),
+           tot AS (SELECT count(*) AS nu, sum(n) AS ne FROM u)
+         SELECT (rn * 20 + nu - 1) // nu AS ventile,
+           round(CAST(max(rn) AS DOUBLE) / CAST(max(nu) AS DOUBLE), 6)
+             AS u_frac,
+           round(CAST(max(cum) AS DOUBLE) / CAST(max(ne) AS DOUBLE), 6)
+             AS e_frac
+         FROM r, tot GROUP BY 1 ORDER BY 1""",
     "events_session_stats" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
            g AS (SELECT *, CASE WHEN lag(us) OVER w IS NOT NULL

@@ -23,6 +23,8 @@ import graft.T.{Q, t}
   */
 object Llm {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Per-doc distinct 3-gram shingle ARRAY: (doc_id, ss) — fully narrow
     * (pure map stage, no shuffle): each row's shingles come from its own
     * text, so signature/size computations on top of this stay narrow too.
@@ -78,13 +80,29 @@ object Llm {
       .where(col("jac") >= tau)
       .select(col("da"), col("db"), col("jac"))
 
+  /** Document-frequency cap on shingle types entering the inverted-index
+    * self-join (round-15: the r14 verdict's "df-cap on hot shingles",
+    * promoted from prose to code). A shingle in B documents contributes
+    * B(B-1)/2 candidate pairs — one boilerplate navigation string shared
+    * by a million pages is a 5·10¹¹-pair hot bucket, THE way the exact
+    * kernel dies at scale. Shingles with df > cap are excluded, so
+    * candidate volume is bounded by Σ min(df, cap)² and the hottest
+    * bucket by cap². Intersection counts for pairs that shared a dropped
+    * shingle become lower bounds — the standard stop-shingle trade
+    * (boilerplate n-grams carry no dedup signal), COUNTED and WARN-logged
+    * when binding, never silent (the Triangles / text_collocations
+    * observability contract). Never binds at bench SFs — max df ≪ 4096 —
+    * so the oracles need no cap clause (LlmSpec pins both legs). */
+  private[graft] val hotShingleDfCap = 4096
+
   /** The shared exact intersection-count core: unordered doc pairs with
     * ≥ 1 shared 3-shingle, as (da, db, na, nb, i) — |A|, |B|, |A∩B| from
     * the hash-compacted inverted-index self-join. [[jaccardPairs]] maps it
     * to symmetric Jaccard; `dedup_containment` maps it to the ASYMMETRIC
     * containment pair (Broder 1997's r(A,B) = |A∩B|/|A|). */
   private[graft] def pairIntersections(docsRaw: DataFrame,
-      tr: graft.operators.Tracked): DataFrame = {
+      tr: graft.operators.Tracked,
+      dfCap: Int = hotShingleDfCap): DataFrame = {
     // persist the per-doc ARRAY table (one small row per doc), not the
     // exploded rows: referencing size(ss) and explode(ss) over a computed
     // column would make codegen re-derive the whole shingle transform per
@@ -104,7 +122,26 @@ object Llm {
         countDistinct(col("h")).as("nh")).head()
       r.getLong(0) != r.getLong(1)
     }
-    val sh = if (collided) shS else shS.drop("s")
+    val shAll = if (collided) shS else shS.drop("s")
+    // df-cap on hot shingles (see [[hotShingleDfCap]]): (doc_id, h) is
+    // unique by construction (ss is array_distinct), so count(*) per h IS
+    // document frequency. One shingle-type-sized aggregate buys the
+    // boilerplate bound + cap observability; when nothing is hot (every
+    // bench corpus) the stream passes through UNTOUCHED — same plan, same
+    // hashes.
+    val dfs = shAll.groupBy("h").agg(count(lit(1)).as("df"))
+    val hot = dfs.where(col("df") > dfCap).select("h")
+    val nHot = hot.count()
+    val sh =
+      if (nHot == 0L) shAll
+      else {
+        logger.warn(s"pairIntersections: $nHot shingle types exceed the " +
+          s"df cap $dfCap and are EXCLUDED from the inverted index — " +
+          "intersection counts for pairs sharing them are lower bounds " +
+          s"(candidate volume bounded by cap²=${dfCap.toLong * dfCap} " +
+          "per type)")
+        shAll.join(hot, Seq("h"), "left_anti")
+      }
     val joinCond =
       if (collided)
         col("a.h") === col("b.h") && col("a.s") === col("b.s") &&

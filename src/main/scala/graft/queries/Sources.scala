@@ -340,6 +340,29 @@ object Sources {
         .orderBy("c_mktsegment")
     }),
 
+    // shallow (zero-copy) snapshot clone (round 15) — Delta's CLONE TABLE
+    // surface: the supplier table commits in two batches at the SOURCE,
+    // the clone publishes ONE manifest listing those files absolutely (no
+    // data copied — O(files) metadata at any table size), the query reads
+    // THROUGH THE CLONE. Hash-matching the plain-table oracle proves the
+    // clone resolves to exactly the source snapshot's rows; the
+    // clone-local append afterwards and the expire/vacuum isolation are
+    // spec-pinned (ManifestTableSpec).
+    "manifest_clone" -> ((s, sf) => {
+      val src = tmp(sf, "clonesrc"); val dst = tmp(sf, "clonedst")
+      val sup = t(s, sf, "supplier")
+      graft.operators.ManifestTable.commit(s, src,
+        sup.filter(col("s_suppkey") % 2 === 0), replace = true)
+      graft.operators.ManifestTable.commit(s, src,
+        sup.filter(col("s_suppkey") % 2 =!= 0))
+      graft.operators.ManifestTable.clone(s, src, dst)
+      graft.operators.ManifestTable.read(s, dst)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"),
+          graft.T.dsum(col("s_acctbal"), 2).as("sum_bal"))
+        .orderBy("s_nationkey")
+    }),
+
     // snapshot time travel (round 12) — the manifest protocol's read-side
     // payoff (the Delta/Iceberg `VERSION AS OF` surface): commit a
     // replace (balances ≤ 5000) then an append (> 5000) and read BOTH the
@@ -562,6 +585,10 @@ object Sources {
          WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
            AND ts <  TIMESTAMP '2024-01-21 00:00:00'
          GROUP BY 1 ORDER BY event_type""",
+    "manifest_clone" ->
+      """SELECT s_nationkey, count(*) AS n_supp,
+                CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM supplier GROUP BY 1 ORDER BY s_nationkey""",
     "manifest_locked" ->
       """SELECT s_nationkey, count(*) AS n_supp,
                 CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal

@@ -115,15 +115,19 @@ object Stats {
         .groupBy(col("value").as("v"), col("event_type").as("g"))
         .agg(count(lit(1)).as("c"))
       val tv = vt.groupBy("v").agg(sum(col("c")).as("tt"))
-      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = tv
-        .withColumn("rk2", lit(2L) * coalesce(sum(col("tt")).over(w), lit(0L))
-          + col("tt") + 1)
+      // the distinct-value frame is corpus-growing (continuous values):
+      // running count rides the two-pass GlobalRank kernel, not a
+      // single-partition global window
+      val ranked = graft.operators.GlobalRank
+        .prefix(tv, Nil, Seq("v"), Seq("tt" -> "cum"), inclusive = false)
+        .withColumn("rk2", lit(2L) * col("cum") + col("tt") + 1)
       val byG = vt.join(ranked.select("v", "rk2"), Seq("v"))
         .groupBy("g")
         .agg(sum(col("c")).as("nj"),
           sum(col("c").cast(d38) * col("rk2")).as("r2j"))
-      val ties = tv.agg(
+      // tie totals aggregate the KERNEL output (the pinned range shuffle);
+      // aggregating tv here would re-run the per-value rollup a second time
+      val ties = ranked.agg(
         sum((col("tt").cast(d38) * col("tt") * col("tt") - col("tt"))).as("tsum"))
       byG.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
           sum(col("r2j").cast("double") * col("r2j").cast("double") /
@@ -385,11 +389,12 @@ object Stats {
         .groupBy("value")
         .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("c1"), count(lit(1)).as("tt"))
-      val before = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      byV.withColumn("avg_rk",
-          coalesce(sum(col("tt")).over(before), lit(0L)) +
-            (col("tt") + 1) / lit(2.0))
+      // distinct-value CDF frame grows with the corpus: two-pass
+      // GlobalRank, not a single-partition global window
+      graft.operators.GlobalRank
+        .prefix(byV, Nil, Seq("value"), Seq("tt" -> "cum"),
+          inclusive = false)
+        .withColumn("avg_rk", col("cum") + (col("tt") + 1) / lit(2.0))
         .agg(sum(col("c1") * col("avg_rk")).as("r1"),
           sum(col("c1")).as("np"), sum(col("tt") - col("c1")).as("nn"))
         .withColumn("auc_raw",

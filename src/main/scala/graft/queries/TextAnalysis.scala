@@ -346,6 +346,36 @@ object TextAnalysis {
         .groupBy("doc_id", "dim").agg(count(lit(1)).as("tf"))
         .orderBy("doc_id", "dim")),
 
+    // hashed BAG-OF-WORDS EMBEDDING (round 15) — text_hashing_tf taken
+    // the last step to a trainer-ready vector (Weinberger et al., feature
+    // hashing, ICML 2009): tokens bucket into a 64-dim space via the
+    // PORTABLE md5-prefix hash (hex prefix → integer via an instr table
+    // lookup — identical arithmetic in both engines; no murmur3), counts
+    // are exact BIGINTs, and each doc's vector is L2-NORMALIZED so dot
+    // products are cosine similarities (the sim_* tier's input contract).
+    // The only floats are one sqrt over an exact integer sum of squares
+    // and one division, identical cross-engine, rounded 6dp. Narrow
+    // explode + map-side-combined count; the shuffle carries docs ×
+    // occupied dims (≤ 64), never the token stream.
+    "text_hash_embed" -> ((s, sf) => {
+      val tf = t(s, sf, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("doc_id"),
+          substring(md5(col("tok").cast("binary")), 1, 2).as("h"))
+        .select(col("doc_id"),
+          expr("""CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+            + instr('0123456789abcdef', substr(h, 2, 1)) - 1) % 64
+            AS BIGINT)""").as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+      val l2 = tf.groupBy("doc_id")
+        .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("l2"))
+      tf.join(l2, Seq("doc_id"))
+        .select(col("doc_id"), col("bucket"), col("tf"),
+          round(col("tf").cast("double") / col("l2"), 6).as("w"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     // token counting: whitespace, letter-run regex (BPE-ish pretokenizer
     // shape), and distinct-token cardinality
     "text_tokens" -> ((s, sf) =>
@@ -966,6 +996,22 @@ object TextAnalysis {
            (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
          WHERE len(tok) > 0
          GROUP BY 1, 2 ORDER BY doc_id, dim""",
+    "text_hash_embed" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+           hb AS (SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+                % 64 AS bucket
+             FROM tok WHERE len(tok) > 0),
+           tf AS (SELECT doc_id, bucket, count(*) AS tf
+             FROM hb GROUP BY 1, 2),
+           l2 AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS l2
+             FROM tf GROUP BY 1)
+         SELECT t.doc_id, CAST(t.bucket AS BIGINT) AS bucket,
+           CAST(t.tf AS BIGINT) AS tf,
+           round(CAST(t.tf AS DOUBLE) / l2.l2, 6) AS w
+         FROM tf t JOIN l2 USING (doc_id) ORDER BY doc_id, bucket""",
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
              FROM documents),

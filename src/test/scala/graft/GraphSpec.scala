@@ -354,6 +354,18 @@ class GraphSpec extends AnyFunSuite with SparkFixture with Matchers {
     nPub shouldBe n
     pub.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
       live.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // round 15 (r14 item 6): the census is a named CATALOG table — the
+    // committed head pins (census, census_meta) atomically, the read path
+    // goes through Catalog.readTable, and the meta count is the build's
+    val cdir = graft.operators.Census.dir(sf01c)
+    graft.operators.Catalog.versions(spark, cdir) should not be empty
+    graft.operators.Catalog
+      .tableVersions(spark, cdir).keySet shouldBe Set("census", "census_meta")
+    graft.operators.Catalog.readTable(spark, cdir, "census")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      live.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.operators.Catalog.readTable(spark, cdir, "census_meta")
+      .head().getLong(0) shouldBe n
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
     // summary (events_triangles)

@@ -575,6 +575,50 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     asSet(ManifestTable.read(spark, dir)) shouldBe Set(1L -> "a", 2L -> "b")
   }
 
+  test("locked CAS fencing: a holder paused past its lease loses cleanly " +
+      "instead of clobbering the recovered lease's commit") {
+    val dir = clobberDir()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
+    val dst = new org.apache.hadoop.fs.Path(mdir, "v1.manifest")
+    val lock = new org.apache.hadoop.fs.Path(mdir, "_commit.lock")
+    fs.mkdirs(mdir)
+    def readF(p: org.apache.hadoop.fs.Path) = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    // leg 1: while H1 is paused after staging (beforeFence), its lease
+    // expires; W breaks the lock, claims the SAME slot, and releases.
+    // H1 resumes at the fence → must LOSE, and dst keeps W's commit —
+    // without the fence, clobber-rename would overwrite it with H1's.
+    val h1 = graft.operators.LockedCas(staleLockMs = 60000L, pollMs = 5L,
+      beforeFence = () => {
+        fs.delete(lock, false) // the waiter's stale-lease break
+        graft.operators.LockedCas(staleLockMs = 60000L, pollMs = 5L)
+          .claim(fs, new org.apache.hadoop.fs.Path(mdir, ".tmpW"), dst,
+            "winner".getBytes("UTF-8")) shouldBe true
+      })
+    h1.claim(fs, new org.apache.hadoop.fs.Path(mdir, ".tmpH"), dst,
+      "paused".getBytes("UTF-8")) shouldBe false
+    readF(dst) shouldBe "winner"
+    // leg 2: the recovered lease is STILL HELD when the paused holder
+    // resumes — it must neither publish nor release the new holder's lock
+    val dst2 = new org.apache.hadoop.fs.Path(mdir, "v2.manifest")
+    val h2 = graft.operators.LockedCas(staleLockMs = 60000L, pollMs = 5L,
+      beforeFence = () => {
+        fs.delete(lock, false)
+        val o = fs.create(lock, false)
+        o.write("w-token".getBytes("UTF-8")); o.close()
+      })
+    h2.claim(fs, new org.apache.hadoop.fs.Path(mdir, ".tmpH2"), dst2,
+      "paused2".getBytes("UTF-8")) shouldBe false
+    fs.exists(dst2) shouldBe false
+    readF(lock) shouldBe "w-token" // the live holder's lock survives
+    fs.delete(lock, false)
+  }
+
   test("catalog cross-table commits ride LockedCas on the clobber store") {
     val dir = clobberDir()
     val cas = graft.operators.LockedCas(staleLockMs = 60000L, pollMs = 5L)
@@ -651,5 +695,116 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
       Seq(ColGt("ts", "2024-01-10 00:00:05.50")))._1.size shouldBe 0
     ManifestTable.readPruned(spark, dir,
       Seq(ColLe("ts", "2024-01-10 00:00:05"))).count() shouldBe 1L
+  }
+
+  test("shallow clone: zero-copy snapshot, local appends, isolated vacuum") {
+    val src = tmpDir(); val dst = tmpDir()
+    ManifestTable.commit(spark, src, df(1L -> "a", 2L -> "b"))
+    ManifestTable.commit(spark, src, df(3L -> "c"))
+    // clone the head: same rows, no data files under the clone
+    ManifestTable.clone(spark, src, dst) shouldBe 1L
+    asSet(ManifestTable.read(spark, dst)) shouldBe
+      Set(1L -> "a", 2L -> "b", 3L -> "c")
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dst/data")) shouldBe false
+    // clone an OLD version: time travel at clone time
+    val dst2 = tmpDir()
+    ManifestTable.clone(spark, src, dst2, version = 1L)
+    asSet(ManifestTable.read(spark, dst2)) shouldBe Set(1L -> "a", 2L -> "b")
+    // the clone is a full table: a LOCAL append mixes with cloned entries
+    ManifestTable.commit(spark, dst, df(9L -> "z")) shouldBe 2L
+    asSet(ManifestTable.read(spark, dst)) shouldBe
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "z")
+    // source evolves independently; the clone still reads ITS snapshot
+    ManifestTable.commit(spark, src, df(4L -> "d"))
+    asSet(ManifestTable.read(spark, dst)) shouldBe
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "z")
+    // vacuuming the CLONE never deletes source data: only local batches
+    ManifestTable.expire(spark, dst, keepLast = 1)
+    asSet(ManifestTable.read(spark, src)) shouldBe
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    asSet(ManifestTable.read(spark, dst)) shouldBe
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "z")
+  }
+
+  test("shallow clone keeps the source's data skipping (stats resolve)") {
+    import ManifestTable.ColGe
+    val src = tmpDir(); val dst = tmpDir()
+    ManifestTable.commit(spark, src,
+      df(1L -> "a", 2L -> "b").repartition(1), statsCols = Seq("k"))
+    ManifestTable.commit(spark, src,
+      df(10L -> "x", 11L -> "y").repartition(1), statsCols = Seq("k"))
+    ManifestTable.clone(spark, src, dst)
+    val (kept, total) = ManifestTable.pruneFiles(spark, dst, Seq(ColGe("k", 5L)))
+    total shouldBe 2
+    kept.size shouldBe 1 // the [1,2] batch pruned via the SOURCE's sidecar
+    asSet(ManifestTable.readPruned(spark, dst, Seq(ColGe("k", 5L)))) shouldBe
+      Set(10L -> "x", 11L -> "y")
+  }
+
+  test("non-finite float stats never break the pruned-read path") {
+    import ManifestTable.{ColGe, ColLe}
+    val dir = tmpDir()
+    import spark.implicits._
+    // one file whose max is NaN (Spark orders NaN above all doubles) and
+    // one whose min is -Infinity: both stats are unparseable as plain
+    // decimals, so both files must be conservatively KEPT, not crash
+    val d1 = Seq(1.0, Double.NaN).toDF("x").repartition(1)
+    val d2 = Seq(Double.NegativeInfinity, 5.0).toDF("x").repartition(1)
+    ManifestTable.commit(spark, dir, d1, statsCols = Seq("x"))
+    ManifestTable.commit(spark, dir, d2, statsCols = Seq("x"))
+    // >= 100 needs max: file1's "NaN" max is unknowable → kept; file2's
+    // 5.0 max legitimately prunes. <= -100 needs min: file2's "-Infinity"
+    // min is unknowable → kept; file1's 1.0 min prunes.
+    val (keptGe, total) = ManifestTable.pruneFiles(spark, dir, Seq(ColGe("x", 100.0)))
+    total shouldBe 2
+    keptGe.size shouldBe 1
+    ManifestTable.pruneFiles(spark, dir, Seq(ColLe("x", -100.0)))._1.size shouldBe 1
+    // residual filter still gives exact row semantics on the survivors
+    // NaN != NaN under ==, so compare renderings
+    ManifestTable.readPruned(spark, dir, Seq(ColGe("x", 2.0)))
+      .collect().map(_.getDouble(0).toString).toSet shouldBe
+      Set("5.0", "NaN")
+    ManifestTable.readPruned(spark, dir, Seq(ColLe("x", 0.0)))
+      .collect().map(_.getDouble(0).toString).toSet shouldBe
+      Set("-Infinity")
+  }
+
+  test("timestamp stats are zone-free: a reader in another session zone " +
+      "prunes and filters consistently") {
+    import ManifestTable.ColGe
+    val dir = tmpDir()
+    import spark.implicits._
+    val tdf = Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00").toDF("s")
+      .select(col("s").cast("timestamp").as("ts")).repartition(1)
+    ManifestTable.commit(spark, dir, tdf, statsCols = Seq("ts"))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      // "2024-01-15 00:00:00" now means Tokyo midnight both in the prune
+      // decision and in the residual cast — one row qualifies either way
+      val pred = Seq(ColGe("ts", "2024-01-15 00:00:00"))
+      ManifestTable.pruneFiles(spark, dir, pred)._1.size shouldBe 1
+      ManifestTable.readPruned(spark, dir, pred).count() shouldBe 1L
+      // a predicate past the file's max instant must prune it — the stat
+      // comparison happens on instants (micros), not rendered strings
+      val past = Seq(ColGe("ts", "2024-01-25 00:00:00"))
+      ManifestTable.pruneFiles(spark, dir, past)._1.size shouldBe 0
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("string stats compare in UTF-8 order, matching Spark's min/max") {
+    import ManifestTable.ColGe
+    val dir = tmpDir()
+    import spark.implicits._
+    // U+1F600 (supplementary plane) > U+FFFD in code-point/UTF-8 order,
+    // but its UTF-16 lead surrogate 0xD83D < 0xFFFD — a compareTo-based
+    // prune would wrongly drop this file for pred >= "�"
+    val d = Seq("😀").toDF("v").repartition(1)
+    ManifestTable.commit(spark, dir, d, statsCols = Seq("v"))
+    val pred = Seq(ColGe("v", "�"))
+    ManifestTable.pruneFiles(spark, dir, pred)._1.size shouldBe 1
+    ManifestTable.readPruned(spark, dir, pred).count() shouldBe 1L
   }
 }

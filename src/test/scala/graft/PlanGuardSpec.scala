@@ -116,7 +116,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // eccentricity rollup — the graph_closeness shape; the 1-row
     // mean-weight threshold + 1-row mutual rollup onto the graph-sized
     // edge frame (graph_reciprocity — the agg_ttest shape twice)
-    "graph_eccentricity", "graph_reciprocity")
+    "graph_eccentricity", "graph_reciprocity",
+    // round 15: the 1-row grand-total scalar onto the GlobalRank kernel's
+    // output (agg_cdf: n; events_lorenz: (nu, ne)) — the agg_ttest shape
+    "agg_cdf", "events_lorenz")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

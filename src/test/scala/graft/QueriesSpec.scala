@@ -360,6 +360,39 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     out.map(t => (t._1, t._2)).toSet.size shouldBe out.length // directed keys unique
   }
 
+  test("hot-shingle df-cap: non-binding on the corpus, binding on a " +
+      "constructed hot frame") {
+    import spark.implicits._
+    // leg 1: the default cap never binds at bench SF — pair set identical
+    // to the uncapped kernel (hence the oracles need no cap clause)
+    val docs = graft.T.t(spark, sf001, "documents")
+    def pairs(cap: Int) = {
+      val tr = new graft.operators.Tracked
+      val r = graft.queries.Llm.pairIntersections(docs, tr, dfCap = cap)
+        .collect().map(_.toString).toSet
+      tr.free(); r
+    }
+    pairs(graft.queries.Llm.hotShingleDfCap) shouldBe pairs(Int.MaxValue)
+
+    // leg 2: a shingle shared by MORE docs than the cap is excluded —
+    // candidate volume collapses from B(B-1)/2 to the organic pairs
+    val boiler = "click here to subscribe"
+    val hotDocs = (1L to 12L).map(i =>
+      (i, s"$boiler unique$i filler$i tail$i")).toDF("doc_id", "text")
+    val tr = new graft.operators.Tracked
+    val capped = graft.queries.Llm.pairIntersections(hotDocs, tr, dfCap = 8)
+      .collect()
+    tr.free()
+    // the only shared shingles ride the boilerplate prefix (df = 12 > 8);
+    // with them excluded no pair shares anything
+    capped shouldBe empty
+    val tr2 = new graft.operators.Tracked
+    val uncapped = graft.queries.Llm.pairIntersections(hotDocs, tr2,
+      dfCap = Int.MaxValue).collect()
+    tr2.free()
+    uncapped.length shouldBe 12 * 11 / 2
+  }
+
   test("caim_fit emits per-feature strictly-increasing boundary arrays") {
     val rows = SparkEntry.queries("caim_fit")(spark, sf001).collect()
     val byF = rows.groupBy(_.getString(0))

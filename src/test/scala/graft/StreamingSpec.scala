@@ -770,7 +770,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
       Set(1L -> 1.5, 2L -> 2.5)
   }
 
-  test("manifest stream source: timestamps and nulls round-trip; nested types refuse") {
+  test("manifest stream source: struct+array tables round-trip through " +
+      "produce -> stream -> TxnSink -> read") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-msrc6").toString
+    val (tbl, out, ckpt) = (s"$base/tbl", s"$base/out", s"$base/ckpt")
+    // struct of (long, string) + array<long> + array<struct> + nulls at
+    // every nesting level, in TWO commits so the stream sees real batches
+    val src1 = Seq(
+        (1L, ("a", 10L), Seq(1L, 2L, 3L), Seq(("x", 1L), ("y", 2L))),
+        (2L, (null: String, 20L), Seq.empty[Long], Seq.empty[(String, Long)]))
+      .toDF("id", "st", "arr", "as")
+    val src2 = Seq(
+        (3L, ("c", 30L), Seq(7L), Seq(("z", 9L))))
+      .toDF("id", "st", "arr", "as")
+    graft.operators.ManifestTable.commit(spark, tbl, src1)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.streaming.ManifestTableProvider].getName)
+        .option("path", tbl).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.TxnSink.commitBatch(out, b, id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    graft.operators.ManifestTable.commit(spark, tbl, src2)
+    drain()
+    // hash-check: the sink table equals the union of the committed batches
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), to_json(struct(col("st"), col("arr"), col("as"))))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    canon(graft.operators.ManifestTable.read(spark, out)) shouldBe
+      canon(src1.unionAll(src2))
+  }
+
+  test("manifest stream source: timestamps and nulls round-trip; map types refuse") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-msrc2").toString
     val tbl = s"$base/tbl"
@@ -794,10 +833,10 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
         if (r.isNullAt(1)) -1L else r.getLong(1),
         Option(r.getString(2)).getOrElse("-"))).toSet
     got shouldBe want
-    // nested/array columns must be rejected at stream build, not mangled
+    // map columns must be rejected at stream build, not mangled
     val tbl2 = s"$base/tbl2"
     graft.operators.ManifestTable.commit(spark, tbl2,
-      Seq((1L, Seq(1, 2))).toDF("id", "arr"))
+      Seq((1L, Map("a" -> 1))).toDF("id", "m"))
     val q2 = spark.readStream
       .format(classOf[graft.streaming.ManifestTableProvider].getName)
       .option("path", tbl2).load()
