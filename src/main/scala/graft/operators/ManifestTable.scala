@@ -329,16 +329,37 @@ object ManifestTable {
     // absolute paths (cloning a clone keeps already-absolute entries)
     val files = manifestFiles(fsOf(spark, srcDir), srcDir, v)
       .map(resolve(srcDir, _))
-    val fs = fsOf(spark, dstDir)
-    fs.mkdirs(manifestDir(dstDir))
+    publishFileList(spark, dstDir, files, cas)
+  }
+
+  /** RESTORE — Delta's `RESTORE TABLE ... VERSION AS OF` shape (round 15):
+    * republish snapshot `version`'s own file list as a NEW head commit.
+    * Rollback is append-only history (the bad snapshots stay readable for
+    * audit until expire()), costs one manifest write, and moves no data —
+    * the files are already this table's. */
+  def restore(spark: SparkSession, dir: String, version: Long,
+      cas: CommitCas = RenameCas): Long = {
+    val vs = versions(spark, dir)
+    require(vs.contains(version),
+      s"version $version not in committed set $vs (expired?)")
+    publishFileList(spark, dir,
+      manifestFiles(fsOf(spark, dir), dir, version), cas)
+  }
+
+  /** CAS-publish an explicit file list as the next snapshot at `dir` —
+    * the metadata-only commit [[clone]] and [[restore]] share. */
+  private def publishFileList(spark: SparkSession, dir: String,
+      files: Seq[String], cas: CommitCas): Long = {
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(manifestDir(dir))
     var committed = -1L
     while (committed < 0) {
-      val next = versions(spark, dstDir).lastOption.getOrElse(0L) + 1
-      val tmp = new Path(manifestDir(dstDir),
-        s".tmp-clone-${java.util.UUID.randomUUID()}")
+      val next = versions(spark, dir).lastOption.getOrElse(0L) + 1
+      val tmp = new Path(manifestDir(dir),
+        s".tmp-pub-${java.util.UUID.randomUUID()}")
       val content = (files.mkString("\n") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      if (cas.claim(fs, tmp, new Path(manifestDir(dstDir),
+      if (cas.claim(fs, tmp, new Path(manifestDir(dir),
           s"v$next.manifest"), content))
         committed = next
       // else: lost the slot to a concurrent committer — retry at the next

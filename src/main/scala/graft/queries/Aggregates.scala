@@ -455,6 +455,34 @@ object Aggregates {
           round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
         .orderBy("l_returnflag")),
 
+    // Tukey fences (round 15) — the boxplot outlier rule (Tukey, EDA
+    // 1977) agg_winsorize clamps by and ts_anomaly z-scores around, as
+    // its own per-group report: exact interpolated quartiles (the
+    // agg_percentile precedent — small-integer quantities with heavy
+    // ties interpolate exactly in binary), IQR, the 1.5·IQR fences, and
+    // the count of rows outside them. Two-phase like agg_winsorize: one
+    // 3-group quartile agg joined back group-keyed (broadcast by size),
+    // one counting agg — fences rounded 6dp on BOTH engines before the
+    // comparison so the outlier cut compares the same doubles.
+    "agg_tukey" -> ((s, sf) => {
+      val li = t(s, sf, "lineitem")
+      val q = li.groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 6).as("q1"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("q3"))
+        .withColumn("iqr", round(col("q3") - col("q1"), 6))
+        .withColumn("lo", round(col("q1") - lit(1.5) * col("iqr"), 6))
+        .withColumn("hi", round(col("q3") + lit(1.5) * col("iqr"), 6))
+      li.join(q, Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+          max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+          sum(when(col("l_quantity") < col("lo") ||
+            col("l_quantity") > col("hi"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("l_returnflag")
+    }),
+
     // winsorized robust stats (round 9) — the outlier-clamp feature-
     // engineering pass: per group, values clamped into [p05, p95] before
     // the mean, so a corrupt extreme row moves the statistic by at most
@@ -1135,6 +1163,22 @@ object Aggregates {
            round(sqrt((sqq - sq*sq/n)/(n-1)), 6) AS std_qty,
            round((spq - sq*sp/n) / (sqrt(sqq - sq*sq/n) * sqrt(spp - sp*sp/n)), 6) AS corr_qp
          FROM a ORDER BY l_returnflag""",
+    "agg_tukey" ->
+      """WITH q AS (SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+             round(quantile_cont(l_quantity, 0.75), 6) AS q3
+           FROM lineitem GROUP BY 1),
+           f AS (SELECT l_returnflag, q1, q3,
+             round(q3 - q1, 6) AS iqr,
+             round(q1 - 1.5 * round(q3 - q1, 6), 6) AS lo,
+             round(q3 + 1.5 * round(q3 - q1, 6), 6) AS hi FROM q)
+         SELECT l.l_returnflag, count(*) AS n,
+           max(f.q1) AS q1, max(f.q3) AS q3,
+           max(f.lo) AS lo, max(f.hi) AS hi,
+           CAST(sum(CASE WHEN l.l_quantity < f.lo OR l.l_quantity > f.hi
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+         GROUP BY 1 ORDER BY l.l_returnflag""",
     "agg_percentile" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_quantity, 0.25), 6) AS p25,

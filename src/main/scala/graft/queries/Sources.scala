@@ -363,6 +363,28 @@ object Sources {
         .orderBy("s_nationkey")
     }),
 
+    // snapshot RESTORE (round 15) — Delta's RESTORE TABLE surface, the
+    // rollback half of time travel: commit the full customer table, then
+    // a "bad deploy" replace that drops the high-balance half, then
+    // restore the pre-deploy version AS A NEW HEAD COMMIT (history
+    // preserved — the bad snapshot stays readable for audit; one
+    // manifest write, no data moves). Hash-matching the plain-table
+    // oracle proves the restored head is exactly the original snapshot.
+    "manifest_restore" -> ((s, sf) => {
+      val dir = tmp(sf, "restore")
+      val c = t(s, sf, "customer")
+      val good = graft.operators.ManifestTable.commit(s, dir, c,
+        replace = true)
+      graft.operators.ManifestTable.commit(s, dir,
+        c.filter(col("c_acctbal") <= 0), replace = true) // the bad deploy
+      graft.operators.ManifestTable.restore(s, dir, good)
+      graft.operators.ManifestTable.read(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          graft.T.dsum(col("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // snapshot time travel (round 12) — the manifest protocol's read-side
     // payoff (the Delta/Iceberg `VERSION AS OF` surface): commit a
     // replace (balances ≤ 5000) then an append (> 5000) and read BOTH the
@@ -585,6 +607,10 @@ object Sources {
          WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
            AND ts <  TIMESTAMP '2024-01-21 00:00:00'
          GROUP BY 1 ORDER BY event_type""",
+    "manifest_restore" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
     "manifest_clone" ->
       """SELECT s_nationkey, count(*) AS n_supp,
                 CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal

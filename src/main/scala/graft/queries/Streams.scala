@@ -217,6 +217,46 @@ object Streams {
         .orderBy("event_type")
     }),
 
+    // ADMISSION-CONTROLLED manifest stream consume (round 15) — the
+    // maxVersionsPerTrigger rate limit (SupportsAdmissionControl): the
+    // same produce→stream→exactly-once-sink→read round trip as
+    // stream_manifest_source, but each micro-batch is capped at ONE
+    // committed version, so a consumer starting against a long-history
+    // table catches up in bounded batches instead of one giant initial
+    // batch. Hash-matching the same plain-table oracle proves rate
+    // limiting loses nothing and duplicates nothing; StreamingSpec pins
+    // that the capped drain really took one-version batches.
+    "stream_manifest_ratelimit" -> ((s, sf) => {
+      val tag = new java.io.File(sf).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_msrl_${runTag}_$tag"
+      val (srcTbl, outTbl, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      if (graft.operators.ManifestTable.versions(s, srcTbl).isEmpty) {
+        val e = t(s, sf, "events")
+        (0 to 2).foreach { r =>
+          graft.operators.ManifestTable.commit(s, srcTbl,
+            e.filter(pmod(col("event_id"), lit(3)) === r))
+        }
+      }
+      val q = s.readStream
+        .format(classOf[graft.streaming.ManifestTableProvider].getName)
+        .option("path", srcTbl)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.TxnSink.commitBatch(outTbl, b, id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.ManifestTable.read(s, outTbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // event-time interval join: view → purchase by the same user within
     // 10 minutes (the stream-stream join shape; StreamingSpec runs the
     // same expression over two watermarked MemoryStreams)
@@ -248,6 +288,14 @@ object Streams {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value,
                 max(epoch_us(ts)) AS max_us
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    // rate limiting must change batch boundaries, never the data: the
+    // capped drain's sink table equals the plain source rollup
+    "stream_manifest_ratelimit" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
          FROM events GROUP BY 1 ORDER BY event_type""",
     "stream_topk" ->
       """WITH c AS (SELECT epoch_us(date_trunc('hour', ts)) AS ws_us,

@@ -84,7 +84,15 @@ class ManifestTableProvider extends TableProvider {
     // date/timestamp values in canonical cast-to-string form).
     val skipPreds = Option(properties.get("skipFilters"))
       .map(parseSkipFilters).getOrElse(Nil)
-    new ManifestStreamTable(dir, schema, startingVersion, skipPreds)
+    // maxVersionsPerTrigger: ADMISSION CONTROL (round 15) — cap how many
+    // committed versions one micro-batch consumes, so a consumer starting
+    // against a long-history table (or recovering from lag) catches up in
+    // bounded batches instead of one giant initial batch. <= 0 (default)
+    // = unbounded (all available).
+    val maxVersions = Option(properties.get("maxVersionsPerTrigger"))
+      .map(_.toLong).getOrElse(0L)
+    new ManifestStreamTable(dir, schema, startingVersion, skipPreds,
+      maxVersions)
   }
 
   private def parseSkipFilters(
@@ -109,7 +117,8 @@ class ManifestTableProvider extends TableProvider {
 
 private[streaming] class ManifestStreamTable(dir: String,
     tableSchema: StructType, startingVersion: Long = 0L,
-    skipPreds: Seq[graft.operators.ManifestTable.StatsPred] = Nil)
+    skipPreds: Seq[graft.operators.ManifestTable.StatsPred] = Nil,
+    maxVersionsPerTrigger: Long = 0L)
     extends Table with SupportsRead {
   override def name(): String = s"graft-manifest(`$dir`)"
   override def schema(): StructType = tableSchema
@@ -121,7 +130,7 @@ private[streaming] class ManifestStreamTable(dir: String,
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(dir, tableSchema, startingVersion,
-            skipPreds)
+            skipPreds, maxVersionsPerTrigger)
       }
     }
 }
@@ -137,8 +146,11 @@ private[streaming] case class ManifestFilePartition(path: String)
 
 private[streaming] class ManifestMicroBatchStream(dir: String,
     schema: StructType, startingVersion: Long = 0L,
-    skipPreds: Seq[graft.operators.ManifestTable.StatsPred] = Nil)
-    extends MicroBatchStream {
+    skipPreds: Seq[graft.operators.ManifestTable.StatsPred] = Nil,
+    maxVersionsPerTrigger: Long = 0L)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   ManifestMicroBatchStream.requireSupported(schema)
 
@@ -149,6 +161,34 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
 
   override def latestOffset(): Offset =
     ManifestOffset(versions.lastOption.getOrElse(0L))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  // Trigger.AvailableNow pins the head ONCE (this is the trigger's
+  // contract — commits racing the drain wait for the next run), then the
+  // rate-limited latestOffset walks batches UP TO that target. Without
+  // this, the engine's generic wrapper would capture the first CAPPED
+  // offset as its final target and stop after one batch.
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(versions.lastOption.getOrElse(0L))
+
+  /** Admission control (round 15): a batch consumes at most
+    * `maxVersionsPerTrigger` committed versions PAST the start offset —
+    * the next ones, in commit order, robust to expire() gaps in the
+    * version numbering. Unbounded (<= 0) keeps the plain head. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[ManifestOffset].version
+    val head = availableNowTarget
+      .getOrElse(versions.lastOption.getOrElse(0L))
+    if (maxVersionsPerTrigger <= 0L) ManifestOffset(head)
+    else
+      ManifestOffset(versions.filter(v => v > s && v <= head)
+        .take(maxVersionsPerTrigger.toInt).lastOption.getOrElse(s))
+  }
 
   override def deserializeOffset(json: String): Offset =
     ManifestOffset(json.toLong)

@@ -728,6 +728,22 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
       Set(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "z")
   }
 
+  test("restore republishes an old snapshot as a new head; history intact") {
+    val dir = tmpDir()
+    ManifestTable.commit(spark, dir, df(1L -> "a", 2L -> "b")) shouldBe 1L
+    ManifestTable.commit(spark, dir, df(9L -> "bad"), replace = true) shouldBe 2L
+    ManifestTable.restore(spark, dir, 1L) shouldBe 3L
+    asSet(ManifestTable.read(spark, dir)) shouldBe Set(1L -> "a", 2L -> "b")
+    // the bad snapshot stays readable for audit (append-only history)
+    asSet(ManifestTable.read(spark, dir, version = 2L)) shouldBe
+      Set(9L -> "bad")
+    // restoring an expired version fails loudly
+    ManifestTable.expire(spark, dir, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      ManifestTable.restore(spark, dir, 2L)
+    }
+  }
+
   test("shallow clone keeps the source's data skipping (stats resolve)") {
     import ManifestTable.ColGe
     val src = tmpDir(); val dst = tmpDir()

@@ -770,6 +770,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
       Set(1L -> 1.5, 2L -> 2.5)
   }
 
+  test("manifest stream source: maxVersionsPerTrigger caps each batch at " +
+      "one committed version and loses nothing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-msrc7").toString
+    val tbl = s"$base/tbl"
+    def mk(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    graft.operators.ManifestTable.commit(spark, tbl, mk(1, 3))
+    graft.operators.ManifestTable.commit(spark, tbl, mk(4, 5))
+    graft.operators.ManifestTable.commit(spark, tbl, mk(6, 8))
+    val q = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("msrc_rl").start()
+    try q.processAllAvailable() finally q.stop()
+    // nothing lost, nothing doubled
+    spark.table("msrc_rl").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      (1 to 8).map(i => (i.toLong, s"r$i")).toSet
+    // and the drain really took one-version batches: 3 non-empty batches,
+    // none bigger than a single commit
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0L)
+    sizes.length shouldBe 3
+    sizes.max should be <= 3L
+  }
+
   test("manifest stream source: struct+array tables round-trip through " +
       "produce -> stream -> TxnSink -> read") {
     import spark.implicits._
