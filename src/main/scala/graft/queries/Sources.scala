@@ -363,6 +363,44 @@ object Sources {
         .orderBy("s_nationkey")
     }),
 
+    // table OPTIMIZE (round 15) — Delta's OPTIMIZE (ZORDER BY) composed
+    // from pieces this library already has, as ONE atomic operation:
+    // events arrive as six unordered user-sliced appends (the streaming-
+    // ingest pathology — every file spans the full month, so a ts
+    // predicate can prune NOTHING), then the head snapshot is rewritten
+    // time-range-ordered into 4 files and committed as a REPLACE with
+    // fresh ts stats — readers see either the old layout or the new,
+    // never a torn mix, and the old snapshot stays time-travelable until
+    // expire. After the rewrite the same 10-day readPruned opens ≤ half
+    // the files instead of all of them (ManifestTableSpec pins the skip
+    // delta; the declared rollup hash-proves OPTIMIZE is a pure physical
+    // rewrite — values never move). At 100 TB this is the nightly
+    // compaction/clustering job every lakehouse runs.
+    "manifest_optimize" -> ((s, sf) => {
+      import graft.operators.ManifestTable
+      import graft.operators.ManifestTable.{ColGe, ColLt}
+      val dir = tmp(sf, "optimize")
+      if (ManifestTable.versions(s, dir).isEmpty) {
+        val e = t(s, sf, "events")
+        (0 to 5).foreach(r => ManifestTable.commit(s, dir,
+          e.filter(pmod(col("user_id"), lit(6)) === r).repartition(2),
+          statsCols = Seq("ts")))
+        val optimized = ManifestTable.read(s, dir)
+          .repartitionByRange(4, col("ts"))
+          .sortWithinPartitions("ts")
+        ManifestTable.commit(s, dir, optimized, replace = true,
+          statsCols = Seq("ts"))
+      }
+      ManifestTable.readPruned(s, dir,
+          Seq(ColGe("ts", "2024-01-16 00:00:00"),
+            ColLt("ts", "2024-01-26 00:00:00")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          graft.T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // snapshot RESTORE (round 15) — Delta's RESTORE TABLE surface, the
     // rollback half of time travel: commit the full customer table, then
     // a "bad deploy" replace that drops the high-balance half, then
@@ -606,6 +644,14 @@ object Sources {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
            AND ts <  TIMESTAMP '2024-01-21 00:00:00'
+         GROUP BY 1 ORDER BY event_type""",
+    "manifest_optimize" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-26 00:00:00'
          GROUP BY 1 ORDER BY event_type""",
     "manifest_restore" ->
       """SELECT c_mktsegment, count(*) AS n_cust,

@@ -728,6 +728,35 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
       Set(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "z")
   }
 
+  test("optimize (ordered replace + fresh stats) turns a prune-nothing " +
+      "layout into a prune-most layout") {
+    import ManifestTable.{ColGe, ColLt}
+    val dir = tmpDir()
+    import spark.implicits._
+    // ingest pathology: 4 appends, each spanning the FULL key range — a
+    // k-range predicate keeps every file
+    (0 until 4).foreach { r =>
+      val rows = (0 until 100).map(i => ((i * 4 + r).toLong, s"v$r-$i"))
+      ManifestTable.commit(spark, dir, rows.toDF("k", "v").repartition(1),
+        statsCols = Seq("k"))
+    }
+    val pred = Seq(ColGe("k", 300L), ColLt("k", 400L))
+    val (keptBefore, totBefore) = ManifestTable.pruneFiles(spark, dir, pred)
+    totBefore shouldBe 4
+    keptBefore.size shouldBe 4 // nothing prunable
+    // OPTIMIZE: range-ordered rewrite as one replace + fresh stats
+    val optimized = ManifestTable.read(spark, dir)
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    ManifestTable.commit(spark, dir, optimized, replace = true,
+      statsCols = Seq("k"))
+    val (keptAfter, totAfter) = ManifestTable.pruneFiles(spark, dir, pred)
+    keptAfter.size should be <= (totAfter / 2) // skip-most now
+    // pure physical rewrite: values identical through the pruned read
+    ManifestTable.readPruned(spark, dir, pred).count() shouldBe 100L
+    // and the pre-optimize snapshot stays time-travelable
+    asSet(ManifestTable.read(spark, dir, version = 4L)).size shouldBe 400
+  }
+
   test("restore republishes an old snapshot as a new head; history intact") {
     val dir = tmpDir()
     ManifestTable.commit(spark, dir, df(1L -> "a", 2L -> "b")) shouldBe 1L
