@@ -671,11 +671,13 @@ object Events {
         .groupBy("value")
         .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("c1"), count(lit(1)).as("tt"))
-      val before = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = byV
-        .withColumn("avg_rk", coalesce(sum(col("tt")).over(before), lit(0L)) +
-          (col("tt") + 1) / lit(2.0))
+      // the distinct-value frame grows with the corpus (continuous
+      // values): the running count rides the two-pass GlobalRank kernel
+      // (round 15 — the agg_auc rewire), not a single-partition window
+      val ranked = graft.operators.GlobalRank
+        .prefix(byV, Nil, Seq("value"), Seq("tt" -> "cum"),
+          inclusive = false)
+        .withColumn("avg_rk", col("cum") + (col("tt") + 1) / lit(2.0))
       ranked.agg(
           sum(col("c1") * col("avg_rk")).as("r1"),
           sum(col("c1")).as("n1"),

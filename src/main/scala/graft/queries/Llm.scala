@@ -441,6 +441,54 @@ object Llm {
         .agg(min(col("a_id")).as("keep_id"), count(lit(1)).as("n_better"))
         .orderBy("dup_id")),
 
+    // EMBEDDING-level train/eval contamination (round 15) —
+    // contamination_check's semantic sibling: n-gram overlap misses
+    // paraphrases, but a near-identical embedding does not. Eval docs =
+    // the vec_id % 10 == 0 slice (the split_hash-style deterministic
+    // holdout); for each, every train vector within the τ=0.4 cosine cut
+    // plus the max similarity — the "your eval set leaks" report. Rides
+    // the SAME auto-dispatched pair kernel as sim_cosine_pairs (exact
+    // below the 500k gate, hyperplane-LSH + exact re-rank above), whose
+    // >= τ cut is proven engine-stable by that query's own hash check;
+    // max-then-round keeps the 6dp boundary discipline. At 100 TB the
+    // candidate stream is the LSH-bucketed volume, never eval × train.
+    "contamination_embed" -> ((s, sf) =>
+      graft.ml.Sim.cosinePairsAuto(t(s, sf, "embeddings"), 0.4)
+        .select(expr("""inline(array(
+          struct(a_id AS x, b_id AS y, sim AS sim),
+          struct(b_id AS x, a_id AS y, sim AS sim)))"""))
+        .where(pmod(col("x"), lit(10)) === 0 &&
+          pmod(col("y"), lit(10)) =!= 0)
+        .groupBy(col("x").as("eval_id"))
+        .agg(count(lit(1)).as("n_train_hits"),
+          round(max(col("sim")), 6).as("max_sim"))
+        .orderBy("eval_id")),
+
+    // deterministic global TRAINING SHUFFLE + sharding (round 15) — the
+    // step between curation and the trainer: every epoch-0 data order is
+    // a portable seeded hash order (md5(doc_id || seed) — the
+    // Split.portableBucket discipline, reproducible across engines,
+    // languages, and reruns; never a nondeterministic repartition), and
+    // docs land in 8 shards by hash prefix. The declared frame is the
+    // per-shard manifest a trainer validates before reading: doc count,
+    // token budget, an id checksum, and the first/last doc in SHUFFLE
+    // ORDER (min_by/max_by on the hash — pinning the order itself, not
+    // just membership). One narrow map + one 8-group agg at any scale.
+    "shard_shuffle" -> ((s, sf) =>
+      t(s, sf, "documents")
+        .select(col("doc_id"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("toks"),
+          md5(concat(col("doc_id").cast("string"), lit(":epoch0"))
+            .cast("binary")).as("h"))
+        .withColumn("shard", expr(
+          "CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) % 8 AS BIGINT)"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          sum(col("doc_id")).as("id_checksum"),
+          expr("min_by(doc_id, h)").as("first_doc"),
+          expr("max_by(doc_id, h)").as("last_doc"))
+        .orderBy("shard")),
+
     // transitive near-dup CLUSTERS over the embedding-cosine pair stream:
     // the same Components kernel as dedup_clusters consuming a DIFFERENT
     // pair source — chains of τ=0.4 cosine pairs collapse to one cluster.
@@ -920,6 +968,34 @@ object Llm {
                       FROM inter JOIN sz sb ON db = sb.doc_id)
          SELECT src, dst, round(c, 6) AS containment FROM dirs
          WHERE c >= 0.8 ORDER BY src, dst""",
+    "contamination_embed" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
+                    sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm
+                    FROM embeddings),
+           p AS (SELECT a.vec_id a_id, b.vec_id b_id,
+                   list_sum(list_transform(list_zip(a.e, b.e), q -> q[1]*q[2]))/(a.nrm*b.nrm) sim
+                 FROM n a JOIN n b ON a.vec_id < b.vec_id),
+           d AS (SELECT a_id AS x, b_id AS y, sim FROM p WHERE sim >= 0.4
+                 UNION ALL
+                 SELECT b_id, a_id, sim FROM p WHERE sim >= 0.4)
+         SELECT x AS eval_id, count(*) AS n_train_hits,
+           round(max(sim), 6) AS max_sim
+         FROM d WHERE x % 10 = 0 AND y % 10 <> 0
+         GROUP BY 1 ORDER BY eval_id""",
+    "shard_shuffle" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             md5(doc_id::VARCHAR || ':epoch0') AS h
+           FROM documents),
+           s AS (SELECT doc_id, toks, h,
+             CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8
+               AS BIGINT) AS shard FROM d)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           arg_min(doc_id, h) AS first_doc, arg_max(doc_id, h) AS last_doc
+         FROM s GROUP BY 1 ORDER BY shard""",
     "sim_cosine_pairs" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
                     sqrt(list_sum(list_transform(embedding,

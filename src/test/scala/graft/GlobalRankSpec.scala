@@ -113,7 +113,7 @@ class GlobalRankSpec extends AnyFunSuite with SparkFixture with Matchers {
 
   test("the kernel-riding queries plan no partition-less window") {
     for (q <- Seq("agg_ks_test", "agg_kruskal", "agg_auc", "agg_gini",
-        "agg_cdf", "events_lorenz")) {
+        "agg_cdf", "events_lorenz", "agg_mwu")) {
       val lw = SparkEntry.queries(q)(spark, sf001)
         .queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window

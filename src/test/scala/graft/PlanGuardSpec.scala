@@ -29,7 +29,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
   //     on both sides of the gate
   private val quadraticByContract = Set(
     "join_cross", "sim_cosine_pairs", "dedup_embed", "dedup_embed_clusters",
-    "sim_topk", "knn_classify")
+    "sim_topk", "knn_classify",
+    // round 15: same size-gated cosinePairsAuto dispatch (exact below the
+    // 500k gate — what this sweep sees — LSH-bucketed above)
+    "contamination_embed")
 
   // nested-loop joins whose build side is CONSTANT-SIZE by construction —
   // reviewed one by one; the row expansion does not grow with the corpus:
