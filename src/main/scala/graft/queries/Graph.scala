@@ -232,6 +232,31 @@ object Graph {
         .orderBy("user_id")
     }),
 
+    // connected COMPONENTS of the co-occurrence census (round 15) — the
+    // most basic graph partition was the one family member not declared
+    // (labelprop finds communities WITHIN components; kcore cohesion;
+    // this answers "which users share ANY chain of co-occurrence"). Every
+    // active user appears (isolated users are their own singleton — the
+    // graph_kcore feature-join shape); component id = min member user_id
+    // (deterministic). Rides the published census + the same Components
+    // kernel dedup_clusters trusts: min-label propagation with the edge
+    // frame cached pre-partitioned on its join key (one shuffle total,
+    // not one per round), driver union-find below the 2^20-edge gate,
+    // pointer-jumping above. Exact BIGINT labels — bit-stable under any
+    // partitioning.
+    "graph_components" -> ((s, sf) => {
+      val tr = new graft.operators.Tracked
+      val (edges, _) = census(s, sf)
+      val comp = graft.operators.Components
+        .connected(edges.select(col("u1"), col("u2")), "u1", "u2", tr)
+      tr.seal(t(s, sf, "events").select(col("user_id")).distinct()
+          .join(comp.withColumnRenamed("id", "user_id"), Seq("user_id"),
+            "left")
+          .select(col("user_id"),
+            coalesce(col("cluster"), col("user_id")).as("component")))
+        .orderBy("user_id")
+    }),
+
     // community detection via deterministic synchronous label propagation
     // (round 12, third batch) — the COMMUNITY primitive completing the
     // graph tier (connectivity, density, centrality, distance, proximity,
@@ -833,6 +858,30 @@ object Graph {
     "graph_betweenness" -> betweennessSql,
     "graph_pagerank" -> pagerankSql,
     "graph_sssp" -> ssspSql,
+    "graph_components" ->
+      """WITH RECURSIVE
+         ua AS (SELECT user_id, d, event_type FROM
+               (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d,
+                       event_type FROM events)
+             QUALIFY count(*) OVER (PARTITION BY d, event_type) <= 65536),
+         e AS (SELECT a.user_id AS u1, b.user_id AS u2
+               FROM ua a JOIN ua b ON a.d = b.d AND a.event_type = b.event_type
+                                   AND a.user_id < b.user_id
+               GROUP BY 1, 2 HAVING count(*) >= 30),
+         edges AS (SELECT u1 AS u, u2 AS v FROM e
+                   UNION ALL SELECT u2, u1 FROM e),
+         nodes AS (SELECT DISTINCT u AS id FROM edges),
+         reach AS (SELECT id, id AS lbl FROM nodes
+                   UNION
+                   SELECT ed.v AS id, r.lbl FROM reach r
+                     JOIN edges ed ON ed.u = r.id),
+         comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         users AS (SELECT DISTINCT user_id FROM events)
+         SELECT users.user_id,
+           CAST(coalesce(comp.component, users.user_id) AS BIGINT)
+             AS component
+         FROM users LEFT JOIN comp ON comp.id = users.user_id
+         ORDER BY user_id""",
     "graph_clustering" ->
       """WITH ua AS (SELECT user_id, d, event_type FROM
                (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d,
