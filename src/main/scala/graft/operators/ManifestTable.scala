@@ -152,7 +152,8 @@ object ManifestTable {
   def commit(spark: SparkSession, dir: String, df: DataFrame,
       replace: Boolean = false, readVersion: Long = -1L,
       tag: String = null, cas: CommitCas = RenameCas,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 20): Long = {
     val fs = fsOf(spark, dir)
     if (!replace && fs.exists(new Path(dir, CatalogManagedMarker)))
       throw new IllegalStateException(
@@ -220,6 +221,11 @@ object ManifestTable {
     // a selective read touches O(manifest + sidecars) metadata and only
     // the files whose ranges intersect the predicate.
     if (statsCols.nonEmpty) writeStats(spark, fs, dir, dataRel, statsCols)
+    // Bloom sidecar (r15): the point-lookup half of skipping — see
+    // [[FileBloom]]. Same contract as the stats sidecar: pre-CAS,
+    // immutable, superset-guarantee-only.
+    if (bloomCols.nonEmpty)
+      FileBloom.write(spark, fs, dir, dataRel, bloomCols, bloomBits, 4)
     val newFiles = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataRel/$n")
@@ -583,14 +589,33 @@ object ManifestTable {
     * `preds` drop; files without stats always keep. */
   private[graft] def pruneFileList(spark: SparkSession, dir: String,
       files: Seq[String], preds: Seq[StatsPred]): Seq[String] = {
-    val stats = statsFor(fsOf(spark, dir), dir, files)
+    val fs = fsOf(spark, dir)
+    val stats = statsFor(fs, dir, files)
     val zone =
       java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    // bloom sidecars serve ONLY equality predicates; the value's hash is
+    // computed once per predicate (cast to each recorded column type met)
+    val eqPreds = preds.collect { case e: ColEq => e }
+    val blooms =
+      if (eqPreds.isEmpty) Map.empty[String, Map[String, (String, Int, Int, Array[Byte])]]
+      else FileBloom.forFiles(fs, dir, files, resolve)
+    val hashCache = scala.collection.mutable.Map.empty[(String, String), Option[Long]]
+    def bloomKeeps(f: String, p: ColEq): Boolean =
+      blooms.get(f).flatMap(_.get(p.col)) match {
+        case None => true // no bloom for this (file, col) — keep
+        case Some((tn, m, k, bits)) =>
+          hashCache.getOrElseUpdate((p.col, tn),
+            FileBloom.hashOf(spark, tn, p.v)) match {
+            case None => true // un-castable value — unknowable, keep
+            case Some(h) => FileBloom.mightContain(bits, m, k, h)
+          }
+      }
     files.filter { f =>
-      stats.get(f) match {
+      val statsOk = stats.get(f) match {
         case None => true // batch committed without stats — never pruned
         case Some(st) => preds.forall(p => mightMatch(st, p, zone))
       }
+      statsOk && eqPreds.forall(p => bloomKeeps(f, p))
     }
   }
 

@@ -363,6 +363,33 @@ object Sources {
         .orderBy("s_nationkey")
     }),
 
+    // bloom-index file skipping (round 15) — the POINT-LOOKUP half of
+    // data skipping (operators/FileBloom): events arrive as six
+    // user-interleaved appends, so every file's user_id [min, max] spans
+    // the whole domain and RANGE stats can prune NOTHING — exactly the
+    // unsorted-high-cardinality case. Each batch commits a per-file
+    // bloom sidecar instead; the one-user readPruned then opens only the
+    // files whose filters might contain the key (~1/6 of the table here;
+    // ManifestTableSpec pins the skip count and the stats-can't/bloom-can
+    // contrast). False positives only cost an open — the residual row
+    // filter stays the semantics, which is what the hash check proves.
+    "manifest_bloom" -> ((s, sf) => {
+      import graft.operators.ManifestTable
+      val dir = tmp(sf, "bloomidx")
+      if (ManifestTable.versions(s, dir).isEmpty) {
+        val e = t(s, sf, "events")
+        (0 to 5).foreach(r => ManifestTable.commit(s, dir,
+          e.filter(pmod(col("user_id"), lit(6)) === r).repartition(2),
+          bloomCols = Seq("user_id"), bloomBits = 1 << 17))
+      }
+      ManifestTable.readPruned(s, dir,
+          Seq(ManifestTable.ColEq("user_id", 42L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          graft.T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // table OPTIMIZE (round 15) — Delta's OPTIMIZE (ZORDER BY) composed
     // from pieces this library already has, as ONE atomic operation:
     // events arrive as six unordered user-sliced appends (the streaming-
@@ -644,6 +671,11 @@ object Sources {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
            AND ts <  TIMESTAMP '2024-01-21 00:00:00'
+         GROUP BY 1 ORDER BY event_type""",
+    "manifest_bloom" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE user_id = 42
          GROUP BY 1 ORDER BY event_type""",
     "manifest_optimize" ->
       """SELECT event_type, count(*) AS n_events,

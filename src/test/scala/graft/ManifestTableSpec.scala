@@ -728,6 +728,46 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
       Set(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "z")
   }
 
+  test("bloom sidecar prunes point lookups where min/max stats cannot") {
+    import ManifestTable.{ColEq, ColGe}
+    val dir = tmpDir()
+    import spark.implicits._
+    // 4 interleaved batches: every file spans the full key range (k % 4),
+    // so RANGE stats keep all files for any point predicate — the bloom
+    // is the only thing that can skip here
+    (0 until 4).foreach { r =>
+      val rows = (0 until 200).map(i => ((i * 4 + r).toLong, s"v$r-$i"))
+      ManifestTable.commit(spark, dir, rows.toDF("k", "v").repartition(1),
+        statsCols = Seq("k"), bloomCols = Seq("k"), bloomBits = 1 << 14)
+    }
+    // k = 402 lives only in batch r=2's file
+    val (kept, total) = ManifestTable.pruneFiles(spark, dir, Seq(ColEq("k", 402L)))
+    total shouldBe 4
+    kept.size shouldBe 1
+    // range stats alone (a >= predicate — blooms don't serve ranges)
+    // keep everything: the contrast that motivates the bloom
+    ManifestTable.pruneFiles(spark, dir, Seq(ColGe("k", 402L)))._1.size shouldBe 4
+    // row semantics exact through the pruned read
+    ManifestTable.readPruned(spark, dir, Seq(ColEq("k", 402L)))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      Set(402L -> "v2-100")
+    // an ABSENT key prunes every file (no false-negative risk the other
+    // way: absence of the sidecar or a cast failure keeps files)
+    ManifestTable.pruneFiles(spark, dir, Seq(ColEq("k", 99999L)))._1.size shouldBe 0
+    ManifestTable.readPruned(spark, dir, Seq(ColEq("k", 99999L))).count() shouldBe 0L
+    // string column blooms hash the native type: commit one with strings
+    val dir2 = tmpDir()
+    ManifestTable.commit(spark, dir2,
+      Seq(1L -> "alpha", 2L -> "beta").toDF("k", "v").repartition(1),
+      bloomCols = Seq("v"))
+    ManifestTable.commit(spark, dir2,
+      Seq(3L -> "gamma", 4L -> "delta").toDF("k", "v").repartition(1),
+      bloomCols = Seq("v"))
+    ManifestTable.pruneFiles(spark, dir2, Seq(ColEq("v", "gamma")))._1.size shouldBe 1
+    ManifestTable.readPruned(spark, dir2, Seq(ColEq("v", "gamma")))
+      .count() shouldBe 1L
+  }
+
   test("optimize (ordered replace + fresh stats) turns a prune-nothing " +
       "layout into a prune-most layout") {
     import ManifestTable.{ColGe, ColLt}
