@@ -583,6 +583,32 @@ object ManifestTable {
         }
     }
 
+  /** The recorded per-file column statistics of snapshot `version` as a
+    * queryable DataFrame (round 15 — the observability surface over the
+    * `_stats.tsv` sidecars): (file, column, col_type, n_rows, n_nonnull,
+    * min_v, max_v), min/max in the sidecar's canonical string rendering
+    * (timestamps: epoch micros). Files from batches committed without
+    * stats simply have no rows here — exactly the files pruning can
+    * never skip, which is what an operator debugging a slow selective
+    * read needs to SEE. O(files) metadata, no data I/O. */
+  def stats(spark: SparkSession, dir: String,
+      version: Long = -1L): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir has no committed snapshot")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    val files = manifestFiles(fsOf(spark, dir), dir, v)
+    val rows = statsFor(fsOf(spark, dir), dir, files).toSeq.flatMap {
+      case (f, cols) => cols.toSeq.map { case (c, cs) =>
+        (f, c, cs.typeName, cs.rows, cs.nonNull,
+          cs.min.orNull, cs.max.orNull)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("file", "column", "col_type", "n_rows", "n_nonnull",
+      "min_v", "max_v")
+  }
+
   /** The skipping decision over an explicit manifest-relative file list —
     * the core [[pruneFiles]] and the streaming source's per-batch pushdown
     * share: files whose recorded ranges cannot satisfy the conjunctive

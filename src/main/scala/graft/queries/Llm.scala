@@ -441,6 +441,34 @@ object Llm {
         .agg(min(col("a_id")).as("keep_id"), count(lit(1)).as("n_better"))
         .orderBy("dup_id")),
 
+    // quality-aware SURVIVOR SELECTION per near-dup cluster (round 15) —
+    // the policy step after clustering that every dedup pipeline actually
+    // ships: "min doc_id" (dedup_survivors) is reproducible but
+    // quality-blind; the production rule keeps the LONGEST member (most
+    // content — the standard near-dup keep heuristic), doc_id ascending
+    // as the deterministic tiebreak. One pair pass (the shared
+    // jaccardPairs kernel at τ = 0.5), the Components min-label collapse,
+    // then a per-cluster max_by over a (len, -doc_id) struct — exact
+    // integer ordering, no floats anywhere. Output per cluster: size,
+    // the kept doc, its length — the audit table a curation review reads.
+    "dedup_best_of_cluster" -> ((s, sf) => {
+      val tr = new graft.operators.Tracked
+      val docs = t(s, sf, "documents")
+      val pairs = tr.persist(
+        jaccardPairs(docs, 0.5, tr).select(col("da"), col("db")))
+      val clusters = graft.operators.Components
+        .connected(pairs, "da", "db", tr)
+      val scored = docs.select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("len"))
+      tr.seal(clusters
+          .join(scored, clusters("id") === scored("doc_id"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            expr("max_by(doc_id, struct(len, -doc_id))").as("survivor"),
+            max(col("len")).as("best_len")))
+        .orderBy("cluster")
+    }),
+
     // EMBEDDING-level train/eval contamination (round 15) —
     // contamination_check's semantic sibling: n-gram overlap misses
     // paraphrases, but a near-identical embedding does not. Eval docs =
@@ -968,6 +996,35 @@ object Llm {
                       FROM inter JOIN sz sb ON db = sb.doc_id)
          SELECT src, dst, round(c, 6) AS containment FROM dirs
          WHERE c >= 0.8 ORDER BY src, dst""",
+    "dedup_best_of_cluster" ->
+      """WITH RECURSIVE
+           tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(
+                    [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)])) AS s
+                  FROM tok),
+           sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+           inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+                     JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           pairs AS (SELECT da, db FROM inter
+                     JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                     WHERE i*1.0/(sa.n + sb.n - i) >= 0.5),
+           edges AS (SELECT da AS u, db AS v FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           nodes AS (SELECT DISTINCT u AS id FROM edges),
+           reach AS (SELECT id, id AS lbl FROM nodes
+                     UNION
+                     SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+           comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+           lens AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT)
+                      AS len FROM documents),
+           ranked AS (SELECT comp.cluster, comp.id, lens.len,
+                 row_number() OVER (PARTITION BY comp.cluster
+                   ORDER BY lens.len DESC, comp.id) AS rk
+               FROM comp JOIN lens ON lens.doc_id = comp.id)
+         SELECT cluster, count(*) AS n_members,
+           CAST(max(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS survivor,
+           max(len) AS best_len
+         FROM ranked GROUP BY 1 ORDER BY cluster""",
     "contamination_embed" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
                     sqrt(list_sum(list_transform(embedding,

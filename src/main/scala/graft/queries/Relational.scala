@@ -389,6 +389,38 @@ object Relational {
     // NEW balance, exactly once). Plan: both scd2 joins carry delta-sized
     // key sides (broadcast at scale; history never shuffles) + a narrow
     // union — the upsert_merge posture with validity bookkeeping.
+    // POINT-IN-TIME join against the SCD2 dimension (round 15) — the
+    // canonical consumption query upsert_scd2's versioned table exists
+    // for: each order joins the customer VERSION valid at its order
+    // date (equi on the key + validity-interval residual — every fact
+    // row matches exactly one version, so the plan is a plain hash join,
+    // never an interval explosion). The dimension change is effective
+    // 1995-01-01, mid-way through the order-date domain, so BOTH
+    // versions are exercised: earlier orders see the original balance,
+    // later orders of delta'd customers see the +1000 restatement — the
+    // "metrics as they were known at the time" semantics a backfilled
+    // report needs. Exact decimal balance sums; counts BIGINT.
+    "join_pit_scd" -> ((s, sf) => {
+      val effUs = 788918400000000L // 1995-01-01 UTC, mid order-date domain
+      val c = t(s, sf, "customer")
+      val base = c.withColumn("valid_from_us", lit(0L))
+        .withColumn("valid_to_us", lit(null).cast("long"))
+      val delta = c.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+        .withColumn("eff_us", lit(effUs))
+      val dim = graft.operators.Upsert.scd2(base, delta, Seq("c_custkey"),
+        "eff_us")
+      val fact = t(s, sf, "orders").select(col("o_custkey"),
+        unix_micros(col("o_orderdate")).as("t"))
+      fact.join(dim, fact("o_custkey") === dim("c_custkey") &&
+          col("t") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("t") < col("valid_to_us")))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          T.dsum(col("c_acctbal"), 2).as("bal_at_order_sum"))
+        .orderBy("c_mktsegment")
+    }),
+
     "upsert_scd2" -> ((s, sf) => {
       val base = t(s, sf, "customer")
         .withColumn("valid_from_us", lit(0L))
@@ -754,6 +786,26 @@ object Relational {
            CAST(least(le, re) - greatest(ls, rs) AS BIGINT) AS overlap_us
          FROM v JOIN p ON v.user_id = p.u2 AND ls < re AND rs < le
          ORDER BY a_id, b_id""",
+    "join_pit_scd" ->
+      """WITH delta AS (SELECT c_custkey, c_acctbal + 1000.0 AS new_bal
+             FROM customer WHERE c_custkey % 10 = 0),
+           dim AS (
+             SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal AS bal,
+                 0 AS vf,
+                 CASE WHEN d.c_custkey IS NOT NULL
+                   THEN 788918400000000 END AS vt
+               FROM customer c LEFT JOIN delta d ON d.c_custkey = c.c_custkey
+             UNION ALL
+             SELECT c.c_custkey, c.c_mktsegment, d.new_bal,
+                 788918400000000, NULL
+               FROM delta d JOIN customer c ON c.c_custkey = d.c_custkey),
+           f AS (SELECT o_custkey, epoch_us(o_orderdate) AS t FROM orders)
+         SELECT dim.c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(dim.bal AS DECIMAL(18,2))) AS DOUBLE)
+             AS bal_at_order_sum
+         FROM f JOIN dim ON dim.c_custkey = f.o_custkey
+           AND f.t >= dim.vf AND (dim.vt IS NULL OR f.t < dim.vt)
+         GROUP BY 1 ORDER BY dim.c_mktsegment""",
     "upsert_scd2" ->
       """WITH delta AS (SELECT c_custkey, c_acctbal + 1000.0 AS new_bal
              FROM customer WHERE c_custkey % 10 = 0),

@@ -363,6 +363,39 @@ object Sources {
         .orderBy("s_nationkey")
     }),
 
+    // stats-sidecar observability (round 15) — the skipping metadata AS A
+    // QUERYABLE TABLE (ManifestTable.stats): an operator debugging a slow
+    // selective read needs to SEE which files carry which ranges and
+    // which batches committed without stats. Three 10-day event slices
+    // commit with (ts, user_id) stats; the declared frame is the
+    // per-column rollup of the recorded metadata — file count, row
+    // totals, and the global min/max OF THE RECORDED per-file stats
+    // (timestamps in the sidecar's canonical epoch-micros rendering), so
+    // the hash check proves the sidecars record exactly the truth the
+    // plain table states. O(files) metadata, no data I/O on the read.
+    "manifest_stats" -> ((s, sf) => {
+      import graft.operators.ManifestTable
+      val dir = tmp(sf, "statsobs")
+      if (ManifestTable.versions(s, dir).isEmpty) {
+        val e = t(s, sf, "events")
+        val d0 = lit("2024-01-01 00:00:00").cast("timestamp")
+        (0 to 2).foreach { r =>
+          val lo = date_add(d0, r * 10); val hi = date_add(d0, r * 10 + 10)
+          ManifestTable.commit(s, dir,
+            e.filter(col("ts") >= lo && col("ts") < hi).repartition(2),
+            statsCols = Seq("ts", "user_id"))
+        }
+      }
+      ManifestTable.stats(s, dir)
+        .groupBy("column")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_rows")).as("total_rows"),
+          sum(col("n_nonnull")).as("total_nonnull"),
+          min(col("min_v").cast("long")).as("global_min"),
+          max(col("max_v").cast("long")).as("global_max"))
+        .orderBy("column")
+    }),
+
     // bloom-index file skipping (round 15) — the POINT-LOOKUP half of
     // data skipping (operators/FileBloom): events arrive as six
     // user-interleaved appends, so every file's user_id [min, max] spans
@@ -672,6 +705,19 @@ object Sources {
          WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
            AND ts <  TIMESTAMP '2024-01-21 00:00:00'
          GROUP BY 1 ORDER BY event_type""",
+    "manifest_stats" ->
+      """WITH w AS (SELECT ts, user_id FROM events
+             WHERE ts >= TIMESTAMP '2024-01-01'
+               AND ts <  TIMESTAMP '2024-01-31')
+         SELECT * FROM (
+           SELECT 'ts' AS "column", CAST(6 AS BIGINT) AS n_files,
+             count(*) AS total_rows, count(ts) AS total_nonnull,
+             min(epoch_us(ts)) AS global_min,
+             max(epoch_us(ts)) AS global_max FROM w
+           UNION ALL
+           SELECT 'user_id', CAST(6 AS BIGINT), count(*), count(user_id),
+             min(user_id), max(user_id) FROM w)
+         ORDER BY "column" """,
     "manifest_bloom" ->
       """SELECT event_type, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
