@@ -139,15 +139,29 @@ object PipelineDemo {
       .ngramHits(train.select("doc_id", "text"), test.select("doc_id", "text"), n = 5)
     println(s"test docs sharing a 5-gram with train: ${
       contam.where(col("contaminated")).count()} / ${test.count()}")
-    // the release write: compacted to few byte-sized files, z-ordered on
-    // (quality, ws_toks) so 2-D selective scans (quality cut × length
-    // band) prune files by their parquet stats
+    // the release write, PUBLISHED (round 15): z-ordered on (quality,
+    // ws_toks), then committed ATOMICALLY through the manifest protocol
+    // with range stats and a doc_id bloom index — downstream consumers
+    // get snapshot isolation, time travel, and file skipping on day one
+    // instead of a bare directory of parquet
     val outDir = s"${sys.props("java.io.tmpdir")}/graft_demo_out_${java.util.UUID.randomUUID().toString.take(8)}"
-    graft.operators.Layout.zOrdered(
-        train.select("doc_id", "quality", "ws_toks", "text"),
-        Seq("quality", "ws_toks"), nFiles = 4)
-      .write.parquet(outDir)
-    println(s"release written: ${spark.read.parquet(outDir).count()} rows at $outDir")
+    graft.operators.ManifestTable.commit(spark, outDir,
+      graft.operators.Layout.zOrdered(
+          train.select("doc_id", "quality", "ws_toks", "text"),
+          Seq("quality", "ws_toks"), nFiles = 4).drop("__graft_z"),
+      statsCols = Seq("quality", "ws_toks"), bloomCols = Seq("doc_id"))
+    println(s"release committed: ${
+      graft.operators.ManifestTable.read(spark, outDir).count()} rows at $outDir")
+    // a selective consumer opens only the files whose recorded ranges
+    // intersect its cut (readPruned re-applies the predicate on rows)
+    val cut = Seq(graft.operators.ManifestTable.ColGe("quality", 0.5))
+    val (keptF, totF) = graft.operators.ManifestTable.pruneFiles(spark, outDir, cut)
+    println(s"quality >= 0.5 readers open ${keptF.size} of $totF release files")
+    // zero-copy snapshot for the eval team: one manifest write, no data
+    val evalDir = outDir + "_eval"
+    graft.operators.ManifestTable.clone(spark, outDir, evalDir)
+    println(s"eval clone rows: ${
+      graft.operators.ManifestTable.read(spark, evalDir).count()}")
     // corpus fully consumed — release the pipeline's cached intermediates
     // (unpersist is asynchronous, so poll briefly before reporting)
     tr.release()

@@ -232,6 +232,25 @@ object Graph {
         .orderBy("user_id")
     }),
 
+    // DEGREE DISTRIBUTION of the co-occurrence census (round 15) — the
+    // first chart anyone draws of a graph (and the input to every
+    // power-law/scale-free argument): per degree value, how many census
+    // nodes carry it, plus the degree-0 row for active users outside the
+    // ≥30-bucket graph — silent truncation of isolated users would make
+    // the distribution lie. Reads the published census (graph-sized);
+    // two tiny aggs after it. Exact BIGINT counts.
+    "graph_degree_dist" -> ((s, sf) => {
+      val (edges, _) = census(s, sf)
+      val deg = edges.select(col("u1").as("u"))
+        .unionAll(edges.select(col("u2").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("degree"))
+      t(s, sf, "events").select(col("user_id").as("u")).distinct()
+        .join(deg, Seq("u"), "left")
+        .select(coalesce(col("degree"), lit(0L)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
     // connected COMPONENTS of the co-occurrence census (round 15) — the
     // most basic graph partition was the one family member not declared
     // (labelprop finds communities WITHIN components; kcore cohesion;
@@ -858,6 +877,23 @@ object Graph {
     "graph_betweenness" -> betweennessSql,
     "graph_pagerank" -> pagerankSql,
     "graph_sssp" -> ssspSql,
+    "graph_degree_dist" ->
+      """WITH ua AS (SELECT user_id, d, event_type FROM
+               (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d,
+                       event_type FROM events)
+             QUALIFY count(*) OVER (PARTITION BY d, event_type) <= 65536),
+         e AS (SELECT a.user_id AS u1, b.user_id AS u2
+               FROM ua a JOIN ua b ON a.d = b.d AND a.event_type = b.event_type
+                                   AND a.user_id < b.user_id
+               GROUP BY 1, 2 HAVING count(*) >= 30),
+         deg AS (SELECT u, count(*) AS degree
+                 FROM (SELECT u1 AS u FROM e UNION ALL SELECT u2 FROM e)
+                 GROUP BY 1),
+         users AS (SELECT DISTINCT user_id FROM events)
+         SELECT CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+           count(*) AS n_nodes
+         FROM users LEFT JOIN deg ON deg.u = users.user_id
+         GROUP BY 1 ORDER BY degree""",
     "graph_components" ->
       """WITH RECURSIVE
          ua AS (SELECT user_id, d, event_type FROM

@@ -416,7 +416,7 @@ object Sources {
           bloomCols = Seq("user_id"), bloomBits = 1 << 17))
       }
       ManifestTable.readPruned(s, dir,
-          Seq(ManifestTable.ColEq("user_id", 42L)))
+          Seq(ManifestTable.ColEq("user_id", 3L)))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           graft.T.dsum(col("value"), 2).as("sum_value"))
@@ -721,7 +721,7 @@ object Sources {
     "manifest_bloom" ->
       """SELECT event_type, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events WHERE user_id = 42
+         FROM events WHERE user_id = 3
          GROUP BY 1 ORDER BY event_type""",
     "manifest_optimize" ->
       """SELECT event_type, count(*) AS n_events,
