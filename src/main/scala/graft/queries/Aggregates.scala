@@ -455,6 +455,54 @@ object Aggregates {
           round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
         .orderBy("l_returnflag")),
 
+    // Mahalanobis outlier screen (round 15) — agg_tukey's MULTIVARIATE
+    // sibling (Mahalanobis 1936): per return flag, rows whose
+    // (quantity, price) pair sits outside the χ²₂ 99.9% ellipse of the
+    // group's own covariance — the correlated-feature outlier the two
+    // 1-D fences structurally miss (a high price is normal AT high
+    // quantity). The 2×2 inverse is the closed form, so the whole
+    // statistic is one float chain over EXACT decimal moment sums
+    // (the agg_cov_matrix discipline): Σx, Σy, Σx², Σy², Σxy collapse in
+    // one map-side agg, means/variances/det derive identically on both
+    // engines, and d² per row is the same parenthesized expression.
+    // Two passes: the 3-row moment frame broadcast-joins back (group-
+    // keyed), then one counting agg.
+    "agg_mahalanobis" -> ((s, sf) => {
+      val li = t(s, sf, "lineitem").select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("decimal(9,2)").as("x"),
+        col("l_extendedprice").cast("decimal(12,2)").as("y"))
+      val m = li.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("g"), col("n"),
+          (col("sx").cast("double") / col("n")).as("mx"),
+          (col("sy").cast("double") / col("n")).as("my"),
+          col("sxx"), col("syy"), col("sxy"))
+        .select(col("g"), col("n"), col("mx"), col("my"),
+          (col("sxx").cast("double") / col("n") - col("mx") * col("mx"))
+            .as("vxx"),
+          (col("syy").cast("double") / col("n") - col("my") * col("my"))
+            .as("vyy"),
+          (col("sxy").cast("double") / col("n") - col("mx") * col("my"))
+            .as("vxy"))
+        .withColumn("det", col("vxx") * col("vyy") - col("vxy") * col("vxy"))
+      li.join(m, Seq("g"))
+        .withColumn("dx", col("x").cast("double") - col("mx"))
+        .withColumn("dy", col("y").cast("double") - col("my"))
+        .withColumn("d2",
+          (col("dx") * col("dx") * col("vyy")
+            - lit(2.0) * col("dx") * col("dy") * col("vxy")
+            + col("dy") * col("dy") * col("vxx")) / col("det"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d2") > 13.815511, 1L).otherwise(0L))
+            .as("n_outliers"),
+          round(max(col("d2")), 6).as("max_d2"))
+        .orderBy("g")
+    }),
+
     // Tukey fences (round 15) — the boxplot outlier rule (Tukey, EDA
     // 1977) agg_winsorize clamps by and ts_anomaly z-scores around, as
     // its own per-group report: exact interpolated quartiles (the
@@ -1163,6 +1211,35 @@ object Aggregates {
            round(sqrt((sqq - sq*sq/n)/(n-1)), 6) AS std_qty,
            round((spq - sq*sp/n) / (sqrt(sqq - sq*sq/n) * sqrt(spp - sp*sp/n)), 6) AS corr_qp
          FROM a ORDER BY l_returnflag""",
+    "agg_mahalanobis" ->
+      """WITH li AS (SELECT l_returnflag AS g,
+             CAST(l_quantity AS DECIMAL(9,2)) AS x,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS y FROM lineitem),
+           s1 AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+             FROM li GROUP BY 1),
+           s2 AS (SELECT g, n,
+               CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+               sxx, syy, sxy FROM s1),
+           m AS (SELECT g, n, mx, my,
+               CAST(sxx AS DOUBLE) / n - mx * mx AS vxx,
+               CAST(syy AS DOUBLE) / n - my * my AS vyy,
+               CAST(sxy AS DOUBLE) / n - mx * my AS vxy FROM s2),
+           md AS (SELECT g, n, mx, my, vxx, vyy, vxy,
+               vxx * vyy - vxy * vxy AS det FROM m),
+           d AS (SELECT li.g,
+               (CAST(li.x AS DOUBLE) - md.mx) AS dx,
+               (CAST(li.y AS DOUBLE) - md.my) AS dy,
+               md.vxx, md.vyy, md.vxy, md.det
+             FROM li JOIN md ON li.g = md.g),
+           d2 AS (SELECT g,
+               (dx * dx * vyy - 2.0 * dx * dy * vxy + dy * dy * vxx) / det
+                 AS d2 FROM d)
+         SELECT g, count(*) AS n,
+           CAST(sum(CASE WHEN d2 > 13.815511 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           round(max(d2), 6) AS max_d2
+         FROM d2 GROUP BY 1 ORDER BY g""",
     "agg_tukey" ->
       """WITH q AS (SELECT l_returnflag,
              round(quantile_cont(l_quantity, 0.25), 6) AS q1,
