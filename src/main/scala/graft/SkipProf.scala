@@ -69,6 +69,27 @@ object SkipProf {
     println(s"[skipprof] sf=${new java.io.File(sfDir).getName} " +
       s"files=${kept.size}/$total full=[${fmt(full)}] " +
       s"skip=[${fmt(skip)}] sec")
+
+    // bloom leg (round 15): the POINT-LOOKUP economics — user-interleaved
+    // batches (every file spans the full user domain, range stats prune
+    // nothing), one-user read full vs bloom-pruned
+    import graft.operators.ManifestTable.ColEq
+    val bdir = s"${sys.props("java.io.tmpdir")}/graft_skipprof_bloom_" +
+      new java.io.File(sfDir).getName
+    if (ManifestTable.versions(spark, bdir).isEmpty) {
+      val ev = T.t(spark, sfDir, "events")
+      (0 to 5).foreach(r => ManifestTable.commit(spark, bdir,
+        ev.filter(pmod(col("user_id"), lit(6)) === r),
+        replace = r == 0, bloomCols = Seq("user_id")))
+    }
+    val bp = Seq(ColEq("user_id", 3L))
+    val (bKept, bTotal) = ManifestTable.pruneFiles(spark, bdir, bp)
+    val bFull = timeIt(() =>
+      ManifestTable.read(spark, bdir).where(col("user_id") === 3L))
+    val bSkip = timeIt(() => ManifestTable.readPruned(spark, bdir, bp))
+    println(s"[skipprof-bloom] sf=${new java.io.File(sfDir).getName} " +
+      s"files=${bKept.size}/$bTotal full=[${fmt(bFull)}] " +
+      s"bloom=[${fmt(bSkip)}] sec")
     spark.stop()
   }
 }
