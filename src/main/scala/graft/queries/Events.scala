@@ -589,6 +589,74 @@ object Events {
           round(col("hb.l") + lit(7.0) * col("hb.b"), 6).as("fc_7"))
         .orderBy("event_type")),
 
+    // (augmented) Dickey–Fuller stationarity test, lag-0 with constant +
+    // trend (Dickey & Fuller, JASA 1979) — the unit-root check behind
+    // every "can I difference/forecast this series" decision, per event
+    // type over the daily count series: regress Δy_t on (1, t, y_{t−1})
+    // and report ρ̂ and its t-statistic (compare to the DF critical
+    // values; ρ̂ near 0 = unit root). The 3×3 normal equations solve in
+    // CLOSED FORM (Cramer determinants), so the whole statistic is one
+    // float chain over EXACT BIGINT sums — n, Σz, Σt, Σz², Σt², Σzt and
+    // the Δy cross-sums collapse from the ≤|days| daily frame (bounded
+    // windows: the lag rides a day-domain partitioned window, the PLANS
+    // taxonomy's bounded case), identically parenthesized on both
+    // engines, with RSS from the normal-equation identity (no second
+    // pass). Corpus rows cross ONE map-side agg at any scale.
+    "ts_adf" -> ((s, sf) => {
+      val daily = t(s, sf, "events")
+        .groupBy(col("event_type").as("g"),
+          expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.partitionBy("g").orderBy("d")
+      val obs = daily
+        .withColumn("z", lag(col("y"), 1).over(w))
+        .withColumn("tt", row_number().over(w).cast("long"))
+        .where(col("z").isNotNull)
+        .select(col("g"), (col("y") - col("z")).as("dy"), col("z"),
+          col("tt"))
+      val sums = obs.groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("z")).as("sz"), sum(col("tt")).as("st"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("tt") * col("tt")).as("stt"),
+        sum(col("z") * col("tt")).as("szt"),
+        sum(col("dy")).as("sdy"),
+        sum(col("dy") * col("z")).as("sdyz"),
+        sum(col("dy") * col("tt")).as("sdyt"),
+        sum(col("dy") * col("dy")).as("sdd"))
+      val dbl = Seq("n", "sz", "st", "szz", "stt", "szt", "sdy", "sdyz",
+        "sdyt", "sdd")
+      val d = sums.select(col("g") +:
+        dbl.map(c => col(c).cast("double").as(s"d$c")): _*)
+      d.withColumn("det",
+          col("dn") * (col("dszz") * col("dstt") - col("dszt") * col("dszt"))
+            - col("dsz") * (col("dsz") * col("dstt") - col("dszt") * col("dst"))
+            + col("dst") * (col("dsz") * col("dszt") - col("dszz") * col("dst")))
+        .withColumn("det1",
+          col("dsdy") * (col("dszz") * col("dstt") - col("dszt") * col("dszt"))
+            - col("dsz") * (col("dsdyz") * col("dstt") - col("dszt") * col("dsdyt"))
+            + col("dst") * (col("dsdyz") * col("dszt") - col("dszz") * col("dsdyt")))
+        .withColumn("det2",
+          col("dn") * (col("dsdyz") * col("dstt") - col("dszt") * col("dsdyt"))
+            - col("dsdy") * (col("dsz") * col("dstt") - col("dszt") * col("dst"))
+            + col("dst") * (col("dsz") * col("dsdyt") - col("dsdyz") * col("dst")))
+        .withColumn("det3",
+          col("dn") * (col("dszz") * col("dsdyt") - col("dsdyz") * col("dszt"))
+            - col("dsz") * (col("dsz") * col("dsdyt") - col("dsdyz") * col("dst"))
+            + col("dsdy") * (col("dsz") * col("dszt") - col("dszz") * col("dst")))
+        .withColumn("alpha", col("det1") / col("det"))
+        .withColumn("rho", col("det2") / col("det"))
+        .withColumn("beta", col("det3") / col("det"))
+        .withColumn("rss", col("dsdd") - col("alpha") * col("dsdy")
+          - col("rho") * col("dsdyz") - col("beta") * col("dsdyt"))
+        .withColumn("s2", col("rss") / (col("dn") - lit(3.0)))
+        .withColumn("c22", col("dn") * col("dstt") - col("dst") * col("dst"))
+        .select(col("g").as("event_type"), col("dn").cast("long").as("n_obs"),
+          round(col("rho"), 6).as("rho"),
+          round(col("rho") / sqrt(col("s2") * col("c22") / col("det")), 6)
+            .as("t_stat"))
+        .orderBy("event_type")
+    }),
+
     "ts_ewma" -> ((s, sf) => {
       val w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-7, 0)
       dailyGrid(s, sf)
@@ -1498,6 +1566,50 @@ object Events {
            round(h.l + 7.0 * h.b, 6) AS fc_7
          FROM h JOIN n ON n.event_type = h.event_type AND h.idx = n.n_days
          ORDER BY n.event_type""",
+    "ts_adf" ->
+      """WITH daily AS (SELECT event_type AS g,
+             epoch_us(ts) // 86400000000 AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+           o AS (SELECT g, y - lag(y) OVER w AS dy, lag(y) OVER w AS z,
+               CAST(row_number() OVER w AS BIGINT) AS tt
+             FROM daily WINDOW w AS (PARTITION BY g ORDER BY d)),
+           obs AS (SELECT * FROM o WHERE z IS NOT NULL),
+           s AS (SELECT g, count(*) AS n, sum(z) AS sz, sum(tt) AS st,
+               sum(z*z) AS szz, sum(tt*tt) AS stt, sum(z*tt) AS szt,
+               sum(dy) AS sdy, sum(dy*z) AS sdyz, sum(dy*tt) AS sdyt,
+               sum(dy*dy) AS sdd
+             FROM obs GROUP BY 1),
+           dd AS (SELECT g, CAST(n AS DOUBLE) dn, CAST(sz AS DOUBLE) dsz,
+               CAST(st AS DOUBLE) dst, CAST(szz AS DOUBLE) dszz,
+               CAST(stt AS DOUBLE) dstt, CAST(szt AS DOUBLE) dszt,
+               CAST(sdy AS DOUBLE) dsdy, CAST(sdyz AS DOUBLE) dsdyz,
+               CAST(sdyt AS DOUBLE) dsdyt, CAST(sdd AS DOUBLE) dsdd
+             FROM s),
+           k AS (SELECT g, dn, dsdy, dsdyz, dsdyt, dsdd, dstt, dst,
+               dn * (dszz * dstt - dszt * dszt)
+                 - dsz * (dsz * dstt - dszt * dst)
+                 + dst * (dsz * dszt - dszz * dst) AS det,
+               dsdy * (dszz * dstt - dszt * dszt)
+                 - dsz * (dsdyz * dstt - dszt * dsdyt)
+                 + dst * (dsdyz * dszt - dszz * dsdyt) AS det1,
+               dn * (dsdyz * dstt - dszt * dsdyt)
+                 - dsdy * (dsz * dstt - dszt * dst)
+                 + dst * (dsz * dsdyt - dsdyz * dst) AS det2,
+               dn * (dszz * dsdyt - dsdyz * dszt)
+                 - dsz * (dsz * dsdyt - dsdyz * dst)
+                 + dsdy * (dsz * dszt - dszz * dst) AS det3
+             FROM dd),
+           fit AS (SELECT g, dn, dstt, dst, det,
+               det1 / det AS alpha, det2 / det AS rho, det3 / det AS beta,
+               dsdy, dsdyz, dsdyt, dsdd FROM k),
+           fin AS (SELECT g, dn, det, rho,
+               (dsdd - alpha * dsdy - rho * dsdyz - beta * dsdyt)
+                 / (dn - 3.0) AS s2,
+               dn * dstt - dst * dst AS c22 FROM fit)
+         SELECT g AS event_type, CAST(dn AS BIGINT) AS n_obs,
+           round(rho, 6) AS rho,
+           round(rho / sqrt(s2 * c22 / det), 6) AS t_stat
+         FROM fin ORDER BY event_type""",
     "ts_ewma" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value
              FROM events),

@@ -63,6 +63,24 @@ class GlobalRankSpec extends AnyFunSuite with SparkFixture with Matchers {
     got shouldBe expect
   }
 
+  test("grouped running sum + row number in one pass match the windows") {
+    val df = frame(3000)
+    val w = Window.partitionBy("g").orderBy("v")
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df
+      .withColumn("cum", sum(col("c")).over(wr))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select("g", "v", "cum", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val got = GlobalRank.prefix(df, Seq("g"), Seq("v"), Seq("c" -> "cum"),
+        inclusive = true, rnCol = Some("rn"), numParts = 5)
+      .select("g", "v", "cum", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    got shouldBe expect
+  }
+
   test("decimal running sums stay exact (values, not float-near)") {
     import spark.implicits._
     val df = (1 to 2000).map { i =>
