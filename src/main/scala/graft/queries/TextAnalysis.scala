@@ -346,6 +346,47 @@ object TextAnalysis {
         .groupBy("doc_id", "dim").agg(count(lit(1)).as("tf"))
         .orderBy("doc_id", "dim")),
 
+    // compression-ratio quality signal (round 15, capability row) — the
+    // classic "too compressible = boilerplate/repetition, too
+    // incompressible = noise/binary junk" filter (the deflate-ratio cut
+    // CCNet/Gopher-line pipelines run beside stopword/perplexity
+    // signals): per doc, deflate(level 6, UTF-8 bytes) size over raw
+    // size. A UDF by necessity, not convenience — compression is not
+    // expressible in either SQL dialect (and DuckDB has no deflate at
+    // all, hence rows-only); java.util.zip.Deflater with FIXED level and
+    // strategy is deterministic for a given input across JVMs, so the
+    // output is still reproducible. Pure map stage — no shuffle at all;
+    // per-lang rollup at the end is |langs| rows.
+    "quality_compression" -> ((s, sf) => {
+      val ratio = udf { text: String =>
+        if (text == null || text.isEmpty) 1.0
+        else {
+          val raw = text.getBytes("UTF-8")
+          val d = new java.util.zip.Deflater(6)
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](raw.length + 64)
+          var n = 0
+          while (!d.finished()) n += d.deflate(buf, n,
+            math.max(1, buf.length - n))
+          d.end()
+          n.toDouble / raw.length
+        }
+      }
+      t(s, sf, "documents")
+        .select(col("doc_id"), col("lang"),
+          round(ratio(col("text")), 6).as("deflate_ratio"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("deflate_ratio")), 6).as("min_ratio"),
+          // decimal sum of the 6dp ratios: the mean is order-independent
+          round(sum(col("deflate_ratio").cast("decimal(12,6)"))
+            .cast("double") / count(lit(1)), 6).as("avg_ratio"),
+          round(max(col("deflate_ratio")), 6).as("max_ratio"),
+          sum(when(col("deflate_ratio") < 0.3, 1L).otherwise(0L))
+            .as("n_too_repetitive"))
+        .orderBy("lang")
+    }),
+
     // hashed BAG-OF-WORDS EMBEDDING (round 15) — text_hashing_tf taken
     // the last step to a trainer-ready vector (Weinberger et al., feature
     // hashing, ICML 2009): tokens bucket into a 64-dim space via the
