@@ -38,11 +38,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * two manifest reads and a string-set diff (O(files), no data I/O); each
   * surviving file becomes ONE input partition read in place — a consumer
   * at 100 TB pays for its increment, never the table. Readers use the
-  * public parquet-mr Group API (no Spark-internal reader classes), which
-  * bounds the supported schema to FLAT tables of the primitive types the
-  * corpus uses (long/int/double/float/boolean/string/binary/timestamp);
-  * nested/decimal columns are rejected at scan build, not silently
-  * mangled.
+  * public parquet-mr Group API (no Spark-internal reader classes),
+  * supporting the primitive types the corpus uses (long/int/double/
+  * float/boolean/string/binary/timestamp) plus arbitrarily-nested
+  * STRUCT/ARRAY over them (round 15); map/decimal columns are rejected
+  * at scan build, not silently mangled.
   *
   * Usage: `spark.readStream.format(classOf[ManifestTableProvider].getName)
   * .option("path", dir).load()`.
