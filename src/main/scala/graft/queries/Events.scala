@@ -915,6 +915,45 @@ object Events {
         .orderBy("decile")
     }),
 
+    // inter-arrival time distribution (round 15) — the activity-cadence
+    // profile behind every sessionization/timeout choice (the 30-minute
+    // gap sessionize hardcodes should come FROM this table): successive
+    // same-user event gaps, bucketed into the five human bands an
+    // operator actually reasons in, with exact per-band stats. The lag
+    // rides the per-user window (a user's events bound the partition, the
+    // sessionize shape); gaps are exact integer micros, shares one IEEE
+    // division at the edge. A static band frame left-joins the observed
+    // counts so an empty band shows as zero rather than vanishing.
+    "events_inter_arrival" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val gaps = t(s, sf, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .where(col("gap").isNotNull)
+      val MinUs = 60000000L; val HourUs = 3600000000L
+      val banded = gaps.select(
+        when(col("gap") < MinUs, 1)
+          .when(col("gap") < 10 * MinUs, 2)
+          .when(col("gap") < HourUs, 3)
+          .when(col("gap") < 24 * HourUs, 4)
+          .otherwise(5).cast("long").as("band"), col("gap"))
+      val stats = banded.groupBy("band")
+        .agg(count(lit(1)).as("n_gaps"), min(col("gap")).as("min_us"),
+          max(col("gap")).as("max_us"))
+      val tot = gaps.agg(count(lit(1)).as("nt"))
+      val bands = t(s, sf, "region").sparkSession.range(1, 6)
+        .select(col("id").as("band"))
+      bands.join(stats, Seq("band"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("band"),
+          coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+          col("min_us"), col("max_us"),
+          round(coalesce(col("n_gaps"), lit(0L)).cast("double") / col("nt"),
+            6).as("share"))
+        .orderBy("band")
+    }),
+
     // Lorenz curve over user activity (round 15) — events_pareto's decile
     // view made a proper cumulative-distribution curve (Lorenz 1905; the
     // Gini construction's x-axis): users ranked ASCENDING by event count
@@ -1722,6 +1761,27 @@ object Events {
            CAST(sum(n) AS BIGINT) AS n_events,
            round(CAST(sum(n) AS DOUBLE) / max(tot), 6) AS share
          FROM u, q, tot GROUP BY 1 ORDER BY 1""",
+    "events_inter_arrival" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           g AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS gap FROM e),
+           gaps AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+           banded AS (SELECT CAST(CASE
+                 WHEN gap < 60000000 THEN 1
+                 WHEN gap < 600000000 THEN 2
+                 WHEN gap < 3600000000 THEN 3
+                 WHEN gap < 86400000000 THEN 4
+                 ELSE 5 END AS BIGINT) AS band, gap FROM gaps),
+           stats AS (SELECT band, count(*) AS n_gaps, min(gap) AS min_us,
+               max(gap) AS max_us FROM banded GROUP BY 1),
+           tot AS (SELECT count(*) AS nt FROM gaps),
+           bands AS (SELECT unnest([1, 2, 3, 4, 5]) AS band)
+         SELECT CAST(bands.band AS BIGINT) AS band,
+           CAST(coalesce(n_gaps, 0) AS BIGINT) AS n_gaps, min_us, max_us,
+           round(CAST(coalesce(n_gaps, 0) AS DOUBLE)
+             / CAST((SELECT nt FROM tot) AS DOUBLE), 6) AS share
+         FROM bands LEFT JOIN stats ON stats.band = bands.band
+         ORDER BY band""",
     "events_lorenz" ->
       """WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
            r AS (SELECT user_id, n,

@@ -121,8 +121,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // edge frame (graph_reciprocity — the agg_ttest shape twice)
     "graph_eccentricity", "graph_reciprocity",
     // round 15: the 1-row grand-total scalar onto the GlobalRank kernel's
-    // output (agg_cdf: n; events_lorenz: (nu, ne)) — the agg_ttest shape
-    "agg_cdf", "events_lorenz")
+    // output (agg_cdf: n; events_lorenz: (nu, ne)) — the agg_ttest shape —
+    // and onto the 5-row band frame (events_inter_arrival)
+    "agg_cdf", "events_lorenz", "events_inter_arrival")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
