@@ -74,8 +74,11 @@ object FileBloom {
   }
 
   /** Build + write the `_bloom.tsv` sidecar for the batch at
-    * `dir/dataRel`. One distributed scan per call (all columns in one
-    * pass); driver state is files × columns bitmaps. */
+    * `dir/dataRel`. One distributed scan PER COLUMN (the per-column
+    * null filter keeps null rows out of the filter without polluting a
+    * shared pass; bloomCols is one or two key columns in practice, and
+    * the batch was just written so the re-reads are page-cache-warm);
+    * driver state is files × columns bitmaps. */
   private[operators] def write(spark: SparkSession, fs: FileSystem,
       dir: String, dataRel: String, bloomCols: Seq[String], mBits: Int,
       k: Int): Unit = {
