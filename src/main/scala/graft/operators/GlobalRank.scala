@@ -66,6 +66,24 @@ object GlobalRank {
       valCols: Seq[(String, String)], inclusive: Boolean,
       rnCol: Option[String] = None, numParts: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "prefix needs at least one order column")
+    // fail loudly on name collisions instead of silently corrupting: the
+    // kernel injects fixed internals (__pid, __s_/__o_<in>, __c, __oc) and
+    // re-selects df.columns at the end, so an input frame already carrying
+    // one of those names — or an output/rnCol name shadowing an input
+    // column — would produce wrong values, not an error
+    val internal = Set("__pid", "__c", "__oc") ++
+      valCols.flatMap { case (in, _) => Seq(s"__s_$in", s"__o_$in") }
+    val clash = df.columns.filter(internal)
+    require(clash.isEmpty,
+      s"prefix: input columns ${clash.mkString(", ")} collide with the " +
+        "kernel's internal names (__pid, __c, __oc, __s_*, __o_*) — rename them")
+    val outNames = valCols.map(_._2) ++ rnCol
+    val shadow = outNames.filter(df.columns.contains)
+    require(shadow.isEmpty,
+      s"prefix: output names ${shadow.mkString(", ")} shadow input " +
+        "columns — pick fresh output names")
+    require(outNames.distinct.size == outNames.size,
+      s"prefix: duplicate output names in ${outNames.mkString(", ")}")
     val spark = df.sparkSession
     val p =
       if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions

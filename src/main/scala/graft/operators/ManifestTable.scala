@@ -103,9 +103,9 @@ object ManifestTable {
 
   /** Manifest entries are table-relative by default; a SHALLOW CLONE
     * ([[clone]]) manifest lists the source's files absolutely. */
-  private def isAbsEntry(f: String): Boolean =
+  private[graft] def isAbsEntry(f: String): Boolean =
     f.startsWith("/") || f.contains("://")
-  private def resolve(dir: String, f: String): String =
+  private[graft] def resolve(dir: String, f: String): String =
     if (isAbsEntry(f)) f else s"$dir/$f"
 
   /** Read snapshot `version` (default: the latest committed). The file
@@ -357,6 +357,13 @@ object ManifestTable {
   private def publishFileList(spark: SparkSession, dir: String,
       files: Seq[String], cas: CommitCas): Long = {
     val fs = fsOf(spark, dir)
+    // same guard commit() enforces: restore()/clone()-into-existing must
+    // not publish new head versions into a catalog-managed table behind
+    // the catalog's back — the catalog's pinned version is the contract
+    if (fs.exists(new Path(dir, CatalogManagedMarker)))
+      throw new IllegalStateException(
+        s"$dir is catalog-managed: restore/clone may not publish a new " +
+          "manifest head behind the catalog. Publish through Catalog.commit.")
     fs.mkdirs(manifestDir(dir))
     var committed = -1L
     while (committed < 0) {
@@ -669,18 +676,33 @@ object ManifestTable {
     */
   def readPruned(spark: SparkSession, dir: String, preds: Seq[StatsPred],
       version: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
     require(preds.nonEmpty, "readPruned without predicates is read()")
     val (kept, _) = pruneFiles(spark, dir, preds, version)
+    val base =
+      if (kept.isEmpty) read(spark, dir, version)
+      else spark.read.parquet(kept.map(resolve(dir, _)): _*)
+    // numeric predicate values against a TIMESTAMP column are epoch
+    // MICROS (the StatsPred doc's numeric form — the same interpretation
+    // predTsMicros uses for pruning). A bare lit(n) would be
+    // timestamp-vs-bigint: AnalysisException, or a seconds-based coercion
+    // disagreeing with the prune decision — so the residual materializes
+    // the micros explicitly and prune + filter share one interpretation.
+    val fields = base.schema.fields.map(f => f.name -> f.dataType).toMap
+    def litFor(c: String, v: Any): Column = (fields.get(c), v) match {
+      case (Some(org.apache.spark.sql.types.TimestampType), n: Number) =>
+        timestamp_micros(lit(n.longValue))
+      case _ => lit(v)
+    }
     val residual = preds.map {
-      case ColGe(c, v) => col(c) >= lit(v)
-      case ColGt(c, v) => col(c) > lit(v)
-      case ColLe(c, v) => col(c) <= lit(v)
-      case ColLt(c, v) => col(c) < lit(v)
-      case ColEq(c, v) => col(c) === lit(v)
+      case ColGe(c, v) => col(c) >= litFor(c, v)
+      case ColGt(c, v) => col(c) > litFor(c, v)
+      case ColLe(c, v) => col(c) <= litFor(c, v)
+      case ColLt(c, v) => col(c) < litFor(c, v)
+      case ColEq(c, v) => col(c) === litFor(c, v)
     }.reduce(_ && _)
-    if (kept.isEmpty) read(spark, dir, version).where(residual).limit(0)
-    else spark.read.parquet(kept.map(resolve(dir, _)): _*).where(residual)
+    if (kept.isEmpty) base.where(residual).limit(0)
+    else base.where(residual)
   }
 
   /** Retention: keep the latest `keepLast` manifests, delete older ones,

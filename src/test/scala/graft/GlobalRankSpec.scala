@@ -140,4 +140,33 @@ class GlobalRankSpec extends AnyFunSuite with SparkFixture with Matchers {
       withClue(s"$q: ") { lw shouldBe empty }
     }
   }
+
+  test("prefix fails loudly on internal/output name collisions instead of " +
+      "silently corrupting") {
+    import spark.implicits._
+    val d = Seq((1L, 2L)).toDF("v", "c")
+    // input already carries a kernel-internal name
+    val exPid = intercept[IllegalArgumentException] {
+      GlobalRank.prefix(d.withColumnRenamed("c", "__pid"), Nil, Seq("v"),
+        Seq("v" -> "cum"), inclusive = true)
+    }
+    exPid.getMessage should include("__pid")
+    intercept[IllegalArgumentException] {
+      GlobalRank.prefix(d.withColumnRenamed("v", "__o_c"), Nil, Seq("c"),
+        Seq("c" -> "cum"), inclusive = true)
+    }
+    // output name shadowing an input column
+    val exOut = intercept[IllegalArgumentException] {
+      GlobalRank.prefix(d, Nil, Seq("v"), Seq("c" -> "v"), inclusive = true)
+    }
+    exOut.getMessage should include("shadow")
+    // rnCol shadowing an input column
+    intercept[IllegalArgumentException] {
+      GlobalRank.prefix(d, Nil, Seq("v"), Seq("c" -> "cum"),
+        inclusive = true, rnCol = Some("c"))
+    }
+    // clean names still work
+    GlobalRank.prefix(d, Nil, Seq("v"), Seq("c" -> "cum"), inclusive = true)
+      .select("cum").as[Long].collect() shouldBe Array(2L)
+  }
 }

@@ -892,4 +892,49 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     ManifestTable.pruneFiles(spark, dir, pred)._1.size shouldBe 1
     ManifestTable.readPruned(spark, dir, pred).count() shouldBe 1L
   }
+
+  test("readPruned: numeric epoch-micros timestamp predicates filter rows " +
+      "with the same interpretation the prune uses") {
+    import ManifestTable.{ColGe, ColLt}
+    import spark.implicits._
+    val dir = tmpDir()
+    val d = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.parse("2024-01-10T00:00:00Z"))),
+      (2L, java.sql.Timestamp.from(java.time.Instant.parse("2024-01-20T00:00:00Z"))))
+      .toDF("k", "ts").repartition(1)
+    ManifestTable.commit(spark, dir, d, statsCols = Seq("ts"))
+    val cut = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .toEpochMilli * 1000L
+    // the documented numeric StatsPred form: epoch MICROS. Before round 16
+    // the residual built col(ts) >= lit(bigint) — AnalysisException (or a
+    // seconds-based coercion disagreeing with the micros-based prune).
+    ManifestTable.readPruned(spark, dir, Seq(ColGe("ts", cut)))
+      .select("k").as[Long].collect().toSet shouldBe Set(2L)
+    ManifestTable.readPruned(spark, dir, Seq(ColLt("ts", cut)))
+      .select("k").as[Long].collect().toSet shouldBe Set(1L)
+  }
+
+  test("restore/clone refuse to publish a head into a catalog-managed table " +
+      "(the same guard commit enforces)") {
+    val dir = tmpDir()
+    Catalog.commit(spark, dir, Map("a" -> df(1L -> "a1")))
+    Catalog.commit(spark, dir, Map("a" -> df(2L -> "a2")))
+    val member = s"$dir/a"
+    // restore would republish an old snapshot as a NEW member head the
+    // catalog never pinned — the pinned-version invariant breaks silently
+    val ex = intercept[IllegalStateException] {
+      ManifestTable.restore(spark, member, 1L)
+    }
+    ex.getMessage should include("catalog-managed")
+    // clone INTO the managed dir is the same back-door write
+    val src = tmpDir()
+    ManifestTable.commit(spark, src, df(9L -> "src"))
+    intercept[IllegalStateException] {
+      ManifestTable.clone(spark, src, member)
+    }
+    // cloning FROM a catalog-managed member into a fresh dir stays legal
+    val out = tmpDir()
+    ManifestTable.clone(spark, member, out)
+    asSet(ManifestTable.read(spark, out)) shouldBe Set(2L -> "a2")
+  }
 }

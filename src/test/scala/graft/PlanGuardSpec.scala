@@ -125,16 +125,50 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     // and onto the 5-row band frame (events_inter_arrival)
     "agg_cdf", "events_lorenz", "events_inter_arrival")
 
-  test("no declared query plans a cartesian or nested-loop join") {
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(quadraticByContract)
-      .filterNot(constantSideByConstruction)
-      .flatMap { name =>
-        val plan = SparkEntry.queries(name)(spark, sf001)
-          .queryExecution.executedPlan.toString
-        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
-        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+  // The four adjudicated partition-less-window exemptions (r15 verdict
+  // item 7): their frames run over a DAY/HOUR-domain aggregate — input
+  // rows bounded by the time domain, never the corpus. The sweep below
+  // mechanizes that invariant: a partition-less window anywhere else, or
+  // one of these four widened to raw rows (the collapse aggregate gone
+  // from under the window), fails the suite.
+  private val dayDomainWindows = Set(
+    "ts_cum_users", "ts_changepoint", "events_survival", "ts_decompose")
+
+  test("plan sweep: no cartesian/nested-loop joins; partition-less windows " +
+      "only above day/hour-domain collapse aggregates") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // every path from the window to a leaf must pass a collapse Aggregate
+    // (grouped: bounded by the group domain; global: one row) — the
+    // structural fact that makes the frame's input row count domain-bound
+    def collapsedBeforeLeaves(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case l if l.children.isEmpty => false
+      case other => other.children.forall(collapsedBeforeLeaves)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val qe = SparkEntry.queries(name)(spark, sf001).queryExecution
+      val joinBad =
+        if (quadraticByContract(name) || constantSideByConstruction(name)) Nil
+        else {
+          val plan = qe.executedPlan.toString
+          Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+            .filter(plan.contains).map(b => s"$name: $b")
+        }
+      val pless = qe.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
       }
+      val winBad =
+        if (pless.isEmpty) Nil
+        else if (!dayDomainWindows(name))
+          Seq(s"$name: partition-less window outside the adjudicated " +
+            "day-domain exemption set")
+        else if (!pless.forall(w => collapsedBeforeLeaves(w.child)))
+          Seq(s"$name: partition-less window reads rows no aggregate " +
+            "collapsed — corpus-bound, not domain-bound")
+        else Nil
+      joinBad ++ winBad
+    }
     offenders shouldBe empty
   }
 

@@ -859,13 +859,13 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
         if (r.isNullAt(1)) -1L else r.getLong(1),
         Option(r.getString(2)).getOrElse("-"))).toSet
     got shouldBe want
-    // map columns must be rejected at stream build, not mangled
-    val tbl2 = s"$base/tbl2"
-    graft.operators.ManifestTable.commit(spark, tbl2,
-      Seq((1L, Map("a" -> 1))).toDF("id", "m"))
+    // genuinely unsupported types (intervals) still refuse at stream
+    // build, not mangled — the refusal contract survives the round-16
+    // map/decimal green paths
     val q2 = spark.readStream
       .format(classOf[graft.streaming.ManifestTableProvider].getName)
-      .option("path", tbl2).load()
+      .schema("id BIGINT, iv INTERVAL YEAR")
+      .option("path", tbl).load()
       .writeStream.format("memory").queryName("msrc_bad").start()
     val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q2.processAllAvailable(); q2.awaitTermination(20000); ()
@@ -873,5 +873,101 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     q2.stop()
     ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("") should
       include("unsupported type")
+  }
+
+  test("manifest stream source: map + decimal tables round-trip through " +
+      "produce -> stream -> TxnSink -> read (r15 verdict item 4)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-msrc10").toString
+    val (tbl, out, ckpt) = (s"$base/tbl", s"$base/out", s"$base/ckpt")
+    // map<string,long> (incl. empty and null-valued entries), decimal(12,2)
+    // (int64-encoded) and decimal(24,6) (fixed-len binary, incl. negative)
+    // — in TWO commits so the stream sees real batches
+    def mk(rows: Seq[(Long, Map[String, java.lang.Long], String, String)]) =
+      rows.toDF("id", "m", "d1s", "d2s")
+        .select(col("id"), col("m"),
+          col("d1s").cast("decimal(12,2)").as("d1"),
+          col("d2s").cast("decimal(24,6)").as("d2"))
+    val src1 = mk(Seq(
+      (1L, Map("a" -> java.lang.Long.valueOf(1L), "b" -> (null: java.lang.Long)),
+        "12345.67", "-98765432109876.543210"),
+      (2L, Map.empty[String, java.lang.Long], null, "0.000001")))
+    val src2 = mk(Seq(
+      (3L, Map("z" -> java.lang.Long.valueOf(9L)), "-0.01", null)))
+    graft.operators.ManifestTable.commit(spark, tbl, src1)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.streaming.ManifestTableProvider].getName)
+        .option("path", tbl).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.TxnSink.commitBatch(out, b, id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    graft.operators.ManifestTable.commit(spark, tbl, src2)
+    drain()
+    // hash parity: the sink table equals the union of the committed batches
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), to_json(struct(
+        map_entries(col("m")).as("me"), col("d1"), col("d2"))))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    canon(graft.operators.ManifestTable.read(spark, out)) shouldBe
+      canon(src1.unionAll(src2))
+    // and the sink's schema kept the exact decimal precision/scale
+    val outSchema = graft.operators.ManifestTable.read(spark, out).schema
+    outSchema("d1").dataType.simpleString shouldBe "decimal(12,2)"
+    outSchema("d2").dataType.simpleString shouldBe "decimal(24,6)"
+  }
+
+  test("manifest stream source: bloom sidecars prune point-lookup batches " +
+      "where min/max stats cannot (the streaming half of SkipProf's bloom leg)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-msrc8").toString
+    val tbl = s"$base/tbl"
+    // every batch spans the SAME lexical id range (a*..z*) so min/max
+    // stats keep all files for an equality lookup; only the bloom sidecar
+    // can tell which file actually holds the key
+    def mk(tag: Int) = Seq((s"a$tag", tag.toLong), (s"m$tag", tag.toLong),
+      (s"z$tag", tag.toLong)).toDF("id", "n").repartition(1)
+    (1 to 3).foreach(i => graft.operators.ManifestTable.commit(spark, tbl,
+      mk(i), statsCols = Seq("id"), bloomCols = Seq("id")))
+    val q = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).option("skipFilters", "id = m2").load()
+      .where(col("id") === "m2") // the residual stays the semantics
+      .writeStream.format("memory").queryName("msrc_bloom").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("msrc_bloom").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet shouldBe Set("m2" -> 2L)
+    // stats alone keep all 9 rows (overlapping ranges); the bloom probe
+    // must open only batch 2's file — 3 rows fed the stream, not 9
+    val fed = q.recentProgress.map(_.numInputRows).sum
+    fed shouldBe 3L
+  }
+
+  test("manifest stream source: streaming from a shallow CLONE resolves " +
+      "absolute source entries (no corrupt <clone>//src paths)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-msrc9").toString
+    val (src, dst) = (s"$base/src", s"$base/dst")
+    def mk(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    graft.operators.ManifestTable.commit(spark, src, mk(1, 3))
+    graft.operators.ManifestTable.clone(spark, src, dst)
+    // a LOCAL append mixes relative entries with the clone's absolute ones
+    graft.operators.ManifestTable.commit(spark, dst, mk(4, 5))
+    val q = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", dst).load()
+      .writeStream.format("memory").queryName("msrc_clone").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("msrc_clone").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      (1 to 5).map(i => (i.toLong, s"r$i")).toSet
   }
 }

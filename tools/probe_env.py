@@ -15,7 +15,15 @@ import glob
 import os
 import sys
 
+import duckdb
+import pyarrow
 import pyarrow.parquet as pq
+
+# Oracle engine versions (round-16 verdict item 2): the r15 `agg_cdf` red
+# reproduced on the driver but not locally — a cross-engine rounding edge
+# that could have been a DuckDB version skew. Record the versions in the
+# contract line so any future red carries them.
+print(f"oracle engines: duckdb={duckdb.__version__} pyarrow={pyarrow.__version__}")
 
 # The documented contract (SURVEY.md §1, 2026-08-13 corpus): every
 # timestamp column is us-precision with isAdjustedToUTC=false (NTZ).
