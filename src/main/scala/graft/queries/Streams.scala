@@ -19,6 +19,19 @@ object Streams {
     * distinct driver runs never share streaming state. */
   private lazy val runTag = java.util.UUID.randomUUID().toString.take(8)
 
+  /** Per-invocation sequence for the manifest/TxnSink stream fixtures
+    * (round 16, r15 verdict item 5): the SOURCE staging is memoized per
+    * JVM (one fixture cost), but the checkpoint + sink are FRESH per
+    * invocation so every run times the real consume path. The r15 bench
+    * "regression" (0.62 → 2.06 s) was an artifact of the old fully-
+    * memoized dirs: Bench's outlier-retry pass re-ran the query against
+    * an existing checkpoint, measured a no-op drain, and min() reported
+    * that — the number measured nothing. MsrcProf pins the real split
+    * (staging ≈ 0.9 s fixture, drain ≈ 0.7 s of which TxnSink addBatch
+    * ≈ 0.4 s, readback ≈ 0.6 s; the r15 admission-control and
+    * nested-converter suspects cost ≤ 14 ms of latestOffset+planning). */
+  private val invocation = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Write-once event-time transforms: valid on a batch DataFrame (declared
     * queries below) and on a readStream DataFrame (StreamingSpec). Results
     * are unordered — batch callers add their ORDER BY.
@@ -122,15 +135,20 @@ object Streams {
     // batchId (the foreachBatch crash-retry) and reads the table back.
     // Hash-matching the plain-table oracle IS the exactly-once assertion:
     // one lost batch fails counts low, one duplicated replay fails them
-    // high. Re-runs inside one JVM are deterministic twice over — the
-    // checkpoint yields no new files and committed tags skip. Scale:
+    // high. Re-runs inside one JVM are deterministic — the memoized
+    // input re-streams into a FRESH sink+checkpoint each invocation
+    // (see [[invocation]]), landing the identical committed set. Scale:
     // per batch one parquet write + one O(files) manifest swap; the
     // aggregate reads the manifest's file list, never a directory
     // listing.
     "stream_sink_txn" -> ((s, sf) => {
       val tag = new java.io.File(sf).getName
       val base = s"${sys.props("java.io.tmpdir")}/graft_txnsink_${runTag}_$tag"
-      val (inDir, tblDir, ckpt) = (s"$base/in", s"$base/tbl", s"$base/ckpt")
+      // source memoized; sink + checkpoint fresh per invocation (see
+      // [[invocation]]) so a re-run times a real consume, not a no-op
+      val inv = invocation.incrementAndGet()
+      val (inDir, tblDir, ckpt) =
+        (s"$base/in", s"$base/run$inv/tbl", s"$base/run$inv/ckpt")
       // stage the source ONCE per JVM: a re-run must re-observe the same
       // committed table, not feed the checkpointed stream a fresh set of
       // part filenames (which would be new data to a file source — the
@@ -181,15 +199,20 @@ object Streams {
     // oracle proves the whole produce→stream→commit→read loop loses and
     // duplicates nothing (including the timestamp column surviving the
     // parquet-physical-type round trip). Re-runs in one JVM are
-    // deterministic: the source commits stage once, the checkpointed
-    // stream consumes nothing new, and the tagged sink commits no-op.
+    // deterministic: the source commits stage once; the stream drains
+    // them into a FRESH sink+checkpoint each invocation (see
+    // [[invocation]]), landing the identical committed set.
     // Scale: planning a batch is two manifest reads + a set diff; each
     // added file is one input partition — a consumer pays O(increment),
     // never O(table).
     "stream_manifest_source" -> ((s, sf) => {
       val tag = new java.io.File(sf).getName
       val base = s"${sys.props("java.io.tmpdir")}/graft_msrc_${runTag}_$tag"
-      val (srcTbl, outTbl, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      // source memoized; sink + checkpoint fresh per invocation (see
+      // [[invocation]]) so a re-run times a real consume, not a no-op
+      val inv = invocation.incrementAndGet()
+      val (srcTbl, outTbl, ckpt) =
+        (s"$base/src", s"$base/run$inv/out", s"$base/run$inv/ckpt")
       if (graft.operators.ManifestTable.versions(s, srcTbl).isEmpty) {
         val e = t(s, sf, "events")
         (0 to 2).foreach { r =>
@@ -229,7 +252,11 @@ object Streams {
     "stream_manifest_ratelimit" -> ((s, sf) => {
       val tag = new java.io.File(sf).getName
       val base = s"${sys.props("java.io.tmpdir")}/graft_msrl_${runTag}_$tag"
-      val (srcTbl, outTbl, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      // source memoized; sink + checkpoint fresh per invocation (see
+      // [[invocation]]) so a re-run times a real consume, not a no-op
+      val inv = invocation.incrementAndGet()
+      val (srcTbl, outTbl, ckpt) =
+        (s"$base/src", s"$base/run$inv/out", s"$base/run$inv/ckpt")
       if (graft.operators.ManifestTable.versions(s, srcTbl).isEmpty) {
         val e = t(s, sf, "events")
         (0 to 2).foreach { r =>
