@@ -94,12 +94,30 @@ object ManifestTable {
     }).sorted
   }
 
-  private def manifestFiles(fs: FileSystem, dir: String, v: Long): Seq[String] = {
+  /** Manifest line prefix marking a row-level DELETE sidecar entry
+    * (round 16, merge-on-read): the rest of the line is the (relative or
+    * absolute) path of a parquet dir with schema (file STRING, pos
+    * BIGINT) — the positions [[deleteWhere]] removed. Data entries carry
+    * no prefix, so pre-16 manifests parse unchanged. */
+  private val DeletePrefix = "delete:"
+
+  /** ALL manifest lines of version `v`, verbatim (data + delete entries) —
+    * what append commits, restore and clone must carry forward. */
+  private def manifestLines(fs: FileSystem, dir: String, v: Long): Seq[String] = {
     val in = fs.open(new Path(manifestDir(dir), s"v$v.manifest"))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  /** DATA file entries of version `v` (delete sidecar lines excluded). */
+  private def manifestFiles(fs: FileSystem, dir: String, v: Long): Seq[String] =
+    manifestLines(fs, dir, v).filterNot(_.startsWith(DeletePrefix))
+
+  /** Row-level delete sidecar paths of version `v`. */
+  private def manifestDeletes(fs: FileSystem, dir: String, v: Long): Seq[String] =
+    manifestLines(fs, dir, v).filter(_.startsWith(DeletePrefix))
+      .map(_.stripPrefix(DeletePrefix))
 
   /** Manifest entries are table-relative by default; a SHALLOW CLONE
     * ([[clone]]) manifest lists the source's files absolutely. */
@@ -117,11 +135,107 @@ object ManifestTable {
     require(vs.nonEmpty, s"$dir has no committed snapshot")
     val v = if (version < 0) vs.last else version
     require(vs.contains(v), s"version $v not in committed set $vs")
-    val files = manifestFiles(fsOf(spark, dir), dir, v)
+    val fs = fsOf(spark, dir)
+    val files = manifestFiles(fs, dir, v)
     if (files.isEmpty)
       spark.emptyDataFrame
     else
-      spark.read.parquet(files.map(resolve(dir, _)): _*)
+      applyDeletes(spark, dir, manifestDeletes(fs, dir, v),
+        spark.read.parquet(files.map(resolve(dir, _)): _*))
+  }
+
+  /** Merge-on-read: anti-join `df` (a parquet scan of this table's files)
+    * against the snapshot's delete sidecars on (_metadata.file_path,
+    * _metadata.row_index). The delete side is O(deleted rows) and usually
+    * tiny (broadcast-able; AQE decides); no data file is ever rewritten
+    * until OPTIMIZE/replace materializes. A df that is NOT a direct file
+    * scan cannot resolve _metadata — callers pass the scan itself. */
+  private def applyDeletes(spark: SparkSession, dir: String,
+      dels: Seq[String], df: DataFrame): DataFrame =
+    if (dels.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val cols = df.columns
+      val withMeta = df
+        .withColumn("__graft_del_f", col("_metadata.file_path"))
+        .withColumn("__graft_del_p", col("_metadata.row_index"))
+      val delDf = spark.read.parquet(dels.map(resolve(dir, _)): _*)
+        .select(col("file").as("__graft_del_f"),
+          col("pos").as("__graft_del_p"))
+      withMeta.join(delDf, Seq("__graft_del_f", "__graft_del_p"), "left_anti")
+        .select(cols.map(col): _*)
+    }
+
+  /** Row-level DELETE (round 16) — Delta deletion-vectors / Iceberg
+    * position-deletes shape, merge-on-read: rows of the head snapshot
+    * matching `pred` are recorded as (file, row-position) pairs in a
+    * delete sidecar under `_deletes/`, and a new manifest version
+    * republishes the SAME data files plus the sidecar entry. No data file
+    * is rewritten — the delete is one distributed position scan plus one
+    * manifest write; readers ([[read]]/[[readPruned]]) anti-join the
+    * positions out until a REPLACE commit (e.g. OPTIMIZE's rewrite of
+    * [[read]]'s output) materializes them and drops the entries.
+    * Time travel is preserved: prior versions still read the rows.
+    *
+    * Concurrency: computed against the head; if ANY commit lands first,
+    * throws ConcurrentModificationException (the positions were computed
+    * from files a concurrent writer may have replaced — OCC, Delta's
+    * DELETE stance). Streaming: a version window that ADDS delete entries
+    * refuses to stream (file-granularity CDC cannot express row deletes);
+    * materialize first.
+    *
+    * Returns the new version, or the current head if nothing matched.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, pred: Column,
+      cas: CommitCas = RenameCas): Long = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsOf(spark, dir)
+    if (fs.exists(new Path(dir, CatalogManagedMarker)))
+      throw new IllegalStateException(
+        s"$dir is catalog-managed: deleteWhere may not publish a new " +
+          "manifest head behind the catalog. Publish through Catalog.commit.")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir has no committed snapshot")
+    val v0 = vs.last
+    val files = manifestFiles(fs, dir, v0)
+    if (files.isEmpty) return v0
+    // live rows only: already-deleted positions must not bloat the new
+    // sidecar (idempotent re-delete writes nothing). The (file, pos) meta
+    // columns are captured BEFORE the existing-deletes anti-join —
+    // _metadata resolves only on the scan itself, not on derived frames.
+    val scan = spark.read.parquet(files.map(resolve(dir, _)): _*)
+      .withColumn("__graft_del_f", col("_metadata.file_path"))
+      .withColumn("__graft_del_p", col("_metadata.row_index"))
+    val existing = manifestDeletes(fs, dir, v0)
+    val live =
+      if (existing.isEmpty) scan
+      else scan.join(
+        spark.read.parquet(existing.map(resolve(dir, _)): _*)
+          .select(col("file").as("__graft_del_f"),
+            col("pos").as("__graft_del_p")),
+        Seq("__graft_del_f", "__graft_del_p"), "left_anti")
+    val matched = live.where(pred)
+      .select(col("__graft_del_f").as("file"),
+        col("__graft_del_p").as("pos"))
+    val rel = s"_deletes/${java.util.UUID.randomUUID()}.parquet"
+    // distributed write — the position set never lands on the driver
+    matched.write.parquet(s"$dir/$rel")
+    val n = spark.read.parquet(s"$dir/$rel").limit(1).count()
+    if (n == 0L) { fs.delete(new Path(s"$dir/$rel"), true); return v0 }
+    val next = v0 + 1
+    val tmp = new Path(manifestDir(dir), s".tmp-del-${java.util.UUID.randomUUID()}")
+    val content = ((manifestLines(fs, dir, v0) :+ s"$DeletePrefix$rel")
+      .mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val won = versions(spark, dir).last == v0 &&
+      cas.claim(fs, tmp, new Path(manifestDir(dir), s"v$next.manifest"), content)
+    if (!won) {
+      fs.delete(new Path(s"$dir/$rel"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"deleteWhere computed against v$v0 but the head moved — the " +
+          "positions may reference replaced files; re-run against the new head")
+    }
+    next
   }
 
   /** Commit `df` as the next snapshot: append (new files join the current
@@ -260,8 +374,10 @@ object ManifestTable {
       // the base file set is re-resolved on every CAS attempt: losing the
       // race means the head moved, and an append must append to the NEW
       // head, not the one read before the race
+      // manifestLines, not manifestFiles: an append must carry the head's
+      // delete sidecar entries forward or deleted rows would resurrect
       val base = if (replace || vs.isEmpty) Seq.empty
-                 else manifestFiles(fs, dir, vs.last)
+                 else manifestLines(fs, dir, vs.last)
       // the slot claim is the pluggable primitive (CommitCas): rename CAS
       // on stores with atomic fail-on-existing rename, the lock-file shim
       // on raw object stores — same one-winner-per-slot contract either way
@@ -309,7 +425,10 @@ object ManifestTable {
       // the to-version snapshot, not an empty zero-column frame
       read(spark, dir, to).limit(0)
     else
-      spark.read.parquet(added.map(resolve(dir, _)): _*)
+      // the to-version's row-level deletes apply to the increment too —
+      // a consumer of (from, to] must not receive rows to already deleted
+      applyDeletes(spark, dir, manifestDeletes(fs, dir, to),
+        spark.read.parquet(added.map(resolve(dir, _)): _*))
   }
 
   /** SHALLOW (zero-copy) snapshot clone — Delta's `CLONE TABLE` shape
@@ -332,10 +451,15 @@ object ManifestTable {
     val v = if (version < 0) vs.last else version
     require(vs.contains(v), s"version $v not in committed set $vs")
     // resolve against the source ONCE: entries become source-rooted
-    // absolute paths (cloning a clone keeps already-absolute entries)
-    val files = manifestFiles(fsOf(spark, srcDir), srcDir, v)
-      .map(resolve(srcDir, _))
-    publishFileList(spark, dstDir, files, cas)
+    // absolute paths (cloning a clone keeps already-absolute entries);
+    // delete sidecar entries resolve the same way, so a clone of a
+    // merge-on-read snapshot keeps its row-level deletes applied
+    val lines = manifestLines(fsOf(spark, srcDir), srcDir, v).map { l =>
+      if (l.startsWith(DeletePrefix))
+        DeletePrefix + resolve(srcDir, l.stripPrefix(DeletePrefix))
+      else resolve(srcDir, l)
+    }
+    publishFileList(spark, dstDir, lines, cas)
   }
 
   /** RESTORE — Delta's `RESTORE TABLE ... VERSION AS OF` shape (round 15):
@@ -349,7 +473,7 @@ object ManifestTable {
     require(vs.contains(version),
       s"version $version not in committed set $vs (expired?)")
     publishFileList(spark, dir,
-      manifestFiles(fsOf(spark, dir), dir, version), cas)
+      manifestLines(fsOf(spark, dir), dir, version), cas)
   }
 
   /** CAS-publish an explicit file list as the next snapshot at `dir` —
@@ -679,9 +803,12 @@ object ManifestTable {
     import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
     require(preds.nonEmpty, "readPruned without predicates is read()")
     val (kept, _) = pruneFiles(spark, dir, preds, version)
+    val vs = versions(spark, dir)
+    val v = if (version < 0) vs.last else version
     val base =
       if (kept.isEmpty) read(spark, dir, version)
-      else spark.read.parquet(kept.map(resolve(dir, _)): _*)
+      else applyDeletes(spark, dir, manifestDeletes(fsOf(spark, dir), dir, v),
+        spark.read.parquet(kept.map(resolve(dir, _)): _*))
     // numeric predicate values against a TIMESTAMP column are epoch
     // MICROS (the StatsPred doc's numeric form — the same interpretation
     // predTsMicros uses for pruning). A bare lit(n) would be
@@ -726,6 +853,17 @@ object ManifestTable {
     if (fs.exists(dataRoot))
       fs.listStatus(dataRoot).foreach { st =>
         if (!live.contains(s"data/${st.getPath.getName}"))
+          fs.delete(st.getPath, true)
+      }
+    // same sweep for row-level delete sidecars: a sidecar no retained
+    // manifest references is invisible garbage (absolute entries — a
+    // clone's references into its source — are the source's to vacuum)
+    val liveDel = keep.flatMap(v => manifestDeletes(fs, dir, v))
+      .filterNot(isAbsEntry).toSet
+    val delRoot = new Path(dir, "_deletes")
+    if (fs.exists(delRoot))
+      fs.listStatus(delRoot).foreach { st =>
+        if (!liveDel.contains(s"_deletes/${st.getPath.getName}"))
           fs.delete(st.getPath, true)
       }
   }

@@ -468,6 +468,63 @@ object Sources {
     // preserved — the bad snapshot stays readable for audit; one
     // manifest write, no data moves). Hash-matching the plain-table
     // oracle proves the restored head is exactly the original snapshot.
+    // row-level DELETE, merge-on-read (round 16) — the Delta
+    // deletion-vectors / Iceberg position-deletes surface: events land as
+    // three appends, then `deleteWhere(event_type = 'view')` records the
+    // matching (file, row-position) pairs in a delete sidecar and
+    // republishes the SAME data files + the sidecar as a new version —
+    // no data file is rewritten, the delete costs one distributed
+    // position scan + one manifest write. read() anti-joins the
+    // positions out (the delete side is O(deleted rows), broadcast-able;
+    // AQE decides). The oracle is the plain-table aggregate WITHOUT the
+    // deleted type: hash-matching proves merge-on-read removes exactly
+    // the predicate's rows and nothing else. At 100 TB this is how GDPR/
+    // retention deletes run — metadata-speed now, materialized by the
+    // nightly OPTIMIZE.
+    "manifest_delete" -> ((s, sf) => {
+      import graft.operators.ManifestTable
+      val dir = tmp(sf, "mordelete")
+      if (ManifestTable.versions(s, dir).isEmpty) {
+        val e = t(s, sf, "events")
+        (0 to 2).foreach(r => ManifestTable.commit(s, dir,
+          e.filter(pmod(col("event_id"), lit(3)) === r)))
+        ManifestTable.deleteWhere(s, dir, col("event_type") === "view")
+      }
+      ManifestTable.read(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          graft.T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // DELETE materialization (round 16) — the OPTIMIZE half of the
+    // merge-on-read story: after the row-level delete above, a REPLACE
+    // commit of read()'s output rewrites the survivors into fresh files
+    // and drops the delete entries — readers stop paying the anti-join,
+    // the sidecars become vacuumable, and streaming (which refuses
+    // windows that ADD deletes) can pass the materialized version. Same
+    // oracle as manifest_delete: materialization must move bytes, never
+    // values.
+    "manifest_delete_compact" -> ((s, sf) => {
+      import graft.operators.ManifestTable
+      val dir = tmp(sf, "mordeletec")
+      if (ManifestTable.versions(s, dir).isEmpty) {
+        val e = t(s, sf, "events")
+        (0 to 2).foreach(r => ManifestTable.commit(s, dir,
+          e.filter(pmod(col("event_id"), lit(3)) === r)))
+        ManifestTable.deleteWhere(s, dir, col("event_type") === "view")
+        ManifestTable.commit(s, dir,
+          ManifestTable.read(s, dir).repartition(4), replace = true)
+      }
+      ManifestTable.read(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          graft.T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "manifest_restore" -> ((s, sf) => {
       val dir = tmp(sf, "restore")
       val c = t(s, sf, "customer")
@@ -730,6 +787,21 @@ object Sources {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
            AND ts <  TIMESTAMP '2024-01-26 00:00:00'
+         GROUP BY 1 ORDER BY event_type""",
+    // merge-on-read delete: everything except the deleted type — if the
+    // anti-join removed one row too many/few, counts or the decimal sum
+    // hash-mismatch
+    "manifest_delete" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type <> 'view'
+         GROUP BY 1 ORDER BY event_type""",
+    "manifest_delete_compact" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type <> 'view'
          GROUP BY 1 ORDER BY event_type""",
     "manifest_restore" ->
       """SELECT c_mktsegment, count(*) AS n_cust,

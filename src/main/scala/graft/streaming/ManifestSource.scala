@@ -211,7 +211,7 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
         "VACUUM contract)"))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def files(v: Long): Seq[String] =
+    def lines(v: Long): Seq[String] =
       if (v <= 0L) Seq.empty
       else {
         val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/_manifests/v$v.manifest"))
@@ -219,8 +219,21 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
           .map(_.trim).filter(_.nonEmpty).toList
         finally in.close()
       }
-    val before = files(s).toSet
-    val added = files(e).filterNot(before)
+    val (delLinesS, fileLinesS) = lines(s).partition(_.startsWith("delete:"))
+    val (delLinesE, fileLinesE) = lines(e).partition(_.startsWith("delete:"))
+    // row-level deletes (round 16) are NOT expressible in this source's
+    // file-granularity CDC contract: a batch delivers whole added files,
+    // so positions deleted inside already-delivered files would silently
+    // stay delivered. Refuse loudly; materialize (OPTIMIZE/replace) and
+    // the delete entries vanish (a shrunk delete set is a replace — fine).
+    val newDels = delLinesE.toSet -- delLinesS.toSet
+    require(newDels.isEmpty,
+      s"version window ($s, $e] adds ${newDels.size} row-level delete " +
+        "sidecar(s) — row deletes are not expressible in the " +
+        "file-granularity streaming contract; OPTIMIZE/replace the table " +
+        "to materialize deletes before streaming past them")
+    val before = fileLinesS.toSet
+    val added = fileLinesE.filterNot(before)
     // pushed-filter file skipping: the batch half of readPruned — files
     // whose sidecar ranges cannot satisfy the pushed predicates never
     // open; files without stats always keep, and the engine re-applies

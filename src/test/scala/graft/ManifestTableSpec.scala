@@ -937,4 +937,112 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     ManifestTable.clone(spark, member, out)
     asSet(ManifestTable.read(spark, out)) shouldBe Set(2L -> "a2")
   }
+
+  // ---- row-level deletes, merge-on-read (round 16) ----
+
+  test("deleteWhere: merge-on-read removes exactly the predicate's rows; " +
+      "time travel, appends, restore and clone all compose") {
+    import spark.implicits._
+    val dir = tmpDir()
+    def mk(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd"))
+        .toDF("k", "v").repartition(2)
+    ManifestTable.commit(spark, dir, mk(1, 6))
+    val preDel = ManifestTable.commit(spark, dir, mk(7, 10))
+    val delV = ManifestTable.deleteWhere(spark, dir, col("v") === "even")
+    delV shouldBe preDel + 1
+    // merge-on-read: no data file rewritten, rows gone from the head
+    asSet(ManifestTable.read(spark, dir)) shouldBe
+      (1 to 10).filter(_ % 2 == 1).map(i => (i.toLong, "odd")).toSet
+    // time travel: the pre-delete snapshot still has every row
+    ManifestTable.read(spark, dir, preDel).count() shouldBe 10L
+    // an APPEND carries the delete entries forward (no resurrection)
+    ManifestTable.commit(spark, dir, mk(11, 12))
+    asSet(ManifestTable.read(spark, dir)) shouldBe
+      ((1 to 10).filter(_ % 2 == 1).map(i => (i.toLong, "odd")) ++
+        Seq(11L -> "odd", 12L -> "even")).toSet
+    // idempotent re-delete of already-gone rows publishes nothing...
+    val head = ManifestTable.versions(spark, dir).last
+    ManifestTable.deleteWhere(spark, dir, col("k") <= 10L && col("v") === "even")
+      .shouldBe(head)
+    // ...but deleting the NEW batch's even row works
+    ManifestTable.deleteWhere(spark, dir, col("k") === 12L)
+    asSet(ManifestTable.read(spark, dir)) shouldBe
+      ((1 to 10).filter(_ % 2 == 1).map(i => (i.toLong, "odd")) ++
+        Seq(11L -> "odd")).toSet
+    // incremental read of a window whose to-version carries deletes
+    // must not deliver deleted rows
+    asSet(ManifestTable.readIncremental(spark, dir, preDel)) shouldBe
+      Set(11L -> "odd")
+    // a CLONE of the merge-on-read head keeps the deletes applied
+    val cl = tmpDir()
+    ManifestTable.clone(spark, dir, cl)
+    asSet(ManifestTable.read(spark, cl)) shouldBe
+      asSet(ManifestTable.read(spark, dir))
+    // RESTORE to the pre-delete version resurrects the rows (as a new
+    // head; the delete versions stay in history)
+    ManifestTable.restore(spark, dir, preDel)
+    ManifestTable.read(spark, dir).count() shouldBe 10L
+  }
+
+  test("deleteWhere: readPruned composes skipping with the delete filter; " +
+      "REPLACE materializes and frees the sidecars for expire") {
+    import ManifestTable.ColGe
+    import spark.implicits._
+    val dir = tmpDir()
+    val d = (1 to 100).map(i => (i.toLong, i % 7)).toDF("k", "m")
+      .repartition(4)
+    ManifestTable.commit(spark, dir, d, statsCols = Seq("k"))
+    ManifestTable.deleteWhere(spark, dir, col("m") === 0)
+    // pruned read still applies the delete anti-join on the survivors
+    val got = ManifestTable.readPruned(spark, dir, Seq(ColGe("k", 50L)))
+      .select("k").as[Long].collect().toSet
+    got shouldBe (50 to 100).filterNot(_ % 7 == 0).map(_.toLong).toSet
+    // materialize: REPLACE from read() rewrites survivors, drops entries
+    ManifestTable.commit(spark, dir,
+      ManifestTable.read(spark, dir).repartition(2), replace = true)
+    ManifestTable.read(spark, dir).count() shouldBe
+      (1 to 100).filterNot(_ % 7 == 0).size.toLong
+    // expire to the materialized head → the _deletes sidecars are swept
+    ManifestTable.expire(spark, dir, keepLast = 1)
+    val delRoot = new java.io.File(s"$dir/_deletes")
+    (!delRoot.exists() || delRoot.listFiles().isEmpty) shouldBe true
+    // and the reader no longer pays the anti-join (plan has no Join)
+    ManifestTable.read(spark, dir).queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    } shouldBe empty
+  }
+
+  test("deleteWhere: streaming refuses a version window that adds deletes; " +
+      "materialized heads stream again") {
+    import spark.implicits._
+    val dir = tmpDir()
+    def mk(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    ManifestTable.commit(spark, dir, mk(1, 4))
+    ManifestTable.deleteWhere(spark, dir, col("k") <= 2L)
+    val q = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName("msrc_del").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination(20000); ()
+    }
+    q.stop()
+    (ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")) should
+      include("row-level delete")
+    // materialize → the table streams again, with the deletes applied
+    ManifestTable.commit(spark, dir,
+      ManifestTable.read(spark, dir).repartition(1), replace = true)
+    val q2 = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", dir)
+      .option("startingVersion",
+        (ManifestTable.versions(spark, dir).last - 1).toString).load()
+      .writeStream.format("memory").queryName("msrc_del2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.table("msrc_del2").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      Set(3L -> "r3", 4L -> "r4")
+  }
 }
