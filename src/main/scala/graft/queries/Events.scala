@@ -226,6 +226,57 @@ object Events {
         .orderBy("user_id")
     }),
 
+    // per-user maximum drawdown (round 16) — the classic running-peak
+    // statistic (finance's drawdown, SRE's burn-down) over each user's
+    // cumulative daily purchase value: cum_t = Σ value up to day t,
+    // dd_t = max(cum_1..t) − cum_t, report max_t dd_t. EXACT end to end:
+    // daily sums, the running cumulative, the running peak and the
+    // difference all stay DECIMAL(18,2)-exact; the one double cast is the
+    // final rendering. All three windows share the ONE user-keyed hash
+    // exchange (user-bounded partitions — the win_streak shape).
+    "win_drawdown" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, sf, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("dv"))
+        .withColumn("cum", sum(col("dv")).over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"),
+          (max(col("peak") - col("cum"))).cast("double").as("max_drawdown"))
+        .orderBy("user_id")
+    }),
+
+    // event-type AUDIENCE overlap (round 16) — "how much do the users who
+    // click overlap the users who purchase": exact Jaccard between the
+    // distinct-user sets of every type pair. The distinct (type, user)
+    // frame collapses the corpus FIRST; the pair fan-out is then per-user
+    // C(k,2) with k = |types| (≤ 10 here) — bounded by the type DOMAIN
+    // squared, never the corpus squared. Counts exact BIGINT; the one
+    // float is the final ratio of exact ints, round(…,6).
+    "events_user_overlap" -> ((s, sf) => {
+      val tu = t(s, sf, "events")
+        .select(col("event_type").as("et"), col("user_id")).distinct()
+      val sizes = tu.groupBy("et").agg(count(lit(1)).as("n"))
+      val common = tu.as("a").join(tu.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.et") < col("b.et"))
+        .groupBy(col("a.et").as("type_a"), col("b.et").as("type_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(sizes).withColumnRenamed("et", "type_a")
+          .withColumnRenamed("n", "n_a"), "type_a")
+        .join(broadcast(sizes).withColumnRenamed("et", "type_b")
+          .withColumnRenamed("n", "n_b"), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // last-touch attribution (round 9) — the marketing-analytics join of
     // conversions to the most recent preceding touchpoint: for each
     // purchase, the latest view/click strictly before it (within a 7-day
@@ -1873,6 +1924,39 @@ object Events {
              WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
              WHEN pv IS NOT NULL THEN 'ffill' ELSE 'bfill' END AS src
          FROM w2 ORDER BY user_id, d""",
+    "win_drawdown" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                  sum(CAST(value AS DECIMAL(18,2))) AS dv
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (
+           SELECT user_id, d, dv,
+             sum(dv) OVER (PARTITION BY user_id ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM daily),
+         p AS (
+           SELECT user_id, d, cum,
+             max(cum) OVER (PARTITION BY user_id ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS peak
+           FROM c)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(peak - cum) AS DOUBLE) AS max_drawdown
+         FROM p GROUP BY 1 ORDER BY user_id""",
+    "events_user_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS et, user_id FROM events),
+           sz AS (SELECT et, count(*) AS n FROM tu GROUP BY 1),
+           cm AS (SELECT a.et AS type_a, b.et AS type_b, count(*) AS n_common
+                  FROM tu a JOIN tu b
+                    ON a.user_id = b.user_id AND a.et < b.et
+                  GROUP BY 1, 2)
+         SELECT cm.type_a, cm.type_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(cm.n_common AS BIGINT) AS n_common,
+           round(CAST(cm.n_common AS DOUBLE) /
+             (sa.n + sb.n - cm.n_common), 6) AS jaccard
+         FROM cm JOIN sz sa ON sa.et = cm.type_a
+                 JOIN sz sb ON sb.et = cm.type_b
+         ORDER BY type_a, type_b""",
     "events_entropy" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events
              GROUP BY 1, 2)

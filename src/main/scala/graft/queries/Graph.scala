@@ -84,6 +84,23 @@ object Graph {
         .orderBy("node")
     }),
 
+    // HITS hubs & authorities (round 16; Kleinberg, JACM 1999) —
+    // PageRank's mutual-reinforcement sibling on the directed trade
+    // graph: importers that buy from important exporters are good hubs,
+    // exporters bought by good hubs are good authorities. Same fixed
+    // 10-round power iteration + dual dispatch as PageRank (driver
+    // arithmetic below the edge gate, per-round join+agg with 1-row
+    // broadcast L2 norms above); the oracle is the identical unrolled
+    // materialized-CTE chain. round(…,6) on the FINAL scores only.
+    "graph_hits" -> ((s, sf) => {
+      val nodes = t(s, sf, "nation")
+        .select(col("n_nationkey").cast("long").as("node"))
+      graft.operators.Hits.run(nodes, tradeEdges(s, sf), iters)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy("node")
+    }),
+
     // bounded-hop single-source shortest paths (round 11) — the DISTANCE
     // primitive completing the graph tier (connectivity, density,
     // centrality, distance): cheapest trade route from nation 0 under the
@@ -487,6 +504,49 @@ object Graph {
     * dst, so 10 rounds accumulate ~1e-14 order noise — round(…,6) on the
     * FINAL rank only (intermediates stay full-precision on both engines).
     */
+  /** HITS oracle: the same 10 rounds unrolled as MATERIALIZED CTEs (the
+    * [[pagerankSql]] double-reference discipline — each score CTE is read
+    * by the contribution join AND the norm). Float: per-endpoint sums of
+    * ≤ |nodes| doubles + one norm division per round; round(…,6) final. */
+  private def hitsSql: String = {
+    val edges =
+      """SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2"""
+    val head =
+      s"""WITH e AS MATERIALIZED ($edges),
+         | n AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+         | h0 AS MATERIALIZED (SELECT node, 1.0 AS h FROM n)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = s"h${i - 1}"
+      s""",
+         | ar$i AS MATERIALIZED (SELECT e.dst AS node, sum($p.h * e.w) AS x
+         |   FROM e JOIN $p ON e.src = $p.node GROUP BY 1),
+         | az$i AS MATERIALIZED (SELECT sqrt(sum(x * x)) AS z FROM ar$i),
+         | a$i AS MATERIALIZED (SELECT n.node,
+         |     CASE WHEN (SELECT z FROM az$i) = 0 THEN 0.0
+         |          ELSE coalesce(ar$i.x, 0.0) / (SELECT z FROM az$i) END AS a
+         |   FROM n LEFT JOIN ar$i ON n.node = ar$i.node),
+         | hr$i AS MATERIALIZED (SELECT e.src AS node, sum(a$i.a * e.w) AS x
+         |   FROM e JOIN a$i ON e.dst = a$i.node GROUP BY 1),
+         | hz$i AS MATERIALIZED (SELECT sqrt(sum(x * x)) AS z FROM hr$i),
+         | h$i AS MATERIALIZED (SELECT n.node,
+         |     CASE WHEN (SELECT z FROM hz$i) = 0 THEN 0.0
+         |          ELSE coalesce(hr$i.x, 0.0) / (SELECT z FROM hz$i) END AS h
+         |   FROM n LEFT JOIN hr$i ON n.node = hr$i.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT CAST(n.node AS BIGINT) AS node, round(h$iters.h, 6) AS hub,
+         |       round(a$iters.a, 6) AS auth
+         |FROM n JOIN h$iters ON n.node = h$iters.node
+         |       JOIN a$iters ON n.node = a$iters.node
+         |ORDER BY node""".stripMargin
+  }
+
   private def pagerankSql: String = {
     val edges =
       """SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
@@ -876,6 +936,7 @@ object Graph {
          FROM tot CROSS JOIN rec""",
     "graph_betweenness" -> betweennessSql,
     "graph_pagerank" -> pagerankSql,
+    "graph_hits" -> hitsSql,
     "graph_sssp" -> ssspSql,
     "graph_degree_dist" ->
       """WITH ua AS (SELECT user_id, d, event_type FROM

@@ -571,6 +571,29 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // per-doc keyword extraction (round 16) — text_tfidf's top-k sibling
+    // with an EXACT ordering: keywords rank by (tf DESC, df ASC, term) —
+    // frequent-in-doc primary, rare-in-corpus tiebreak — so the rank is
+    // pure integer comparison and no transcendental (ln of df, whose last
+    // ulp is libm-dependent) can ever flip two near-equal scores across
+    // engines. Top-3 per doc; the per-doc window partitions on doc_id
+    // (corpus-keyed, bounded frames) above the one (doc, term) exchange;
+    // the df side is a vocab-bounded broadcast.
+    "text_keywords" -> ((s, sf) => {
+      val tok = t(s, sf, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      val tf = tok.groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val df = tok.distinct().groupBy("tk").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "tk")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(desc("tf"), col("df"), col("tk"))))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("tk").as("term"), col("tf"), col("df"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // PII redaction (round 7): the compliance pass every training-data
     // pipeline runs before release. The corpus text carries no PII, so the
     // query splices deterministic synthetic PII (an email per doc, a phone
@@ -1068,6 +1091,19 @@ object TextAnalysis {
          SELECT doc_id, tk, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
            round(score, 6) AS score
          FROM r WHERE rnk = 1 ORDER BY doc_id""",
+    "text_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+             FROM documents),
+           tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+           df AS (SELECT tk, count(*) AS df
+             FROM (SELECT DISTINCT doc_id, tk FROM tok) GROUP BY 1),
+           r AS (SELECT tf.doc_id, tf.tk, tf.tf, df.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tf DESC, df.df, tf.tk) AS rank
+             FROM tf JOIN df ON tf.tk = df.tk)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, tk AS term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
     "text_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
              FROM documents),

@@ -41,6 +41,27 @@ class GraphSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("driver and distributed HITS branches agree to rounding; scores " +
+      "are L2-normalized") {
+    val (nodes, edges) = tradeGraph()
+    def scores(gate: Long): Map[Long, (Double, Double)] =
+      graft.operators.Hits.run(nodes, edges, iters = 10,
+          distributedMinEdges = gate)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+    val driver = scores(Long.MaxValue)
+    val dist = scores(0L)
+    driver.keySet shouldBe dist.keySet
+    driver.keySet should not be empty
+    driver.foreach { case (n, (h, a)) =>
+      withClue(s"node $n hub: ") { dist(n)._1 shouldBe h +- 1e-9 }
+      withClue(s"node $n auth: ") { dist(n)._2 shouldBe a +- 1e-9 }
+    }
+    // unit L2 norms (the per-round normalization contract)
+    math.sqrt(driver.values.map(_._1).map(x => x * x).sum) shouldBe 1.0 +- 1e-9
+    math.sqrt(driver.values.map(_._2).map(x => x * x).sum) shouldBe 1.0 +- 1e-9
+  }
+
   test("dangling mass is redistributed, conserving total rank") {
     // a 4-node graph with a SINK (node 3 has no out-edges) exercises the
     // dangling branch the sink-free trade graph never hits
