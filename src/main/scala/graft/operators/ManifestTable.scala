@@ -392,6 +392,75 @@ object ManifestTable {
     committed
   }
 
+  /** Atomic merge-on-read MERGE/UPSERT (round 16) — [[deleteWhere]]'s
+    * composition with an append in ONE manifest publish: rows of the head
+    * whose `keyCols` match a row of `updates` are position-deleted, the
+    * full `updates` frame lands as a new data batch, and one CAS publish
+    * makes both visible together — readers see either the pre-merge or
+    * the post-merge table, never keys doubled or missing. The Delta
+    * `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT` shape without
+    * rewriting a single existing file: cost = one position scan (updates
+    * side broadcast-able) + the new batch write + a manifest rename.
+    * OCC like deleteWhere: a concurrent commit → ConcurrentModification.
+    * `updates` must be key-unique (the Upsert.merge contract).
+    */
+  def upsertMor(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCols: Seq[String], cas: CommitCas = RenameCas): Long = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "upsertMor needs at least one key column")
+    val fs = fsOf(spark, dir)
+    if (fs.exists(new Path(dir, CatalogManagedMarker)))
+      throw new IllegalStateException(
+        s"$dir is catalog-managed: upsertMor may not publish a new " +
+          "manifest head behind the catalog. Publish through Catalog.commit.")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir has no committed snapshot")
+    val v0 = vs.last
+    val files = manifestFiles(fs, dir, v0)
+    // matched positions among LIVE rows (existing deletes excluded first)
+    val scan = spark.read.parquet(files.map(resolve(dir, _)): _*)
+      .withColumn("__graft_del_f", col("_metadata.file_path"))
+      .withColumn("__graft_del_p", col("_metadata.row_index"))
+    val existing = manifestDeletes(fs, dir, v0)
+    val live =
+      if (existing.isEmpty) scan
+      else scan.join(
+        spark.read.parquet(existing.map(resolve(dir, _)): _*)
+          .select(col("file").as("__graft_del_f"),
+            col("pos").as("__graft_del_p")),
+        Seq("__graft_del_f", "__graft_del_p"), "left_anti")
+    val matched = live
+      .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      .select(col("__graft_del_f").as("file"), col("__graft_del_p").as("pos"))
+    val delRel = s"_deletes/${java.util.UUID.randomUUID()}.parquet"
+    matched.write.parquet(s"$dir/$delRel")
+    val anyMatched = spark.read.parquet(s"$dir/$delRel").limit(1).count() > 0L
+    if (!anyMatched) fs.delete(new Path(s"$dir/$delRel"), true)
+    // the new batch: the FULL updates frame (matched rows replace their
+    // deleted originals, unmatched keys are the inserts)
+    val dataRel = s"data/${java.util.UUID.randomUUID()}"
+    updates.write.parquet(s"$dir/$dataRel")
+    val newFiles = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$dataRel/$n")
+    val lines = manifestLines(fs, dir, v0) ++
+      (if (anyMatched) Seq(s"$DeletePrefix$delRel") else Nil) ++ newFiles
+    val next = v0 + 1
+    val tmp = new Path(manifestDir(dir), s".tmp-mor-${java.util.UUID.randomUUID()}")
+    val content = (lines.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val won = versions(spark, dir).last == v0 &&
+      cas.claim(fs, tmp, new Path(manifestDir(dir), s"v$next.manifest"), content)
+    if (!won) {
+      if (anyMatched) fs.delete(new Path(s"$dir/$delRel"), true)
+      fs.delete(new Path(s"$dir/$dataRel"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"upsertMor computed against v$v0 but the head moved — the matched " +
+          "positions may reference replaced files; re-run against the new head")
+    }
+    next
+  }
+
   /** Incremental read (r14): the rows of data files present in `toVersion`
     * (default: the head) but NOT in `fromVersion` — the manifest
     * protocol's CDC-consume surface. For APPEND-only tables this is exact

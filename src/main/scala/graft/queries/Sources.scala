@@ -525,6 +525,41 @@ object Sources {
         .orderBy("event_type")
     }),
 
+    // atomic merge-on-read MERGE (round 16) — upsert_merge's semantics at
+    // the STORAGE layer: the customer table lands as two appends, then
+    // `upsertMor(updates ∪ inserts, key)` position-deletes the matched
+    // keys and lands the delta batch in ONE manifest publish — readers
+    // see pre- or post-merge, never keys doubled/missing, and not one
+    // existing file is rewritten (cost = position scan + delta write +
+    // manifest rename; Delta MERGE with deletion vectors). Same delta
+    // recipe and the same oracle algebra as upsert_merge, so the hash
+    // check proves the storage-layer merge equals the DataFrame merge.
+    "manifest_upsert" -> ((s, sf) => {
+      import graft.operators.ManifestTable
+      val dir = tmp(sf, "morupsert")
+      if (ManifestTable.versions(s, dir).isEmpty) {
+        val c = t(s, sf, "customer")
+        (0 to 1).foreach(r => ManifestTable.commit(s, dir,
+          c.filter(pmod(col("c_custkey"), lit(2)) === r)))
+        val updates = c.filter(pmod(col("c_custkey"), lit(10)) === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+        val inserts = c.filter(pmod(col("c_custkey"), lit(7)) === 0)
+          .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+            concat(lit("new-"), col("c_custkey").cast("string")).as("c_name"),
+            col("c_nationkey"), lit(100.0).as("c_acctbal"),
+            col("c_mktsegment"))
+        ManifestTable.upsertMor(s, dir, updates.unionByName(inserts),
+          Seq("c_custkey"))
+      }
+      ManifestTable.read(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c_custkey") >= 10000000L, 1L).otherwise(0L))
+            .as("n_inserted"),
+          graft.T.dsum(col("c_acctbal"), 2).as("acctbal_sum"))
+        .orderBy("c_mktsegment")
+    }),
+
     "manifest_restore" -> ((s, sf) => {
       val dir = tmp(sf, "restore")
       val c = t(s, sf, "customer")
@@ -803,6 +838,26 @@ object Sources {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type <> 'view'
          GROUP BY 1 ORDER BY event_type""",
+    // identical merged-set algebra to upsert_merge's oracle — the
+    // storage-layer MERGE must equal the DataFrame MERGE
+    "manifest_upsert" ->
+      """WITH delta AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+                  c_mktsegment
+           FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 10000000, 'new-' || CAST(c_custkey AS VARCHAR),
+                  c_nationkey, 100.0, c_mktsegment
+           FROM customer WHERE c_custkey % 7 = 0),
+         merged AS (
+           SELECT * FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = c.c_custkey)
+           UNION ALL SELECT * FROM delta)
+         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN c_custkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+         FROM merged GROUP BY 1 ORDER BY c_mktsegment""",
     "manifest_restore" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal

@@ -1013,6 +1013,35 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     } shouldBe empty
   }
 
+  test("upsertMor: matched keys replaced + unmatched inserted in ONE " +
+      "version; no-match degrades to a pure append") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val base = (1 to 6).map(i => (i.toLong, s"old$i")).toDF("k", "v")
+      .repartition(2)
+    val v1 = ManifestTable.commit(spark, dir, base)
+    val ups = Seq((2L, "NEW2"), (4L, "NEW4"), (9L, "INS9")).toDF("k", "v")
+    val v2 = ManifestTable.upsertMor(spark, dir, ups, Seq("k"))
+    v2 shouldBe v1 + 1 // one atomic publish, not delete-then-append
+    asSet(ManifestTable.read(spark, dir)) shouldBe Set(
+      1L -> "old1", 2L -> "NEW2", 3L -> "old3", 4L -> "NEW4",
+      5L -> "old5", 6L -> "old6", 9L -> "INS9")
+    // time travel: the pre-merge snapshot is intact
+    asSet(ManifestTable.read(spark, dir, v1)) shouldBe
+      (1 to 6).map(i => (i.toLong, s"old$i")).toSet
+    // no matched key -> pure append, no delete sidecar bloat
+    val v3 = ManifestTable.upsertMor(spark, dir,
+      Seq((20L, "INS20")).toDF("k", "v"), Seq("k"))
+    v3 shouldBe v2 + 1
+    ManifestTable.read(spark, dir).count() shouldBe 8L
+    // merging on top of a merge re-replaces the replaced row (the delete
+    // entries compose across versions)
+    ManifestTable.upsertMor(spark, dir, Seq((2L, "NEWER2")).toDF("k", "v"),
+      Seq("k"))
+    ManifestTable.read(spark, dir).where(col("k") === 2L)
+      .select("v").as[String].collect() shouldBe Array("NEWER2")
+  }
+
   test("deleteWhere: streaming refuses a version window that adds deletes; " +
       "materialized heads stream again") {
     import spark.implicits._
