@@ -284,6 +284,47 @@ object Streams {
         .orderBy("event_type")
     }),
 
+    // FILE-capped manifest stream consume (round 16) — maxFilesPerTrigger,
+    // the Delta-source admission cap at FILE granularity: offsets are
+    // (version, file-index), so a batch can end mid-version and a
+    // consumer recovering against a table whose individual commits are
+    // huge still catches up in bounded batches (version caps can't bound
+    // one fat commit). Same produce→stream→exactly-once-sink→read round
+    // trip and the same plain-table oracle as stream_manifest_source;
+    // StreamingSpec pins the mid-version slicing and no-loss.
+    "stream_manifest_backfill" -> ((s, sf) => {
+      val tag = new java.io.File(sf).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_msfb_${runTag}_$tag"
+      val inv = invocation.incrementAndGet()
+      val (srcTbl, outTbl, ckpt) =
+        (s"$base/src", s"$base/run$inv/out", s"$base/run$inv/ckpt")
+      if (graft.operators.ManifestTable.versions(s, srcTbl).isEmpty) {
+        val e = t(s, sf, "events")
+        (0 to 1).foreach { r =>
+          graft.operators.ManifestTable.commit(s, srcTbl,
+            e.filter(pmod(col("event_id"), lit(2)) === r).repartition(4))
+        }
+      }
+      val q = s.readStream
+        .format(classOf[graft.streaming.ManifestTableProvider].getName)
+        .option("path", srcTbl)
+        .option("maxFilesPerTrigger", "3").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.TxnSink.commitBatch(outTbl, b, id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.ManifestTable.read(s, outTbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // event-time interval join: view → purchase by the same user within
     // 10 minutes (the stream-stream join shape; StreamingSpec runs the
     // same expression over two watermarked MemoryStreams)
@@ -319,6 +360,13 @@ object Streams {
     // rate limiting must change batch boundaries, never the data: the
     // capped drain's sink table equals the plain source rollup
     "stream_manifest_ratelimit" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    // file-capped drain must land the identical committed set
+    "stream_manifest_backfill" ->
       """SELECT event_type, count(*) AS n_events,
                 count(DISTINCT user_id) AS n_users,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)

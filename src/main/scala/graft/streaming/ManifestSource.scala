@@ -93,8 +93,15 @@ class ManifestTableProvider extends TableProvider {
     // = unbounded (all available).
     val maxVersions = Option(properties.get("maxVersionsPerTrigger"))
       .map(_.toLong).getOrElse(0L)
+    // maxFilesPerTrigger (round 16): FILE-level admission control — the
+    // Delta-source cap. Slices mid-version via (version, index) offsets,
+    // so a consumer recovering against a table whose individual commits
+    // are huge still catches up in bounded batches. Both caps set → the
+    // stricter wins per trigger.
+    val maxFiles = Option(properties.get("maxFilesPerTrigger"))
+      .map(_.toLong).getOrElse(0L)
     new ManifestStreamTable(dir, schema, startingVersion, skipPreds,
-      maxVersions)
+      maxVersions, maxFiles)
   }
 
   private def parseSkipFilters(
@@ -120,7 +127,7 @@ class ManifestTableProvider extends TableProvider {
 private[streaming] class ManifestStreamTable(dir: String,
     tableSchema: StructType, startingVersion: Long = 0L,
     skipPreds: Seq[graft.operators.ManifestTable.StatsPred] = Nil,
-    maxVersionsPerTrigger: Long = 0L)
+    maxVersionsPerTrigger: Long = 0L, maxFilesPerTrigger: Long = 0L)
     extends Table with SupportsRead {
   override def name(): String = s"graft-manifest(`$dir`)"
   override def schema(): StructType = tableSchema
@@ -132,15 +139,32 @@ private[streaming] class ManifestStreamTable(dir: String,
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(dir, tableSchema, startingVersion,
-            skipPreds, maxVersionsPerTrigger)
+            skipPreds, maxVersionsPerTrigger, maxFilesPerTrigger)
       }
     }
 }
 
-/** One committed version as a streaming offset; version 0 = "nothing
-  * consumed yet" (the empty table — the readVersion-0 convention). */
-private[streaming] case class ManifestOffset(version: Long) extends Offset {
-  override def json(): String = version.toString
+/** Streaming offset: (committed version, index of the last consumed file
+  * within that version's ADD-LIST) — the Delta-source offset shape
+  * (round 16). `index = Long.MaxValue` means the version is fully
+  * consumed (the pre-16 version-granularity offsets serialize and parse
+  * unchanged, so existing checkpoints resume exactly); version 0 =
+  * "nothing consumed yet". A version's add-list is its manifest's file
+  * lines minus the previous committed version's, in manifest order —
+  * deterministic, anchor-free, and what file-level admission control
+  * slices. */
+private[streaming] case class ManifestOffset(version: Long,
+    index: Long = Long.MaxValue) extends Offset {
+  override def json(): String =
+    if (index == Long.MaxValue) version.toString else s"$version:$index"
+}
+
+private[streaming] object ManifestOffset {
+  def parse(json: String): ManifestOffset = json.split(':') match {
+    case Array(v) => ManifestOffset(v.toLong)
+    case Array(v, i) => ManifestOffset(v.toLong, i.toLong)
+    case _ => throw new IllegalArgumentException(s"bad manifest offset: $json")
+  }
 }
 
 private[streaming] case class ManifestFilePartition(path: String)
@@ -149,7 +173,7 @@ private[streaming] case class ManifestFilePartition(path: String)
 private[streaming] class ManifestMicroBatchStream(dir: String,
     schema: StructType, startingVersion: Long = 0L,
     skipPreds: Seq[graft.operators.ManifestTable.StatsPred] = Nil,
-    maxVersionsPerTrigger: Long = 0L)
+    maxVersionsPerTrigger: Long = 0L, maxFilesPerTrigger: Long = 0L)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -158,6 +182,30 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
 
   private def spark = SparkSession.active
   private def versions = graft.operators.ManifestTable.versions(spark, dir)
+
+  private def fsOf = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def lines(fs: org.apache.hadoop.fs.FileSystem, v: Long): Seq[String] =
+    if (v <= 0L) Seq.empty
+    else {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/_manifests/v$v.manifest"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+
+  /** Version `v`'s ADD-LISTS relative to the previous COMMITTED version
+    * (expire-gap robust): (added data files in v's manifest order, added
+    * delete sidecar lines). The deterministic unit both file-level
+    * admission and batch planning slice. */
+  private def addLists(fs: org.apache.hadoop.fs.FileSystem, vs: Seq[Long],
+      v: Long): (Seq[String], Seq[String]) = {
+    val prev = vs.filter(_ < v).lastOption.getOrElse(0L)
+    val (delP, fileP) = lines(fs, prev).partition(_.startsWith("delete:"))
+    val (delV, fileV) = lines(fs, v).partition(_.startsWith("delete:"))
+    (fileV.filterNot(fileP.toSet), delV.filterNot(delP.toSet))
+  }
 
   override def initialOffset(): Offset = ManifestOffset(startingVersion)
 
@@ -177,63 +225,95 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(versions.lastOption.getOrElse(0L))
 
-  /** Admission control (round 15): a batch consumes at most
-    * `maxVersionsPerTrigger` committed versions PAST the start offset —
-    * the next ones, in commit order, robust to expire() gaps in the
-    * version numbering. Unbounded (<= 0) keeps the plain head. */
+  /** Admission control: `maxVersionsPerTrigger` (round 15) caps how many
+    * committed versions a batch consumes; `maxFilesPerTrigger` (round 16,
+    * the Delta-source file-level cap) caps how many data FILES, slicing
+    * mid-version via the (version, index) offset — a consumer recovering
+    * against a table whose versions are themselves huge catches up in
+    * bounded batches. Both set → the stricter wins. <= 0 = unbounded. */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    val s = start.asInstanceOf[ManifestOffset].version
+    val so = start.asInstanceOf[ManifestOffset]
     val head = availableNowTarget
       .getOrElse(versions.lastOption.getOrElse(0L))
-    if (maxVersionsPerTrigger <= 0L) ManifestOffset(head)
-    else
-      ManifestOffset(versions.filter(v => v > s && v <= head)
-        .take(maxVersionsPerTrigger.toInt).lastOption.getOrElse(s))
+    if (maxVersionsPerTrigger <= 0L && maxFilesPerTrigger <= 0L)
+      return ManifestOffset(head)
+    val vs = versions
+    // candidate versions: the start version (if partially consumed) then
+    // everything committed after it, up to the pinned head
+    val fromStart =
+      (if (so.index != Long.MaxValue && vs.contains(so.version)) Seq(so.version)
+       else Nil) ++ vs.filter(v => v > so.version && v <= head)
+    val versionCapped =
+      if (maxVersionsPerTrigger <= 0L) fromStart
+      else {
+        // the partially-consumed start version doesn't count against the
+        // version budget — finishing it is not a new version
+        val (partial, fresh) = fromStart.partition(_ == so.version)
+        partial ++ fresh.take(maxVersionsPerTrigger.toInt)
+      }
+    if (versionCapped.isEmpty) return so
+    if (maxFilesPerTrigger <= 0L)
+      return ManifestOffset(versionCapped.last)
+    val fs = fsOf
+    var budget = maxFilesPerTrigger
+    var endOff = so
+    for (v <- versionCapped if budget > 0L) {
+      val (files, _) = addLists(fs, vs, v)
+      val from = if (v == so.version) so.index + 1 else 0L
+      val remaining = files.size - from
+      if (remaining <= 0L) endOff = ManifestOffset(v)
+      else if (remaining <= budget) {
+        endOff = ManifestOffset(v); budget -= remaining
+      } else {
+        endOff = ManifestOffset(v, from + budget - 1); budget = 0L
+      }
+    }
+    endOff
   }
 
   override def deserializeOffset(json: String): Offset =
-    ManifestOffset(json.toLong)
+    ManifestOffset.parse(json)
 
-  /** The readIncremental file-set diff, one partition per added file. */
+  /** Concatenated per-version add-list slices in (start, end] — one
+    * partition per added file (the readIncremental diff, now sliceable
+    * mid-version for file-level admission). */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[ManifestOffset].version
-    val e = end.asInstanceOf[ManifestOffset].version
-    if (e <= 0L || e == s) return Array.empty
+    val so = start.asInstanceOf[ManifestOffset]
+    val eo = end.asInstanceOf[ManifestOffset]
+    if (eo.version <= 0L || eo == so) return Array.empty
     // a checkpointed/startingVersion offset must still be readable — the
     // readIncremental VACUUM-lag contract, failed loudly instead of a
     // bare FileNotFoundException from a vacuumed manifest
     val vs = versions
-    Seq(s, e).foreach(v => require(v == 0L || vs.contains(v),
+    Seq(so.version, eo.version).foreach(v => require(v == 0L || vs.contains(v),
       s"offset version $v is not in the committed set " +
         s"${vs.headOption.getOrElse(0L)}..${vs.lastOption.getOrElse(0L)} " +
         "(expired? retention must outlive the consumer's lag — the " +
         "VACUUM contract)"))
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def lines(v: Long): Seq[String] =
-      if (v <= 0L) Seq.empty
-      else {
-        val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/_manifests/v$v.manifest"))
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .map(_.trim).filter(_.nonEmpty).toList
-        finally in.close()
-      }
-    val (delLinesS, fileLinesS) = lines(s).partition(_.startsWith("delete:"))
-    val (delLinesE, fileLinesE) = lines(e).partition(_.startsWith("delete:"))
-    // row-level deletes (round 16) are NOT expressible in this source's
-    // file-granularity CDC contract: a batch delivers whole added files,
-    // so positions deleted inside already-delivered files would silently
-    // stay delivered. Refuse loudly; materialize (OPTIMIZE/replace) and
-    // the delete entries vanish (a shrunk delete set is a replace — fine).
-    val newDels = delLinesE.toSet -- delLinesS.toSet
-    require(newDels.isEmpty,
-      s"version window ($s, $e] adds ${newDels.size} row-level delete " +
-        "sidecar(s) — row deletes are not expressible in the " +
-        "file-granularity streaming contract; OPTIMIZE/replace the table " +
-        "to materialize deletes before streaming past them")
-    val before = fileLinesS.toSet
-    val added = fileLinesE.filterNot(before)
+    val fs = fsOf
+    val window = (if (so.index != Long.MaxValue) Seq(so.version) else Nil) ++
+      vs.filter(v => v > so.version && v <= eo.version)
+    val added = window.flatMap { v =>
+      val (files, dels) = addLists(fs, vs, v)
+      // row-level deletes (round 16) are NOT expressible in this source's
+      // file-granularity CDC contract: a batch delivers whole added
+      // files, so positions deleted inside already-delivered files would
+      // silently stay delivered. Refuse loudly at the version's FIRST
+      // slice; materialize (OPTIMIZE/replace) and the entries vanish.
+      val firstSlice = v != so.version || so.index == Long.MaxValue
+      require(dels.isEmpty || !firstSlice,
+        s"version $v adds ${dels.size} row-level delete sidecar(s) — row " +
+          "deletes are not expressible in the file-granularity streaming " +
+          "contract; OPTIMIZE/replace the table to materialize deletes " +
+          "before streaming past them")
+      val from = if (v == so.version && so.index != Long.MaxValue)
+        so.index + 1 else 0L
+      val to = if (v == eo.version && eo.index != Long.MaxValue)
+        eo.index else files.size - 1L
+      if (from > to) Nil
+      else files.slice(from.toInt, to.toInt + 1)
+    }
     // pushed-filter file skipping: the batch half of readPruned — files
     // whose sidecar ranges cannot satisfy the pushed predicates never
     // open; files without stats always keep, and the engine re-applies

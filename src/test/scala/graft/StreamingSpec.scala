@@ -924,6 +924,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     outSchema("d2").dataType.simpleString shouldBe "decimal(24,6)"
   }
 
+  test("manifest stream source: maxFilesPerTrigger slices versions " +
+      "mid-file-list and loses nothing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-msrc11").toString
+    val tbl = s"$base/tbl"
+    // one fat version (6 files) + one small (2 files): file-level
+    // admission must slice INSIDE v1 — version-level caps cannot
+    graft.operators.ManifestTable.commit(spark, tbl,
+      (1 to 12).map(i => (i.toLong, s"r$i")).toDF("k", "v").repartition(6))
+    graft.operators.ManifestTable.commit(spark, tbl,
+      (13 to 16).map(i => (i.toLong, s"r$i")).toDF("k", "v").repartition(2))
+    val q = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).option("maxFilesPerTrigger", "2").load()
+      .writeStream.format("memory").queryName("msrc_fl").start()
+    try q.processAllAvailable() finally q.stop()
+    // nothing lost, nothing doubled
+    spark.table("msrc_fl").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      (1 to 16).map(i => (i.toLong, s"r$i")).toSet
+    // and every non-empty batch admitted at most 2 files; the 8 files
+    // needed >= 4 batches (mid-version slicing happened)
+    val perBatch = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    perBatch.length should be >= 4 // 8 files / 2-file cap
+    all(perBatch) should be <= 6L // 2 files x <= 3 rows/file (round-robin)
+    // a fresh consumer over the grown table (one more commit) re-walks
+    // the whole history in file-capped slices and still loses nothing
+    graft.operators.ManifestTable.commit(spark, tbl,
+      (17 to 18).map(i => (i.toLong, s"r$i")).toDF("k", "v").repartition(1))
+    val q2 = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).option("maxFilesPerTrigger", "2").load()
+      .writeStream.format("memory").queryName("msrc_fl2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.table("msrc_fl2").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      (1 to 18).map(i => (i.toLong, s"r$i")).toSet
+  }
+
   test("manifest stream source: bloom sidecars prune point-lookup batches " +
       "where min/max stats cannot (the streaming half of SkipProf's bloom leg)") {
     import spark.implicits._
