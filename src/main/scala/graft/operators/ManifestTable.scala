@@ -901,6 +901,33 @@ object ManifestTable {
     else base.where(residual)
   }
 
+  /** DESCRIBE HISTORY (round 16) — one row per committed version, pure
+    * metadata (O(versions) manifest reads + sidecar reads, zero data
+    * I/O at any table size — the Delta `DESCRIBE HISTORY` stance of
+    * never scanning data): data-file count, row-level delete sidecar
+    * count, and the snapshot's RAW row count summed from the per-file
+    * stats sidecars (pre-delete — sidecars describe files, and files are
+    * immutable under merge-on-read; null when any referenced batch
+    * committed without statsCols — absence of metadata is reported,
+    * never scanned around).
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val vs = versions(spark, dir)
+    import spark.implicits._
+    vs.map { v =>
+      val files = manifestFiles(fs, dir, v)
+      val nDel = manifestDeletes(fs, dir, v).size.toLong
+      val stats = statsFor(fs, dir, files)
+      val rows: Option[Long] =
+        if (files.nonEmpty && files.forall(f =>
+            stats.get(f).exists(_.nonEmpty)))
+          Some(files.map(f => stats(f).values.head.rows).sum)
+        else None
+      (v, files.size.toLong, nDel, rows)
+    }.toDF("version", "n_files", "n_delete_entries", "n_rows")
+  }
+
   /** Retention: keep the latest `keepLast` manifests, delete older ones,
     * then delete data batches no retained manifest references (the vacuum
     * half of the lifecycle). Runs AFTER readers of expired snapshots are

@@ -560,6 +560,25 @@ object Sources {
         .orderBy("c_mktsegment")
     }),
 
+    // DESCRIBE HISTORY (round 16) — the audit/observability surface over
+    // the manifest log: one row per committed version with its data-file
+    // count, delete-sidecar count, and sidecar-summed raw row count —
+    // PURE metadata (O(versions) manifest + sidecar reads, zero data
+    // I/O at any table size). The fixture forces deterministic file
+    // counts (repartition(2) per commit) so the whole table — including
+    // the metadata-derived n_files — is corpus-derivable in DuckDB.
+    "manifest_history" -> ((s, sf) => {
+      import graft.operators.ManifestTable
+      val dir = tmp(sf, "history")
+      if (ManifestTable.versions(s, dir).isEmpty) {
+        val e = t(s, sf, "events")
+        (0 to 2).foreach(r => ManifestTable.commit(s, dir,
+          e.filter(pmod(col("event_id"), lit(3)) === r).repartition(2),
+          statsCols = Seq("event_id")))
+      }
+      ManifestTable.history(s, dir).orderBy("version")
+    }),
+
     "manifest_restore" -> ((s, sf) => {
       val dir = tmp(sf, "restore")
       val c = t(s, sf, "customer")
@@ -838,6 +857,23 @@ object Sources {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type <> 'view'
          GROUP BY 1 ORDER BY event_type""",
+    // deterministic fixture (3 appends of the %3 split, repartition(2)
+    // each) makes even the metadata columns corpus-derivable
+    "manifest_history" ->
+      """WITH c AS (SELECT
+             sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN event_id % 3 <= 1 THEN 1 ELSE 0 END) AS n01,
+             count(*) AS nall
+           FROM events)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_files,
+                  CAST(0 AS BIGINT) AS n_delete_entries,
+                  CAST(n0 AS BIGINT) AS n_rows FROM c
+           UNION ALL
+           SELECT 2, 4, 0, CAST(n01 AS BIGINT) FROM c
+           UNION ALL
+           SELECT 3, 6, 0, CAST(nall AS BIGINT) FROM c)
+         ORDER BY version""",
     // identical merged-set algebra to upsert_merge's oracle — the
     // storage-layer MERGE must equal the DataFrame MERGE
     "manifest_upsert" ->

@@ -594,6 +594,34 @@ object TextAnalysis {
         .orderBy("doc_id", "rank")
     }),
 
+    // bigram language model (round 16) — the count-based conditional
+    // next-token table ("train a tiny LM on the corpus"): P(next | cur)
+    // from exact bigram/unigram counts, top-3 continuations per token
+    // under the pure-integer (count DESC, next) ordering (the
+    // text_keywords discipline — no float in any rank). Bigrams come
+    // from one NARROW zip_with over each row's own token array (no
+    // positional self-join); the per-token rank windows and the totals
+    // join are vocab-keyed bounded frames (the collocations precedent);
+    // the one float is the final probability ratio of exact ints.
+    "text_bigram_lm" -> ((s, sf) => {
+      val tok = t(s, sf, "documents")
+        .select(split(col("text"), " ").as("a"))
+      val bg = tok.select(explode(expr(
+          """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+             (x, y) -> struct(x AS cur, y AS nxt))""")).as("b"))
+        .select(col("b.cur").as("cur"), col("b.nxt").as("nxt"))
+      val c = bg.groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+      val tot = c.groupBy("cur").agg(sum(col("c")).as("tot"))
+      c.join(broadcast(tot), "cur")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("cur").orderBy(desc("c"), col("nxt"))))
+        .where(col("rank") <= 3)
+        .select(col("cur"), col("rank").cast("long").as("rank"),
+          col("nxt"), col("c"), col("tot"),
+          round(col("c").cast("double") / col("tot"), 6).as("p"))
+        .orderBy("cur", "rank")
+    }),
+
     // PII redaction (round 7): the compliance pass every training-data
     // pipeline runs before release. The corpus text carries no PII, so the
     // query splices deterministic synthetic PII (an email per doc, a phone
@@ -1091,6 +1119,21 @@ object TextAnalysis {
          SELECT doc_id, tk, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
            round(score, 6) AS score
          FROM r WHERE rnk = 1 ORDER BY doc_id""",
+    "text_bigram_lm" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS a FROM documents),
+           bg AS (SELECT unnest(
+               [{'cur': a[i], 'nxt': a[i+1]} for i in range(1, len(a))],
+               recursive := true) FROM tok),
+           c AS (SELECT cur, nxt, count(*) AS c FROM bg GROUP BY 1, 2),
+           tt AS (SELECT cur, sum(c) AS tot FROM c GROUP BY 1),
+           r AS (SELECT c.cur, c.nxt, c.c, tt.tot,
+               row_number() OVER (PARTITION BY c.cur
+                 ORDER BY c.c DESC, c.nxt) AS rank
+             FROM c JOIN tt USING (cur))
+         SELECT cur, CAST(rank AS BIGINT) AS rank, nxt,
+           CAST(c AS BIGINT) AS c, CAST(tot AS BIGINT) AS tot,
+           round(c * 1.0 / tot, 6) AS p
+         FROM r WHERE rank <= 3 ORDER BY cur, rank""",
     "text_keywords" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
              FROM documents),
