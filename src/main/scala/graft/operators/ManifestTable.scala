@@ -405,7 +405,9 @@ object ManifestTable {
     * `updates` must be key-unique (the Upsert.merge contract).
     */
   def upsertMor(spark: SparkSession, dir: String, updates: DataFrame,
-      keyCols: Seq[String], cas: CommitCas = RenameCas): Long = {
+      keyCols: Seq[String], cas: CommitCas = RenameCas,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 20): Long = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "upsertMor needs at least one key column")
     val fs = fsOf(spark, dir)
@@ -440,6 +442,11 @@ object ManifestTable {
     // deleted originals, unmatched keys are the inserts)
     val dataRel = s"data/${java.util.UUID.randomUUID()}"
     updates.write.parquet(s"$dir/$dataRel")
+    // same sidecar contract as commit(): pre-CAS, immutable, superset-
+    // guarantee-only — a merged delta batch skips like any other
+    if (statsCols.nonEmpty) writeStats(spark, fs, dir, dataRel, statsCols)
+    if (bloomCols.nonEmpty)
+      FileBloom.write(spark, fs, dir, dataRel, bloomCols, bloomBits, 4)
     val newFiles = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataRel/$n")

@@ -1035,10 +1035,14 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     v3 shouldBe v2 + 1
     ManifestTable.read(spark, dir).count() shouldBe 8L
     // merging on top of a merge re-replaces the replaced row (the delete
-    // entries compose across versions)
+    // entries compose across versions); the delta batch carries sidecars
+    // like any commit, so merged tables keep skipping
     ManifestTable.upsertMor(spark, dir, Seq((2L, "NEWER2")).toDF("k", "v"),
-      Seq("k"))
+      Seq("k"), statsCols = Seq("k"))
     ManifestTable.read(spark, dir).where(col("k") === 2L)
+      .select("v").as[String].collect() shouldBe Array("NEWER2")
+    ManifestTable.readPruned(spark, dir,
+        Seq(ManifestTable.ColEq("k", 2L)))
       .select("v").as[String].collect() shouldBe Array("NEWER2")
   }
 
