@@ -153,6 +153,95 @@ object Media {
         .orderBy("a_id", "b_id")
     }),
 
+    // image near-dup DEDUP end product (round 16, rows-only — MediaSpec
+    // pins the survivor set and the cluster topology): the multimodal
+    // analog of dedup_survivors, closing the loop from perceptual pairs
+    // to the list a pipeline actually writes. Same dHash band-bucket
+    // candidate topology + Hamming ≤ 10 re-rank as multimodal_phash,
+    // closed into clusters via the shared size-gated [[Components]]
+    // kernel; every image gets (cluster, survivor) with the min-id member
+    // as the cluster representative (containerized/brightened copies of
+    // one raster collapse to ONE survivor; the edited near-dup joins the
+    // cluster; the unrelated raster survives alone). 100 TB shape:
+    // decode+hash per-partition, (band, hash, id) triples shuffle, the
+    // cluster closure is the dedup tier's own min-label kernel.
+    "multimodal_dedup" -> ((s, sf) => {
+      import s.implicits._
+      val dir = {
+        val tag = new java.io.File(sf).getName
+        s"${sys.props("java.io.tmpdir")}/graft_mmdedup_${runTag}_$tag"
+      }
+      s.createDataset(phashFixtures).toDF().write.mode("overwrite").parquet(dir)
+      val dh = udf { p: Array[Byte] =>
+        MultiModal.decodeImage(p).map(MultiModal.dhash64): Option[Long]
+      }
+      val hashes = s.read.parquet(dir)
+        .select(col("media_id"), dh(col("payload")).as("h"))
+        .where(col("h").isNotNull)
+      val bands = hashes.select(col("media_id"), col("h"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> (h >> (b * 16)) & 65535)"))
+          .as(Seq("band", "bv")))
+      val tr = new graft.operators.Tracked
+      val bp = tr.persist(bands
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")))
+        .where(col("bsz") <= 4096).drop("bsz"))
+      val pairs = bp.as("a").join(bp.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+          bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 10)
+        .select("a_id", "b_id")
+      val clusters = graft.operators.Components.connected(pairs, "a_id", "b_id", tr)
+      hashes.select(col("media_id"))
+        .join(clusters.withColumnRenamed("id", "media_id"), Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("cluster"), col("media_id")).as("cluster"))
+        .withColumn("survivor",
+          col("media_id") === min(col("media_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+        .orderBy("media_id")
+    }),
+
+    // deterministic RESIZE round trip (round 16, rows-only — MediaSpec
+    // pins dimensions, byte determinism, and the raster-vs-fallback
+    // split): every fixture through [[MultiModal.resize]] to 8×6 —
+    // raster payloads (BMP/PNG) decode → nearest-neighbour resample →
+    // canonical uncompressed-BMP re-encode (a deterministic byte layout,
+    // so the md5 is a stable contract); non-raster payloads take the
+    // documented clamped fallback. The per-image work is the narrow
+    // decode map stage; nothing shuffles but the tiny report. This is
+    // the batch-ingest normalize step every vision-training pipeline
+    // runs (uniform tensors from mixed containers).
+    "multimodal_resize" -> ((s, sf) => {
+      import s.implicits._
+      val dir = {
+        val tag = new java.io.File(sf).getName
+        s"${sys.props("java.io.tmpdir")}/graft_mmresize_${runTag}_$tag"
+      }
+      s.createDataset(phashFixtures ++ audioFixtures).toDF()
+        .write.mode("overwrite").parquet(dir)
+      val rz = MultiModal.resize(8, 6)
+      val info = udf { p: Array[Byte] =>
+        val d = MultiModal.decodeImage(p)
+        (d.map(_.width).getOrElse(-1), d.map(_.height).getOrElse(-1), p.length,
+          java.security.MessageDigest.getInstance("MD5").digest(p)
+            .map("%02x".format(_)).mkString)
+      }
+      s.read.parquet(dir)
+        .withColumn("rp", rz(col("payload")))
+        .withColumn("i", info(col("rp")))
+        .select(col("media_id"), col("kind"),
+          col("i._1").cast("long").as("out_w"),
+          col("i._2").cast("long").as("out_h"),
+          col("i._3").cast("long").as("out_bytes"),
+          col("i._4").as("out_md5"))
+        .orderBy("media_id")
+    }),
+
     // near-dup audio detection (round 11, rows-only — MediaSpec pins the
     // pair set and both invariances): [[MultiModal.audioFp32]] energy-
     // difference fingerprints over decoded PCM, 2 × 16-bit band candidate

@@ -59,6 +59,48 @@ class MediaSpec extends AnyFunSuite with SparkFixture with Matchers {
     java.lang.Long.bitCount(fx(11L) ^ fx(13L)).toLong shouldBe pairs((11L, 13L))
   }
 
+  test("multimodal_dedup: the image family collapses to one survivor; " +
+      "the unrelated raster survives alone") {
+    val rows = SparkEntry.queries("multimodal_dedup")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    rows.map(_._1).sorted shouldBe Array(11L, 12L, 13L, 14L, 15L)
+    // 11/12/14 (same raster via two codecs + brightness) and 13 (the
+    // block edit at Hamming 1) form ONE cluster; min-id 11 survives
+    val family = rows.filter(t => Set(11L, 12L, 13L, 14L)(t._1))
+    family.map(_._2).distinct.length shouldBe 1
+    family.filter(_._3).map(_._1) shouldBe Array(11L)
+    // the unrelated raster is its own cluster and survives
+    val other = rows.find(_._1 == 15L).get
+    other._2 should not be family.head._2
+    other._3 shouldBe true
+    // exactly two survivors total: 5 images -> 2 representatives
+    rows.count(_._3) shouldBe 2
+  }
+
+  test("multimodal_resize: 8x6 everywhere, deterministic bytes, " +
+      "raster-vs-fallback split") {
+    val run1 = SparkEntry.queries("multimodal_resize")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    // raster payloads (the 5 phash images) decode to true 8x6 BMPs
+    val rasters = run1.filter(_._2 == "image")
+    rasters.length shouldBe 5
+    rasters.foreach { t =>
+      t._3 shouldBe 8L; t._4 shouldBe 6L
+      t._5 shouldBe (54L + 6 * 24) // BMP header + 6 rows of padded stride
+    }
+    // the same raster through BMP (11) and PNG (12) resizes to
+    // byte-identical output — the canonical-BMP re-encode contract
+    rasters.find(_._1 == 11L).get._6 shouldBe rasters.find(_._1 == 12L).get._6
+    // non-raster payloads (audio fixtures) take the documented fallback
+    // (no true raster dims)
+    run1.filter(_._2 == "audio").foreach(t => t._3 shouldBe -1L)
+    // rerun-deterministic: identical md5s end to end
+    val run2 = SparkEntry.queries("multimodal_resize")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(5)))
+    run2.toMap shouldBe run1.map(t => (t._1, t._6)).toMap
+  }
+
   test("multimodal_audio_fp: gain invariance, near-dup edit kept, unrelated dropped") {
     val pairs = SparkEntry.queries("multimodal_audio_fp")(spark, sf001).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
