@@ -162,6 +162,17 @@ object PipelineDemo {
     graft.operators.ManifestTable.clone(spark, outDir, evalDir)
     println(s"eval clone rows: ${
       graft.operators.ManifestTable.read(spark, evalDir).count()}")
+    // compliance delete (round 16): a takedown request lands AFTER the
+    // release — merge-on-read removes the affected docs at metadata speed
+    // (one position scan + one manifest write, zero file rewrites; the
+    // nightly OPTIMIZE materializes). The pre-delete snapshot stays
+    // time-travelable for the audit trail until expire().
+    val takedown = graft.operators.ManifestTable.read(spark, outDir)
+      .orderBy("doc_id").limit(1).select("doc_id").collect()(0).getLong(0)
+    graft.operators.ManifestTable.deleteWhere(spark, outDir,
+      col("doc_id") === takedown)
+    println(s"takedown of doc $takedown applied merge-on-read: ${
+      graft.operators.ManifestTable.read(spark, outDir).count()} rows live")
     // corpus fully consumed — release the pipeline's cached intermediates
     // (unpersist is asynchronous, so poll briefly before reporting)
     tr.release()
