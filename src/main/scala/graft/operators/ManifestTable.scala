@@ -419,8 +419,19 @@ object ManifestTable {
     require(vs.nonEmpty, s"$dir has no committed snapshot")
     val v0 = vs.last
     val files = manifestFiles(fs, dir, v0)
+    // the delta lands as a sibling batch under the SAME logical schema:
+    // a column-set mismatch would make later by-name parquet reads
+    // silently null-fill or drop columns depending on which file the
+    // schema gets inferred from — fail loudly instead
+    val raw = spark.read.parquet(files.map(resolve(dir, _)): _*)
+    require(updates.columns.sorted.sameElements(raw.columns.sorted),
+      s"upsertMor delta columns ${updates.columns.sorted.mkString(",")} " +
+        s"differ from the table's ${raw.columns.sorted.mkString(",")} — " +
+        "align the delta schema first")
+    keyCols.foreach(k => require(updates.columns.contains(k),
+      s"key column $k not in the delta"))
     // matched positions among LIVE rows (existing deletes excluded first)
-    val scan = spark.read.parquet(files.map(resolve(dir, _)): _*)
+    val scan = raw
       .withColumn("__graft_del_f", col("_metadata.file_path"))
       .withColumn("__graft_del_p", col("_metadata.row_index"))
     val existing = manifestDeletes(fs, dir, v0)

@@ -1044,6 +1044,13 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     ManifestTable.readPruned(spark, dir,
         Seq(ManifestTable.ColEq("k", 2L)))
       .select("v").as[String].collect() shouldBe Array("NEWER2")
+    // a schema-mismatched delta refuses loudly (by-name parquet reads
+    // would otherwise silently null-fill or drop columns later)
+    val exSchema = intercept[IllegalArgumentException] {
+      ManifestTable.upsertMor(spark, dir,
+        Seq((5L, "x", 1.0)).toDF("k", "v", "extra"), Seq("k"))
+    }
+    exSchema.getMessage should include("differ from the table's")
   }
 
   test("deleteWhere: streaming refuses a version window that adds deletes; " +
