@@ -226,6 +226,29 @@ object Events {
         .orderBy("user_id")
     }),
 
+    // first differencing (round 16) — the Δy step every stationarity/
+    // forecasting decision rests on (ts_adf regresses EXACTLY this
+    // difference), declared as its own surface: per event type's daily
+    // count series, diff = n_t − n_{t−1} (exact BIGINT; null on each
+    // series' first day — lag semantics, never a fake 0) and the pct
+    // change as the one float (ratio of exact ints, guarded against the
+    // zero divisor, round 6). One type-keyed window; the series frame is
+    // type × day domain-bounded after the single corpus collapse.
+    "ts_diff" -> ((s, sf) => {
+      val w = Window.partitionBy("g").orderBy("d")
+      t(s, sf, "events")
+        .groupBy(col("event_type").as("g"),
+          expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev", lag(col("n"), 1).over(w))
+        .select(col("g"), col("d"), col("n"),
+          (col("n") - col("prev")).as("diff"),
+          when(col("prev") > 0,
+            round((col("n") - col("prev")).cast("double") / col("prev"), 6))
+            .as("pct"))
+        .orderBy("g", "d")
+    }),
+
     // per-user maximum drawdown (round 16) — the classic running-peak
     // statistic (finance's drawdown, SRE's burn-down) over each user's
     // cumulative daily purchase value: cum_t = Σ value up to day t,
@@ -1924,6 +1947,20 @@ object Events {
              WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
              WHEN pv IS NOT NULL THEN 'ffill' ELSE 'bfill' END AS src
          FROM w2 ORDER BY user_id, d""",
+    "ts_diff" ->
+      """WITH daily AS (
+           SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT g, d, n,
+             lag(n) OVER (PARTITION BY g ORDER BY d) AS prev
+           FROM daily)
+         SELECT g, CAST(d AS BIGINT) AS d, CAST(n AS BIGINT) AS n,
+           CAST(n - prev AS BIGINT) AS diff,
+           CASE WHEN prev > 0
+                THEN round((n - prev) * 1.0 / prev, 6) END AS pct
+         FROM l ORDER BY g, d""",
     "win_drawdown" ->
       """WITH daily AS (
            SELECT user_id, epoch_us(ts) // 86400000000 AS d,
