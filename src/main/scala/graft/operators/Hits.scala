@@ -55,15 +55,19 @@ object Hits {
     var a = Map.empty[Long, Double]
     def l2(m: Map[Long, Double]): Double =
       math.sqrt(ns.iterator.map(v => { val x = m.getOrElse(v, 0.0); x * x }).sum)
+    // endpoints absent from `nodes` contribute zero — the same contract
+    // as the distributed path, whose inner equi-join against the score
+    // frame drops such edges (h(src)/a(dst) would instead throw, making
+    // identical input behave differently across the size gate)
     for (_ <- 1 to iters) {
       val ar = scala.collection.mutable.Map.empty[Long, Double]
       for ((src, dst, w) <- es)
-        ar.updateWith(dst)(m => Some(m.getOrElse(0.0) + h(src) * w))
+        ar.updateWith(dst)(m => Some(m.getOrElse(0.0) + h.getOrElse(src, 0.0) * w))
       val az = l2(ar.toMap)
       a = ns.map(v => v -> (if (az == 0.0) 0.0 else ar.getOrElse(v, 0.0) / az)).toMap
       val hr = scala.collection.mutable.Map.empty[Long, Double]
       for ((src, dst, w) <- es)
-        hr.updateWith(src)(m => Some(m.getOrElse(0.0) + a(dst) * w))
+        hr.updateWith(src)(m => Some(m.getOrElse(0.0) + a.getOrElse(dst, 0.0) * w))
       val hz = l2(hr.toMap)
       h = ns.map(v => v -> (if (hz == 0.0) 0.0 else hr.getOrElse(v, 0.0) / hz)).toMap
     }

@@ -419,36 +419,59 @@ object ManifestTable {
     require(vs.nonEmpty, s"$dir has no committed snapshot")
     val v0 = vs.last
     val files = manifestFiles(fs, dir, v0)
-    // the delta lands as a sibling batch under the SAME logical schema:
-    // a column-set mismatch would make later by-name parquet reads
-    // silently null-fill or drop columns depending on which file the
-    // schema gets inferred from — fail loudly instead
-    val raw = spark.read.parquet(files.map(resolve(dir, _)): _*)
-    require(updates.columns.sorted.sameElements(raw.columns.sorted),
-      s"upsertMor delta columns ${updates.columns.sorted.mkString(",")} " +
-        s"differ from the table's ${raw.columns.sorted.mkString(",")} — " +
-        "align the delta schema first")
     keyCols.foreach(k => require(updates.columns.contains(k),
       s"key column $k not in the delta"))
-    // matched positions among LIVE rows (existing deletes excluded first)
-    val scan = raw
-      .withColumn("__graft_del_f", col("_metadata.file_path"))
-      .withColumn("__graft_del_p", col("_metadata.row_index"))
-    val existing = manifestDeletes(fs, dir, v0)
-    val live =
-      if (existing.isEmpty) scan
-      else scan.join(
-        spark.read.parquet(existing.map(resolve(dir, _)): _*)
-          .select(col("file").as("__graft_del_f"),
-            col("pos").as("__graft_del_p")),
-        Seq("__graft_del_f", "__graft_del_p"), "left_anti")
-    val matched = live
-      .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-      .select(col("__graft_del_f").as("file"), col("__graft_del_p").as("pos"))
     val delRel = s"_deletes/${java.util.UUID.randomUUID()}.parquet"
-    matched.write.parquet(s"$dir/$delRel")
-    val anyMatched = spark.read.parquet(s"$dir/$delRel").limit(1).count() > 0L
-    if (!anyMatched) fs.delete(new Path(s"$dir/$delRel"), true)
+    val anyMatched = if (files.isEmpty) {
+      // committed-but-empty snapshot (an empty REPLACE, or everything
+      // compacted away): nothing can match and there is no scan schema
+      // to guard against — the merge degrades to a pure append of the
+      // delta instead of tripping parquet's unable-to-infer-schema on a
+      // zero-path read
+      false
+    } else {
+      // the delta lands as a sibling batch under the SAME logical schema:
+      // a column-set mismatch would make later by-name parquet reads
+      // silently null-fill or drop columns depending on which file the
+      // schema gets inferred from, and a same-NAME-different-TYPE column
+      // would pass a name-only check, commit, and then poison every
+      // subsequent whole-table scan with conflicting physical parquet
+      // types POST-commit — fail loudly on names AND types, pre-publish
+      val raw = spark.read.parquet(files.map(resolve(dir, _)): _*)
+      require(updates.columns.sorted.sameElements(raw.columns.sorted),
+        s"upsertMor delta columns ${updates.columns.sorted.mkString(",")} " +
+          s"differ from the table's ${raw.columns.sorted.mkString(",")} — " +
+          "align the delta schema first")
+      val tableTypes = raw.schema.map(f => f.name -> f.dataType).toMap
+      val badTypes = updates.schema
+        .filter(f => tableTypes(f.name) != f.dataType)
+        .map(f => s"${f.name}: table ${tableTypes(f.name).sql} vs " +
+          s"delta ${f.dataType.sql}")
+      require(badTypes.isEmpty,
+        s"upsertMor delta column types differ from the table's " +
+          s"(${badTypes.mkString("; ")}) — cast the delta to the table " +
+          "schema first")
+      // matched positions among LIVE rows (existing deletes excluded first)
+      val scan = raw
+        .withColumn("__graft_del_f", col("_metadata.file_path"))
+        .withColumn("__graft_del_p", col("_metadata.row_index"))
+      val existing = manifestDeletes(fs, dir, v0)
+      val live =
+        if (existing.isEmpty) scan
+        else scan.join(
+          spark.read.parquet(existing.map(resolve(dir, _)): _*)
+            .select(col("file").as("__graft_del_f"),
+              col("pos").as("__graft_del_p")),
+          Seq("__graft_del_f", "__graft_del_p"), "left_anti")
+      val matched = live
+        .join(updates.select(keyCols.map(col): _*).distinct(), keyCols,
+          "left_semi")
+        .select(col("__graft_del_f").as("file"), col("__graft_del_p").as("pos"))
+      matched.write.parquet(s"$dir/$delRel")
+      val any = spark.read.parquet(s"$dir/$delRel").limit(1).count() > 0L
+      if (!any) fs.delete(new Path(s"$dir/$delRel"), true)
+      any
+    }
     // the new batch: the FULL updates frame (matched rows replace their
     // deleted originals, unmatched keys are the inserts)
     val dataRel = s"data/${java.util.UUID.randomUUID()}"
@@ -516,6 +539,96 @@ object ManifestTable {
       // a consumer of (from, to] must not receive rows to already deleted
       applyDeletes(spark, dir, manifestDeletes(fs, dir, to),
         spark.read.parquet(added.map(resolve(dir, _)): _*))
+  }
+
+  /** Row-level CHANGE FEED (round 17) — Delta's `table_changes` surface
+    * on the manifest protocol: every row-level change committed in
+    * versions (fromVersion, toVersion], as the table's columns plus
+    * (`_change_type`: insert | delete, `_commit_version`). Per version
+    * the feed derives from the manifest diff alone:
+    *  - data files ADDED in v → their rows as `insert` events;
+    *  - delete sidecars ADDED in v → the deleted rows THEMSELVES (each
+    *    sidecar's (file, pos) pairs joined back against the files they
+    *    reference — the pre-delete row image, Delta CDF's convention)
+    *    as `delete` events. A [[deleteWhere]] therefore streams as row
+    *    retractions, and an [[upsertMor]] MERGE as delete+insert pairs.
+    *
+    * Cost: O(files added in the window) + O(files referenced by the
+    * window's new delete sidecars) data I/O and O(versions) metadata —
+    * a change consumer pays for its changes, never the table. The
+    * position join's delete side is O(deleted rows) and broadcast-able
+    * (AQE decides), the [[applyDeletes]] shape.
+    *
+    * REFUSES a window containing a file-REMOVAL commit (REPLACE /
+    * OPTIMIZE / restore-to-older): file rewrites are not row changes,
+    * and fabricating delete-all+insert-all events for unchanged rows
+    * would be a lie at 100 TB scale — the Delta CDF stance. Restart the
+    * feed from the rewrite version (its own changes read fine).
+    */
+  def changes(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir has no committed snapshot")
+    val to = if (toVersion < 0) vs.last else toVersion
+    require(vs.contains(to), s"version $to not in committed set $vs")
+    require(fromVersion == 0L || vs.contains(fromVersion),
+      s"fromVersion $fromVersion not in committed set $vs (expired? " +
+        "retention must outlive the consumer's lag — the VACUUM contract)")
+    require(fromVersion <= to,
+      s"fromVersion $fromVersion is past toVersion $to")
+    val fs = fsOf(spark, dir)
+    val window = vs.filter(v => v > fromVersion && v <= to)
+    val frames = window.flatMap { v =>
+      val prev = vs.filter(_ < v).lastOption.getOrElse(0L)
+      val prevFiles =
+        if (prev == 0L) Set.empty[String]
+        else manifestFiles(fs, dir, prev).toSet
+      val prevDels =
+        if (prev == 0L) Set.empty[String]
+        else manifestDeletes(fs, dir, prev).toSet
+      val curFiles = manifestFiles(fs, dir, v)
+      val removed = prevFiles -- curFiles.toSet
+      require(removed.isEmpty,
+        s"version $v removes ${removed.size} data file(s) (REPLACE/" +
+          "OPTIMIZE/restore): file rewrites are not row changes — " +
+          s"restart the change feed from version $v")
+      val addedFiles = curFiles.filterNot(prevFiles)
+      val addedDels = manifestDeletes(fs, dir, v).filterNot(prevDels)
+      val ins =
+        if (addedFiles.isEmpty) Nil
+        else Seq(spark.read.parquet(addedFiles.map(resolve(dir, _)): _*)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      val del =
+        if (addedDels.isEmpty) Nil
+        else {
+          val pos = spark.read.parquet(addedDels.map(resolve(dir, _)): _*)
+          // the referenced physical files — sidecars record the absolute
+          // _metadata.file_path at delete time; the distinct list is
+          // O(files) driver metadata (the manifest discipline), the rows
+          // never leave the executors
+          val refFiles = pos.select("file").distinct()
+            .collect().map(_.getString(0)).sorted
+          if (refFiles.isEmpty) Nil
+          else Seq(spark.read.parquet(refFiles.toIndexedSeq: _*)
+            .withColumn("__graft_cdf_f", col("_metadata.file_path"))
+            .withColumn("__graft_cdf_p", col("_metadata.row_index"))
+            .join(pos.select(col("file").as("__graft_cdf_f"),
+              col("pos").as("__graft_cdf_p")),
+              Seq("__graft_cdf_f", "__graft_cdf_p"))
+            .drop("__graft_cdf_f", "__graft_cdf_p")
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        }
+      ins ++ del
+    }
+    if (frames.isEmpty)
+      read(spark, dir, to).limit(0)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(0L))
+        .limit(0)
+    else frames.reduce(_.unionByName(_))
   }
 
   /** SHALLOW (zero-copy) snapshot clone — Delta's `CLONE TABLE` shape

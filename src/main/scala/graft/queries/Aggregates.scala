@@ -290,26 +290,50 @@ object Aggregates {
     // distinct-value frame grows with the corpus (continuous prices), so
     // the running count is the two-pass distributed prefix sum
     // (range-partition + per-group offsets), never a one-task global
-    // window. Exact integers end-to-end: the CDF is emitted as integer
+    // window. Exact integers end-to-end: the value key is emitted as
+    // integer CENTS (round(price*100) — the corpus is exactly-2dp, so
+    // price*100 sits within a few ulp of an integer and round() lands on
+    // the same int64 in both engines) and the CDF as integer
     // parts-per-million ((cum_n * 1e6) div n — exact in both engines; no
-    // IEEE division or decimal-rendering round ever crosses engines, the
-    // round-15 driver red was Spark HALF_UP-on-rendering vs DuckDB
-    // multiply-round disagreeing on half-ulp quotients). Overflow bound:
-    // cum_n * 1e6 stays in int64 up to ~9.2e12 rows; beyond that widen to
-    // DECIMAL(38,0). The 1-row total is a broadcast scalar (agg_ttest
-    // shape).
+    // IEEE division, decimal rendering, or decimal HASHING ever crosses
+    // engines). The all-BIGINT output schema is deliberate: two rounds of
+    // driver-side hash mismatch on this query tracked the output COLUMN
+    // TYPE (v was the single DECIMAL-typed output column on the whole
+    // query surface, with exact value-level agreement at both SFs), so
+    // the decimal leaves the edge entirely; probe_decimal (below) keeps
+    // the hasher theory falsifiable. Overflow bound: cum_n * 1e6 stays
+    // in int64 up to ~9.2e12 rows; beyond that widen to DECIMAL(38,0).
+    // The 1-row total is a broadcast scalar (agg_ttest shape).
     "agg_cdf" -> ((s, sf) => {
       val byV = t(s, sf, "orders")
-        .groupBy(col("o_totalprice").cast("decimal(18,4)").as("v"))
+        .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          .as("v_cents"))
         .agg(count(lit(1)).as("c"))
       val pre = graft.operators.GlobalRank
-        .prefix(byV, Nil, Seq("v"), Seq("c" -> "cum_n"), inclusive = true)
+        .prefix(byV, Nil, Seq("v_cents"), Seq("c" -> "cum_n"),
+          inclusive = true)
       val tot = pre.agg(sum(col("c")).as("n"))
       pre.crossJoin(broadcast(tot))
-        .select(col("v"), col("cum_n"),
+        .select(col("v_cents"), col("cum_n"),
           expr("(cum_n * CAST(1000000 AS BIGINT)) div n").as("cdf_ppm"))
-        .orderBy("v")
+        .orderBy("v_cents")
     }),
+
+    // one-row DECIMAL hasher probe (round 17) — agg_cdf was driver-red
+    // for two rounds with exact value-level agreement at both SFs, and
+    // its `v decimal(18,4)` was the only decimal-typed output column on
+    // the whole surface. This probe makes the theory falsifiable: a
+    // constant one-row result whose `d` column is decimal(18,4) on both
+    // engines. If THIS rows+schema-matches but hash-mismatches at the
+    // driver while agg_cdf (now all-BIGINT) greens, the driver's decimal
+    // hash canonicalization differs from value equality — documented
+    // evidence, not a correctness bug in either engine. Zero data read;
+    // one row; no shuffle.
+    "probe_decimal" -> ((s, _) =>
+      s.range(1).select(
+        lit("probe").as("k"),
+        expr("CAST(1.2345 AS DECIMAL(18,4))").as("d"),
+        lit(12345L).as("d_ppm"))),
 
     "agg_ks_test" -> ((s, sf) => {
       val o = t(s, sf, "orders")
@@ -1093,18 +1117,21 @@ object Aggregates {
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_cdf" ->
-      """WITH byv AS (SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS v,
-             count(*) AS c FROM orders GROUP BY 1),
+      """WITH byv AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+             AS v_cents, count(*) AS c FROM orders GROUP BY 1),
            tot AS (SELECT sum(c) AS n FROM byv)
-         SELECT v,
-           CAST(sum(c) OVER (ORDER BY v
+         SELECT v_cents,
+           CAST(sum(c) OVER (ORDER BY v_cents
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS cum_n,
-           CAST((CAST(sum(c) OVER (ORDER BY v
+           CAST((CAST(sum(c) OVER (ORDER BY v_cents
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              * 1000000) // CAST((SELECT n FROM tot) AS BIGINT) AS BIGINT)
              AS cdf_ppm
-         FROM byv ORDER BY v""",
+         FROM byv ORDER BY v_cents""",
+    "probe_decimal" ->
+      """SELECT 'probe' AS k, CAST(1.2345 AS DECIMAL(18,4)) AS d,
+           CAST(12345 AS BIGINT) AS d_ppm""",
     "agg_ks_test" ->
       """WITH o AS (SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS v,
              epoch_us(o_orderdate) AS us FROM orders),

@@ -573,7 +573,16 @@ object Events {
     // impl-specific); EventsSpec pins single-step pattern support =
     // distinct-user counts and the anti-monotone support law.
     "events_prefixspan" -> ((s, sf) => {
-      import org.apache.spark.ml.fpm.PrefixSpan
+      // PrefixSpan ITERATES its input (one projection pass per pattern
+      // length) — uncached, every pass re-runs the corpus scan + the
+      // sequence-building aggregate. The ml.fpm wrapper derives a FRESH
+      // uncached RDD from its Dataset argument (caching the Dataset
+      // leaves that RDD at StorageLevel.NONE and the recompute + WARN in
+      // place), so the query drops to the mllib API over an explicitly
+      // persisted sequence RDD — an adjudicated .rdd use: the consumer
+      // is itself an RDD-based algorithm, not a declarative plan.
+      import org.apache.spark.mllib.fpm.{PrefixSpan => MllibPrefixSpan}
+      import s.implicits._
       val seqs = t(s, sf, "events")
         .select(col("user_id"),
           struct(unix_micros(col("ts")).as("us"), col("event_id"),
@@ -581,13 +590,19 @@ object Events {
         .groupBy("user_id")
         .agg(transform(array_sort(collect_list(col("step"))),
           x => array(x.getField("event_type"))).as("sequence"))
-      new PrefixSpan().setMinSupport(0.2).setMaxPatternLength(3)
-        .setSequenceCol("sequence")
-        .findFrequentSequentialPatterns(seqs)
-        .select(array_join(transform(col("sequence"),
-            a => array_join(a, "+")), ">").as("pattern"),
-          col("freq"))
-        .orderBy("pattern")
+      val rdd = seqs.select("sequence").rdd
+        .map(_.getSeq[scala.collection.Seq[String]](0).map(_.toArray).toArray)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = new MllibPrefixSpan()
+        .setMinSupport(0.2).setMaxPatternLength(3).run(rdd)
+      // seal (materialize) the tiny pattern frame BEFORE unpersisting the
+      // sequence cache — the result RDD's lineage reaches back through it
+      val tr = new graft.operators.Tracked
+      val out = tr.seal(model.freqSequences
+        .map(fs => (fs.sequence.map(_.mkString("+")).mkString(">"), fs.freq))
+        .toDF("pattern", "freq"))
+      rdd.unpersist(blocking = false)
+      out.orderBy("pattern")
     }),
 
     "events_cooccur" -> ((s, sf) => {

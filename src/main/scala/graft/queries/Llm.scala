@@ -32,28 +32,42 @@ object Llm {
     * action, which cost one extra full aggregation job per invocation
     * even when the cap never binds. */
   private[graft] object HotShingleObserver {
-    val MetricName = "graft_hot_shingles"
+    // per-invocation suffix: a plan may contain TWO pairIntersections
+    // invocations (e.g. a future pair-of-corpora diff) and Spark fails
+    // analysis on duplicate observed-metric names — unique names keep the
+    // composition legal; the listener matches by prefix
+    val MetricPrefix = "graft_hot_shingles"
+    private val invocations = new java.util.concurrent.atomic.AtomicLong(0L)
+    def nextMetricName(): String =
+      s"${MetricPrefix}_${invocations.incrementAndGet()}"
     // weak keys: sessions come and go under tests; a strong set would pin
     // every retired session (and its state) for the JVM's lifetime
     private val registered = java.util.Collections.synchronizedSet(
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
-    def ensure(spark: SparkSession, dfCap: Int): Unit =
+    def ensure(spark: SparkSession): Unit =
       if (registered.add(spark))
         spark.listenerManager.register(
           new org.apache.spark.sql.util.QueryExecutionListener {
             override def onSuccess(funcName: String,
                 qe: org.apache.spark.sql.execution.QueryExecution,
                 durationNs: Long): Unit =
-              qe.observedMetrics.get(MetricName).foreach { row =>
-                val i = row.fieldIndex("n_hot")
-                val nHot = if (row.isNullAt(i)) 0L else row.getLong(i)
-                if (nHot > 0L)
-                  logger.warn(s"pairIntersections: $nHot shingle types " +
-                    s"exceed the df cap $dfCap and are EXCLUDED from the " +
-                    "inverted index — intersection counts for pairs " +
-                    "sharing them are lower bounds (candidate volume " +
-                    s"bounded by cap²=${dfCap.toLong * dfCap} per type)")
+              // the cap travels INSIDE the observed row — the listener is
+              // once-per-session and must not bake in the dfCap of
+              // whichever ensure() call registered it
+              qe.observedMetrics.foreach { case (name, row) =>
+                if (name.startsWith(MetricPrefix)) {
+                  val i = row.fieldIndex("n_hot")
+                  val nHot = if (row.isNullAt(i)) 0L else row.getLong(i)
+                  val j = row.fieldIndex("df_cap")
+                  val dfCap = if (row.isNullAt(j)) 0L else row.getLong(j)
+                  if (nHot > 0L)
+                    logger.warn(s"pairIntersections: $nHot shingle types " +
+                      s"exceed the df cap $dfCap and are EXCLUDED from " +
+                      "the inverted index — intersection counts for " +
+                      "pairs sharing them are lower bounds (candidate " +
+                      s"volume bounded by cap²=${dfCap * dfCap} per type)")
+                }
               }
             override def onFailure(funcName: String,
                 qe: org.apache.spark.sql.execution.QueryExecution,
@@ -169,9 +183,10 @@ object Llm {
     // through an observed metric WARN-logged by a once-per-session
     // listener instead of an eager action.
     val dfs = shAll.groupBy("h").agg(count(lit(1)).as("df"))
-      .observe(HotShingleObserver.MetricName,
-        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_hot"))
-    HotShingleObserver.ensure(docsRaw.sparkSession, dfCap)
+      .observe(HotShingleObserver.nextMetricName(),
+        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_hot"),
+        max(lit(dfCap.toLong)).as("df_cap"))
+    HotShingleObserver.ensure(docsRaw.sparkSession)
     val hot = dfs.where(col("df") > dfCap).select("h")
     val sh = shAll.join(hot, Seq("h"), "left_anti")
     val joinCond =

@@ -560,6 +560,46 @@ object Sources {
         .orderBy("c_mktsegment")
     }),
 
+    // row-level CHANGE FEED (round 17) — Delta's table_changes surface on
+    // the manifest protocol, closing the MoR story's consume side: the
+    // events table lands as two appends, a MoR DELETE (clicks), and an
+    // upsertMor MERGE (all purchases value-bumped by an EXACT decimal
+    // +100, plus a backfill batch of shifted view events) — then
+    // ManifestTable.changes(0) replays every committed row change as
+    // (row, _change_type insert|delete, _commit_version): the appends as
+    // inserts, the DELETE as the deleted rows themselves (pre-delete
+    // image from the position sidecars), the MERGE as delete+insert
+    // pairs. The oracle recomputes all five (version, change) groups from
+    // the plain events table, so the hash check proves the feed reports
+    // exactly the rows each commit touched — nothing missing, nothing
+    // fabricated, values intact. Cost: O(changed files) data I/O,
+    // O(versions) metadata — a change consumer pays for its changes,
+    // never the table; REPLACE/OPTIMIZE windows refuse loudly (file
+    // rewrites are not row changes — the Delta CDF stance).
+    "manifest_changes" -> ((s, sf) => {
+      import graft.operators.ManifestTable
+      val dir = tmp(sf, "morcdf")
+      if (ManifestTable.versions(s, dir).isEmpty) {
+        val e = t(s, sf, "events")
+        (0 to 1).foreach(r => ManifestTable.commit(s, dir,
+          e.filter(pmod(col("event_id"), lit(2)) === r)))
+        ManifestTable.deleteWhere(s, dir, col("event_type") === "click")
+        val upd = e.filter(col("event_type") === "purchase")
+          .withColumn("value",
+            expr("CAST(CAST(value AS DECIMAL(18,2)) + 100.00 AS DOUBLE)"))
+        val ins = e.filter(col("event_type") === "view" &&
+            pmod(col("event_id"), lit(50)) === 0)
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
+          .withColumn("event_type", lit("backfill"))
+        ManifestTable.upsertMor(s, dir, upd.unionByName(ins), Seq("event_id"))
+      }
+      ManifestTable.changes(s, dir, 0L)
+        .groupBy(col("_commit_version").as("v"),
+          col("_change_type").as("change"), col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("v", "change", "event_type")
+    }),
+
     // DESCRIBE HISTORY (round 16) — the audit/observability surface over
     // the manifest log: one row per committed version with its data-file
     // count, delete-sidecar count, and sidecar-summed raw row count —
@@ -857,6 +897,38 @@ object Sources {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type <> 'view'
          GROUP BY 1 ORDER BY event_type""",
+    // the change feed's five (version, change) groups recomputed from the
+    // plain table: v1/v2 inserts = the %2 append split, v3 deletes = the
+    // clicks (pre-delete image), v4 = the MERGE's delete+insert pairs
+    // (purchases at original values deleted, re-inserted at +100.00
+    // exact-decimal, plus the backfill batch)
+    "manifest_changes" ->
+      """SELECT CAST(1 AS BIGINT) AS v, 'insert' AS change, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+         UNION ALL
+         SELECT 2, 'insert', event_type, count(*),
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+         UNION ALL
+         SELECT 3, 'delete', event_type, count(*),
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_type = 'click' GROUP BY event_type
+         UNION ALL
+         SELECT 4, 'delete', event_type, count(*),
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_type = 'purchase' GROUP BY event_type
+         UNION ALL
+         SELECT 4, 'insert', event_type, count(*),
+                CAST(sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) + 100.00
+                  AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_type = 'purchase' GROUP BY event_type
+         UNION ALL
+         SELECT 4, 'insert', 'backfill', count(*),
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_type = 'view' AND event_id % 50 = 0
+         ORDER BY v, change, event_type""",
     // deterministic fixture (3 appends of the %3 split, repartition(2)
     // each) makes even the metadata columns corpus-derivable
     "manifest_history" ->

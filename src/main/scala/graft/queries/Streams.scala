@@ -325,6 +325,63 @@ object Streams {
         .orderBy("event_type")
     }),
 
+    // row-level STREAMING change feed (round 17) — the readChangeFeed
+    // consume of a merge-on-read table, closing the r16 gap where a
+    // delete-adding window could only REFUSE: the events table lands as
+    // two appends + a MoR DELETE (clicks) + an upsertMor MERGE
+    // (purchases value-bumped exact-decimal +100, plus a backfill batch),
+    // and a real Structured Streaming query drains it with
+    // .option("readChangeFeed", true) — added files arrive as insert
+    // events, delete sidecars as the DELETED ROWS tagged delete (the
+    // pre-delete image, Delta CDF's convention), each stamped with its
+    // _commit_version. The drain lands exactly-once through TxnSink and
+    // the read-back rollup hash-matches the SAME oracle as the batch
+    // manifest_changes query — streaming CDC ≡ batch table_changes ≡
+    // the plain-table recomputation. Scale: planning stays O(versions)
+    // metadata; each insert file / delete sidecar is one partition; a
+    // GDPR delete streams as O(deleted rows) retraction events, never a
+    // table rescan.
+    "stream_manifest_cdf" -> ((s, sf) => {
+      val tag = new java.io.File(sf).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_mcdf_${runTag}_$tag"
+      val inv = invocation.incrementAndGet()
+      val (srcTbl, outTbl, ckpt) =
+        (s"$base/src", s"$base/run$inv/out", s"$base/run$inv/ckpt")
+      if (graft.operators.ManifestTable.versions(s, srcTbl).isEmpty) {
+        val e = t(s, sf, "events")
+        (0 to 1).foreach(r => graft.operators.ManifestTable.commit(s, srcTbl,
+          e.filter(pmod(col("event_id"), lit(2)) === r)))
+        graft.operators.ManifestTable.deleteWhere(s, srcTbl,
+          col("event_type") === "click")
+        val upd = e.filter(col("event_type") === "purchase")
+          .withColumn("value",
+            expr("CAST(CAST(value AS DECIMAL(18,2)) + 100.00 AS DOUBLE)"))
+        val ins = e.filter(col("event_type") === "view" &&
+            pmod(col("event_id"), lit(50)) === 0)
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
+          .withColumn("event_type", lit("backfill"))
+        graft.operators.ManifestTable.upsertMor(s, srcTbl,
+          upd.unionByName(ins), Seq("event_id"))
+      }
+      val q = s.readStream
+        .format(classOf[graft.streaming.ManifestTableProvider].getName)
+        .option("path", srcTbl)
+        .option("readChangeFeed", "true").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.TxnSink.commitBatch(outTbl, b, id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.ManifestTable.read(s, outTbl)
+        .groupBy(col("_commit_version").as("v"),
+          col("_change_type").as("change"), col("event_type"))
+        .agg(count(lit(1)).as("n"), T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("v", "change", "event_type")
+    }),
+
     // event-time interval join: view → purchase by the same user within
     // 10 minutes (the stream-stream join shape; StreamingSpec runs the
     // same expression over two watermarked MemoryStreams)
@@ -365,6 +422,35 @@ object Streams {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM events GROUP BY 1 ORDER BY event_type""",
+    // streaming CDC ≡ batch table_changes ≡ the plain-table recomputation
+    // (the manifest_changes oracle, verbatim)
+    "stream_manifest_cdf" ->
+      """SELECT CAST(1 AS BIGINT) AS v, 'insert' AS change, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+         UNION ALL
+         SELECT 2, 'insert', event_type, count(*),
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+         UNION ALL
+         SELECT 3, 'delete', event_type, count(*),
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_type = 'click' GROUP BY event_type
+         UNION ALL
+         SELECT 4, 'delete', event_type, count(*),
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_type = 'purchase' GROUP BY event_type
+         UNION ALL
+         SELECT 4, 'insert', event_type, count(*),
+                CAST(sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) + 100.00
+                  AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_type = 'purchase' GROUP BY event_type
+         UNION ALL
+         SELECT 4, 'insert', 'backfill', count(*),
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_type = 'view' AND event_id % 50 = 0
+         ORDER BY v, change, event_type""",
     // file-capped drain must land the identical committed set
     "stream_manifest_backfill" ->
       """SELECT event_type, count(*) AS n_events,

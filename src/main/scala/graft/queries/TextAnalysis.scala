@@ -578,13 +578,17 @@ object TextAnalysis {
     // ulp is libm-dependent) can ever flip two near-equal scores across
     // engines. Top-3 per doc; the per-doc window partitions on doc_id
     // (corpus-keyed, bounded frames) above the one (doc, term) exchange;
-    // the df side is a vocab-bounded broadcast.
+    // the df side carries NO broadcast hint — a real web corpus has an
+    // unbounded term domain (10⁸+ distinct terms would be a driver-side
+    // broadcast bomb), so AQE's runtime size stats pick broadcast when
+    // the vocab is actually small and a plain shuffled join when it
+    // isn't (round-17 gate; PlanGuardSpec pins the corpus-size choice).
     "text_keywords" -> ((s, sf) => {
       val tok = t(s, sf, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
       val tf = tok.groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
       val df = tok.distinct().groupBy("tk").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), "tk")
+      tf.join(df, "tk")
         .withColumn("rank", row_number().over(
           Window.partitionBy("doc_id")
             .orderBy(desc("tf"), col("df"), col("tk"))))
@@ -600,9 +604,11 @@ object TextAnalysis {
     // under the pure-integer (count DESC, next) ordering (the
     // text_keywords discipline — no float in any rank). Bigrams come
     // from one NARROW zip_with over each row's own token array (no
-    // positional self-join); the per-token rank windows and the totals
-    // join are vocab-keyed bounded frames (the collocations precedent);
-    // the one float is the final probability ratio of exact ints.
+    // positional self-join); the per-token rank windows are vocab-keyed
+    // bounded frames; the totals join carries NO broadcast hint (the
+    // text_keywords round-17 gate — unbounded term domains must not
+    // force a driver broadcast; AQE decides from runtime size); the one
+    // float is the final probability ratio of exact ints.
     "text_bigram_lm" -> ((s, sf) => {
       val tok = t(s, sf, "documents")
         .select(split(col("text"), " ").as("a"))
@@ -612,7 +618,7 @@ object TextAnalysis {
         .select(col("b.cur").as("cur"), col("b.nxt").as("nxt"))
       val c = bg.groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
       val tot = c.groupBy("cur").agg(sum(col("c")).as("tot"))
-      c.join(broadcast(tot), "cur")
+      c.join(tot, "cur")
         .withColumn("rank", row_number().over(
           Window.partitionBy("cur").orderBy(desc("c"), col("nxt"))))
         .where(col("rank") <= 3)

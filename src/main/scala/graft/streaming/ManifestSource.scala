@@ -59,9 +59,13 @@ class ManifestTableProvider extends TableProvider {
     dir
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    graft.operators.ManifestTable
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = graft.operators.ManifestTable
       .read(SparkSession.active, dirOf(options)).schema
+    if (options.getBoolean("readChangeFeed", false))
+      StructType(base.fields ++ ManifestMicroBatchStream.CdfFields)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -100,8 +104,26 @@ class ManifestTableProvider extends TableProvider {
     // stricter wins per trigger.
     val maxFiles = Option(properties.get("maxFilesPerTrigger"))
       .map(_.toLong).getOrElse(0L)
+    // readChangeFeed (round 17): row-level CDC consume — the streaming
+    // face of ManifestTable.changes. Batches deliver the table's columns
+    // + (_change_type insert|delete, _commit_version): added files stream
+    // as inserts, added delete sidecars as the deleted rows themselves —
+    // a MoR DELETE streams as retraction events instead of refusing.
+    val cdf = Option(properties.get("readChangeFeed")).exists(_.toBoolean)
+    // file-level slicing would split a version BETWEEN its insert files
+    // and its delete events, breaking the per-version atomicity a change
+    // consumer folds on — refuse the combination loudly (version-level
+    // admission still composes)
+    require(!cdf || maxFiles <= 0L,
+      "readChangeFeed cannot combine with maxFilesPerTrigger — a change " +
+        "batch must carry a whole version's events; use " +
+        "maxVersionsPerTrigger for admission control on a change feed")
+    require(!cdf || skipPreds.isEmpty,
+      "readChangeFeed cannot combine with skipFilters — delete events " +
+        "come from position sidecars, not skippable data files; filter " +
+        "the change rows in the query instead")
     new ManifestStreamTable(dir, schema, startingVersion, skipPreds,
-      maxVersions, maxFiles)
+      maxVersions, maxFiles, cdf)
   }
 
   private def parseSkipFilters(
@@ -127,7 +149,8 @@ class ManifestTableProvider extends TableProvider {
 private[streaming] class ManifestStreamTable(dir: String,
     tableSchema: StructType, startingVersion: Long = 0L,
     skipPreds: Seq[graft.operators.ManifestTable.StatsPred] = Nil,
-    maxVersionsPerTrigger: Long = 0L, maxFilesPerTrigger: Long = 0L)
+    maxVersionsPerTrigger: Long = 0L, maxFilesPerTrigger: Long = 0L,
+    changeFeed: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft-manifest(`$dir`)"
   override def schema(): StructType = tableSchema
@@ -139,7 +162,7 @@ private[streaming] class ManifestStreamTable(dir: String,
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(dir, tableSchema, startingVersion,
-            skipPreds, maxVersionsPerTrigger, maxFilesPerTrigger)
+            skipPreds, maxVersionsPerTrigger, maxFilesPerTrigger, changeFeed)
       }
     }
 }
@@ -167,18 +190,33 @@ private[streaming] object ManifestOffset {
   }
 }
 
-private[streaming] case class ManifestFilePartition(path: String)
-    extends InputPartition
+private[streaming] case class ManifestFilePartition(path: String,
+    version: Long = -1L) extends InputPartition
+
+/** Change-feed DELETE partition (round 17): one per delete sidecar added
+  * in `version` — the reader resolves the sidecar's (file, pos) pairs
+  * back to the referenced files' rows and emits them tagged `delete`. */
+private[streaming] case class ManifestDeletePartition(sidecar: String,
+    version: Long) extends InputPartition
 
 private[streaming] class ManifestMicroBatchStream(dir: String,
     schema: StructType, startingVersion: Long = 0L,
     skipPreds: Seq[graft.operators.ManifestTable.StatsPred] = Nil,
-    maxVersionsPerTrigger: Long = 0L, maxFilesPerTrigger: Long = 0L)
+    maxVersionsPerTrigger: Long = 0L, maxFilesPerTrigger: Long = 0L,
+    changeFeed: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  ManifestMicroBatchStream.requireSupported(schema)
+  // in change-feed mode the read schema carries the two CDF columns at
+  // the tail; the parquet readers see only the table's own columns
+  private val tableSchema: StructType =
+    if (changeFeed)
+      StructType(schema.fields.filterNot(f =>
+        ManifestMicroBatchStream.CdfFields.exists(_.name == f.name)))
+    else schema
+
+  ManifestMicroBatchStream.requireSupported(tableSchema)
 
   private def spark = SparkSession.active
   private def versions = graft.operators.ManifestTable.versions(spark, dir)
@@ -294,19 +332,49 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
     val fs = fsOf
     val window = (if (so.index != Long.MaxValue) Seq(so.version) else Nil) ++
       vs.filter(v => v > so.version && v <= eo.version)
+    if (changeFeed) {
+      // row-level change feed (round 17): per version, added files stream
+      // as insert events and added delete sidecars as the deleted rows
+      // (tagged delete) — one partition per file / per sidecar. File
+      // slicing is refused at option-validation time, so every window
+      // version is whole here.
+      return window.flatMap { v =>
+        // a file-removal commit (REPLACE/OPTIMIZE/restore) is not a row
+        // change — the ManifestTable.changes refusal, same stance
+        val prev = vs.filter(_ < v).lastOption.getOrElse(0L)
+        val prevFiles =
+          if (prev == 0L) Set.empty[String]
+          else lines(fs, prev).filterNot(_.startsWith("delete:")).toSet
+        val curFiles = lines(fs, v).filterNot(_.startsWith("delete:")).toSet
+        val removed = prevFiles -- curFiles
+        require(removed.isEmpty,
+          s"version $v removes ${removed.size} data file(s) (REPLACE/" +
+            "OPTIMIZE/restore): file rewrites are not row changes — " +
+            s"restart the change feed with startingVersion=$v")
+        val (files, dels) = addLists(fs, vs, v)
+        files.map(f => ManifestFilePartition(
+          graft.operators.ManifestTable.resolve(dir, f), v): InputPartition) ++
+          dels.map(d => ManifestDeletePartition(
+            graft.operators.ManifestTable.resolve(dir, d.stripPrefix("delete:")),
+            v): InputPartition)
+      }.toArray
+    }
     val added = window.flatMap { v =>
       val (files, dels) = addLists(fs, vs, v)
       // row-level deletes (round 16) are NOT expressible in this source's
       // file-granularity CDC contract: a batch delivers whole added
       // files, so positions deleted inside already-delivered files would
       // silently stay delivered. Refuse loudly at the version's FIRST
-      // slice; materialize (OPTIMIZE/replace) and the entries vanish.
+      // slice; materialize (OPTIMIZE/replace) and the entries vanish —
+      // or consume with .option("readChangeFeed", true), which delivers
+      // them as row-level delete events (round 17).
       val firstSlice = v != so.version || so.index == Long.MaxValue
       require(dels.isEmpty || !firstSlice,
         s"version $v adds ${dels.size} row-level delete sidecar(s) — row " +
           "deletes are not expressible in the file-granularity streaming " +
           "contract; OPTIMIZE/replace the table to materialize deletes " +
-          "before streaming past them")
+          "before streaming past them, or read the table as a change " +
+          "feed (.option(\"readChangeFeed\", true))")
       val from = if (v == so.version && so.index != Long.MaxValue)
         so.index + 1 else 0L
       val to = if (v == eo.version && eo.index != Long.MaxValue)
@@ -339,7 +407,7 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
     val kvs = new scala.collection.mutable.ArrayBuffer[(String, String)]
     val it = conf.iterator()
     while (it.hasNext) { val e = it.next(); kvs += e.getKey -> e.getValue }
-    new ManifestReaderFactory(schema, kvs.toArray)
+    new ManifestReaderFactory(tableSchema, kvs.toArray, changeFeed)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -347,6 +415,12 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
 }
 
 private[streaming] object ManifestMicroBatchStream {
+  /** The change-feed columns appended to the table schema when
+    * `readChangeFeed` is set (round 17) — Delta CDF's column names. */
+  private[streaming] val CdfFields: Array[StructField] = Array(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_version", LongType, nullable = false))
+
   /** Primitives, DECIMAL, plus arbitrarily-nested STRUCT/ARRAY/MAP over
     * them (round 16, r15 verdict item 4 — the map/decimal refusal
     * removed). Anything else still fails at scan build, not silently
@@ -370,13 +444,22 @@ private[streaming] object ManifestMicroBatchStream {
   }
 }
 
-private[streaming] class ManifestReaderFactory(schema: StructType,
-    confKVs: Array[(String, String)]) extends PartitionReaderFactory {
+private[streaming] class ManifestReaderFactory(tableSchema: StructType,
+    confKVs: Array[(String, String)], changeFeed: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val conf = new Configuration(false)
     confKVs.foreach { case (k, v) => conf.set(k, v) }
-    new GroupRowReader(
-      partition.asInstanceOf[ManifestFilePartition].path, schema, conf)
+    partition match {
+      case ManifestFilePartition(path, _) if !changeFeed =>
+        new GroupRowReader(path, tableSchema, conf)
+      case ManifestFilePartition(path, v) =>
+        new GroupRowReader(path, tableSchema, conf,
+          Array(UTF8String.fromString("insert"), java.lang.Long.valueOf(v)))
+      case ManifestDeletePartition(sidecar, v) =>
+        new CdfDeleteReader(sidecar, tableSchema, conf,
+          Array(UTF8String.fromString("delete"), java.lang.Long.valueOf(v)))
+    }
   }
 }
 
@@ -391,7 +474,8 @@ private[streaming] class ManifestReaderFactory(schema: StructType,
   * writes (outer LIST group → repeated entry group → element field),
   * with null elements preserved. */
 private[streaming] class GroupRowReader(path: String, schema: StructType,
-    conf: Configuration) extends PartitionReader[InternalRow] {
+    conf: Configuration,
+    extra: Array[Any] = Array.empty) extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] = ParquetReader
     .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
@@ -551,7 +635,13 @@ private[streaming] class GroupRowReader(path: String, schema: StructType,
       narrowInt = idx.map(prim(_, PrimitiveTypeName.INT32))
       narrowFloat = idx.map(prim(_, PrimitiveTypeName.FLOAT))
     }
-    val row = new GenericInternalRow(schema.length)
+    // `extra` values (the change-feed tag columns) ride as constant tail
+    // fields — already in Spark-internal form (UTF8String / boxed Long)
+    val row = new GenericInternalRow(schema.length + extra.length)
+    var j = 0
+    while (j < extra.length) {
+      row.update(schema.length + j, extra(j)); j += 1
+    }
     var i = 0
     while (i < schema.length) {
       val pi = idx(i)
@@ -587,4 +677,73 @@ private[streaming] class GroupRowReader(path: String, schema: StructType,
   }
 
   override def close(): Unit = reader.close()
+}
+
+/** Change-feed DELETE reader (round 17): resolves one delete sidecar's
+  * (file, pos) pairs back to the referenced files' ROWS — the pre-delete
+  * row image — tagged by the `extra` change columns. The sidecar is a
+  * parquet dir of (file STRING, pos BIGINT); positions are row indices in
+  * file order (`_metadata.row_index` semantics), so a sequential
+  * parquet-mr read counting rows visits them exactly. Cost per partition:
+  * the sidecar (O(deleted rows) of 2 narrow columns) + one sequential
+  * pass over each referenced file — O(files referenced by THIS sidecar),
+  * never the table. */
+private[streaming] class CdfDeleteReader(sidecar: String,
+    schema: StructType, conf: Configuration,
+    extra: Array[Any]) extends PartitionReader[InternalRow] {
+
+  // (file → ascending deleted positions), read once via parquet-mr
+  private val byFile: Array[(String, Array[Long])] = {
+    val fs = new org.apache.hadoop.fs.Path(sidecar).getFileSystem(conf)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(sidecar)).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val acc = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[Long]]
+    parts.foreach { p =>
+      val r = ParquetReader
+        .builder(new GroupReadSupport(), p).withConf(conf).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          val gt = g.getType
+          val f = g.getBinary(gt.getFieldIndex("file"), 0).toStringUsingUTF8
+          val pos = g.getLong(gt.getFieldIndex("pos"), 0)
+          acc.getOrElseUpdate(f,
+            new scala.collection.mutable.ArrayBuffer[Long]) += pos
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    acc.toArray.sortBy(_._1).map { case (f, ps) => (f, ps.toArray.sorted) }
+  }
+
+  private var fi = -1
+  private var inner: GroupRowReader = _
+  private var positions: Array[Long] = _
+  private var pi = 0
+  private var rowIdx = -1L
+
+  override def next(): Boolean = {
+    while (true) {
+      if (inner == null) {
+        fi += 1
+        if (fi >= byFile.length) return false
+        inner = new GroupRowReader(byFile(fi)._1, schema, conf, extra)
+        positions = byFile(fi)._2
+        pi = 0
+        rowIdx = -1L
+      }
+      if (pi >= positions.length || !inner.next()) {
+        inner.close(); inner = null
+      } else {
+        rowIdx += 1L
+        if (rowIdx == positions(pi)) { pi += 1; return true }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = inner.get()
+
+  override def close(): Unit = if (inner != null) { inner.close(); inner = null }
 }

@@ -1053,6 +1053,64 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     exSchema.getMessage should include("differ from the table's")
   }
 
+  test("changes (round 17): the batch change feed replays every commit's " +
+      "row events; REPLACE windows and expired froms refuse; empty and " +
+      "idempotent windows are empty") {
+    import spark.implicits._
+    val dir = tmpDir()
+    def ch(from: Long, to: Long = -1L) =
+      ManifestTable.changes(spark, dir, from, to)
+        .select("k", "v", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+    ManifestTable.commit(spark, dir,
+      (1 to 4).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+    ManifestTable.deleteWhere(spark, dir, col("k") <= 2L)
+    ManifestTable.upsertMor(spark, dir,
+      Seq((3L, "V3"), (9L, "v9")).toDF("k", "v"), Seq("k"))
+    val full = (1 to 4).map(i => (i.toLong, s"v$i", "insert", 1L)).toSet ++
+      Set((1L, "v1", "delete", 2L), (2L, "v2", "delete", 2L),
+        (3L, "v3", "delete", 3L), (3L, "V3", "insert", 3L),
+        (9L, "v9", "insert", 3L))
+    ch(0L) shouldBe full
+    // windowing: (1, 3] sees only the delete + merge events
+    ch(1L) shouldBe full.filter(_._4 > 1L)
+    ch(1L, 2L) shouldBe full.filter(_._4 == 2L)
+    // an idempotent re-delete publishes no version → the feed is stable
+    val head = ManifestTable.versions(spark, dir).last
+    ManifestTable.deleteWhere(spark, dir, col("k") <= 2L) shouldBe head
+    ch(0L) shouldBe full
+    // empty window: zero rows, schema intact (table cols + CDF cols)
+    val empty = ManifestTable.changes(spark, dir, head)
+    empty.count() shouldBe 0L
+    empty.columns.toSeq shouldBe
+      Seq("k", "v", "_change_type", "_commit_version")
+    // fold-forward sanity: head state == inserts minus deletes by (k, pos
+    // in time) — the CDC consumer's apply law on this keyed table
+    val events = ch(0L).toSeq
+    val folded = events.groupBy(_._1).flatMap { case (_, es) =>
+      // per key the LAST event decides: delete → gone, insert → present;
+      // within one version (a MERGE) the delete precedes the insert
+      val last = es.maxBy(e => (e._4, if (e._3 == "insert") 1 else 0))
+      if (last._3 == "insert") Some(last._1 -> last._2) else None
+    }.toSet
+    folded shouldBe asSet(ManifestTable.read(spark, dir))
+    // REPLACE windows refuse (file rewrites are not row changes)...
+    ManifestTable.commit(spark, dir,
+      ManifestTable.read(spark, dir).repartition(1), replace = true)
+    val ex = intercept[IllegalArgumentException] { ch(0L) }
+    ex.getMessage should include("not row changes")
+    // ...but a feed STARTING at the rewrite version reads later commits
+    val rw = ManifestTable.versions(spark, dir).last
+    ManifestTable.commit(spark, dir, Seq((20L, "v20")).toDF("k", "v"))
+    ch(rw) shouldBe Set((20L, "v20", "insert", rw + 1))
+    // an expired/unknown fromVersion refuses with the VACUUM message
+    val exFrom = intercept[IllegalArgumentException] {
+      ManifestTable.changes(spark, dir, 999L)
+    }
+    exFrom.getMessage should include("not in committed set")
+  }
+
   test("deleteWhere: streaming refuses a version window that adds deletes; " +
       "materialized heads stream again") {
     import spark.implicits._

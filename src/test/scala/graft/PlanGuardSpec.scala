@@ -136,7 +136,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
 
   test("plan sweep: no cartesian/nested-loop joins; partition-less windows " +
       "only above day/hour-domain collapse aggregates") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Pmod}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan}
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // every path from the window to a leaf must pass a collapse Aggregate
     // (grouped: bounded by the group domain; global: one row) — the
@@ -146,6 +147,28 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
       case l if l.children.isEmpty => false
       case other => other.children.forall(collapsedBeforeLeaves)
     }
+    // the bound can also be a GlobalLimit (text_zipf's top-1000 cut — its
+    // vocab Aggregate is NOT bounded at 100 TB, the limit is the bound)
+    def limitBeforeLeaves(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit => true
+      case l if l.children.isEmpty => false
+      case other => other.children.forall(limitBeforeLeaves)
+    }
+    // round 17 (ADVICE): a window keyed ONLY on provably-constant
+    // expressions — the pmod(x, 1) ≡ 0 idiom, or a foldable literal —
+    // executes as a single-partition window exactly like a partition-less
+    // one; the sweep sees through the idiom so it cannot be used to evade
+    // the invariant on an unbounded frame
+    def provablyConstant(e: Expression): Boolean = e match {
+      case Pmod(_, Literal(one, _), _)
+          if one == 1 || one == 1L || one == 1.toShort || one == 1.toByte =>
+        true
+      case other => other.foldable
+    }
+    // adjudicated constant-key windows + the structural fact bounding each
+    val constKeyWindows = Map(
+      "agg_mutual_info" -> "aggregate", // ≤ type×dow cell collapse below
+      "text_zipf" -> "limit") // GlobalLimit(1000) bounds the rank frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val qe = SparkEntry.queries(name)(spark, sf001).queryExecution
       val joinBad =
@@ -167,7 +190,27 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
           Seq(s"$name: partition-less window reads rows no aggregate " +
             "collapsed — corpus-bound, not domain-bound")
         else Nil
-      joinBad ++ winBad
+      val constKeyed = qe.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(provablyConstant) => w
+      }
+      val ckBad =
+        if (constKeyed.isEmpty) Nil
+        else constKeyWindows.get(name) match {
+          case None =>
+            Seq(s"$name: window keyed only on provably-constant " +
+              "expressions (single-partition at runtime) outside the " +
+              "adjudicated exemption set")
+          case Some("aggregate")
+              if !constKeyed.forall(w => collapsedBeforeLeaves(w.child)) =>
+            Seq(s"$name: constant-key window reads rows no aggregate " +
+              "collapsed — corpus-bound, not domain-bound")
+          case Some("limit")
+              if !constKeyed.forall(w => limitBeforeLeaves(w.child)) =>
+            Seq(s"$name: constant-key window reads rows no limit bounded")
+          case _ => Nil
+        }
+      joinBad ++ winBad ++ ckBad
     }
     offenders shouldBe empty
   }
@@ -189,6 +232,30 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture with Matchers {
     bp should include("vector")
     bp should include("merge")
     bp should include("BroadcastExchange")
+  }
+
+  test("text_keywords / text_bigram_lm vocab joins are size-gated by AQE, " +
+      "not hint-forced") {
+    // r16 verdict item 2: an unconditional broadcast() of per-term df /
+    // per-token totals is a driver bomb on an unbounded web-corpus term
+    // domain. The hint is GONE — the logical plan must carry no broadcast
+    // hint on those joins — and at corpus size AQE's runtime statistics
+    // still pick the broadcast (the frames really are vocab-bounded
+    // here), so the plan is as fast as the hinted one without hard-wiring
+    // the unscalable choice.
+    for (q <- Seq("text_keywords", "text_bigram_lm")) {
+      val df = SparkEntry.queries(q)(spark, sf001)
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+        case r: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => r
+      }
+      withClue(s"$q broadcast hint: ") { hints shouldBe empty }
+      df.collect()
+      val fin = df.queryExecution.executedPlan.toString
+      withClue(s"$q AQE final plan: ") {
+        fin should include("BroadcastHashJoin")
+      }
+    }
   }
 
   test("filter/scan queries keep pushdown at the reader") {

@@ -862,17 +862,121 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     // genuinely unsupported types (intervals) still refuse at stream
     // build, not mangled — the refusal contract survives the round-16
     // map/decimal green paths
+    // BOTH interval families refuse with the same pinned message — the
+    // streaming type matrix has no undocumented cell (r16 verdict item 5:
+    // primitives/decimal/struct/array/map stream; intervals refuse loudly)
+    for ((ddl, name) <- Seq("id BIGINT, iv INTERVAL YEAR" -> "msrc_bad",
+        "id BIGINT, iv INTERVAL DAY TO SECOND" -> "msrc_bad2")) {
+      val q2 = spark.readStream
+        .format(classOf[graft.streaming.ManifestTableProvider].getName)
+        .schema(ddl)
+        .option("path", tbl).load()
+        .writeStream.format("memory").queryName(name).start()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable(); q2.awaitTermination(20000); ()
+      }
+      q2.stop()
+      ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("") should
+        include("unsupported type")
+    }
+  }
+
+  test("manifest stream change feed (round 17): appends stream as inserts, " +
+      "MoR deletes as delete events, upserts as delete+insert pairs") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-mcdf1").toString
+    val tbl = s"$base/tbl"
+    val MT = graft.operators.ManifestTable
+    MT.commit(spark, tbl, (1 to 6).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+    MT.deleteWhere(spark, tbl, col("k") <= 2)
+    MT.upsertMor(spark, tbl,
+      Seq((5L, "V5"), (7L, "v7")).toDF("k", "v"), Seq("k"))
+    val q = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("mcdf1").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("mcdf1")
+      .select("k", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // v1: six inserts; v2: the two deleted rows as PRE-DELETE images;
+    // v3 (the MERGE): matched key 5 deleted at its original value and
+    // re-inserted at the new one, unmatched key 7 a plain insert
+    val want = (1 to 6).map(i => (i.toLong, s"v$i", "insert", 1L)).toSet ++
+      Set((1L, "v1", "delete", 2L), (2L, "v2", "delete", 2L),
+        (5L, "v5", "delete", 3L), (5L, "V5", "insert", 3L),
+        (7L, "v7", "insert", 3L))
+    got shouldBe want
+    // version-level admission control composes with the change feed:
+    // maxVersionsPerTrigger=1 walked the three versions in >= 3 batches
+    q.recentProgress.map(_.numInputRows).count(_ > 0) should be >= 3
+    // the r16 refusal contract is UNTOUCHED for a plain (non-CDF)
+    // consume — and the message now names the escape hatch
+    val qp = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).load()
+      .writeStream.format("memory").queryName("mcdf1p").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qp.processAllAvailable(); qp.awaitTermination(20000); ()
+    }
+    qp.stop()
+    (ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")) should
+      include("readChangeFeed")
+  }
+
+  test("manifest stream change feed: REPLACE windows refuse (file rewrites " +
+      "are not row changes); incompatible options refuse at build") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-mcdf2").toString
+    val tbl = s"$base/tbl"
+    val MT = graft.operators.ManifestTable
+    MT.commit(spark, tbl, (1 to 4).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+    MT.commit(spark, tbl,
+      (1 to 4).map(i => (i.toLong, s"w$i")).toDF("k", "v"), replace = true)
+    MT.commit(spark, tbl, Seq((9L, "v9")).toDF("k", "v"))
+    // a feed crossing the REPLACE refuses loudly
+    val q = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("mcdf2").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination(20000); ()
+    }
+    q.stop()
+    (ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")) should
+      include("not row changes")
+    // restarted FROM the rewrite version, the feed reads the later appends
     val q2 = spark.readStream
       .format(classOf[graft.streaming.ManifestTableProvider].getName)
-      .schema("id BIGINT, iv INTERVAL YEAR")
-      .option("path", tbl).load()
-      .writeStream.format("memory").queryName("msrc_bad").start()
-    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q2.processAllAvailable(); q2.awaitTermination(20000); ()
+      .option("path", tbl).option("readChangeFeed", "true")
+      .option("startingVersion", "2").load()
+      .writeStream.format("memory").queryName("mcdf2b").start()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.table("mcdf2b")
+      .select("k", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet shouldBe Set((9L, "v9", "insert", 3L))
+    // file-level slicing would split a version between its inserts and
+    // delete events; skip filters cannot see position sidecars — both
+    // combinations refuse at build, not mid-stream
+    for (opts <- Seq(Map("maxFilesPerTrigger" -> "2"),
+        Map("skipFilters" -> "k >= 1"))) {
+      val ex2 = intercept[Exception] {
+        var r = spark.readStream
+          .format(classOf[graft.streaming.ManifestTableProvider].getName)
+          .option("path", tbl).option("readChangeFeed", "true")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        val qq = r.load().writeStream.format("memory")
+          .queryName(s"mcdf2c${opts.keys.head}").start()
+        try { qq.processAllAvailable(); qq.awaitTermination(20000) }
+        finally qq.stop()
+      }
+      (ex2.getMessage +
+        Option(ex2.getCause).map(_.getMessage).getOrElse("")) should
+        include("readChangeFeed cannot combine")
     }
-    q2.stop()
-    ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("") should
-      include("unsupported type")
   }
 
   test("manifest stream source: map + decimal tables round-trip through " +
