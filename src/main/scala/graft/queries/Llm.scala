@@ -860,6 +860,32 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // AUDIT-grade n-gram decontamination (round 17) — contamination_check
+    // with the hash dropped: the same eval-split / 5-gram-window /
+    // inverted-index join, but keyed on the window STRING, so every
+    // count is exact by construction and the whole report hash-checks
+    // against a DuckDB recomputation (converting the decontamination
+    // tier's one rows-only capability into an oracle-verified law). This
+    // is the compliance variant a release audit runs on the flagged
+    // subset; contamination_check (8-byte hashed keys, collision odds
+    // 2⁻⁶⁴-per-pair toward over-flagging only) is the 100 TB sweep.
+    // Output: only CONTAMINATED eval docs (inner join — the audit report
+    // is the hits, not the clean bill).
+    "contamination_ngram" -> ((s, sf) => {
+      val docs = t(s, sf, "documents").select(col("doc_id"), col("text"))
+      val isEval = graft.operators.Split.portableKeep(col("doc_id"), 0.2)
+      val trainW = graft.functions.TextWindows
+        .wordWindows(docs.where(!isEval), 5)
+        .select(col("w"), col("doc_id").as("train_doc"))
+      val evalW = graft.functions.TextWindows
+        .wordWindows(docs.where(isEval), 5)
+      evalW.join(trainW, "w")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("w")).as("hits"),
+          countDistinct(col("train_doc")).as("train_docs"))
+        .orderBy("doc_id")
+    }),
+
     // data-mixture upsampling as a DECLARED query (round 8) — the
     // "wiki×2.5, web×0.5" source-weighting step a training pipeline runs
     // last: per-stratum mixture weights realized as floor(w) full copies
@@ -1072,6 +1098,22 @@ object Llm {
            CAST(max(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS survivor,
            max(len) AS best_len
          FROM ranked GROUP BY 1 ORDER BY cluster""",
+    // audit-grade decontamination: the same eval split (md5 prefix <
+    // '34' = ceil(0.2·256)/256 of doc_ids), the same 5-gram windows as
+    // string keys, recomputed wholesale
+    "contamination_ngram" ->
+      """WITH tok AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' AS is_eval,
+             string_split(text, ' ') AS tk
+           FROM documents),
+         w AS (SELECT doc_id, is_eval, unnest(
+             [array_to_string(tk[i+1:i+5], ' ')
+              for i in range(0, len(tk) - 4)]) AS w
+           FROM tok WHERE len(tk) >= 5)
+         SELECT e.doc_id, count(DISTINCT e.w) AS hits,
+                count(DISTINCT t.doc_id) AS train_docs
+         FROM w e JOIN w t ON e.w = t.w AND e.is_eval AND NOT t.is_eval
+         GROUP BY e.doc_id ORDER BY e.doc_id""",
     "contamination_embed" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
                     sqrt(list_sum(list_transform(embedding,

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.T.{Q, t}
 
@@ -23,6 +24,33 @@ object Sources {
   private def tmp(sf: String, fmt: String): String = {
     val tag = new java.io.File(sf).getName
     s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${runTag}_${fmt}_$tag"
+  }
+
+  /** The merge-on-read CHANGE-FEED fixture (round 17), shared by
+    * `manifest_changes` (the feed itself) and `manifest_changes_apply`
+    * (the fold law): two %2 appends of events, a MoR DELETE of the
+    * clicks, and an upsertMor MERGE — purchases value-bumped by an EXACT
+    * decimal +100.00 (no float rounding can diverge cross-engine) plus a
+    * backfill batch of key-shifted view events. Memoized per (JVM, SF). */
+  private def morCdfFixture(s: org.apache.spark.sql.SparkSession,
+      sf: String): String = {
+    import graft.operators.ManifestTable
+    val dir = tmp(sf, "morcdf")
+    if (ManifestTable.versions(s, dir).isEmpty) {
+      val e = t(s, sf, "events")
+      (0 to 1).foreach(r => ManifestTable.commit(s, dir,
+        e.filter(pmod(col("event_id"), lit(2)) === r)))
+      ManifestTable.deleteWhere(s, dir, col("event_type") === "click")
+      val upd = e.filter(col("event_type") === "purchase")
+        .withColumn("value",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) + 100.00 AS DOUBLE)"))
+      val ins = e.filter(col("event_type") === "view" &&
+          pmod(col("event_id"), lit(50)) === 0)
+        .withColumn("event_id", col("event_id") + lit(1000000000L))
+        .withColumn("event_type", lit("backfill"))
+      ManifestTable.upsertMor(s, dir, upd.unionByName(ins), Seq("event_id"))
+    }
+    dir
   }
 
   val queries: Map[String, Q] = Map(
@@ -577,27 +605,37 @@ object Sources {
     // never the table; REPLACE/OPTIMIZE windows refuse loudly (file
     // rewrites are not row changes — the Delta CDF stance).
     "manifest_changes" -> ((s, sf) => {
-      import graft.operators.ManifestTable
-      val dir = tmp(sf, "morcdf")
-      if (ManifestTable.versions(s, dir).isEmpty) {
-        val e = t(s, sf, "events")
-        (0 to 1).foreach(r => ManifestTable.commit(s, dir,
-          e.filter(pmod(col("event_id"), lit(2)) === r)))
-        ManifestTable.deleteWhere(s, dir, col("event_type") === "click")
-        val upd = e.filter(col("event_type") === "purchase")
-          .withColumn("value",
-            expr("CAST(CAST(value AS DECIMAL(18,2)) + 100.00 AS DOUBLE)"))
-        val ins = e.filter(col("event_type") === "view" &&
-            pmod(col("event_id"), lit(50)) === 0)
-          .withColumn("event_id", col("event_id") + lit(1000000000L))
-          .withColumn("event_type", lit("backfill"))
-        ManifestTable.upsertMor(s, dir, upd.unionByName(ins), Seq("event_id"))
-      }
-      ManifestTable.changes(s, dir, 0L)
+      val dir = morCdfFixture(s, sf)
+      graft.operators.ManifestTable.changes(s, dir, 0L)
         .groupBy(col("_commit_version").as("v"),
           col("_change_type").as("change"), col("event_type"))
         .agg(count(lit(1)).as("n"), graft.T.dsum(col("value"), 2).as("sum_value"))
         .orderBy("v", "change", "event_type")
+    }),
+
+    // CDC APPLY (round 17) — the consumer half of the change-feed law:
+    // folding manifest_changes' event stream onto empty state reproduces
+    // the head snapshot. Per key (event_id is the table key) the LAST
+    // event decides — ordered by _commit_version with insert outranking
+    // delete within one version (a MERGE deletes the old image and
+    // inserts the new in the same commit) — survivors are the inserts.
+    // One key-partitioned row_number window over the O(changes) frame
+    // (one exchange, keyed — never a global sort), then the rollup. The
+    // oracle recomputes the post-merge state directly from the plain
+    // events table, so the hash check IS the apply law: feed ∘ fold =
+    // snapshot. At 100 TB this is exactly how a downstream mirror
+    // consumes the feed — cost O(changes), never O(table).
+    "manifest_changes_apply" -> ((s, sf) => {
+      val dir = morCdfFixture(s, sf)
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("_commit_version").desc,
+          when(col("_change_type") === "insert", 1).otherwise(0).desc)
+      graft.operators.ManifestTable.changes(s, dir, 0L)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("_change_type") === "insert")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), graft.T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
     }),
 
     // DESCRIBE HISTORY (round 16) — the audit/observability surface over
@@ -929,6 +967,24 @@ object Sources {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
            FROM events WHERE event_type = 'view' AND event_id % 50 = 0
          ORDER BY v, change, event_type""",
+    // the apply law: feed ∘ fold = snapshot — the post-merge state
+    // recomputed directly from the plain table (clicks gone, purchases
+    // at +100.00 exact, the backfill batch present, everything else
+    // untouched)
+    "manifest_changes_apply" ->
+      """WITH state AS (
+           SELECT event_type, value FROM events
+             WHERE event_type NOT IN ('click', 'purchase')
+           UNION ALL
+           SELECT event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) + 100.00 AS DOUBLE)
+             FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT 'backfill', value
+             FROM events WHERE event_type = 'view' AND event_id % 50 = 0)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM state GROUP BY 1 ORDER BY event_type""",
     // deterministic fixture (3 appends of the %3 split, repartition(2)
     // each) makes even the metadata columns corpus-derivable
     "manifest_history" ->
