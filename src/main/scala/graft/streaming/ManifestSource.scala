@@ -32,7 +32,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - REPLACE/compaction commits: file-granularity re-delivery (rewritten
   *    files reappear in the diff) — pair with idempotent/merging sinks,
   *    the same stance Delta's file-based CDF takes without deletion
-  *    vectors.
+  *    vectors;
+  *  - merge-on-read tables: a plain consume REFUSES windows that add
+  *    row-level delete sidecars (file granularity cannot express them);
+  *    `.option("readChangeFeed", true)` (round 17) lifts the refusal by
+  *    switching to ROW-LEVEL change events — the table's columns plus
+  *    (_change_type insert|delete, _commit_version): added files stream
+  *    as inserts, delete sidecars as the deleted rows themselves (the
+  *    pre-delete image), an upsertMor MERGE as delete+insert pairs.
+  *    REPLACE windows refuse in CDF mode too (file rewrites are not row
+  *    changes); maxVersionsPerTrigger composes, maxFilesPerTrigger and
+  *    skipFilters refuse at build (a change batch carries whole
+  *    versions).
   *
   * Scale: `latestOffset` is one manifest-dir listing; planning a batch is
   * two manifest reads and a string-set diff (O(files), no data I/O); each

@@ -1025,6 +1025,35 @@ print(f"events_out_of_order: {'OK' if ok else 'MISMATCH'} "
       f"({sum(len(v) for v in ooo_late.values())} events)")
 fails += 0 if ok else 1
 
+# manifest_changes (round 17): the CDC feed's (version, change, type)
+# groups from first principles over the raw events — independent of the
+# manifest machinery, the sidecar join AND the oracle's UNION algebra
+from decimal import Decimal, ROUND_HALF_UP
+def d2(x):
+    return Decimal(str(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+cdc = collections.defaultdict(lambda: [0, Decimal(0)])
+for eid, t, v in zip(ev["event_id"], ev["event_type"], ev["value"]):
+    ins_v = (1 if eid % 2 == 0 else 2, "insert", t)
+    cdc[ins_v][0] += 1; cdc[ins_v][1] += d2(v)
+    if t == "click":
+        cdc[(3, "delete", t)][0] += 1; cdc[(3, "delete", t)][1] += d2(v)
+    if t == "purchase":
+        cdc[(4, "delete", t)][0] += 1; cdc[(4, "delete", t)][1] += d2(v)
+        cdc[(4, "insert", t)][0] += 1
+        cdc[(4, "insert", t)][1] += d2(v) + Decimal(100)
+    if t == "view" and eid % 50 == 0:
+        k = (4, "insert", "backfill")
+        cdc[k][0] += 1; cdc[k][1] += d2(v)
+got = sparkres("manifest_changes")
+ok = len(got["v"]) == len(cdc)
+for v, ch, t, n, sv in zip(got["v"], got["change"], got["event_type"],
+                           got["n"], got["sum_value"]):
+    en, es = cdc.get((v, ch, t), (None, None))
+    ok = ok and en == n and es is not None \
+        and abs(float(es) - sv) <= 1e-6 * max(1.0, abs(float(es)))
+print(f"manifest_changes: {'OK' if ok else 'MISMATCH'} ({len(cdc)} groups)")
+fails += 0 if ok else 1
+
 sys.exit(1 if fails else 0)
 
 
