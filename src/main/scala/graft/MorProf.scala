@@ -80,6 +80,12 @@ object MorProf {
       ManifestTable.upsertMor(spark, dir, upd, Seq("event_id"))
     }
     val headRows = ManifestTable.read(spark, dir).count()
+    // the round-17 change feed over the full 12-version history: every
+    // insert + delete event counted (forces the position-resolve joins)
+    var nChanges = 0L
+    val tCdf = secs {
+      nChanges = ManifestTable.changes(spark, dir, 0L).count()
+    }
     // OPTIMIZE: the declared manifest_delete_compact move — REPLACE from
     // read(), drops every delete entry
     val tOpt = secs {
@@ -100,7 +106,8 @@ object MorProf {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       }.size
     println(f"[morprof] sf=$sfDir rows=$headRows%d build=$tBuild%.1fs " +
-      f"3xdeleteWhere=$tDel%.1fs upsertMor=$tMerge%.1fs optimize=$tOpt%.1fs " +
+      f"3xdeleteWhere=$tDel%.1fs upsertMor=$tMerge%.1fs " +
+      f"changes=$tCdf%.1fs ($nChanges%d events) optimize=$tOpt%.1fs " +
       f"expire=$tExpire%.2fs versions $nVer0%d->$nVer1%d " +
       f"batchDirs $nBatch0%d->$nBatch1%d sidecars $nSide0%d->$nSide1%d " +
       f"survivors=$headRows1%d (match=${headRows1 == headRows}) " +
