@@ -638,6 +638,42 @@ object Sources {
         .orderBy("event_type")
     }),
 
+    // CDC → SCD2 (round 17) — the THIRD change-feed consumer pattern
+    // (apply = mirror, this = history table): fold the feed into
+    // slowly-changing-dimension-2 intervals — each insert OPENS a
+    // validity interval [_commit_version, next-event version) for its
+    // key, the next event (a delete, or the delete+insert pair of a
+    // MERGE) CLOSES it, the open interval is the current row. One lead()
+    // window per key over the (version, delete-before-insert) total
+    // order — the table key makes intervals per key alternate, so ONE
+    // keyed exchange builds the whole history (this is what a warehouse
+    // does with a Debezium/CDF stream). The rollup groups by
+    // (event_type, is_current) with interval bounds — every column
+    // recomputable from the plain table because the fixture's commit
+    // topology is declared (v1/v2 = %2 appends, v3 = click delete,
+    // v4 = purchase MERGE + backfill).
+    "manifest_cdc_scd2" -> ((s, sf) => {
+      val dir = morCdfFixture(s, sf)
+      // delete sorts before insert WITHIN a version: a MERGE's delete
+      // closes the old interval at v, its insert opens the new one at v
+      val ord = col("_commit_version") * 2 +
+        when(col("_change_type") === "insert", 1).otherwise(0)
+      val w = Window.partitionBy("event_id").orderBy(ord)
+      graft.operators.ManifestTable.changes(s, dir, 0L)
+        .withColumn("next_v", lead(col("_commit_version"), 1).over(w))
+        .where(col("_change_type") === "insert")
+        .select(col("event_type"), col("value"),
+          col("_commit_version").as("valid_from"),
+          col("next_v").as("valid_to"))
+        .groupBy(col("event_type"), col("valid_to").isNull.as("is_current"))
+        .agg(count(lit(1)).as("n"),
+          graft.T.dsum(col("value"), 2).as("sum_value"),
+          min(col("valid_from")).as("min_from"),
+          max(col("valid_from")).as("max_from"),
+          max(col("valid_to")).as("max_to"))
+        .orderBy("event_type", "is_current")
+    }),
+
     // DESCRIBE HISTORY (round 16) — the audit/observability surface over
     // the manifest log: one row per committed version with its data-file
     // count, delete-sidecar count, and sidecar-summed raw row count —
@@ -967,6 +1003,37 @@ object Sources {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
            FROM events WHERE event_type = 'view' AND event_id % 50 = 0
          ORDER BY v, change, event_type""",
+    // SCD2 from the declared commit topology: clicks closed at v3,
+    // purchase pre-images closed at v4 with the +100 post-images current
+    // from v4, the backfill batch current from v4, every other type
+    // current from its %2 append version
+    "manifest_cdc_scd2" ->
+      """WITH base AS (SELECT event_type, value,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS vf
+           FROM events),
+         r AS (
+           SELECT event_type, value, FALSE AS is_current,
+                  CAST(vf AS BIGINT) AS vf, CAST(3 AS BIGINT) AS vt
+             FROM base WHERE event_type = 'click'
+           UNION ALL
+           SELECT event_type, value, FALSE, vf, 4
+             FROM base WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) + 100.00 AS DOUBLE),
+                  TRUE, 4, NULL
+             FROM base WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT event_type, value, TRUE, vf, NULL
+             FROM base WHERE event_type NOT IN ('click', 'purchase')
+           UNION ALL
+           SELECT 'backfill', value, TRUE, 4, NULL
+             FROM events WHERE event_type = 'view' AND event_id % 50 = 0)
+         SELECT event_type, is_current, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value,
+                min(vf) AS min_from, max(vf) AS max_from, max(vt) AS max_to
+         FROM r GROUP BY 1, 2 ORDER BY event_type, is_current""",
     // the apply law: feed ∘ fold = snapshot — the post-merge state
     // recomputed directly from the plain table (clicks gone, purchases
     // at +100.00 exact, the backfill batch present, everything else
