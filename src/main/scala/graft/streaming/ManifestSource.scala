@@ -363,11 +363,24 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
             "OPTIMIZE/restore): file rewrites are not row changes — " +
             s"restart the change feed with startingVersion=$v")
         val (files, dels) = addLists(fs, vs, v)
+        // one partition per sidecar PART file, not per sidecar dir: a
+        // massive delete writes its positions distributed across many
+        // parts, and per-part reading keeps each task's position set
+        // bounded by the DELETE's own write parallelism (and parallelizes
+        // the event replay) instead of concentrating the whole delete in
+        // one task. The dir listing is O(files) driver metadata — the
+        // manifest discipline.
+        val delParts = dels.flatMap { d =>
+          val sc = graft.operators.ManifestTable
+            .resolve(dir, d.stripPrefix("delete:"))
+          fs.listStatus(new org.apache.hadoop.fs.Path(sc)).toSeq
+            .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName)
+            .map(p => ManifestDeletePartition(p.toString, v): InputPartition)
+        }
         files.map(f => ManifestFilePartition(
           graft.operators.ManifestTable.resolve(dir, f), v): InputPartition) ++
-          dels.map(d => ManifestDeletePartition(
-            graft.operators.ManifestTable.resolve(dir, d.stripPrefix("delete:")),
-            v): InputPartition)
+          delParts
       }.toArray
     }
     val added = window.flatMap { v =>
@@ -690,24 +703,31 @@ private[streaming] class GroupRowReader(path: String, schema: StructType,
   override def close(): Unit = reader.close()
 }
 
-/** Change-feed DELETE reader (round 17): resolves one delete sidecar's
-  * (file, pos) pairs back to the referenced files' ROWS — the pre-delete
-  * row image — tagged by the `extra` change columns. The sidecar is a
-  * parquet dir of (file STRING, pos BIGINT); positions are row indices in
-  * file order (`_metadata.row_index` semantics), so a sequential
-  * parquet-mr read counting rows visits them exactly. Cost per partition:
-  * the sidecar (O(deleted rows) of 2 narrow columns) + one sequential
-  * pass over each referenced file — O(files referenced by THIS sidecar),
-  * never the table. */
+/** Change-feed DELETE reader (round 17): resolves one delete-sidecar
+  * PART's (file, pos) pairs back to the referenced files' ROWS — the
+  * pre-delete row image — tagged by the `extra` change columns. The part
+  * is one parquet file of (file STRING, pos BIGINT) — the planner splits
+  * a sidecar dir per part, so a massive delete's position set is bounded
+  * per task by the DELETE's own write parallelism. Positions are row
+  * indices in file order (`_metadata.row_index` semantics), so a
+  * sequential parquet-mr read counting rows visits them exactly. Cost
+  * per partition: this part's positions (2 narrow columns) + one
+  * sequential pass over each file the part references — never the
+  * table. (Parts referencing the same data file each scan it — delete
+  * volume, not table volume, prices the feed.) */
 private[streaming] class CdfDeleteReader(sidecar: String,
     schema: StructType, conf: Configuration,
     extra: Array[Any]) extends PartitionReader[InternalRow] {
 
-  // (file → ascending deleted positions), read once via parquet-mr
+  // (file → ascending deleted positions), read once via parquet-mr;
+  // accepts a single part file (the planner's unit) or a sidecar dir
   private val byFile: Array[(String, Array[Long])] = {
-    val fs = new org.apache.hadoop.fs.Path(sidecar).getFileSystem(conf)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(sidecar)).toSeq
-      .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val root = new org.apache.hadoop.fs.Path(sidecar)
+    val fs = root.getFileSystem(conf)
+    val parts =
+      if (fs.getFileStatus(root).isFile) Seq(root)
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val acc = scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.ArrayBuffer[Long]]
     parts.foreach { p =>
