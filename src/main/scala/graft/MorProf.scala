@@ -86,6 +86,31 @@ object MorProf {
     val tCdf = secs {
       nChanges = ManifestTable.changes(spark, dir, 0L).count()
     }
+    // the two feed consumers at the same scale: the per-key last-event
+    // fold (mirror apply) and the SCD2 interval build — each one keyed
+    // exchange over the O(changes) frame
+    import org.apache.spark.sql.expressions.Window
+    var nLive = 0L
+    val tApply = secs {
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("_commit_version").desc,
+          when(col("_change_type") === "insert", 1).otherwise(0).desc)
+      nLive = ManifestTable.changes(spark, dir, 0L)
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .where(col("rn") === 1 && col("_change_type") === "insert")
+        .count()
+    }
+    var nIntervals = 0L
+    val tScd2 = secs {
+      val ord = col("_commit_version") * 2 +
+        when(col("_change_type") === "insert", 1).otherwise(0)
+      val w = Window.partitionBy("event_id").orderBy(ord)
+      nIntervals = ManifestTable.changes(spark, dir, 0L)
+        .withColumn("next_v",
+          org.apache.spark.sql.functions.lead(col("_commit_version"), 1).over(w))
+        .where(col("_change_type") === "insert")
+        .count()
+    }
     // OPTIMIZE: the declared manifest_delete_compact move — REPLACE from
     // read(), drops every delete entry
     val tOpt = secs {
@@ -107,7 +132,9 @@ object MorProf {
       }.size
     println(f"[morprof] sf=$sfDir rows=$headRows%d build=$tBuild%.1fs " +
       f"3xdeleteWhere=$tDel%.1fs upsertMor=$tMerge%.1fs " +
-      f"changes=$tCdf%.1fs ($nChanges%d events) optimize=$tOpt%.1fs " +
+      f"changes=$tCdf%.1fs ($nChanges%d events) " +
+      f"apply=$tApply%.1fs ($nLive%d live) scd2=$tScd2%.1fs " +
+      f"($nIntervals%d intervals) optimize=$tOpt%.1fs " +
       f"expire=$tExpire%.2fs versions $nVer0%d->$nVer1%d " +
       f"batchDirs $nBatch0%d->$nBatch1%d sidecars $nSide0%d->$nSide1%d " +
       f"survivors=$headRows1%d (match=${headRows1 == headRows}) " +

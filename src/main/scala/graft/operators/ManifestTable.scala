@@ -564,6 +564,13 @@ object ManifestTable {
     * and fabricating delete-all+insert-all events for unchanged rows
     * would be a lie at 100 TB scale — the Delta CDF stance. Restart the
     * feed from the rewrite version (its own changes read fine).
+    *
+    * Expired history (the stream source's expire-gap convention): when
+    * versions before the earliest retained one were expire()d, that
+    * earliest version's manifest still carries every file it inherited,
+    * so a from-0 feed attributes them all to it — the "initial
+    * snapshot bootstrap" semantics, identical to what a new streaming
+    * consumer of the same table receives.
     */
   def changes(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long = -1L): DataFrame = {
