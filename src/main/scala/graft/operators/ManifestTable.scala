@@ -553,6 +553,13 @@ object ManifestTable {
     *    as `delete` events. A [[deleteWhere]] therefore streams as row
     *    retractions, and an [[upsertMor]] MERGE as delete+insert pairs.
     *
+    * `keyCols` (optional): the manifest protocol stores no table key, so
+    * by default a MERGE's matched rows surface as delete+insert pairs.
+    * When the caller declares the key, a delete and an insert of the
+    * SAME key in the SAME version are relabeled `update_preimage` /
+    * `update_postimage` — Delta CDF's four-type convention — via one
+    * (key, version)-keyed window over the O(changes) frame.
+    *
     * Cost: O(files added in the window) + O(files referenced by the
     * window's new delete sidecars) data I/O and O(versions) metadata —
     * a change consumer pays for its changes, never the table. The
@@ -573,7 +580,7 @@ object ManifestTable {
     * consumer of the same table receives.
     */
   def changes(spark: SparkSession, dir: String, fromVersion: Long,
-      toVersion: Long = -1L): DataFrame = {
+      toVersion: Long = -1L, keyCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"$dir has no committed snapshot")
@@ -630,12 +637,35 @@ object ManifestTable {
         }
       ins ++ del
     }
-    if (frames.isEmpty)
-      read(spark, dir, to).limit(0)
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_commit_version", lit(0L))
-        .limit(0)
-    else frames.reduce(_.unionByName(_))
+    val feed =
+      if (frames.isEmpty)
+        read(spark, dir, to).limit(0)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(0L))
+          .limit(0)
+      else frames.reduce(_.unionByName(_))
+    if (keyCols.isEmpty) feed
+    else {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{collect_set, size => fsize, when}
+      keyCols.foreach(k => require(feed.columns.contains(k),
+        s"key column $k not in the table schema"))
+      // both change types present for this (key, version) ⇒ the pair is
+      // one UPDATE; the window rides the same keyed exchange shape the
+      // apply/SCD2 consumers use — O(changes), never O(table)
+      val w = Window.partitionBy(
+        (keyCols.map(col) :+ col("_commit_version")): _*)
+      feed
+        .withColumn("__n_types",
+          fsize(collect_set(col("_change_type")).over(w)))
+        .withColumn("_change_type",
+          when(col("__n_types") === 2 &&
+            col("_change_type") === "delete", "update_preimage")
+          .when(col("__n_types") === 2 &&
+            col("_change_type") === "insert", "update_postimage")
+          .otherwise(col("_change_type")))
+        .drop("__n_types")
+    }
   }
 
   /** SHALLOW (zero-copy) snapshot clone — Delta's `CLONE TABLE` shape

@@ -1095,6 +1095,16 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
       if (last._3 == "insert") Some(last._1 -> last._2) else None
     }.toSet
     folded shouldBe asSet(ManifestTable.read(spark, dir))
+    // with a DECLARED key, a MERGE's delete+insert pair relabels as one
+    // UPDATE (Delta CDF's four-type convention); pure inserts/deletes
+    // keep their labels
+    val keyed = ManifestTable.changes(spark, dir, 0L, keyCols = Seq("k"))
+      .select("k", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    keyed shouldBe (full -- Set(
+      (3L, "v3", "delete", 3L), (3L, "V3", "insert", 3L)) ++ Set(
+      (3L, "v3", "update_preimage", 3L), (3L, "V3", "update_postimage", 3L)))
     // REPLACE windows refuse (file rewrites are not row changes)...
     ManifestTable.commit(spark, dir,
       ManifestTable.read(spark, dir).repartition(1), replace = true)
