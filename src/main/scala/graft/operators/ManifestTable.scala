@@ -533,12 +533,29 @@ object ManifestTable {
     if (added.isEmpty)
       // preserve the table schema on an empty increment: zero-row read of
       // the to-version snapshot, not an empty zero-column frame
-      read(spark, dir, to).limit(0)
+      emptySnapshot(spark, dir, to)
     else
       // the to-version's row-level deletes apply to the increment too —
       // a consumer of (from, to] must not receive rows to already deleted
       applyDeletes(spark, dir, manifestDeletes(fs, dir, to),
         spark.read.parquet(added.map(resolve(dir, _)): _*))
+  }
+
+  /** Zero-row frame that still carries the TABLE schema even when
+    * snapshot `to` references no data files (an empty REPLACE, or
+    * everything compacted away): `read(to).limit(0)` would degrade to a
+    * zero-COLUMN emptyDataFrame and break every "schema intact" contract
+    * downstream (r17 ADVICE). The schema comes from the newest version
+    * <= `to` that still references files; a table that never held a file
+    * has no schema to preserve and degrades to emptyDataFrame honestly. */
+  private def emptySnapshot(spark: SparkSession, dir: String,
+      to: Long): DataFrame = {
+    val fs = fsOf(spark, dir)
+    versions(spark, dir).filter(_ <= to).reverse
+      .find(v => manifestFiles(fs, dir, v).nonEmpty) match {
+      case Some(v) => read(spark, dir, v).limit(0)
+      case None => spark.emptyDataFrame
+    }
   }
 
   /** Row-level CHANGE FEED (round 17) — Delta's `table_changes` surface
@@ -581,7 +598,7 @@ object ManifestTable {
     */
   def changes(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long = -1L, keyCols: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"$dir has no committed snapshot")
     val to = if (toVersion < 0) vs.last else toVersion
@@ -593,53 +610,104 @@ object ManifestTable {
       s"fromVersion $fromVersion is past toVersion $to")
     val fs = fsOf(spark, dir)
     val window = vs.filter(v => v > fromVersion && v <= to)
-    val frames = window.flatMap { v =>
-      val prev = vs.filter(_ < v).lastOption.getOrElse(0L)
-      val prevFiles =
-        if (prev == 0L) Set.empty[String]
-        else manifestFiles(fs, dir, prev).toSet
-      val prevDels =
-        if (prev == 0L) Set.empty[String]
-        else manifestDeletes(fs, dir, prev).toSet
+    // ---- phase 1 (driver metadata): walk the window's manifest diffs
+    // ONCE, refusing rewrite commits and recording (added file → version)
+    // and (added sidecar → version). O(versions) manifest reads and
+    // O(files) strings — never data I/O.
+    var prevFiles =
+      if (fromVersion == 0L) Set.empty[String]
+      else manifestFiles(fs, dir, fromVersion).toSet
+    var prevDels =
+      if (fromVersion == 0L) Set.empty[String]
+      else manifestDeletes(fs, dir, fromVersion).toSet
+    val addedFilesV = Seq.newBuilder[(String, Long)]
+    val addedDelsV = Seq.newBuilder[(String, Long)]
+    for (v <- window) {
       val curFiles = manifestFiles(fs, dir, v)
       val removed = prevFiles -- curFiles.toSet
       require(removed.isEmpty,
         s"version $v removes ${removed.size} data file(s) (REPLACE/" +
           "OPTIMIZE/restore): file rewrites are not row changes — " +
           s"restart the change feed from version $v")
-      val addedFiles = curFiles.filterNot(prevFiles)
-      val addedDels = manifestDeletes(fs, dir, v).filterNot(prevDels)
-      val ins =
-        if (addedFiles.isEmpty) Nil
-        else Seq(spark.read.parquet(addedFiles.map(resolve(dir, _)): _*)
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v)))
-      val del =
-        if (addedDels.isEmpty) Nil
-        else {
-          val pos = spark.read.parquet(addedDels.map(resolve(dir, _)): _*)
-          // the referenced physical files — sidecars record the absolute
-          // _metadata.file_path at delete time; the distinct list is
-          // O(files) driver metadata (the manifest discipline), the rows
-          // never leave the executors
-          val refFiles = pos.select("file").distinct()
-            .collect().map(_.getString(0)).sorted
-          if (refFiles.isEmpty) Nil
-          else Seq(spark.read.parquet(refFiles.toIndexedSeq: _*)
-            .withColumn("__graft_cdf_f", col("_metadata.file_path"))
-            .withColumn("__graft_cdf_p", col("_metadata.row_index"))
-            .join(pos.select(col("file").as("__graft_cdf_f"),
-              col("pos").as("__graft_cdf_p")),
-              Seq("__graft_cdf_f", "__graft_cdf_p"))
-            .drop("__graft_cdf_f", "__graft_cdf_p")
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(v)))
-        }
-      ins ++ del
+      val curDels = manifestDeletes(fs, dir, v)
+      // a version that DROPS a delete sidecar while keeping the file set
+      // (restore to a pre-delete snapshot) logically RE-INSERTS the
+      // deleted rows; emitting zero events for it would silently break
+      // the apply law (feed fold == head snapshot) — refuse loudly, the
+      // same stance as the data-file-removal refusal (r17 ADVICE)
+      val removedDels = prevDels -- curDels.toSet
+      require(removedDels.isEmpty,
+        s"version $v removes ${removedDels.size} delete sidecar(s) " +
+          "(restore to a pre-delete snapshot): un-deleting rows is not a " +
+          s"row change — restart the change feed from version $v")
+      curFiles.filterNot(prevFiles).foreach(f => addedFilesV += (f -> v))
+      curDels.filterNot(prevDels).foreach(d => addedDelsV += (d -> v))
+      prevFiles = curFiles.toSet
+      prevDels = curDels.toSet
     }
+    // ---- phase 2 (ONE scan per change type — r17 verdict item 2): feed
+    // cost must not grow with table AGE. A from-0 feed over a long-lived
+    // table used to build O(versions) union legs; now ALL added files
+    // read in ONE scan with `_commit_version` attributed by joining
+    // `_metadata.file_path` against the (file → version) map the
+    // manifest diffs already gave us — a broadcast-sized local relation
+    // (O(window files) rows of two narrow columns). Same shape for the
+    // delete sidecars: one scan of every new sidecar, version attributed
+    // by the sidecar PART file's parent dir, ONE batched file-list
+    // collect for the referenced files instead of per-version collects.
+    import spark.implicits._
+    def qualified(rel: String): String =
+      fs.makeQualified(new Path(resolve(dir, rel))).toString
+    val insFiles = addedFilesV.result()
+    val ins =
+      if (insFiles.isEmpty) Nil
+      else {
+        val attr = insFiles
+          .map { case (f, v) => (qualified(f), v) }
+          .toDF("__graft_cdf_path", "__graft_cdf_v")
+        Seq(spark.read.parquet(insFiles.map(t => resolve(dir, t._1)): _*)
+          .withColumn("__graft_cdf_path", col("_metadata.file_path"))
+          .join(attr, "__graft_cdf_path")
+          .drop("__graft_cdf_path")
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", col("__graft_cdf_v"))
+          .drop("__graft_cdf_v"))
+      }
+    val delSidecars = addedDelsV.result()
+    val del =
+      if (delSidecars.isEmpty) Nil
+      else {
+        val sidecarAttr = delSidecars
+          .map { case (d, v) => (qualified(d), v) }
+          .toDF("__graft_cdf_dir", "__graft_cdf_v")
+        val pos = spark.read
+          .parquet(delSidecars.map(t => resolve(dir, t._1)): _*)
+          .withColumn("__graft_cdf_dir",
+            regexp_replace(col("_metadata.file_path"), "/[^/]+$", ""))
+          .join(sidecarAttr, "__graft_cdf_dir")
+          .drop("__graft_cdf_dir")
+        // the referenced physical files — sidecars record the absolute
+        // _metadata.file_path at delete time; the distinct list is
+        // O(files) driver metadata (the manifest discipline), the rows
+        // never leave the executors
+        val refFiles = pos.select("file").distinct()
+          .collect().map(_.getString(0)).sorted
+        if (refFiles.isEmpty) Nil
+        else Seq(spark.read.parquet(refFiles.toIndexedSeq: _*)
+          .withColumn("__graft_cdf_f", col("_metadata.file_path"))
+          .withColumn("__graft_cdf_p", col("_metadata.row_index"))
+          .join(pos.select(col("file").as("__graft_cdf_f"),
+            col("pos").as("__graft_cdf_p"), col("__graft_cdf_v")),
+            Seq("__graft_cdf_f", "__graft_cdf_p"))
+          .drop("__graft_cdf_f", "__graft_cdf_p")
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", col("__graft_cdf_v"))
+          .drop("__graft_cdf_v"))
+      }
+    val frames = ins ++ del
     val feed =
       if (frames.isEmpty)
-        read(spark, dir, to).limit(0)
+        emptySnapshot(spark, dir, to)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(0L))
           .limit(0)

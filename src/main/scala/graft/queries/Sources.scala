@@ -38,6 +38,14 @@ object Sources {
     val dir = tmp(sf, "morcdf")
     if (ManifestTable.versions(s, dir).isEmpty) {
       val e = t(s, sf, "events")
+      // the backfill batch shifts keys by +1e9 assuming no collision with
+      // real event_ids; at a corpus where that stops holding the MERGE
+      // would silently delete live rows — fail the fixture loudly instead
+      // (r17 ADVICE)
+      val maxId = e.agg(max(col("event_id"))).head.getLong(0)
+      require(maxId < 1000000000L,
+        s"morcdf fixture key-shift +1e9 collides: corpus max event_id " +
+          s"$maxId — derive the shift from max(event_id) + 1")
       (0 to 1).foreach(r => ManifestTable.commit(s, dir,
         e.filter(pmod(col("event_id"), lit(2)) === r)))
       ManifestTable.deleteWhere(s, dir, col("event_type") === "click")

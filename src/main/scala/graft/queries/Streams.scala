@@ -349,6 +349,12 @@ object Streams {
         (s"$base/src", s"$base/run$inv/out", s"$base/run$inv/ckpt")
       if (graft.operators.ManifestTable.versions(s, srcTbl).isEmpty) {
         val e = t(s, sf, "events")
+        // same collision guard as the batch morcdf fixture (r17 ADVICE):
+        // the backfill key-shift assumes event_id < 1e9
+        val maxId = e.agg(max(col("event_id"))).head.getLong(0)
+        require(maxId < 1000000000L,
+          s"mcdf fixture key-shift +1e9 collides: corpus max event_id " +
+            s"$maxId — derive the shift from max(event_id) + 1")
         (0 to 1).foreach(r => graft.operators.ManifestTable.commit(s, srcTbl,
           e.filter(pmod(col("event_id"), lit(2)) === r)))
         graft.operators.ManifestTable.deleteWhere(s, srcTbl,

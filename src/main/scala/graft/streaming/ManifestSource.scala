@@ -344,6 +344,16 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
     val window = (if (so.index != Long.MaxValue) Seq(so.version) else Nil) ++
       vs.filter(v => v > so.version && v <= eo.version)
     if (changeFeed) {
+      // a mid-version (file-sliced) offset can only come from a PRIOR
+      // non-CDF maxFilesPerTrigger run of the same checkpoint — replaying
+      // it as a whole version would re-deliver already-consumed rows as
+      // change events. Refuse loudly instead of duplicating (r17 ADVICE);
+      // a change-feed consumer starts from its own checkpoint.
+      Seq(so, eo).foreach(o => require(o.index == Long.MaxValue,
+        s"offset ${o.json()} is file-sliced (a non-changeFeed " +
+          "maxFilesPerTrigger checkpoint): readChangeFeed delivers whole " +
+          "versions, so resuming it here would re-deliver rows already " +
+          "consumed — use a fresh checkpoint for the change-feed query"))
       // row-level change feed (round 17): per version, added files stream
       // as insert events and added delete sidecars as the deleted rows
       // (tagged delete) — one partition per file / per sidecar. File
@@ -353,15 +363,25 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
         // a file-removal commit (REPLACE/OPTIMIZE/restore) is not a row
         // change — the ManifestTable.changes refusal, same stance
         val prev = vs.filter(_ < v).lastOption.getOrElse(0L)
-        val prevFiles =
-          if (prev == 0L) Set.empty[String]
-          else lines(fs, prev).filterNot(_.startsWith("delete:")).toSet
-        val curFiles = lines(fs, v).filterNot(_.startsWith("delete:")).toSet
-        val removed = prevFiles -- curFiles
+        val (prevDelLines, prevFileLines) =
+          lines(fs, prev).partition(_.startsWith("delete:"))
+        val (curDelLines, curFileLines) =
+          lines(fs, v).partition(_.startsWith("delete:"))
+        val removed = prevFileLines.toSet -- curFileLines.toSet
         require(removed.isEmpty,
           s"version $v removes ${removed.size} data file(s) (REPLACE/" +
             "OPTIMIZE/restore): file rewrites are not row changes — " +
             s"restart the change feed with startingVersion=$v")
+        // dropping a delete sidecar (restore to a pre-delete snapshot)
+        // logically re-inserts rows; streaming zero events for it would
+        // silently corrupt downstream folds — same refusal as batch
+        // changes() (r17 ADVICE)
+        val removedDels = prevDelLines.toSet -- curDelLines.toSet
+        require(removedDels.isEmpty,
+          s"version $v removes ${removedDels.size} delete sidecar(s) " +
+            "(restore to a pre-delete snapshot): un-deleting rows is not " +
+            "a row change — restart the change feed with " +
+            s"startingVersion=$v")
         val (files, dels) = addLists(fs, vs, v)
         // one partition per sidecar PART file, not per sidecar dir: a
         // massive delete writes its positions distributed across many

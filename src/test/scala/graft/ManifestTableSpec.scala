@@ -1121,6 +1121,92 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
     exFrom.getMessage should include("not in committed set")
   }
 
+  test("changes: the feed plan holds a CONSTANT scan count at any version " +
+      "count — one scan per change type, version-attributed by file path " +
+      "(r17 verdict item 2: feed cost must not grow with table age)") {
+    import spark.implicits._
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }.size
+    def build(n: Int): String = {
+      val dir = tmpDir()
+      (1 to n).foreach(i => ManifestTable.commit(spark, dir,
+        Seq((i.toLong, s"v$i")).toDF("k", "v")))
+      ManifestTable.deleteWhere(spark, dir, col("k") === 1L)
+      ManifestTable.upsertMor(spark, dir,
+        Seq((2L, "V2"), (99L, "new")).toDF("k", "v"), Seq("k"))
+      dir
+    }
+    val (d3, d10) = (build(3), build(10))
+    val (small, big) =
+      (ManifestTable.changes(spark, d3, 0L), ManifestTable.changes(spark, d10, 0L))
+    // inserts: 1 scan; deletes: 1 sidecar scan + 1 referenced-file scan —
+    // and the count does NOT grow with the number of committed versions
+    scans(small) shouldBe scans(big)
+    withClue(big.queryExecution.optimizedPlan.toString) {
+      scans(big) should be <= 3
+    }
+    // version attribution survives the single-scan join: every commit's
+    // events carry ITS version, exactly as the per-version legs did
+    val got = big
+      .select("k", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    got shouldBe ((1 to 10).map(i => (i.toLong, s"v$i", "insert", i.toLong))
+      .toSet ++ Set((1L, "v1", "delete", 11L), (2L, "v2", "delete", 12L),
+      (2L, "V2", "insert", 12L), (99L, "new", "insert", 12L)))
+  }
+
+  test("changes: a restore that drops a delete sidecar refuses (un-delete " +
+      "is not a row change); empty-head windows keep the table schema") {
+    import spark.implicits._
+    val dir = tmpDir()
+    ManifestTable.commit(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    ManifestTable.deleteWhere(spark, dir, col("k") === 1L)
+    // restore to the pre-delete snapshot: SAME file set, sidecar line
+    // dropped — the logically re-inserted row must not vanish silently
+    // from the feed (r17 ADVICE)
+    ManifestTable.restore(spark, dir, 1L)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.changes(spark, dir, 0L).collect()
+    }
+    ex.getMessage should include("delete sidecar")
+    // a feed STARTING at the restore version reads later commits fine
+    val rw = ManifestTable.versions(spark, dir).last
+    ManifestTable.commit(spark, dir, Seq((5L, "e")).toDF("k", "v"))
+    ManifestTable.changes(spark, dir, rw)
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet shouldBe Set((5L, "e", "insert"))
+    // empty-head table (zero-file REPLACE): an empty feed window still
+    // carries the table columns + CDF columns, and keyCols still resolves
+    val dir2 = tmpDir()
+    ManifestTable.commit(spark, dir2, Seq((1L, "a")).toDF("k", "v"))
+    // a zero-data-file head (an empty REPLACE): published directly as an
+    // empty manifest, the same simulation the version-slot CAS test uses
+    val fs2 = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val v2p = new org.apache.hadoop.fs.Path(s"$dir2/_manifests/v2.manifest")
+    val out2 = fs2.create(v2p, false)
+    try out2.write("".getBytes("UTF-8")) finally out2.close()
+    val head2 = ManifestTable.versions(spark, dir2).last
+    // the fixture really is the zero-data-file head the r17 ADVICE names
+    ManifestTable.history(spark, dir2)
+      .where(col("version") === head2)
+      .select("n_files").head.getLong(0) shouldBe 0L
+    val empty = ManifestTable.changes(spark, dir2, head2)
+    empty.columns.toSeq shouldBe
+      Seq("k", "v", "_change_type", "_commit_version")
+    empty.count() shouldBe 0L
+    ManifestTable.changes(spark, dir2, head2, keyCols = Seq("k"))
+      .count() shouldBe 0L
+    // readIncremental's empty increment keeps the schema the same way
+    ManifestTable.readIncremental(spark, dir2, head2, head2)
+      .columns.toSeq shouldBe Seq("k", "v")
+  }
+
   test("deleteWhere: streaming refuses a version window that adds deletes; " +
       "materialized heads stream again") {
     import spark.implicits._

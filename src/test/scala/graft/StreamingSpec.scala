@@ -1113,4 +1113,87 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
       .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
       (1 to 5).map(i => (i.toLong, s"r$i")).toSet
   }
+
+  test("manifest CDF stream: a restore that drops a delete sidecar " +
+      "refuses (un-deleting rows is not a row change)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-msrc12").toString
+    val tbl = s"$base/tbl"
+    graft.operators.ManifestTable.commit(spark, tbl,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    graft.operators.ManifestTable.deleteWhere(spark, tbl, col("k") === 1L)
+    // same file set, sidecar line dropped — streaming past it with zero
+    // events would silently corrupt downstream folds (r17 ADVICE)
+    graft.operators.ManifestTable.restore(spark, tbl, 1L)
+    val q = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("mcdf_restore").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination(20000); ()
+    }
+    q.stop()
+    (ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse(
+      "")) should include("delete sidecar")
+    // a feed starting AT the restore version streams later commits fine
+    graft.operators.ManifestTable.commit(spark, tbl,
+      Seq((5L, "e")).toDF("k", "v"))
+    val q2 = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).option("readChangeFeed", "true")
+      .option("startingVersion", "3").load()
+      .writeStream.format("memory").queryName("mcdf_restore2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.table("mcdf_restore2")
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet shouldBe Set((5L, "e", "insert"))
+  }
+
+  test("manifest CDF stream: a file-sliced (maxFilesPerTrigger) checkpoint " +
+      "refuses readChangeFeed resume instead of re-delivering rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-msrc13").toString
+    val (tbl, ckpt) = (s"$base/tbl", s"$base/ckpt")
+    // one fat version: a 2-file cap must slice inside it
+    graft.operators.ManifestTable.commit(spark, tbl,
+      (1 to 12).map(i => (i.toLong, s"r$i")).toDF("k", "v").repartition(6))
+    // run exactly ONE file-capped micro-batch (a long ProcessingTime
+    // interval keeps the second trigger from firing), leaving the
+    // checkpoint's offset mid-version
+    val q = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).option("maxFilesPerTrigger", "2").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.count(); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+        "1 hour"))
+      .start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (q.recentProgress.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    q.stop()
+    q.recentProgress should not be empty
+    // switching the SAME checkpoint to readChangeFeed must fail loudly —
+    // replaying the sliced version whole would re-deliver consumed rows
+    // as change events (r17 ADVICE)
+    val q2 = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).option("readChangeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.count(); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination(20000); ()
+    }
+    q2.stop()
+    (ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse(
+      "")) should include("file-sliced")
+  }
 }
