@@ -115,10 +115,13 @@ object Catalog {
     * "computed against the EMPTY catalog" (version numbers start at 1, so
     * 0 is never a committed version — the ManifestTable convention, r13
     * ADVICE): two concurrent initializers then CONFLICT on any shared
-    * table instead of silently last-writer-winning.
+    * table instead of silently last-writer-winning. `evolveSchema` (r18)
+    * passes through to each member table's commit: without it, a write
+    * whose schema drifts from the table's pinned header refuses.
     */
   def commit(spark: SparkSession, dir: String, writes: Map[String, DataFrame],
-      readVersion: Long = -1L, cas: CommitCas = RenameCas): Long = {
+      readVersion: Long = -1L, cas: CommitCas = RenameCas,
+      evolveSchema: Boolean = false): Long = {
     require(writes.nonEmpty, "a catalog transaction must write at least one table")
     val fs = fsOf(spark, dir)
     // Phase 1: durable, catalog-invisible per-table snapshots. Each member
@@ -138,7 +141,7 @@ object Catalog {
         finally out.close()
       }
       table -> ManifestTable.commit(spark, s"$dir/$table", df,
-        replace = true, cas = cas)
+        replace = true, cas = cas, evolveSchema = evolveSchema)
     }
     // Phase 2: one CAS on the catalog pointer — the commit point.
     fs.mkdirs(catDir(dir))

@@ -110,9 +110,41 @@ object ManifestTable {
     finally in.close()
   }
 
-  /** DATA file entries of version `v` (delete sidecar lines excluded). */
+  /** Manifest header line pinning the TABLE SCHEMA (round 18): the rest
+    * of the line is base64 of the StructType JSON. Written at first
+    * commit; appends validate against it (name + TYPE) and refuse drift;
+    * replace may evolve it under an explicit `evolveSchema` flag. Pre-18
+    * manifests have no header and parse unchanged (legacy tables skip
+    * validation — adopt a header via a replace commit). */
+  private val SchemaPrefix = "schema:"
+
+  private def schemaLineOf(s: org.apache.spark.sql.types.StructType): String =
+    SchemaPrefix + b64(s.json)
+
+  private def manifestSchemaOf(lines: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    lines.find(_.startsWith(SchemaPrefix)).map(l =>
+      org.apache.spark.sql.types.DataType
+        .fromJson(unb64(l.stripPrefix(SchemaPrefix)))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The PINNED table schema of snapshot `version` (None on legacy
+    * headerless tables) — the contract every non-replace commit is
+    * validated against and every read resolves columns BY NAME under. */
+  def tableSchema(spark: SparkSession, dir: String, version: Long = -1L)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir has no committed snapshot")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    manifestSchemaOf(manifestLines(fsOf(spark, dir), dir, v))
+  }
+
+  /** DATA file entries of version `v` (delete sidecar and schema header
+    * lines excluded). */
   private def manifestFiles(fs: FileSystem, dir: String, v: Long): Seq[String] =
-    manifestLines(fs, dir, v).filterNot(_.startsWith(DeletePrefix))
+    manifestLines(fs, dir, v).filterNot(l =>
+      l.startsWith(DeletePrefix) || l.startsWith(SchemaPrefix))
 
   /** Row-level delete sidecar paths of version `v`. */
   private def manifestDeletes(fs: FileSystem, dir: String, v: Long): Seq[String] =
@@ -137,12 +169,28 @@ object ManifestTable {
     require(vs.contains(v), s"version $v not in committed set $vs")
     val fs = fsOf(spark, dir)
     val files = manifestFiles(fs, dir, v)
+    val header = manifestSchemaOf(manifestLines(fs, dir, v))
     if (files.isEmpty)
-      spark.emptyDataFrame
+      // a zero-file snapshot with a pinned schema still reads as a
+      // zero-row frame of the TABLE's columns, never a zero-column frame
+      header.map(s => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        .getOrElse(spark.emptyDataFrame)
     else
       applyDeletes(spark, dir, manifestDeletes(fs, dir, v),
-        spark.read.parquet(files.map(resolve(dir, _)): _*))
+        dataReader(spark, header).parquet(files.map(resolve(dir, _)): _*))
   }
+
+  /** Parquet reader for this table's data files: under a pinned schema
+    * header, columns resolve BY NAME against each file's footer with
+    * missing columns null-backfilled (`spark.read.schema` semantics — the
+    * streaming converter's contract applied to batch reads, so files
+    * written before an `evolveSchema` commit surface the new columns as
+    * NULL); headerless legacy tables keep footer inference. */
+  private def dataReader(spark: SparkSession,
+      header: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.DataFrameReader =
+    header.map(spark.read.schema).getOrElse(spark.read)
 
   /** Merge-on-read: anti-join `df` (a parquet scan of this table's files)
     * against the snapshot's delete sidecars on (_metadata.file_path,
@@ -263,12 +311,99 @@ object ManifestTable {
     * anything) — which is also what lets Catalog's own phase 1 commit
     * through this guard.
     */
+  /** Validate a batch schema against the pinned header (name + TYPE;
+    * nullability normalized — file sources force nullable anyway) and
+    * return the next header. Type clashes always refuse — a same-name-
+    * different-type batch would poison every subsequent by-name read.
+    * Without `evolveSchema` the column SET must match exactly; with it,
+    * new columns append to the header (old files null-backfill on read)
+    * and a batch may omit columns (they read as null by name). */
+  /** Nullability normalized away, recursively — file-source reads force
+    * nullable anyway, so the pinned contract compares name + type only. */
+  private def nullableType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = nullableType(f.dataType), nullable = true)))
+      case ArrayType(et, _) => ArrayType(nullableType(et), containsNull = true)
+      case MapType(kt, vt, _) =>
+        MapType(nullableType(kt), nullableType(vt), valueContainsNull = true)
+      case other => other
+    }
+  }
+  private def nullableSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    nullableType(s).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def nextHeader(hs: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType, evolveSchema: Boolean,
+      what: String, dir: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val d = nullableSchema(batch)
+    val h = nullableSchema(hs)
+    val hMap = h.fields.map(f => f.name -> f.dataType).toMap
+    val clash = d.fields.filter(f => hMap.get(f.name).exists(_ != f.dataType))
+    require(clash.isEmpty,
+      s"$what schema drifts from the table schema pinned in $dir's " +
+        "manifest: column type mismatch (" +
+        clash.map(f => s"${f.name}: table ${hMap(f.name).sql} vs batch " +
+          s"${f.dataType.sql}").mkString("; ") +
+        ") — cast the batch to the table schema first")
+    if (evolveSchema)
+      StructType(h.fields ++ d.fields.filterNot(f => hMap.contains(f.name)))
+    else {
+      val dNames = d.fields.map(_.name).toSet
+      val missing = (hMap.keySet -- dNames).toSeq.sorted
+      val extra = (dNames -- hMap.keySet).toSeq.sorted
+      require(missing.isEmpty && extra.isEmpty,
+        s"$what schema drifts from the table schema pinned in $dir's " +
+          "manifest" +
+          (if (extra.nonEmpty) s": unknown column(s) ${extra.mkString(", ")}"
+           else "") +
+          (if (missing.nonEmpty)
+             s": missing column(s) ${missing.mkString(", ")}"
+           else "") +
+          " — align the batch, or pass evolveSchema = true (new columns " +
+          "null-backfill on old files; omitted columns read as null)")
+      h
+    }
+  }
+
+  /** The header the next snapshot publishes, with drift validation armed
+    * (round 18): first commits pin `df`'s schema; appends/replaces on a
+    * pinned table validate name+TYPE (refusing silent drift — the one
+    * formerly-silent failure path of the manifest layer); an explicit
+    * `evolveSchema` evolves it (append: merge; replace: the new frame
+    * defines the table). Legacy headerless tables skip validation and
+    * stay headerless on append — a replace adopts a header. */
+  private def resolveHeader(fs: FileSystem, dir: String, vs: Seq[Long],
+      df: DataFrame, replace: Boolean, evolveSchema: Boolean)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val headSchema =
+      if (vs.isEmpty) None
+      else manifestSchemaOf(manifestLines(fs, dir, vs.last))
+    if (vs.isEmpty) Some(nullableSchema(df.schema))
+    else (headSchema, replace) match {
+      case (None, false) => None
+      case (None, true) => Some(nullableSchema(df.schema))
+      case (Some(_), true) if evolveSchema => Some(nullableSchema(df.schema))
+      case (Some(hs), _) =>
+        Some(nextHeader(hs, df.schema, evolveSchema,
+          if (replace) "replace" else "append", dir))
+    }
+  }
+
   def commit(spark: SparkSession, dir: String, df: DataFrame,
       replace: Boolean = false, readVersion: Long = -1L,
       tag: String = null, cas: CommitCas = RenameCas,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomBits: Int = 1 << 20): Long = {
+      bloomBits: Int = 1 << 20, evolveSchema: Boolean = false): Long = {
     val fs = fsOf(spark, dir)
+    // fail-fast schema validation against the current head — a drifted
+    // batch must refuse BEFORE paying the data write (re-validated
+    // authoritatively inside the CAS loop in case the head moves)
+    resolveHeader(fs, dir, versions(spark, dir), df, replace, evolveSchema)
     if (!replace && fs.exists(new Path(dir, CatalogManagedMarker)))
       throw new IllegalStateException(
         s"$dir is catalog-managed (it has been written through " +
@@ -376,13 +511,18 @@ object ManifestTable {
       // head, not the one read before the race
       // manifestLines, not manifestFiles: an append must carry the head's
       // delete sidecar entries forward or deleted rows would resurrect
+      // (the old schema header is dropped — the resolved one re-publishes)
       val base = if (replace || vs.isEmpty) Seq.empty
                  else manifestLines(fs, dir, vs.last)
+                   .filterNot(_.startsWith(SchemaPrefix))
+      // schema contract, validated against THIS attempt's head (r18)
+      val header = resolveHeader(fs, dir, vs, df, replace, evolveSchema)
       // the slot claim is the pluggable primitive (CommitCas): rename CAS
       // on stores with atomic fail-on-existing rename, the lock-file shim
       // on raw object stores — same one-winner-per-slot contract either way
       val tmp = new Path(manifestDir(dir), s".tmp-$batch-$next")
-      val content = ((base ++ newFiles).mkString("\n") + "\n")
+      val content = ((header.map(schemaLineOf).toSeq ++ base ++ newFiles)
+        .mkString("\n") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (cas.claim(fs, tmp, new Path(manifestDir(dir), s"v$next.manifest"),
           content))
@@ -421,36 +561,46 @@ object ManifestTable {
     val files = manifestFiles(fs, dir, v0)
     keyCols.foreach(k => require(updates.columns.contains(k),
       s"key column $k not in the delta"))
+    val header = manifestSchemaOf(manifestLines(fs, dir, v0))
+    // the delta lands as a sibling batch under the SAME logical schema:
+    // with a pinned header (r18) this is the standing name+TYPE contract
+    // (validated even against an empty head — the guard no longer
+    // depends on having files to infer from); legacy headerless tables
+    // keep the footer-derived check when files exist
+    header.foreach(hs =>
+      nextHeader(hs, updates.schema, evolveSchema = false,
+        "upsertMor delta", dir))
     val delRel = s"_deletes/${java.util.UUID.randomUUID()}.parquet"
     val anyMatched = if (files.isEmpty) {
       // committed-but-empty snapshot (an empty REPLACE, or everything
-      // compacted away): nothing can match and there is no scan schema
-      // to guard against — the merge degrades to a pure append of the
-      // delta instead of tripping parquet's unable-to-infer-schema on a
-      // zero-path read
+      // compacted away): nothing can match — the merge degrades to a
+      // pure append of the delta instead of tripping parquet's
+      // unable-to-infer-schema on a zero-path read
       false
     } else {
-      // the delta lands as a sibling batch under the SAME logical schema:
       // a column-set mismatch would make later by-name parquet reads
       // silently null-fill or drop columns depending on which file the
       // schema gets inferred from, and a same-NAME-different-TYPE column
       // would pass a name-only check, commit, and then poison every
       // subsequent whole-table scan with conflicting physical parquet
       // types POST-commit — fail loudly on names AND types, pre-publish
-      val raw = spark.read.parquet(files.map(resolve(dir, _)): _*)
-      require(updates.columns.sorted.sameElements(raw.columns.sorted),
-        s"upsertMor delta columns ${updates.columns.sorted.mkString(",")} " +
-          s"differ from the table's ${raw.columns.sorted.mkString(",")} — " +
-          "align the delta schema first")
-      val tableTypes = raw.schema.map(f => f.name -> f.dataType).toMap
-      val badTypes = updates.schema
-        .filter(f => tableTypes(f.name) != f.dataType)
-        .map(f => s"${f.name}: table ${tableTypes(f.name).sql} vs " +
-          s"delta ${f.dataType.sql}")
-      require(badTypes.isEmpty,
-        s"upsertMor delta column types differ from the table's " +
-          s"(${badTypes.mkString("; ")}) — cast the delta to the table " +
-          "schema first")
+      val raw = dataReader(spark, header)
+        .parquet(files.map(resolve(dir, _)): _*)
+      if (header.isEmpty) {
+        require(updates.columns.sorted.sameElements(raw.columns.sorted),
+          s"upsertMor delta columns ${updates.columns.sorted.mkString(",")} " +
+            s"differ from the table's ${raw.columns.sorted.mkString(",")} — " +
+            "align the delta schema first")
+        val tableTypes = raw.schema.map(f => f.name -> f.dataType).toMap
+        val badTypes = updates.schema
+          .filter(f => tableTypes(f.name) != f.dataType)
+          .map(f => s"${f.name}: table ${tableTypes(f.name).sql} vs " +
+            s"delta ${f.dataType.sql}")
+        require(badTypes.isEmpty,
+          s"upsertMor delta column types differ from the table's " +
+            s"(${badTypes.mkString("; ")}) — cast the delta to the table " +
+            "schema first")
+      }
       // matched positions among LIVE rows (existing deletes excluded first)
       val scan = raw
         .withColumn("__graft_del_f", col("_metadata.file_path"))
@@ -538,7 +688,8 @@ object ManifestTable {
       // the to-version's row-level deletes apply to the increment too —
       // a consumer of (from, to] must not receive rows to already deleted
       applyDeletes(spark, dir, manifestDeletes(fs, dir, to),
-        spark.read.parquet(added.map(resolve(dir, _)): _*))
+        dataReader(spark, manifestSchemaOf(manifestLines(fs, dir, to)))
+          .parquet(added.map(resolve(dir, _)): _*))
   }
 
   /** Zero-row frame that still carries the TABLE schema even when
@@ -551,10 +702,16 @@ object ManifestTable {
   private def emptySnapshot(spark: SparkSession, dir: String,
       to: Long): DataFrame = {
     val fs = fsOf(spark, dir)
-    versions(spark, dir).filter(_ <= to).reverse
-      .find(v => manifestFiles(fs, dir, v).nonEmpty) match {
-      case Some(v) => read(spark, dir, v).limit(0)
-      case None => spark.emptyDataFrame
+    // a pinned schema header answers without touching any file list
+    manifestSchemaOf(manifestLines(fs, dir, to)) match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None =>
+        versions(spark, dir).filter(_ <= to).reverse
+          .find(v => manifestFiles(fs, dir, v).nonEmpty) match {
+          case Some(v) => read(spark, dir, v).limit(0)
+          case None => spark.emptyDataFrame
+        }
     }
   }
 
@@ -658,6 +815,9 @@ object ManifestTable {
     import spark.implicits._
     def qualified(rel: String): String =
       fs.makeQualified(new Path(resolve(dir, rel))).toString
+    // events render under the TO version's pinned schema (by-name reads —
+    // files from before an evolveSchema commit null-backfill new columns)
+    val feedHeader = manifestSchemaOf(manifestLines(fs, dir, to))
     val insFiles = addedFilesV.result()
     val ins =
       if (insFiles.isEmpty) Nil
@@ -665,7 +825,8 @@ object ManifestTable {
         val attr = insFiles
           .map { case (f, v) => (qualified(f), v) }
           .toDF("__graft_cdf_path", "__graft_cdf_v")
-        Seq(spark.read.parquet(insFiles.map(t => resolve(dir, t._1)): _*)
+        Seq(dataReader(spark, feedHeader)
+          .parquet(insFiles.map(t => resolve(dir, t._1)): _*)
           .withColumn("__graft_cdf_path", col("_metadata.file_path"))
           .join(attr, "__graft_cdf_path")
           .drop("__graft_cdf_path")
@@ -693,7 +854,8 @@ object ManifestTable {
         val refFiles = pos.select("file").distinct()
           .collect().map(_.getString(0)).sorted
         if (refFiles.isEmpty) Nil
-        else Seq(spark.read.parquet(refFiles.toIndexedSeq: _*)
+        else Seq(dataReader(spark, feedHeader)
+          .parquet(refFiles.toIndexedSeq: _*)
           .withColumn("__graft_cdf_f", col("_metadata.file_path"))
           .withColumn("__graft_cdf_p", col("_metadata.row_index"))
           .join(pos.select(col("file").as("__graft_cdf_f"),
@@ -760,7 +922,8 @@ object ManifestTable {
     // delete sidecar entries resolve the same way, so a clone of a
     // merge-on-read snapshot keeps its row-level deletes applied
     val lines = manifestLines(fsOf(spark, srcDir), srcDir, v).map { l =>
-      if (l.startsWith(DeletePrefix))
+      if (l.startsWith(SchemaPrefix)) l // the schema header is not a path
+      else if (l.startsWith(DeletePrefix))
         DeletePrefix + resolve(srcDir, l.stripPrefix(DeletePrefix))
       else resolve(srcDir, l)
     }
@@ -1113,7 +1276,9 @@ object ManifestTable {
     val base =
       if (kept.isEmpty) read(spark, dir, version)
       else applyDeletes(spark, dir, manifestDeletes(fsOf(spark, dir), dir, v),
-        spark.read.parquet(kept.map(resolve(dir, _)): _*))
+        dataReader(spark,
+          manifestSchemaOf(manifestLines(fsOf(spark, dir), dir, v)))
+          .parquet(kept.map(resolve(dir, _)): _*))
     // numeric predicate values against a TIMESTAMP column are epoch
     // MICROS (the StatsPred doc's numeric form — the same interpretation
     // predTsMicros uses for pruning). A bare lit(n) would be
@@ -1162,6 +1327,33 @@ object ManifestTable {
         else None
       (v, files.size.toLong, nDel, rows)
     }.toDF("version", "n_files", "n_delete_entries", "n_rows")
+  }
+
+  /** OPTIMIZE (round 18) — the materializing rewrite as a first-class
+    * verb: reads the head snapshot (merge-on-read deletes applied),
+    * rewrites it into `nFiles` fresh files, and REPLACE-commits the
+    * result, dropping delete sidecars (they materialize) and renewing the
+    * stats/bloom sidecars. With `zorderCols`, the rewrite routes through
+    * [[Layout.zOrdered]] — rows range-partitioned and sorted by the
+    * Morton interleave of the columns — so each rewritten file carries a
+    * BOUNDED multi-dimension box in its stats sidecar and
+    * [[readPruned]]'s conjunctive box scans skip files a 1-D sort layout
+    * must keep (Delta's `OPTIMIZE ZORDER BY`). Stats are always recorded
+    * for the zorder columns (the boxes ARE the point); pass `statsCols`
+    * for additional ones. Same OCC stance as any replace: a concurrent
+    * commit during the rewrite loses one side ([[commit]]'s readVersion
+    * machinery applies — optimize is a blind replace, callers wanting
+    * conflict arming can compose read+commit themselves). */
+  def optimize(spark: SparkSession, dir: String, nFiles: Int,
+      zorderCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, cas: CommitCas = RenameCas): Long = {
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    val head = read(spark, dir)
+    val rewritten =
+      if (zorderCols.nonEmpty) Layout.zOrdered(head, zorderCols, nFiles)
+      else head.repartition(nFiles)
+    commit(spark, dir, rewritten, replace = true, cas = cas,
+      statsCols = (statsCols ++ zorderCols).distinct, bloomCols = bloomCols)
   }
 
   /** Retention: keep the latest `keepLast` manifests, delete older ones,

@@ -701,6 +701,73 @@ object Sources {
       ManifestTable.history(s, dir).orderBy("version")
     }),
 
+    // SCHEMA EVOLUTION (round 18) — the pinned-schema contract end to
+    // end: v1 commits half the events under (event_id, event_type,
+    // value) — pinning that schema in the manifest header — and v2
+    // appends the other half WITH a derived channel column under an
+    // explicit evolveSchema (a drifted append without the flag refuses
+    // pre-write; ManifestTableSpec pins the refusal matrix). The head
+    // read resolves columns BY NAME under the evolved schema, so v1's
+    // files surface channel as NULL — the null-backfill law — and the
+    // rollup groups on exactly that backfill. The oracle recomputes the
+    // same frame from the plain events table (the commit topology is
+    // declared: even ids = pre-evolution), so the hash check proves the
+    // evolution changed SCHEMA, never data. Metadata-only at scale: the
+    // header is one manifest line; no file is rewritten to evolve.
+    "manifest_evolution" -> ((s, sf) => {
+      import graft.operators.ManifestTable
+      val dir = tmp(sf, "evolution")
+      if (ManifestTable.versions(s, dir).isEmpty) {
+        val e = t(s, sf, "events")
+        ManifestTable.commit(s, dir,
+          e.filter(pmod(col("event_id"), lit(2)) === 0)
+            .select("event_id", "event_type", "value"))
+        ManifestTable.commit(s, dir,
+          e.filter(pmod(col("event_id"), lit(2)) === 1)
+            .select(col("event_id"), col("event_type"), col("value"),
+              concat(lit("ch_"), pmod(col("event_id"), lit(3)).cast("string"))
+                .as("channel")),
+          evolveSchema = true)
+      }
+      ManifestTable.read(s, dir)
+        .groupBy(coalesce(col("channel"), lit("pre_evolution")).as("channel"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("channel", "event_type")
+    }),
+
+    // OPTIMIZE ZORDER (round 18) — multi-dimensional clustering INSIDE
+    // the manifest lifecycle (Delta's OPTIMIZE ZORDER BY): four
+    // ingest-ordered appends (files correlated with event_id, so a
+    // (user_id, value) box predicate prunes nothing), then ONE
+    // `ManifestTable.optimize(zorderCols)` rewrite routes the head
+    // through the Morton interleave — each rewritten file carries a
+    // bounded 2-D box in its renewed stats sidecar and `readPruned`'s
+    // box scan skips files a 1-D sort must keep (ManifestTableSpec
+    // asserts the ≥-1-D margin; SkipProf measures it at scale). The
+    // oracle is the same filtered aggregate over plain events — layout
+    // is a pure physical rewrite, values never move.
+    "manifest_zorder" -> ((s, sf) => {
+      import graft.operators.ManifestTable
+      val dir = tmp(sf, "mzorder")
+      if (ManifestTable.versions(s, dir).isEmpty) {
+        val e = t(s, sf, "events")
+        (0 to 3).foreach(r => ManifestTable.commit(s, dir,
+          e.filter(pmod(col("event_id"), lit(4)) === r).repartition(2),
+          statsCols = Seq("user_id", "value")))
+        ManifestTable.optimize(s, dir, nFiles = 8,
+          zorderCols = Seq("user_id", "value"))
+      }
+      ManifestTable.readPruned(s, dir, Seq(
+          ManifestTable.ColLe("user_id", 300),
+          ManifestTable.ColGe("value", 50)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          graft.T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "manifest_restore" -> ((s, sf) => {
       val dir = tmp(sf, "restore")
       val c = t(s, sf, "customer")
@@ -1062,6 +1129,22 @@ object Sources {
          FROM state GROUP BY 1 ORDER BY event_type""",
     // deterministic fixture (3 appends of the %3 split, repartition(2)
     // each) makes even the metadata columns corpus-derivable
+    // the commit topology is declared (even ids = pre-evolution commit),
+    // so the null-backfilled channel is corpus-derivable: evolution
+    // changes SCHEMA, never data
+    "manifest_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'pre_evolution'
+                     ELSE 'ch_' || CAST(event_id % 3 AS VARCHAR) END AS channel,
+                event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY channel, event_type""",
+    // layout is a pure physical rewrite — the same box-filtered aggregate
+    // layout_zorder pins, now through the manifest OPTIMIZE lifecycle
+    "manifest_zorder" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE user_id <= 300 AND value >= 50
+         GROUP BY 1 ORDER BY event_type""",
     "manifest_history" ->
       """WITH c AS (SELECT
              sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS n0,

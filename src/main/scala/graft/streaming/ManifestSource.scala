@@ -248,11 +248,19 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
     * (expire-gap robust): (added data files in v's manifest order, added
     * delete sidecar lines). The deterministic unit both file-level
     * admission and batch planning slice. */
+  /** Data/delete lines of a manifest, with the schema header line (r18)
+    * dropped — it is metadata, not a file, and it CHANGES on an
+    * evolveSchema commit, so leaving it in would surface as a phantom
+    * added/removed "file" in every diff below. */
+  private def dataLines(fs: org.apache.hadoop.fs.FileSystem,
+      v: Long): Seq[String] =
+    lines(fs, v).filterNot(_.startsWith("schema:"))
+
   private def addLists(fs: org.apache.hadoop.fs.FileSystem, vs: Seq[Long],
       v: Long): (Seq[String], Seq[String]) = {
     val prev = vs.filter(_ < v).lastOption.getOrElse(0L)
-    val (delP, fileP) = lines(fs, prev).partition(_.startsWith("delete:"))
-    val (delV, fileV) = lines(fs, v).partition(_.startsWith("delete:"))
+    val (delP, fileP) = dataLines(fs, prev).partition(_.startsWith("delete:"))
+    val (delV, fileV) = dataLines(fs, v).partition(_.startsWith("delete:"))
     (fileV.filterNot(fileP.toSet), delV.filterNot(delP.toSet))
   }
 
@@ -364,9 +372,9 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
         // change — the ManifestTable.changes refusal, same stance
         val prev = vs.filter(_ < v).lastOption.getOrElse(0L)
         val (prevDelLines, prevFileLines) =
-          lines(fs, prev).partition(_.startsWith("delete:"))
+          dataLines(fs, prev).partition(_.startsWith("delete:"))
         val (curDelLines, curFileLines) =
-          lines(fs, v).partition(_.startsWith("delete:"))
+          dataLines(fs, v).partition(_.startsWith("delete:"))
         val removed = prevFileLines.toSet -- curFileLines.toSet
         require(removed.isEmpty,
           s"version $v removes ${removed.size} data file(s) (REPLACE/" +

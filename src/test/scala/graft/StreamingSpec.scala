@@ -1114,6 +1114,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
       (1 to 5).map(i => (i.toLong, s"r$i")).toSet
   }
 
+  test("manifest stream source: evolveSchema appends stream with " +
+      "null-backfill, and the schema header line is never a phantom file") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-msrc14").toString
+    val tbl = s"$base/tbl"
+    graft.operators.ManifestTable.commit(spark, tbl,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // evolving append: pin gains column n; the manifest's schema line
+    // CHANGES — the source's diffs must not surface that as a file
+    graft.operators.ManifestTable.commit(spark, tbl,
+      Seq((3L, "c", 7L)).toDF("k", "v", "n"), evolveSchema = true)
+    val q = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).load()
+      .writeStream.format("memory").queryName("msrc_evolve").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("msrc_evolve").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet shouldBe
+      Set((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 7L))
+    // the CDF consume streams the same window under the evolved schema
+    val q2 = spark.readStream
+      .format(classOf[graft.streaming.ManifestTableProvider].getName)
+      .option("path", tbl).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("msrc_evolve2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.table("msrc_evolve2")
+      .select("k", "n", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getString(2), r.getLong(3))).toSet shouldBe
+      Set((1L, -1L, "insert", 1L), (2L, -1L, "insert", 1L),
+        (3L, 7L, "insert", 2L))
+  }
+
   test("manifest CDF stream: a restore that drops a delete sidecar " +
       "refuses (un-deleting rows is not a row change)") {
     import spark.implicits._
