@@ -388,6 +388,67 @@ object Streams {
         .orderBy("v", "change", "event_type")
     }),
 
+    // KEYED streaming change feed (round 18) — stream_manifest_cdf with
+    // the table key declared (.option("cdfKeyCols", "event_id")): the
+    // MERGE version's delete+insert pairs of the same key arrive
+    // relabeled update_preimage/update_postimage (Delta CDF's four-type
+    // convention) while the backfill inserts and the pure click deletes
+    // keep their labels — the streaming half of changes(keyCols),
+    // per-micro-batch, no consumer-side pair reassembly. The planner
+    // computes each MERGE version's update-pair key set as ONE
+    // column-pruned distributed intersect over that version's own
+    // changes (cost = the MERGE's change volume, never the table) and
+    // broadcasts the sorted xxhash64 array (8 bytes/pair, bounded by
+    // cdfMaxUpdateKeys); readers relabel by binary search with the SAME
+    // catalyst xxhash64 the planner used. The oracle recomputes all six
+    // (version, change) groups — including both update images — from the
+    // plain events table.
+    "stream_manifest_cdf_keyed" -> ((s, sf) => {
+      val tag = new java.io.File(sf).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_mcdfk_${runTag}_$tag"
+      val inv = invocation.incrementAndGet()
+      val (srcTbl, outTbl, ckpt) =
+        (s"$base/src", s"$base/run$inv/out", s"$base/run$inv/ckpt")
+      if (graft.operators.ManifestTable.versions(s, srcTbl).isEmpty) {
+        val e = t(s, sf, "events")
+        val maxId = e.agg(max(col("event_id"))).head.getLong(0)
+        require(maxId < 1000000000L,
+          s"mcdfk fixture key-shift +1e9 collides: corpus max event_id " +
+            s"$maxId — derive the shift from max(event_id) + 1")
+        (0 to 1).foreach(r => graft.operators.ManifestTable.commit(s, srcTbl,
+          e.filter(pmod(col("event_id"), lit(2)) === r)))
+        graft.operators.ManifestTable.deleteWhere(s, srcTbl,
+          col("event_type") === "click")
+        val upd = e.filter(col("event_type") === "purchase")
+          .withColumn("value",
+            expr("CAST(CAST(value AS DECIMAL(18,2)) + 100.00 AS DOUBLE)"))
+        val ins = e.filter(col("event_type") === "view" &&
+            pmod(col("event_id"), lit(50)) === 0)
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
+          .withColumn("event_type", lit("backfill"))
+        graft.operators.ManifestTable.upsertMor(s, srcTbl,
+          upd.unionByName(ins), Seq("event_id"))
+      }
+      val q = s.readStream
+        .format(classOf[graft.streaming.ManifestTableProvider].getName)
+        .option("path", srcTbl)
+        .option("readChangeFeed", "true")
+        .option("cdfKeyCols", "event_id").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.TxnSink.commitBatch(outTbl, b, id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.ManifestTable.read(s, outTbl)
+        .groupBy(col("_commit_version").as("v"),
+          col("_change_type").as("change"), col("event_type"))
+        .agg(count(lit(1)).as("n"), T.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("v", "change", "event_type")
+    }),
+
     // event-time interval join: view → purchase by the same user within
     // 10 minutes (the stream-stream join shape; StreamingSpec runs the
     // same expression over two watermarked MemoryStreams)
@@ -449,6 +510,37 @@ object Streams {
            FROM events WHERE event_type = 'purchase' GROUP BY event_type
          UNION ALL
          SELECT 4, 'insert', event_type, count(*),
+                CAST(sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) + 100.00
+                  AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_type = 'purchase' GROUP BY event_type
+         UNION ALL
+         SELECT 4, 'insert', 'backfill', count(*),
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_type = 'view' AND event_id % 50 = 0
+         ORDER BY v, change, event_type""",
+    // the keyed feed relabels ONLY the MERGE's matched purchases: deletes
+    // of clicks stay deletes, backfill inserts stay inserts, and the
+    // purchase pair becomes update_preimage (old value) /
+    // update_postimage (value exact-decimal +100)
+    "stream_manifest_cdf_keyed" ->
+      """SELECT CAST(1 AS BIGINT) AS v, 'insert' AS change, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+         UNION ALL
+         SELECT 2, 'insert', event_type, count(*),
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+         UNION ALL
+         SELECT 3, 'delete', event_type, count(*),
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_type = 'click' GROUP BY event_type
+         UNION ALL
+         SELECT 4, 'update_preimage', event_type, count(*),
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           FROM events WHERE event_type = 'purchase' GROUP BY event_type
+         UNION ALL
+         SELECT 4, 'update_postimage', event_type, count(*),
                 CAST(sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) + 100.00
                   AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE)
            FROM events WHERE event_type = 'purchase' GROUP BY event_type

@@ -133,8 +133,25 @@ class ManifestTableProvider extends TableProvider {
       "readChangeFeed cannot combine with skipFilters — delete events " +
         "come from position sidecars, not skippable data files; filter " +
         "the change rows in the query instead")
+    // cdfKeyCols (round 18): the streaming half of changes(keyCols) —
+    // with the table key declared, a MERGE version's delete+insert pair
+    // of the same key relabels update_preimage/update_postimage (Delta
+    // CDF's four-type convention) per micro-batch, so a streaming
+    // consumer sees update semantics without reassembling pairs.
+    val cdfKeyCols = Option(properties.get("cdfKeyCols"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    require(cdfKeyCols.isEmpty || cdf,
+      "cdfKeyCols requires readChangeFeed=true — update relabeling is a " +
+        "change-feed concept")
+    cdfKeyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"cdfKeyCols column $k not in the table schema " +
+        schema.fieldNames.mkString("(", ", ", ")")))
+    // bound on the per-version update-pair broadcast (8 bytes/key)
+    val cdfMaxUpdateKeys = Option(properties.get("cdfMaxUpdateKeys"))
+      .map(_.toLong).getOrElse(10000000L)
     new ManifestStreamTable(dir, schema, startingVersion, skipPreds,
-      maxVersions, maxFiles, cdf)
+      maxVersions, maxFiles, cdf, cdfKeyCols, cdfMaxUpdateKeys)
   }
 
   private def parseSkipFilters(
@@ -161,7 +178,8 @@ private[streaming] class ManifestStreamTable(dir: String,
     tableSchema: StructType, startingVersion: Long = 0L,
     skipPreds: Seq[graft.operators.ManifestTable.StatsPred] = Nil,
     maxVersionsPerTrigger: Long = 0L, maxFilesPerTrigger: Long = 0L,
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false, cdfKeyCols: Seq[String] = Nil,
+    cdfMaxUpdateKeys: Long = 10000000L)
     extends Table with SupportsRead {
   override def name(): String = s"graft-manifest(`$dir`)"
   override def schema(): StructType = tableSchema
@@ -173,7 +191,8 @@ private[streaming] class ManifestStreamTable(dir: String,
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(dir, tableSchema, startingVersion,
-            skipPreds, maxVersionsPerTrigger, maxFilesPerTrigger, changeFeed)
+            skipPreds, maxVersionsPerTrigger, maxFilesPerTrigger, changeFeed,
+            cdfKeyCols, cdfMaxUpdateKeys)
       }
     }
 }
@@ -210,11 +229,20 @@ private[streaming] case class ManifestFilePartition(path: String,
 private[streaming] case class ManifestDeletePartition(sidecar: String,
     version: Long) extends InputPartition
 
+/** cdfKeyCols wrapper (round 18): `pairs` is the sorted xxhash64 set of
+  * the version's UPDATE-pair keys (present on both the insert and delete
+  * side of a MERGE) — the reader relabels matching rows to Delta CDF's
+  * update_preimage/update_postimage. */
+private[streaming] case class CdfKeyedPartition(inner: InputPartition,
+    pairs: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends InputPartition
+
 private[streaming] class ManifestMicroBatchStream(dir: String,
     schema: StructType, startingVersion: Long = 0L,
     skipPreds: Seq[graft.operators.ManifestTable.StatsPred] = Nil,
     maxVersionsPerTrigger: Long = 0L, maxFilesPerTrigger: Long = 0L,
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false, cdfKeyCols: Seq[String] = Nil,
+    cdfMaxUpdateKeys: Long = 10000000L)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -406,9 +434,39 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
             .sortBy(_.getName)
             .map(p => ManifestDeletePartition(p.toString, v): InputPartition)
         }
-        files.map(f => ManifestFilePartition(
+        val parts: Seq[InputPartition] = files.map(f => ManifestFilePartition(
           graft.operators.ManifestTable.resolve(dir, f), v): InputPartition) ++
           delParts
+        // cdfKeyCols (round 18): a version with BOTH inserts and deletes
+        // is a MERGE — compute the UPDATE-pair key set (keys present on
+        // both sides) as xxhash64 values via one distributed
+        // intersect over the batch feed (reads are column-pruned to the
+        // keys; cost is the MERGE's own change volume, never the table),
+        // broadcast the sorted array (8 bytes/pair, bounded by
+        // cdfMaxUpdateKeys), and tag every partition so its reader
+        // relabels matching rows update_preimage/update_postimage. Pure
+        // appends and pure deletes skip all of this — no job, no wrap.
+        if (cdfKeyCols.isEmpty || files.isEmpty || dels.isEmpty) parts
+        else {
+          val prev = vs.filter(_ < v).lastOption.getOrElse(0L)
+          val ev = graft.operators.ManifestTable.changes(spark, dir, prev, v)
+          import org.apache.spark.sql.functions.{col, xxhash64}
+          val keyed = ev.select(col("_change_type").as("t"),
+            xxhash64(cdfKeyCols.map(col): _*).as("h"))
+          val pairs = keyed.where("t = 'insert'").select("h")
+            .intersect(keyed.where("t = 'delete'").select("h"))
+            .collect().map(_.getLong(0)).sorted
+          require(pairs.length <= cdfMaxUpdateKeys,
+            s"version $v has ${pairs.length} update-pair keys — past the " +
+              s"cdfMaxUpdateKeys broadcast bound ($cdfMaxUpdateKeys); " +
+              "raise the option, or consume this window through batch " +
+              "ManifestTable.changes(keyCols) where the relabel is a join")
+          if (pairs.isEmpty) parts
+          else {
+            val b = spark.sparkContext.broadcast(pairs)
+            parts.map(p => CdfKeyedPartition(p, b): InputPartition)
+          }
+        }
       }.toArray
     }
     val added = window.flatMap { v =>
@@ -459,7 +517,8 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
     val kvs = new scala.collection.mutable.ArrayBuffer[(String, String)]
     val it = conf.iterator()
     while (it.hasNext) { val e = it.next(); kvs += e.getKey -> e.getValue }
-    new ManifestReaderFactory(tableSchema, kvs.toArray, changeFeed)
+    new ManifestReaderFactory(tableSchema, kvs.toArray, changeFeed,
+      cdfKeyCols)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -497,7 +556,8 @@ private[streaming] object ManifestMicroBatchStream {
 }
 
 private[streaming] class ManifestReaderFactory(tableSchema: StructType,
-    confKVs: Array[(String, String)], changeFeed: Boolean = false)
+    confKVs: Array[(String, String)], changeFeed: Boolean = false,
+    cdfKeyCols: Seq[String] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val conf = new Configuration(false)
@@ -511,8 +571,47 @@ private[streaming] class ManifestReaderFactory(tableSchema: StructType,
       case ManifestDeletePartition(sidecar, v) =>
         new CdfDeleteReader(sidecar, tableSchema, conf,
           Array(UTF8String.fromString("delete"), java.lang.Long.valueOf(v)))
+      case CdfKeyedPartition(inner, pairs) =>
+        // an insert of an update-pair key is the post-image, a delete of
+        // one is the pre-image (Delta CDF's four-type convention)
+        val relabeled = inner match {
+          case _: ManifestFilePartition => "update_postimage"
+          case _ => "update_preimage"
+        }
+        new CdfRelabelReader(createReader(inner), tableSchema,
+          cdfKeyCols.map(tableSchema.fieldIndex).toArray, pairs.value,
+          UTF8String.fromString(relabeled))
     }
   }
+}
+
+/** Relabels a change-feed reader's rows whose key hash is in the
+  * version's update-pair set (round 18): the hash is Spark's own
+  * `xxhash64` over the key columns — evaluated via the same catalyst
+  * expression the planner's intersect used, so executor and planner
+  * agree bit-for-bit. Pair membership by binary search over the sorted
+  * broadcast array (8 bytes/key). Collision odds are the xxhash64
+  * 2^-64-per-pair contract, shared with the dedup tier's hashed joins. */
+private[streaming] class CdfRelabelReader(
+    inner: PartitionReader[InternalRow], tableSchema: StructType,
+    keyIdx: Array[Int], pairs: Array[Long], relabeled: UTF8String)
+    extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, XxHash64}
+  private val hasher = new XxHash64(
+    keyIdx.toIndexedSeq.map(i =>
+      BoundReference(i, tableSchema(i).dataType, nullable = true)))
+  // _change_type rides as the first constant tail field after the table
+  // columns (the GroupRowReader extra-array layout)
+  private val typeOrdinal = tableSchema.length
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = {
+    val row = inner.get()
+    val h = hasher.eval(row).asInstanceOf[Long]
+    if (java.util.Arrays.binarySearch(pairs, h) >= 0)
+      row.asInstanceOf[GenericInternalRow].update(typeOrdinal, relabeled)
+    row
+  }
+  override def close(): Unit = inner.close()
 }
 
 /** Parquet → InternalRow via the public parquet-mr example Group API.
