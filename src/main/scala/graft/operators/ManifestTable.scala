@@ -755,7 +755,7 @@ object ManifestTable {
     */
   def changes(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long = -1L, keyCols: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    import org.apache.spark.sql.functions.{col, lit}
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"$dir has no committed snapshot")
     val to = if (toVersion < 0) vs.last else toVersion
@@ -815,6 +815,26 @@ object ManifestTable {
     import spark.implicits._
     def qualified(rel: String): String =
       fs.makeQualified(new Path(resolve(dir, rel))).toString
+    // (qualified file path → version) attribution, dual-dispatched on the
+    // window's file count (measured at 16M rows/32 threads): a literal
+    // in-expression map stays inside whole-stage codegen and costs about
+    // what a constant column does through ~250 entries (the common
+    // window), while a huge window switches to a broadcast hash join
+    // whose probe is O(1) per row regardless of file count.
+    val AttrMapMax = 256
+    def attributed(df: DataFrame, entries: Seq[(String, Long)]): DataFrame =
+      if (entries.size <= AttrMapMax) {
+        import org.apache.spark.sql.functions.{element_at, map}
+        val m = map(entries.flatMap { case (p, v) =>
+          Seq(lit(p), lit(v)) }: _*)
+        df.withColumn("__graft_cdf_v",
+          element_at(m, col("_metadata.file_path")))
+      } else {
+        val attr = entries.toDF("__graft_cdf_path", "__graft_cdf_v")
+        df.withColumn("__graft_cdf_path", col("_metadata.file_path"))
+          .join(attr, "__graft_cdf_path")
+          .drop("__graft_cdf_path")
+      }
     // events render under the TO version's pinned schema (by-name reads —
     // files from before an evolveSchema commit null-backfill new columns)
     val feedHeader = manifestSchemaOf(manifestLines(fs, dir, to))
@@ -822,14 +842,9 @@ object ManifestTable {
     val ins =
       if (insFiles.isEmpty) Nil
       else {
-        val attr = insFiles
-          .map { case (f, v) => (qualified(f), v) }
-          .toDF("__graft_cdf_path", "__graft_cdf_v")
-        Seq(dataReader(spark, feedHeader)
-          .parquet(insFiles.map(t => resolve(dir, t._1)): _*)
-          .withColumn("__graft_cdf_path", col("_metadata.file_path"))
-          .join(attr, "__graft_cdf_path")
-          .drop("__graft_cdf_path")
+        val entries = insFiles.map { case (f, v) => (qualified(f), v) }
+        Seq(attributed(dataReader(spark, feedHeader)
+            .parquet(insFiles.map(t => resolve(dir, t._1)): _*), entries)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", col("__graft_cdf_v"))
           .drop("__graft_cdf_v"))
@@ -838,15 +853,16 @@ object ManifestTable {
     val del =
       if (delSidecars.isEmpty) Nil
       else {
-        val sidecarAttr = delSidecars
-          .map { case (d, v) => (qualified(d), v) }
-          .toDF("__graft_cdf_dir", "__graft_cdf_v")
-        val pos = spark.read
-          .parquet(delSidecars.map(t => resolve(dir, t._1)): _*)
-          .withColumn("__graft_cdf_dir",
-            regexp_replace(col("_metadata.file_path"), "/[^/]+$", ""))
-          .join(sidecarAttr, "__graft_cdf_dir")
-          .drop("__graft_cdf_dir")
+        // per-PART attribution keys: each sidecar dir's part files listed
+        // once — O(sidecar part files) driver metadata, the manifest
+        // discipline — so the scan keys on _metadata.file_path directly
+        val delEntries = delSidecars.flatMap { case (d, v) =>
+          fs.listStatus(new Path(resolve(dir, d))).toSeq
+            .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+            .map(p => (p.toString, v))
+        }
+        val pos = attributed(spark.read
+          .parquet(delSidecars.map(t => resolve(dir, t._1)): _*), delEntries)
         // the referenced physical files — sidecars record the absolute
         // _metadata.file_path at delete time; the distinct list is
         // O(files) driver metadata (the manifest discipline), the rows
