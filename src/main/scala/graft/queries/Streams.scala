@@ -32,6 +32,43 @@ object Streams {
     * nested-converter suspects cost ≤ 14 ms of latestOffset+planning). */
   private val invocation = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** The merge-on-read CDC SOURCE table shared by `stream_manifest_cdf`
+    * and `stream_manifest_cdf_keyed` (round 18 — one staging, two
+    * consumers; the morcdf memoization pattern): two %2 appends, a MoR
+    * DELETE of the clicks, and an upsertMor MERGE (purchases bumped by
+    * an exact-decimal +100.00, plus a key-shifted backfill batch).
+    * Memoized per (JVM, SF); each consumer drains into ITS OWN fresh
+    * sink + checkpoint per invocation. */
+  private def mcdfFixture(s: org.apache.spark.sql.SparkSession,
+      sf: String): String = {
+    val tag = new java.io.File(sf).getName
+    val srcTbl =
+      s"${sys.props("java.io.tmpdir")}/graft_mcdf_${runTag}_$tag/src"
+    if (graft.operators.ManifestTable.versions(s, srcTbl).isEmpty) {
+      val e = t(s, sf, "events")
+      // the backfill key-shift assumes event_id < 1e9 (r17 ADVICE):
+      // fail the fixture loudly instead of corrupting the MERGE
+      val maxId = e.agg(max(col("event_id"))).head.getLong(0)
+      require(maxId < 1000000000L,
+        s"mcdf fixture key-shift +1e9 collides: corpus max event_id " +
+          s"$maxId — derive the shift from max(event_id) + 1")
+      (0 to 1).foreach(r => graft.operators.ManifestTable.commit(s, srcTbl,
+        e.filter(pmod(col("event_id"), lit(2)) === r)))
+      graft.operators.ManifestTable.deleteWhere(s, srcTbl,
+        col("event_type") === "click")
+      val upd = e.filter(col("event_type") === "purchase")
+        .withColumn("value",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) + 100.00 AS DOUBLE)"))
+      val ins = e.filter(col("event_type") === "view" &&
+          pmod(col("event_id"), lit(50)) === 0)
+        .withColumn("event_id", col("event_id") + lit(1000000000L))
+        .withColumn("event_type", lit("backfill"))
+      graft.operators.ManifestTable.upsertMor(s, srcTbl,
+        upd.unionByName(ins), Seq("event_id"))
+    }
+    srcTbl
+  }
+
   /** Write-once event-time transforms: valid on a batch DataFrame (declared
     * queries below) and on a readStream DataFrame (StreamingSpec). Results
     * are unordered — batch callers add their ORDER BY.
@@ -345,30 +382,8 @@ object Streams {
       val tag = new java.io.File(sf).getName
       val base = s"${sys.props("java.io.tmpdir")}/graft_mcdf_${runTag}_$tag"
       val inv = invocation.incrementAndGet()
-      val (srcTbl, outTbl, ckpt) =
-        (s"$base/src", s"$base/run$inv/out", s"$base/run$inv/ckpt")
-      if (graft.operators.ManifestTable.versions(s, srcTbl).isEmpty) {
-        val e = t(s, sf, "events")
-        // same collision guard as the batch morcdf fixture (r17 ADVICE):
-        // the backfill key-shift assumes event_id < 1e9
-        val maxId = e.agg(max(col("event_id"))).head.getLong(0)
-        require(maxId < 1000000000L,
-          s"mcdf fixture key-shift +1e9 collides: corpus max event_id " +
-            s"$maxId — derive the shift from max(event_id) + 1")
-        (0 to 1).foreach(r => graft.operators.ManifestTable.commit(s, srcTbl,
-          e.filter(pmod(col("event_id"), lit(2)) === r)))
-        graft.operators.ManifestTable.deleteWhere(s, srcTbl,
-          col("event_type") === "click")
-        val upd = e.filter(col("event_type") === "purchase")
-          .withColumn("value",
-            expr("CAST(CAST(value AS DECIMAL(18,2)) + 100.00 AS DOUBLE)"))
-        val ins = e.filter(col("event_type") === "view" &&
-            pmod(col("event_id"), lit(50)) === 0)
-          .withColumn("event_id", col("event_id") + lit(1000000000L))
-          .withColumn("event_type", lit("backfill"))
-        graft.operators.ManifestTable.upsertMor(s, srcTbl,
-          upd.unionByName(ins), Seq("event_id"))
-      }
+      val srcTbl = mcdfFixture(s, sf)
+      val (outTbl, ckpt) = (s"$base/run$inv/out", s"$base/run$inv/ckpt")
       val q = s.readStream
         .format(classOf[graft.streaming.ManifestTableProvider].getName)
         .option("path", srcTbl)
@@ -407,28 +422,8 @@ object Streams {
       val tag = new java.io.File(sf).getName
       val base = s"${sys.props("java.io.tmpdir")}/graft_mcdfk_${runTag}_$tag"
       val inv = invocation.incrementAndGet()
-      val (srcTbl, outTbl, ckpt) =
-        (s"$base/src", s"$base/run$inv/out", s"$base/run$inv/ckpt")
-      if (graft.operators.ManifestTable.versions(s, srcTbl).isEmpty) {
-        val e = t(s, sf, "events")
-        val maxId = e.agg(max(col("event_id"))).head.getLong(0)
-        require(maxId < 1000000000L,
-          s"mcdfk fixture key-shift +1e9 collides: corpus max event_id " +
-            s"$maxId — derive the shift from max(event_id) + 1")
-        (0 to 1).foreach(r => graft.operators.ManifestTable.commit(s, srcTbl,
-          e.filter(pmod(col("event_id"), lit(2)) === r)))
-        graft.operators.ManifestTable.deleteWhere(s, srcTbl,
-          col("event_type") === "click")
-        val upd = e.filter(col("event_type") === "purchase")
-          .withColumn("value",
-            expr("CAST(CAST(value AS DECIMAL(18,2)) + 100.00 AS DOUBLE)"))
-        val ins = e.filter(col("event_type") === "view" &&
-            pmod(col("event_id"), lit(50)) === 0)
-          .withColumn("event_id", col("event_id") + lit(1000000000L))
-          .withColumn("event_type", lit("backfill"))
-        graft.operators.ManifestTable.upsertMor(s, srcTbl,
-          upd.unionByName(ins), Seq("event_id"))
-      }
+      val srcTbl = mcdfFixture(s, sf)
+      val (outTbl, ckpt) = (s"$base/run$inv/out", s"$base/run$inv/ckpt")
       val q = s.readStream
         .format(classOf[graft.streaming.ManifestTableProvider].getName)
         .option("path", srcTbl)
