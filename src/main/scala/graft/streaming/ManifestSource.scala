@@ -448,14 +448,29 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
         // appends and pure deletes skip all of this — no job, no wrap.
         if (cdfKeyCols.isEmpty || files.isEmpty || dels.isEmpty) parts
         else {
-          val prev = vs.filter(_ < v).lastOption.getOrElse(0L)
-          val ev = graft.operators.ManifestTable.changes(spark, dir, prev, v)
-          import org.apache.spark.sql.functions.{col, xxhash64}
-          val keyed = ev.select(col("_change_type").as("t"),
-            xxhash64(cdfKeyCols.map(col): _*).as("h"))
-          val pairs = keyed.where("t = 'insert'").select("h")
-            .intersect(keyed.where("t = 'delete'").select("h"))
-            .collect().map(_.getLong(0)).sorted
+          // the pair set of a committed version is immutable — memoized
+          // per (dir, version, key) so re-planning (restarts, fresh
+          // checkpoints over the same table) pays the job once per JVM;
+          // only sets small enough to be cache-polite are kept
+          val cacheKey = (dir, v, cdfKeyCols.mkString(","))
+          val pairs = ManifestMicroBatchStream.pairCache.computeIfAbsent(
+            cacheKey, _ => {
+              val prev = vs.filter(_ < v).lastOption.getOrElse(0L)
+              val ev =
+                graft.operators.ManifestTable.changes(spark, dir, prev, v)
+              import org.apache.spark.sql.functions.{col, collect_set,
+                size => fsize, xxhash64}
+              // one keyed exchange: a hash whose change-type set has both
+              // members is an update pair (cheaper than intersect's two
+              // distincts + join)
+              ev.select(xxhash64(cdfKeyCols.map(col): _*).as("h"),
+                  col("_change_type").as("t"))
+                .groupBy("h").agg(fsize(collect_set(col("t"))).as("nt"))
+                .where(col("nt") === 2).select("h")
+                .collect().map(_.getLong(0)).sorted
+            })
+          if (pairs.length > 1000000)
+            ManifestMicroBatchStream.pairCache.remove(cacheKey)
           require(pairs.length <= cdfMaxUpdateKeys,
             s"version $v has ${pairs.length} update-pair keys — past the " +
               s"cdfMaxUpdateKeys broadcast bound ($cdfMaxUpdateKeys); " +
@@ -526,6 +541,15 @@ private[streaming] class ManifestMicroBatchStream(dir: String,
 }
 
 private[streaming] object ManifestMicroBatchStream {
+  /** Per-JVM memo of each committed MERGE version's update-pair hash set
+    * (round 18, cdfKeyCols): the set is immutable once the version is
+    * committed, so restarts and fresh checkpoints over the same table
+    * reuse it instead of re-running the pair job. Entries past 1M keys
+    * (8 MB) are evicted after use — bounded driver residency. */
+  private[streaming] val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
+      Array[Long]]()
+
   /** The change-feed columns appended to the table schema when
     * `readChangeFeed` is set (round 17) — Delta CDF's column names. */
   private[streaming] val CdfFields: Array[StructField] = Array(
