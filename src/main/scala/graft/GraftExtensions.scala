@@ -81,6 +81,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           children(0), children(1), children(2))
       }))
+    // exact 128-bit fixed-point sum (r18 optimization): the codegen'd
+    // replacement for sum(CAST(x AS DECIMAL(18,s))).cast("double") —
+    // value-identical, no per-row BigDecimal (see functions.SumUnscaled128)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dsum"),
+      new ExpressionInfo(classOf[graft.functions.SumUnscaled128].getName, "graft_dsum"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_dsum takes exactly 1 argument")
+        graft.functions.SumUnscaled128(children(0))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(

@@ -82,9 +82,25 @@ object T {
     out
   }
 
-  /** Exact order-independent sum of a fixed-scale double column. */
+  /** Exact order-independent sum of a fixed-scale double column.
+    *
+    * Semantics are `sum(CAST(c AS DECIMAL(18, scale))).cast("double")` —
+    * the input cast (string-repr HALF_UP, the cross-engine contract) is
+    * UNCHANGED; only the accumulation is rewired onto the codegen'd
+    * 128-bit integer aggregate [[graft.functions.SumUnscaled128]], which
+    * is value-identical (exact, associative, same final nearest-even
+    * double conversion) but skips the built-in Sum's per-row BigDecimal
+    * adds (the 18→28-digit buffer widening leaves Spark's compact-long
+    * decimal representation). r18 optimization — see OPTIMIZATION_r18.md.
+    */
   def dsum(c: Column, scale: Int): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    call_function("graft_dsum", c.cast(DecimalType(18, scale)))
+
+  /** [[dsum]] over an ALREADY-decimal column (precision ≤ 18 required):
+    * the caller owns the cast — used by the explicit power/cross-moment
+    * sums (agg_stats / agg_moments / agg_corr / agg_ols family) whose
+    * product expressions fit 18 digits per row by column-bound analysis. */
+  def dsumDecimal(c: Column): Column = call_function("graft_dsum", c)
 
   /** Exact average: decimal sum over bigint count, one IEEE division. */
   def davg(c: Column, scale: Int): Column =

@@ -153,11 +153,16 @@ object Aggregates {
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
-          sum(expr("CAST(l_quantity AS DECIMAL(28,4))")).cast("double").as("sq"),
-          sum(expr("CAST(l_quantity*l_quantity AS DECIMAL(28,4))")).cast("double").as("sqq"),
-          sum(expr("CAST(l_extendedprice AS DECIMAL(28,4))")).cast("double").as("sp"),
-          sum(expr("CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,4))")).cast("double").as("spp"),
-          sum(expr("CAST(l_quantity*l_extendedprice AS DECIMAL(28,4))")).cast("double").as("spq"))
+          // r18: each per-row value fits DECIMAL(18,4) (quantity ≤ 2
+          // digits, price ≤ 6 int digits with 2 frac ⇒ price² ≤ 11 int
+          // digits + 4 frac = 15 digits), so the cast to (18,4) is
+          // value-identical to the old (28,4) and the compact input rides
+          // the codegen'd 128-bit sum (graft_dsum) — no per-row BigDecimal
+          graft.T.dsumDecimal(expr("CAST(l_quantity AS DECIMAL(18,4))")).as("sq"),
+          graft.T.dsumDecimal(expr("CAST(l_quantity*l_quantity AS DECIMAL(18,4))")).as("sqq"),
+          graft.T.dsumDecimal(expr("CAST(l_extendedprice AS DECIMAL(18,4))")).as("sp"),
+          graft.T.dsumDecimal(expr("CAST(l_extendedprice*l_extendedprice AS DECIMAL(18,4))")).as("spp"),
+          graft.T.dsumDecimal(expr("CAST(l_quantity*l_extendedprice AS DECIMAL(18,4))")).as("spq"))
         .select(col("l_returnflag"), col("n"),
           round(col("sq") / col("n"), 6).as("mean_qty"),
           round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)), 6)
@@ -181,12 +186,17 @@ object Aggregates {
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).cast("double").as("n"),
-          sum(expr("CAST(l_quantity AS DECIMAL(23,0))")).cast("double").as("s1"),
-          sum(expr("CAST(l_quantity*l_quantity AS DECIMAL(23,0))")).cast("double").as("s2"),
-          sum(expr("CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(23,0))"))
-            .cast("double").as("s3"),
-          sum(expr("CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(33,0))"))
-            .cast("double").as("s4"))
+          // r18: quantity ≤ 2 digits ⇒ q⁴ ≤ 8 digits per row — every power
+          // fits DECIMAL(18,0), so the compact cast is value-identical to
+          // the old (23,0)/(33,0) and sums ride graft_dsum's 128-bit
+          // integer path (headroom 1.7e38 ≥ the old decimal(33) ceiling)
+          graft.T.dsumDecimal(expr("CAST(l_quantity AS DECIMAL(18,0))")).as("s1"),
+          graft.T.dsumDecimal(expr("CAST(l_quantity*l_quantity AS DECIMAL(18,0))")).as("s2"),
+          graft.T.dsumDecimal(expr("CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(18,0))"))
+            .as("s3"),
+          graft.T.dsumDecimal(
+            expr("CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(18,0))"))
+            .as("s4"))
         .select(col("l_returnflag"), col("n").cast("long").as("n"),
           round((col("s3") / col("n") -
               lit(3.0) * (col("s1") / col("n")) * (col("s2") / col("n")) +
@@ -675,6 +685,11 @@ object Aggregates {
     // long (key, measure, value) rows), via the typed Dataset.unpivot
     // API; narrow (each row expands in place, no shuffle before the
     // ordering). The measure name column makes the melt lossless.
+    // r18 note: the sort-below-the-melt restructure (range-sort 600k
+    // source rows, melt after, drop the 2.4M-row sort) was attempted and
+    // REVERTED: (l_orderkey, l_linenumber) is NOT unique in this corpus,
+    // so the declared ORDER BY has tie classes and the oracle hash pins
+    // the incumbent tie order — deliberately left alone (OPTIMIZATION_r18).
     "agg_unpivot" -> ((s, sf) =>
       t(s, sf, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),

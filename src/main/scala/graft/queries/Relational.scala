@@ -19,15 +19,22 @@ object Relational {
         .orderBy("n_nationkey")),
 
     // §2.2 computed projection: revenue expression + casts
+    // r18: computed projection above the global sort (the fn_math move,
+    // see Scalars.scala) — the two string-repr decimal casts per row ran
+    // twice (range-sampling pass + shuffle map pass); now once, after the
+    // exchange, which carries the 5 raw columns instead
     "project_select" -> ((s, sf) =>
-      t(s, sf, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)").cast("double").as("revenue"),
-        col("l_quantity").cast("long").as("qty_int"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
-          .cast("decimal(18,6)").cast("double").as("charge"))
-        .orderBy("l_orderkey", "l_linenumber")),
+      t(s, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)").cast("double").as("revenue"),
+          col("l_quantity").cast("long").as("qty_int"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+            .cast("decimal(18,6)").cast("double").as("charge"))),
 
     // §2.2 compound predicate: BETWEEN / IN / LIKE / OR / IS NULL
     "filter_pred" -> ((s, sf) =>

@@ -23,36 +23,52 @@ object Scalars {
         element_at(split(col("p_name"), " "), 2).as("second_word"))
         .orderBy("p_partkey")),
 
+    // r18: projection above the sort (see fn_math) — the exchange carries
+    // (key, date) instead of 7 computed columns, and the date kernel runs
+    // once instead of sample-pass + map-pass
     "fn_date" -> ((s, sf) =>
-      t(s, sf, "orders").select(col("o_orderkey"),
-        year(col("o_orderdate")).cast("long").as("yr"),
-        month(col("o_orderdate")).cast("long").as("mo"),
-        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
-        unix_micros(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
-        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
-        unix_micros((col("o_orderdate") + expr("INTERVAL 30 DAYS"))).as("plus30_us"))
-        .orderBy("o_orderkey")),
+      t(s, sf, "orders").select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderkey")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          unix_micros(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          unix_micros((col("o_orderdate") + expr("INTERVAL 30 DAYS"))).as("plus30_us"))),
 
+    // r18: the computed projection moved ABOVE the global sort (same rows,
+    // same order — a per-row map after the range exchange). Below the sort
+    // it was evaluated TWICE (the range partitioner's sampling pass
+    // executes the exchange's child in full, then the shuffle map pass
+    // re-executes it) and the 4 BigDecimal-backed round(x, 6) columns rode
+    // the shuffle; now the exchange carries the 6 raw columns and the
+    // rounds run once, post-shuffle (guide §2.3/§2.4).
     "fn_math" -> ((s, sf) =>
-      t(s, sf, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-        ceil(col("l_extendedprice")).cast("long").as("ce"),
-        floor(col("l_extendedprice")).cast("long").as("fl"),
-        round(sqrt(col("l_quantity")), 6).as("sq"),
-        round(log(col("l_extendedprice")), 6).as("ln_p"),
-        round(pow(col("l_discount"), 2), 6).as("pw"),
-        (col("l_linenumber") % 3).cast("long").as("md"),
-        round(abs(col("l_tax") - 0.04), 6).as("ab"))
-        .orderBy("l_orderkey", "l_linenumber")),
+      t(s, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ceil(col("l_extendedprice")).cast("long").as("ce"),
+          floor(col("l_extendedprice")).cast("long").as("fl"),
+          round(sqrt(col("l_quantity")), 6).as("sq"),
+          round(log(col("l_extendedprice")), 6).as("ln_p"),
+          round(pow(col("l_discount"), 2), 6).as("pw"),
+          (col("l_linenumber") % 3).cast("long").as("md"),
+          round(abs(col("l_tax") - 0.04), 6).as("ab"))),
 
+    // r18: projection above the sort (see fn_math)
     "fn_conditional" -> ((s, sf) =>
-      t(s, sf, "orders").select(col("o_orderkey"),
-        when(col("o_totalprice") > 100000, "big")
-          .when(col("o_totalprice") > 10000, "mid")
-          .otherwise("small").as("bucket"),
-        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st"),
-        greatest(col("o_totalprice"), lit(50000.0)).as("gl"),
-        least(col("o_totalprice"), lit(50000.0)).as("ll"))
-        .orderBy("o_orderkey")),
+      t(s, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 100000, "big")
+            .when(col("o_totalprice") > 10000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st"),
+          greatest(col("o_totalprice"), lit(50000.0)).as("gl"),
+          least(col("o_totalprice"), lit(50000.0)).as("ll"))),
 
     // array surface over the 64-dim embedding column; scalars out (never
     // raw float arrays — cross-writer list encodings differ)
@@ -67,13 +83,16 @@ object Scalars {
         .orderBy("vec_id")),
 
     // JSON-string props → typed map, scalar extraction
+    // r18: JSON parse above the sort (see fn_math) — from_json ran twice
+    // (sample + map pass) and the parsed map rode the exchange; now the
+    // exchange carries the raw props string and the parse runs once
     "fn_map" -> ((s, sf) =>
-      t(s, sf, "events")
+      t(s, sf, "events").select("event_id", "props")
+        .orderBy("event_id")
         .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
         .select(col("event_id"),
           element_at(col("m"), "k").cast("long").as("k_val"),
-          size(map_keys(col("m"))).cast("long").as("nkeys"))
-        .orderBy("event_id")),
+          size(map_keys(col("m"))).cast("long").as("nkeys"))),
 
     // per-group aggregation over a JSON field
     "fn_json" -> ((s, sf) =>
@@ -90,15 +109,17 @@ object Scalars {
     // binaries are not cross-engine comparable); the oracle reads the same
     // fields with DuckDB JSON paths. try_variant_get on a missing path
     // must yield NULL, not error — pinned in the output.
+    // r18: parse_json + variant_get above the sort (see fn_math) — the
+    // variant parse ran twice and the binary variant rode the exchange
     "fn_variant" -> ((s, sf) =>
-      t(s, sf, "events")
+      t(s, sf, "events").select("event_id", "props")
+        .orderBy("event_id")
         .select(col("event_id"), parse_json(col("props")).as("v"))
         .select(col("event_id"),
           expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
           expr("variant_get(v, '$.k', 'string')").as("k_str"),
           (expr("variant_get(v, '$.k', 'bigint')") * 2).as("k_x2"),
-          expr("try_variant_get(v, '$.absent', 'bigint')").as("missing"))
-        .orderBy("event_id")),
+          expr("try_variant_get(v, '$.absent', 'bigint')").as("missing"))),
 
     // nested semi-structured extraction (round 10) — arrays of structs
     // through a full JSON round trip: each order's lineitems serialize to
