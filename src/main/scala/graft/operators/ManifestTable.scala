@@ -266,9 +266,14 @@ object ManifestTable {
       .select(col("__graft_del_f").as("file"),
         col("__graft_del_p").as("pos"))
     val rel = s"_deletes/${java.util.UUID.randomUUID()}.parquet"
-    // distributed write — the position set never lands on the driver
-    matched.write.parquet(s"$dir/$rel")
-    val n = spark.read.parquet(s"$dir/$rel").limit(1).count()
+    // distributed write — the position set never lands on the driver; the
+    // emptiness check rides the write job as an observed metric (r18)
+    // instead of a second re-read job over the just-written sidecar
+    val obs = new org.apache.spark.sql.Observation()
+    matched.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.parquet(s"$dir/$rel")
+    val n = obs.get("n").asInstanceOf[Long]
     if (n == 0L) { fs.delete(new Path(s"$dir/$rel"), true); return v0 }
     val next = v0 + 1
     val tmp = new Path(manifestDir(dir), s".tmp-del-${java.util.UUID.randomUUID()}")
@@ -617,8 +622,13 @@ object ManifestTable {
         .join(updates.select(keyCols.map(col): _*).distinct(), keyCols,
           "left_semi")
         .select(col("__graft_del_f").as("file"), col("__graft_del_p").as("pos"))
-      matched.write.parquet(s"$dir/$delRel")
-      val any = spark.read.parquet(s"$dir/$delRel").limit(1).count() > 0L
+      // emptiness check observed on the write job itself (r18) — no
+      // second job re-reading the sidecar it just wrote
+      val obs = new org.apache.spark.sql.Observation()
+      matched.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.parquet(s"$dir/$delRel")
+      val any = obs.get("n").asInstanceOf[Long] > 0L
       if (!any) fs.delete(new Path(s"$dir/$delRel"), true)
       any
     }

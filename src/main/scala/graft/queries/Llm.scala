@@ -167,26 +167,31 @@ object Llm {
     val shS = docs.select(col("doc_id"), size(col("ss")).cast("long").as("n"),
         explode(col("ss")).as("s"))
       .select(col("doc_id"), col("n"), col("s"), xxhash64(col("s")).as("h"))
-    val collided = {
-      val r = shS.agg(countDistinct(col("s")).as("ns"),
-        countDistinct(col("h")).as("nh")).head()
-      r.getLong(0) != r.getLong(1)
-    }
+    // ONE corpus-pass per-hash aggregate serves BOTH runtime decisions
+    // (r18 — guide §1.2 "don't compute things twice"): document frequency
+    // for the df-cap AND the hash-injectivity check. The old shape paid
+    // two full corpus passes — a countDistinct(s)/countDistinct(h) pair
+    // (which plans as an Expand that doubles and shuffles every exploded
+    // shingle STRING) plus the groupBy(h) df count. Injectivity per hash
+    // is min(s) != max(s) — h is a function of s, so countDistinct
+    // equality and per-hash-single-preimage are the same predicate — and
+    // the probe runs over the persisted per-hash frame (|distinct
+    // shingles| rows), not the corpus.
+    val dfs = tr.persist(shS.groupBy("h").agg(count(lit(1)).as("df"),
+        min(col("s")).as("__mn"), max(col("s")).as("__mx"))
+      .observe(HotShingleObserver.nextMetricName(),
+        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_hot"),
+        max(lit(dfCap.toLong)).as("df_cap")))
+    HotShingleObserver.ensure(docsRaw.sparkSession)
+    val collided = !dfs.where(col("__mn") =!= col("__mx")).isEmpty
     val shAll = if (collided) shS else shS.drop("s")
     // df-cap on hot shingles (see [[hotShingleDfCap]]): (doc_id, h) is
     // unique by construction (ss is array_distinct), so count(*) per h IS
     // document frequency. The left_anti exclusion is UNCONDITIONAL — no
-    // blocking driver count() runs on the hot path (the r15 version paid
-    // one extra full aggregation job per invocation even when the cap
-    // never binds); when nothing is hot AQE's empty-relation propagation
-    // deletes the anti-join at runtime, and the bound count surfaces
-    // through an observed metric WARN-logged by a once-per-session
-    // listener instead of an eager action.
-    val dfs = shAll.groupBy("h").agg(count(lit(1)).as("df"))
-      .observe(HotShingleObserver.nextMetricName(),
-        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_hot"),
-        max(lit(dfCap.toLong)).as("df_cap"))
-    HotShingleObserver.ensure(docsRaw.sparkSession)
+    // blocking driver count() runs on the hot path for the CAP itself;
+    // when nothing is hot AQE's empty-relation propagation deletes the
+    // anti-join at runtime, and the bound count surfaces through an
+    // observed metric WARN-logged by a once-per-session listener.
     val hot = dfs.where(col("df") > dfCap).select("h")
     val sh = shAll.join(hot, Seq("h"), "left_anti")
     val joinCond =
