@@ -53,6 +53,23 @@ object Bench {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+      // Scan-side parallelism floor (r18, guide §2.6/§6): every bench table
+      // is ONE small parquet file, and the default 4 MB openCostInBytes
+      // floors split size at 4 MB — so scan stages (and all map-side work:
+      // projection, shingling, partial aggregation) ran at parallelism 1-3
+      // on a 32-core machine. minPartitionNum = 2×cores asks the splitter
+      // for at least that many splits; openCost = 128 KB lets split size
+      // actually drop that far on megabyte inputs. Both are SCALE-NEUTRAL:
+      // at 100 TB bytes/minPartitionNum ≫ maxPartitionBytes, so split size
+      // stays maxPartitionBytes (128 MB) and the floor never binds — this
+      // is a floor on idle cores, not a cap tuned to local mode. Derived
+      // from SPARK_GRAFT_CPUS so the driver's low-core scaling runs keep
+      // the same bytes-per-core posture; override via env if needed.
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_SCAN_PARTS",
+          (2 * cpus.toInt).toString))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -88,8 +88,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dsum"),
       new ExpressionInfo(classOf[graft.functions.SumUnscaled128].getName, "graft_dsum"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 1, "graft_dsum takes exactly 1 argument")
-        graft.functions.SumUnscaled128(children(0))
+        // 1-arg: pre-cast compact-decimal input (scale read off the type).
+        // 2-arg (r18): graft_dsum(x, s) — scale declared by the caller, the
+        // double fast path (see functions.SumUnscaledFixed / D2U).
+        children match {
+          case Seq(c) => graft.functions.SumUnscaled128(c)
+          case Seq(c, s) =>
+            val scale = s match {
+              case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+              case other if other.foldable =>
+                other.eval().asInstanceOf[Number].intValue()
+              case _ => throw new IllegalArgumentException(
+                "graft_dsum(x, s): s must be a literal int scale")
+            }
+            graft.functions.SumUnscaledFixed(c, scale)
+          case _ => throw new IllegalArgumentException(
+            "graft_dsum takes 1 or 2 arguments")
+        }
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),

@@ -85,16 +85,17 @@ object T {
   /** Exact order-independent sum of a fixed-scale double column.
     *
     * Semantics are `sum(CAST(c AS DECIMAL(18, scale))).cast("double")` —
-    * the input cast (string-repr HALF_UP, the cross-engine contract) is
-    * UNCHANGED; only the accumulation is rewired onto the codegen'd
-    * 128-bit integer aggregate [[graft.functions.SumUnscaled128]], which
-    * is value-identical (exact, associative, same final nearest-even
-    * double conversion) but skips the built-in Sum's per-row BigDecimal
-    * adds (the 18→28-digit buffer widening leaves Spark's compact-long
-    * decimal representation). r18 optimization — see OPTIMIZATION_r18.md.
+    * string-repr HALF_UP input rounding (the cross-engine contract), exact
+    * associative accumulation, one final nearest-even double conversion.
+    * Execution is the codegen'd 128-bit aggregate
+    * [[graft.functions.SumUnscaledFixed]]: no per-row BigDecimal adds, and
+    * for DOUBLE inputs the per-row cast itself takes the proven fast path
+    * in [[graft.functions.D2U]] (round + verifying round-trip; falls back
+    * to the definitional string-repr conversion whenever the proof
+    * obligation fails). r18 optimization — see OPTIMIZATION_r18.md.
     */
   def dsum(c: Column, scale: Int): Column =
-    call_function("graft_dsum", c.cast(DecimalType(18, scale)))
+    call_function("graft_dsum", c, lit(scale))
 
   /** [[dsum]] over an ALREADY-decimal column (precision ≤ 18 required):
     * the caller owns the cast — used by the explicit power/cross-moment

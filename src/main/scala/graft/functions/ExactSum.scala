@@ -131,3 +131,129 @@ case class SumUnscaled128(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SumUnscaled128 =
     copy(child = newChild)
 }
+
+/** Per-row double → unscaled-long conversion for [[SumUnscaledFixed]].
+  *
+  * The SEMANTIC DEFINITION is the slow path: Spark's
+  * `CAST(x AS DECIMAL(18, s))` converts through the double's shortest
+  * decimal string (`BigDecimal.valueOf` = `Double.toString`) and rounds
+  * HALF_UP at scale s — the cross-engine contract every dsum oracle pins.
+  *
+  * The fast path skips the string round-trip when its result is PROVABLY
+  * identical: candidate r = round(x·10ˢ), accepted iff r/10ˢ re-rounds to
+  * exactly x. Proof of equivalence under the guard |x·10ˢ| < 2⁵⁰:
+  * acceptance means x is the correctly-rounded double of the decimal
+  * r·10⁻ˢ, so the shortest-repr decimal d of x also lies in x's rounding
+  * interval: |d − r·10⁻ˢ| < ulp(x) ≤ 2⁻⁵¹·|x| < 0.5·10⁻ˢ (the guard),
+  * hence d rounds at scale s to exactly r — no other grid point or tie is
+  * reachable. Every money-like corpus value (≤ s decimal places) takes
+  * this path; computed products (long binary expansions) fail the
+  * round-trip check and take the definitional slow path. r.toDouble is
+  * exact (|r| ≤ 2⁵⁰) and the division is correctly rounded, so the check
+  * itself is exact.
+  *
+  * Overflow: unscaled results beyond Long range throw (ArithmeticException)
+  * — the ANSI cast on the old path also threw there; values between 18
+  * digits and 2⁶³ are accepted rather than refused (the 128-bit buffer is
+  * exact far beyond either), documented as strictly-wider-never-narrower.
+  */
+object D2U {
+  private val POW: Array[Double] = Array.tabulate(19)(i => math.pow(10, i))
+  def unscaled(x: Double, s: Int): Long = {
+    val p = POW(s)
+    val y = x * p
+    if (java.lang.Math.abs(y) < 1.125899906842624e15) { // 2^50
+      val r = java.lang.Math.round(y)
+      if (r.toDouble / p == x) return r
+    }
+    java.math.BigDecimal.valueOf(x)
+      .setScale(s, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  }
+}
+
+/** [[SumUnscaled128]] with the scale declared by the CALLER (second
+  * argument, a foldable int) instead of read off a pre-cast decimal input
+  * — `graft_dsum(x, s)`. Value-identical to
+  * `sum(CAST(x AS DECIMAL(18, s))).cast("double")` for every input type:
+  *
+  *  - DOUBLE children skip the per-row Cast→Decimal→UnscaledValue chain
+  *    (shortest-string parse + BigDecimal setScale + precision check +
+  *    Decimal boxing) for one codegen'd [[D2U.unscaled]] call whose fast
+  *    path is a multiply, a round and a verifying division (r18, guide
+  *    §4 / §1.2 — measured 0.96 s → ~0.4 s for the 6-sum agg_group
+  *    aggregate at sf0.1).
+  *  - Every other child type keeps the definitional
+  *    `UnscaledValue(CAST(child AS DECIMAL(18, s)))` — exact for
+  *    integers and rescaled decimals, so T.dsum needs no type analysis
+  *    at call sites.
+  *
+  * Accumulation and final conversion are [[SumUnscaled128]]'s verbatim.
+  */
+case class SumUnscaledFixed(child: Expression, scale: Int)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dsum"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: NumericType if scale >= 0 && scale <= 18 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_dsum(x, s) needs a numeric x and 0 <= s <= 18, got " +
+            s"${other.simpleString} at scale $scale")
+    }
+
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val seen = AttributeReference("seen", BooleanType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, seen)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(false))
+
+  private def wadd(a: Expression, b: Expression): Expression =
+    Add(a, b, EvalMode.LEGACY)
+
+  private def carryOut(a: Expression, b: Expression, sum: Expression): Expression =
+    ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(a, b), BitwiseAnd(BitwiseOr(a, b), BitwiseNot(sum))),
+      Literal(63))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val u: Expression = child.dataType match {
+      case DoubleType => StaticInvoke(D2U.getClass, LongType, "unscaled",
+        Seq(child, Literal(scale)),
+        inputTypes = Seq(DoubleType, IntegerType),
+        propagateNull = false, returnNullable = false)
+      case _ => UnscaledValue(Cast(child, DecimalType(18, scale)))
+    }
+    val loNew = wadd(lo, u)
+    val hiNew = wadd(wadd(hi, ShiftRight(u, Literal(63))), carryOut(lo, u, loNew))
+    Seq(
+      If(IsNull(child), hi, hiNew),
+      If(IsNull(child), lo, loNew),
+      Or(seen, IsNotNull(child)))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val loM = wadd(lo.left, lo.right)
+    val hiM = wadd(wadd(hi.left, hi.right), carryOut(lo.left, lo.right, loM))
+    Seq(hiM, loM, Or(seen.left, seen.right))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(seen,
+      StaticInvoke(I128Sum.getClass, DoubleType, "toDouble",
+        Seq(hi, lo, Literal(scale)),
+        inputTypes = Seq(LongType, LongType, IntegerType),
+        propagateNull = false, returnNullable = false),
+      Literal(null, DoubleType))
+
+  override protected def withNewChildInternal(newChild: Expression): SumUnscaledFixed =
+    copy(child = newChild)
+}

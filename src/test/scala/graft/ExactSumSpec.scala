@@ -72,6 +72,61 @@ class ExactSumSpec extends AnyFunSuite with SparkFixture {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("D2U fast path == string-repr HALF_UP definition (direct fuzz + adversaries)") {
+    // the r18 double fast path must agree with the definitional conversion
+    // for EVERY double — fuzz across magnitudes/scales plus the hand-picked
+    // half-way adversaries where naive float rounding diverges
+    def slow(x: Double, s: Int): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(s, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    val rnd = new java.util.Random(7)
+    var i = 0
+    while (i < 200000) {
+      val mag = math.pow(10, rnd.nextInt(12) - 3)
+      val x = (rnd.nextDouble() * 2 - 1) * mag
+      val s = rnd.nextInt(7)
+      assert(graft.functions.D2U.unscaled(x, s) == slow(x, s),
+        s"x=$x s=$s")
+      i += 1
+    }
+    // exact-representable halves and classic decimal landmines
+    for (x <- Seq(0.125, -0.125, 0.135, -0.135, 2.675, 1.005, -1.005,
+        0.5, -0.5, 1.5, 2.5, -2.5, 1e14 + 0.5, -(1e14 + 0.5));
+        s <- 0 to 4)
+      assert(graft.functions.D2U.unscaled(x, s) == slow(x, s), s"x=$x s=$s")
+    // guard boundary: |x·10^s| around 2^50 — fast path must hand off
+    for (x <- Seq(1.1258999068426239e13, 1.1258999068426251e13, 9.9e12);
+        s <- Seq(2, 3))
+      assert(graft.functions.D2U.unscaled(x, s) == slow(x, s), s"x=$x s=$s")
+  }
+
+  test("dsum(x, s) on computed double products == built-in (slow-path heavy)") {
+    // agg_group's sum_disc/sum_charge shape: products of doubles have long
+    // binary expansions, so most rows fail the fast-path round-trip check
+    // and take the definitional conversion — equality must still be exact
+    val li = T.t(spark, sf01c, "lineitem").limit(20000)
+      .select((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("x"))
+    assert(li.agg(T.dsum(col("x"), 4)).head.getDouble(0) ==
+      li.agg(builtin(col("x"), 4)).head.getDouble(0))
+    val li6 = T.t(spark, sf01c, "lineitem").limit(20000)
+      .select((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+        (lit(1.0) + col("l_tax"))).as("x"))
+    assert(li6.agg(T.dsum(col("x"), 6)).head.getDouble(0) ==
+      li6.agg(builtin(col("x"), 6)).head.getDouble(0))
+  }
+
+  test("dsum(x, s) non-double children keep the exact Cast path") {
+    // integer/long inputs: dsum must equal the decimal-cast sum exactly
+    val df = spark.range(0, 5000, 1, 8).select(col("id").as("x"))
+    assert(df.agg(T.dsum(col("x"), 2)).head.getDouble(0) ==
+      df.agg(builtin(col("x"), 2)).head.getDouble(0))
+    val dec = spark.range(0, 5000, 1, 8)
+      .select((col("id").cast("decimal(12,2)") / 7).as("x"))
+    assert(dec.agg(T.dsum(col("x"), 2)).head.getDouble(0) ==
+      dec.agg(builtin(col("x"), 2)).head.getDouble(0))
+  }
+
   test("dsum refuses non-compact decimal input") {
     val e = intercept[Exception] {
       spark.range(1).select(col("id").cast("decimal(28,4)").as("x"))
