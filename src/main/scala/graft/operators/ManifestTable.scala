@@ -462,19 +462,22 @@ object ManifestTable {
       }
       if (dataDirExists) fs.delete(dp, true)
     }
-    df.write.parquet(s"$dir/$dataRel")
-    // File-skipping stats (r14): one distributed pass over the batch just
-    // written, grouped by physical file, recording min/max/non-null-count
-    // per requested column into a `_stats.tsv` sidecar INSIDE the batch
-    // dir. Written before the manifest CAS, so a committed batch either
-    // has its stats or (crash window) readers degrade to keep-all for it —
-    // pruning is an optimization, never a correctness dependency. The
-    // sidecar is immutable alongside its data files, inherited by every
-    // manifest that references the batch, and vacuumed with it by
-    // expire(). At 100 TB this is the Delta/Iceberg data-skipping shape:
-    // a selective read touches O(manifest + sidecars) metadata and only
-    // the files whose ranges intersect the predicate.
-    if (statsCols.nonEmpty) writeStats(spark, fs, dir, dataRel, statsCols)
+    microsWrite(df, s"$dir/$dataRel")
+    // File-skipping stats (r14; footer-sourced since r18): min/max/
+    // non-null-count per file for the requested columns land in a
+    // `_stats.tsv` sidecar INSIDE the batch dir. The values now come from
+    // the just-written parquet FOOTERS (O(files) metadata reads, zero
+    // extra Spark jobs) instead of a second distributed pass re-decoding
+    // every row — the Delta/Iceberg stats-at-write-time shape; at 100 TB
+    // the old second pass was a full extra read of the batch. Any footer
+    // whose stats are absent or not provably render-identical (exotic
+    // type, NaN-dropped stats, oversized binary stats) falls back to the
+    // original scan pass for the whole batch, so sidecar bytes are
+    // IDENTICAL either way (ManifestStatsSpec pins this). Written before
+    // the manifest CAS, so a committed batch either has its stats or
+    // (crash window) readers degrade to keep-all for it — pruning is an
+    // optimization, never a correctness dependency.
+    if (statsCols.nonEmpty) writeStats(spark, fs, dir, dataRel, statsCols, df.schema)
     // Bloom sidecar (r15): the point-lookup half of skipping — see
     // [[FileBloom]]. Same contract as the stats sidecar: pre-CAS,
     // immutable, superset-guarantee-only.
@@ -635,10 +638,11 @@ object ManifestTable {
     // the new batch: the FULL updates frame (matched rows replace their
     // deleted originals, unmatched keys are the inserts)
     val dataRel = s"data/${java.util.UUID.randomUUID()}"
-    updates.write.parquet(s"$dir/$dataRel")
+    microsWrite(updates, s"$dir/$dataRel")
     // same sidecar contract as commit(): pre-CAS, immutable, superset-
     // guarantee-only — a merged delta batch skips like any other
-    if (statsCols.nonEmpty) writeStats(spark, fs, dir, dataRel, statsCols)
+    if (statsCols.nonEmpty)
+      writeStats(spark, fs, dir, dataRel, statsCols, updates.schema)
     if (bloomCols.nonEmpty)
       FileBloom.write(spark, fs, dir, dataRel, bloomCols, bloomBits, 4)
     val newFiles = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
@@ -1027,7 +1031,157 @@ object ManifestTable {
     * filtering agree by construction. timestamp_ntz and date renderings are
     * zone-independent and stay as strings.
     */
+  /** Manifest data writes pin the parquet timestamp layout to INT64
+    * micros (r18): INT96 — Spark's historical default — is deprecated in
+    * the parquet spec, 50% fatter per value, and carries NO usable
+    * column statistics, which would force [[writeStats]]'s footer path
+    * to fall back to a full re-scan for every timestamp statsCol. The
+    * conf is set only around the write and restored, so a caller session
+    * that deliberately writes INT96 elsewhere keeps its setting. */
+  private def microsWrite(df: DataFrame, path: String): Unit = {
+    val k = "spark.sql.parquet.outputTimestampType"
+    val s = df.sparkSession
+    val prev = s.conf.getOption(k)
+    s.conf.set(k, "TIMESTAMP_MICROS")
+    try df.write.parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set(k, v)
+      case None => s.conf.unset(k)
+    }
+  }
+
+  /** Footer-sourced per-file stats (r18): the min/max/null-count the scan
+    * pass recomputed per row is ALREADY in the parquet footers the write
+    * just produced. Returns the sidecar lines, or None when ANY requested
+    * column of ANY file is not provably render-identical from its footer
+    * (missing/dropped stats — NaN doubles, oversized binary, INT96 — or a
+    * type outside the proven rendering set), in which case the caller
+    * runs the original scan pass, keeping sidecar bytes identical in
+    * every degraded case. Rendering goes through catalyst's own Cast to
+    * StringType (the exact expression the scan pass evaluated), so
+    * formatting cannot drift between the two paths.
+    */
+  private[graft] def footerStatsLines(spark: SparkSession, fs: FileSystem,
+      dir: String, dataRel: String, cols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Option[Seq[String]] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val fields = schema.fields.map(f => f.name -> f.dataType).toMap
+    // proven rendering set — every type here renders to the EXACT string
+    // the scan pass's Cast-to-string produced (Spark's castToString for
+    // long/int/short/byte/double/float/boolean is the JVM toString; string
+    // is identity; TimestampType is the sidecar's canonical epoch-micros
+    // long). Anything else (decimal, date, NTZ, nested) → definitional scan.
+    val supported = cols.forall(c => fields.get(c).exists {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | StringType | BooleanType | TimestampType => true
+      case _ => false
+    })
+    if (!supported) return None
+    val files = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = Seq.newBuilder[String]
+    files.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val footer = try reader.getFooter finally reader.close()
+      val blocks = footer.getBlocks
+      var rows = 0L
+      val it0 = blocks.iterator()
+      while (it0.hasNext) rows += it0.next().getRowCount
+      cols.foreach { c =>
+        val dt = fields(c)
+        var nulls = 0L
+        var merged: org.apache.parquet.column.statistics.Statistics[_] = null
+        var usable = true
+        val it = blocks.iterator()
+        while (it.hasNext && usable) {
+          val b = it.next()
+          val cc = b.getColumns.asScala.find(_.getPath.toDotString == c).orNull
+          if (cc == null) usable = false
+          else {
+            val st = cc.getStatistics
+            if (st == null || !st.isNumNullsSet) usable = false
+            else {
+              nulls += st.getNumNulls
+              // a chunk with values but no min/max = stats were dropped
+              // (NaN doubles, oversized binary) — not reconstructible here
+              if (st.hasNonNullValue) {
+                if (merged == null) merged = st.copy()
+                else merged
+                  .asInstanceOf[org.apache.parquet.column.statistics.Statistics[java.lang.Long]]
+                  .mergeStatistics(st
+                    .asInstanceOf[org.apache.parquet.column.statistics.Statistics[java.lang.Long]])
+              } else if (cc.getValueCount > st.getNumNulls) usable = false
+            }
+          }
+        }
+        if (!usable) return None
+        val nonnull = rows - nulls
+        if (nonnull > 0 && merged == null) return None
+        // physical/logical type must match the Spark type's expected shape
+        // before trusting genericGetMin/Max; rendering is the plain JVM
+        // toString (== Spark's castToString for these types)
+        def typed(v: Any): Option[String] = (dt, v) match {
+          case (LongType, l: java.lang.Long) => Some(l.toString)
+          case (TimestampType, l: java.lang.Long)
+            if merged.`type`().getLogicalTypeAnnotation
+              .isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] &&
+              merged.`type`().getLogicalTypeAnnotation
+                .asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+                .getUnit == LogicalTypeAnnotation.TimeUnit.MICROS => Some(l.toString)
+          case (IntegerType, i: java.lang.Integer) => Some(i.toString)
+          case (ShortType, i: java.lang.Integer) => Some(i.shortValue().toString)
+          case (ByteType, i: java.lang.Integer) => Some(i.byteValue().toString)
+          // exactly-zero bounds are sign-ambiguous: parquet pads a zero
+          // min to -0.0 / max to +0.0 (PARQUET-1222), so the footer cannot
+          // distinguish a true -0.0 minimum (which the scan pass renders
+          // "-0.0" — ManifestStatsSpec proves -0.0 survives a Spark write)
+          // from padding of +0.0 — hand those files to the scan pass
+          case (DoubleType, d: java.lang.Double) if d.doubleValue() != 0.0 =>
+            Some(d.toString)
+          case (FloatType, f: java.lang.Float) if f.floatValue() != 0.0f =>
+            Some(f.toString)
+          case (BooleanType, b: java.lang.Boolean) => Some(b.toString)
+          case (StringType, b: org.apache.parquet.io.api.Binary)
+            if merged.`type`().getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
+              merged.`type`().getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+            Some(b.toStringUsingUTF8)
+          case _ => None
+        }
+        val (mn, mx) =
+          if (nonnull == 0) ("-", "-")
+          else {
+            val tmn = typed(merged.genericGetMin)
+            val tmx = typed(merged.genericGetMax)
+            if (tmn.isEmpty || tmx.isEmpty) return None
+            (b64(tmn.get), b64(tmx.get))
+          }
+        out += s"${p.getName}\t$c\t${dt.typeName}\t$rows\t$nonnull\t$mn\t$mx"
+      }
+    }
+    Some(out.result())
+  }
+
   private def writeStats(spark: SparkSession, fs: FileSystem, dir: String,
+      dataRel: String, statsCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    footerStatsLines(spark, fs, dir, dataRel, statsCols.distinct, schema) match {
+      case Some(lines) =>
+        val out = fs.create(new Path(s"$dir/$dataRel/$StatsName"), true)
+        try out.write((lines.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      case None => writeStatsScan(spark, fs, dir, dataRel, statsCols)
+    }
+  }
+
+  private[graft] def writeStatsScan(spark: SparkSession, fs: FileSystem, dir: String,
       dataRel: String, statsCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
     val bdf = spark.read.parquet(s"$dir/$dataRel")
