@@ -32,7 +32,7 @@ object Sources {
     * clicks, and an upsertMor MERGE — purchases value-bumped by an EXACT
     * decimal +100.00 (no float rounding can diverge cross-engine) plus a
     * backfill batch of key-shifted view events. Memoized per (JVM, SF). */
-  private def morCdfFixture(s: org.apache.spark.sql.SparkSession,
+  private[queries] def morCdfFixture(s: org.apache.spark.sql.SparkSession,
       sf: String): String = {
     import graft.operators.ManifestTable
     val dir = tmp(sf, "morcdf")
