@@ -205,7 +205,24 @@ object Bench {
     // including error strings, lives in BENCH_DETAIL.json next to the
     // build; stdout carries only the total plus a pointer. Growth in query
     // count no longer costs stdout bytes.
+    //
+    // r19 (verdict item 1): BENCH_DETAIL.json is overwritten per run, so a
+    // later run (e.g. the driver's low-core scaling pass) destroyed the
+    // per-query map of the run whose stdout line was being graded —
+    // PERF_r18 paired zero queries across rounds. Every run now ALSO
+    // writes an immutable per-run copy, BENCH_DETAIL_c<cpus>_<sf>_<utc>.json,
+    // and the stdout "detail" pointer names THAT file, so each captured
+    // stdout line points at per-query data no subsequent run can clobber.
+    // BENCH_DETAIL.json stays as the latest-run convenience copy (existing
+    // tooling reads it).
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val runStamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val runDetailPath =
+      if (detailPath.endsWith(".json"))
+        detailPath.stripSuffix(".json") + s"_c${cpus}_${sfTag}_$runStamp.json"
+      else detailPath + s"_c${cpus}_${sfTag}_$runStamp"
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val em = errs.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
@@ -227,9 +244,16 @@ object Bench {
     // JSON while stdout advertises the path as valid
     val detailTag =
       try {
-        java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-          (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        detailPath
+        val bytes = (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        java.nio.file.Files.write(java.nio.file.Paths.get(runDetailPath), bytes)
+        // latest-run convenience copy; its failure must not mask the
+        // per-run file that already landed
+        try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath), bytes)
+        catch {
+          case e: Exception =>
+            System.err.println(s"[bench] latest-copy write failed: ${e.toString.take(200)}")
+        }
+        runDetailPath
       } catch {
         case e: Exception =>
           System.err.println(s"[bench] detail write failed: ${e.toString.take(200)}")

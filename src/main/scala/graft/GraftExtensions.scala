@@ -94,10 +94,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children match {
           case Seq(c) => graft.functions.SumUnscaled128(c)
           case Seq(c, s) =>
+            // a foldable NULL or non-numeric literal must surface as the
+            // intended contract error, not an NPE/ClassCastException
             val scale = s match {
               case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-              case other if other.foldable =>
-                other.eval().asInstanceOf[Number].intValue()
+              case other if other.foldable => other.eval() match {
+                case n: Number => n.intValue()
+                case _ => throw new IllegalArgumentException(
+                  "graft_dsum(x, s): s must be a literal int scale")
+              }
               case _ => throw new IllegalArgumentException(
                 "graft_dsum(x, s): s must be a literal int scale")
             }

@@ -166,6 +166,13 @@ object D2U {
       val r = java.lang.Math.round(y)
       if (r.toDouble / p == x) return r
     }
+    // BigDecimal.valueOf(NaN/Infinity) would throw a raw
+    // NumberFormatException — fail with a diagnosable message that names
+    // the aggregate and the offending value instead
+    if (!java.lang.Double.isFinite(x))
+      throw new ArithmeticException(
+        s"graft_dsum: non-finite input $x cannot be summed exactly at " +
+          s"scale $s — filter NaN/Infinity rows first")
     java.math.BigDecimal.valueOf(x)
       .setScale(s, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()

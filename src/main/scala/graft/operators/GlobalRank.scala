@@ -60,11 +60,16 @@ object GlobalRank {
     * rows-preceding-current sum (0 for the first row, exact zero of the
     * sum's type). `rnCol`, when set, adds the 1-based global row number
     * under the same order. `numParts` defaults to the session's shuffle
-    * partitions.
+    * partitions. `groupCardinalityCapped` is the grouped caller's
+    * declaration that |groups| is bounded (a low-cardinality enum, a
+    * capped vocabulary): it arms the offsets-side broadcast, which for an
+    * UNBOUNDED group key could exceed driver/executor memory — without
+    * it a grouped call leaves the join strategy to the planner.
     */
   def prefix(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
       valCols: Seq[(String, String)], inclusive: Boolean,
-      rnCol: Option[String] = None, numParts: Int = 0): DataFrame = {
+      rnCol: Option[String] = None, numParts: Int = 0,
+      groupCardinalityCapped: Boolean = false): DataFrame = {
     require(orderCols.nonEmpty, "prefix needs at least one order column")
     // fail loudly on name collisions instead of silently corrupting: the
     // kernel injects fixed internals (__pid, __s_/__o_<in>, __c, __oc) and
@@ -133,7 +138,17 @@ object GlobalRank {
     // broadcastable; the hint drops the plan to one exchange + one sort
     // on the main frame (the window's own), measured 2.94 → 2.2 s on
     // agg_gini at sf0.1.
-    val joined = parted.join(broadcast(offs), "__pid" +: groupCols)
+    //
+    // The hard hint bypasses autoBroadcastJoinThreshold, so it is applied
+    // only where boundedness is structural: the ungrouped case (≤ numParts
+    // rows, always) and grouped cases the caller has capped. A future
+    // grouped caller with unbounded group cardinality falls back to the
+    // planner's choice instead of a driver-OOM-ing forced broadcast
+    // (r18 ADVICE).
+    val offsSide =
+      if (groupCols.isEmpty || groupCardinalityCapped) broadcast(offs)
+      else offs
+    val joined = parted.join(offsSide, "__pid" +: groupCols)
     val outCols =
       df.columns.map(col).toSeq ++
         valCols.map { case (in, out) =>

@@ -469,20 +469,21 @@ object ManifestTable {
     // the just-written parquet FOOTERS (O(files) metadata reads, zero
     // extra Spark jobs) instead of a second distributed pass re-decoding
     // every row — the Delta/Iceberg stats-at-write-time shape; at 100 TB
-    // the old second pass was a full extra read of the batch. Any footer
-    // whose stats are absent or not provably render-identical (exotic
-    // type, NaN-dropped stats, oversized binary stats) falls back to the
-    // original scan pass for the whole batch, so sidecar bytes are
-    // IDENTICAL either way (ManifestStatsSpec pins this). Written before
-    // the manifest CAS, so a committed batch either has its stats or
-    // (crash window) readers degrade to keep-all for it — pruning is an
+    // the old second pass was a full extra read of the batch. Any
+    // (file, column) whose footer stats are absent or not provably
+    // render-identical (exotic type, NaN-dropped stats, oversized binary
+    // stats) falls back to the original scan pass restricted to exactly
+    // those files (r19 granular fallback), so sidecar bytes are IDENTICAL
+    // either way (ManifestStatsSpec pins this). Written before the
+    // manifest CAS, so a committed batch either has its stats or (crash
+    // window) readers degrade to keep-all for it — pruning is an
     // optimization, never a correctness dependency.
     if (statsCols.nonEmpty) writeStats(spark, fs, dir, dataRel, statsCols, df.schema)
     // Bloom sidecar (r15): the point-lookup half of skipping — see
     // [[FileBloom]]. Same contract as the stats sidecar: pre-CAS,
     // immutable, superset-guarantee-only.
     if (bloomCols.nonEmpty)
-      FileBloom.write(spark, fs, dir, dataRel, bloomCols, bloomBits, 4)
+      FileBloom.write(spark, fs, dir, dataRel, bloomCols, bloomBits, 4, df.schema)
     val newFiles = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataRel/$n")
@@ -644,7 +645,8 @@ object ManifestTable {
     if (statsCols.nonEmpty)
       writeStats(spark, fs, dir, dataRel, statsCols, updates.schema)
     if (bloomCols.nonEmpty)
-      FileBloom.write(spark, fs, dir, dataRel, bloomCols, bloomBits, 4)
+      FileBloom.write(spark, fs, dir, dataRel, bloomCols, bloomBits, 4,
+        updates.schema)
     val newFiles = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dataRel/$n")
@@ -664,6 +666,167 @@ object ManifestTable {
           "positions may reference replaced files; re-run against the new head")
     }
     next
+  }
+
+  /** [[deleteWhere]] followed by [[upsertMor]] with ONE position scan of
+    * the head (r19, verdict item 4; guide §6): the sequential pair reads
+    * every live row of the table twice — once to find `pred` matches,
+    * once to find `keyCols` matches — and at 100 TB each of those is a
+    * full table read, the dominant cost of a MoR DELETE+MERGE staging
+    * sequence. Here the scan projects (file, pos, pred, keys) once into a
+    * persisted frame; both position sidecars derive from it (the merge's
+    * live set is exactly the scanned live set minus the delete's matches:
+    * rows where `pred` is not true). PUBLISHES THE SAME TWO MANIFEST
+    * VERSIONS with the same content as the sequential calls — history,
+    * CDC diffs, and all sidecar semantics are unchanged (SourcesSpec /
+    * StreamingSpec consumers re-verify against the oracle).
+    *
+    * Returns (version after delete, version after merge); like the
+    * sequential pair, the delete version equals the base head when
+    * nothing matched `pred`. OCC: both publishes CAS against the expected
+    * head and throw ConcurrentModificationException on interleaving.
+    */
+  def deleteThenUpsertMor(spark: SparkSession, dir: String, pred: Column,
+      updates: DataFrame, keyCols: Seq[String], cas: CommitCas = RenameCas,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 20): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(keyCols.nonEmpty, "deleteThenUpsertMor needs at least one key column")
+    val fs = fsOf(spark, dir)
+    if (fs.exists(new Path(dir, CatalogManagedMarker)))
+      throw new IllegalStateException(
+        s"$dir is catalog-managed: deleteThenUpsertMor may not publish a " +
+          "new manifest head behind the catalog. Publish through Catalog.commit.")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir has no committed snapshot")
+    val v0 = vs.last
+    val files = manifestFiles(fs, dir, v0)
+    keyCols.foreach(k => require(updates.columns.contains(k),
+      s"key column $k not in the delta"))
+    val header = manifestSchemaOf(manifestLines(fs, dir, v0))
+    header.foreach(hs =>
+      nextHeader(hs, updates.schema, evolveSchema = false,
+        "upsertMor delta", dir))
+    if (files.isEmpty) {
+      // empty head: nothing can match either op — the sequence degrades
+      // to deleteWhere's no-op + upsertMor's pure append
+      val v2 = upsertMor(spark, dir, updates, keyCols, cas, statsCols,
+        bloomCols, bloomBits)
+      return (v0, v2)
+    }
+    val clash = keyCols.filter(Set("file", "pos", "__graft_pred"))
+    require(clash.isEmpty,
+      s"deleteThenUpsertMor: key column(s) ${clash.mkString(", ")} collide " +
+        "with the kernel's internal names (file, pos, __graft_pred) — use " +
+        "the sequential deleteWhere + upsertMor calls for this table")
+    // ONE scan of the head: live rows with their positions, the delete
+    // predicate evaluated per row, and the merge keys — persisted so the
+    // two sidecar writes share it instead of each re-reading the table
+    val raw = dataReader(spark, header)
+      .parquet(files.map(resolve(dir, _)): _*)
+    if (header.isEmpty) {
+      // legacy headerless table: the same pre-publish name+type check
+      // upsertMor performs (a drifted delta would poison later reads)
+      require(updates.columns.sorted.sameElements(raw.columns.sorted),
+        s"upsertMor delta columns ${updates.columns.sorted.mkString(",")} " +
+          s"differ from the table's ${raw.columns.sorted.mkString(",")} — " +
+          "align the delta schema first")
+      val tableTypes = raw.schema.map(f => f.name -> f.dataType).toMap
+      val badTypes = updates.schema
+        .filter(f => tableTypes(f.name) != f.dataType)
+        .map(f => s"${f.name}: table ${tableTypes(f.name).sql} vs " +
+          s"delta ${f.dataType.sql}")
+      require(badTypes.isEmpty,
+        s"upsertMor delta column types differ from the table's " +
+          s"(${badTypes.mkString("; ")}) — cast the delta to the table " +
+          "schema first")
+    }
+    val scan = raw
+      .withColumn("__graft_del_f", col("_metadata.file_path"))
+      .withColumn("__graft_del_p", col("_metadata.row_index"))
+    val existing = manifestDeletes(fs, dir, v0)
+    val live =
+      if (existing.isEmpty) scan
+      else scan.join(
+        spark.read.parquet(existing.map(resolve(dir, _)): _*)
+          .select(col("file").as("__graft_del_f"),
+            col("pos").as("__graft_del_p")),
+        Seq("__graft_del_f", "__graft_del_p"), "left_anti")
+    val slim = live.select(
+      (Seq(col("__graft_del_f").as("file"), col("__graft_del_p").as("pos"),
+        pred.as("__graft_pred")) ++
+        keyCols.map(col)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // --- phase 1: the DELETE's position sidecar + publish ---
+      val delRelA = s"_deletes/${java.util.UUID.randomUUID()}.parquet"
+      val obsA = new org.apache.spark.sql.Observation()
+      slim.where(col("__graft_pred")).select(col("file"), col("pos"))
+        .observe(obsA, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .write.parquet(s"$dir/$delRelA")
+      val nA = obsA.get("n").asInstanceOf[Long]
+      val v1 =
+        if (nA == 0L) { fs.delete(new Path(s"$dir/$delRelA"), true); v0 }
+        else {
+          val next = v0 + 1
+          val tmp = new Path(manifestDir(dir),
+            s".tmp-del-${java.util.UUID.randomUUID()}")
+          val content = ((manifestLines(fs, dir, v0) :+ s"$DeletePrefix$delRelA")
+            .mkString("\n") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val won = versions(spark, dir).last == v0 &&
+            cas.claim(fs, tmp, new Path(manifestDir(dir), s"v$next.manifest"),
+              content)
+          if (!won) {
+            fs.delete(new Path(s"$dir/$delRelA"), true)
+            throw new java.util.ConcurrentModificationException(
+              s"deleteThenUpsertMor computed against v$v0 but the head " +
+                "moved — re-run against the new head")
+          }
+          next
+        }
+      // --- phase 2: the MERGE's position sidecar + batch + publish ---
+      // the merge's live set = live rows whose pred is NOT true (false or
+      // null) — exactly the rows the sequential upsertMor would see after
+      // anti-joining the delete sidecar it follows
+      val delRelB = s"_deletes/${java.util.UUID.randomUUID()}.parquet"
+      val obsB = new org.apache.spark.sql.Observation()
+      slim.where(not(coalesce(col("__graft_pred"), lit(false))))
+        .join(updates.select(keyCols.map(col): _*).distinct(), keyCols,
+          "left_semi")
+        .select(col("file"), col("pos"))
+        .observe(obsB, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .write.parquet(s"$dir/$delRelB")
+      val anyB = obsB.get("n").asInstanceOf[Long] > 0L
+      if (!anyB) fs.delete(new Path(s"$dir/$delRelB"), true)
+      val dataRel = s"data/${java.util.UUID.randomUUID()}"
+      microsWrite(updates, s"$dir/$dataRel")
+      if (statsCols.nonEmpty)
+        writeStats(spark, fs, dir, dataRel, statsCols, updates.schema)
+      if (bloomCols.nonEmpty)
+        FileBloom.write(spark, fs, dir, dataRel, bloomCols, bloomBits, 4,
+          updates.schema)
+      val newFiles = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+        .map(n => s"$dataRel/$n")
+      val lines = manifestLines(fs, dir, v1) ++
+        (if (anyB) Seq(s"$DeletePrefix$delRelB") else Nil) ++ newFiles
+      val v2 = v1 + 1
+      val tmp = new Path(manifestDir(dir),
+        s".tmp-mor-${java.util.UUID.randomUUID()}")
+      val content = (lines.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val won = versions(spark, dir).last == v1 &&
+        cas.claim(fs, tmp, new Path(manifestDir(dir), s"v$v2.manifest"), content)
+      if (!won) {
+        if (anyB) fs.delete(new Path(s"$dir/$delRelB"), true)
+        fs.delete(new Path(s"$dir/$dataRel"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"deleteThenUpsertMor computed against v$v1 but the head moved — " +
+            "re-run against the new head")
+      }
+      (v1, v2)
+    } finally slim.unpersist(blocking = false)
   }
 
   /** Incremental read (r14): the rows of data files present in `toVersion`
@@ -1041,12 +1204,27 @@ object ManifestTable {
   private def microsWrite(df: DataFrame, path: String): Unit = {
     val k = "spark.sql.parquet.outputTimestampType"
     val s = df.sparkSession
-    val prev = s.conf.getOption(k)
-    s.conf.set(k, "TIMESTAMP_MICROS")
-    try df.write.parquet(path)
-    finally prev match {
-      case Some(v) => s.conf.set(k, v)
-      case None => s.conf.unset(k)
+    // set/write/restore must be atomic per session: two concurrent
+    // commit()/upsertMor() calls interleaving here could leak the pin or
+    // clobber a caller's deliberate INT96 setting (r18 ADVICE) — the
+    // session conf is shared state, so the write serializes on it
+    s.synchronized {
+      val prev = s.conf.getOption(k)
+      s.conf.set(k, "TIMESTAMP_MICROS")
+      // pin statistics truncation OFF for manifest data writes (r18
+      // ADVICE): if a session enabled parquet.statistics.truncate.length
+      // (PARQUET-1685), binary min/max in the footer would be truncated
+      // BOUNDS, and footerStatsLines would render them as exact values —
+      // silently drifting the sidecar from the scan pass. The write-side
+      // pin (merged into this write's hadoop conf only) makes footer
+      // binary stats exact by construction.
+      try df.write
+        .option("parquet.statistics.truncate.length", Int.MaxValue.toString)
+        .parquet(path)
+      finally prev match {
+        case Some(v) => s.conf.set(k, v)
+        case None => s.conf.unset(k)
+      }
     }
   }
 
@@ -1061,9 +1239,20 @@ object ManifestTable {
     * StringType (the exact expression the scan pass evaluated), so
     * formatting cannot drift between the two paths.
     */
-  private[graft] def footerStatsLines(spark: SparkSession, fs: FileSystem,
+  /** Per-(file, column) footer stat lines (r19 granular form of the r18
+    * all-or-nothing footerStatsLines): for every `.parquet` file of the
+    * batch (sorted by name) and every requested column, either the exact
+    * sidecar line reconstructed from the parquet footer, or None when that
+    * PAIR is not provably render-identical (missing/dropped stats — NaN
+    * doubles, oversized binary, INT96 — sign-ambiguous zero double/float
+    * bounds, or a type outside the proven rendering set). Returns the
+    * sorted file names and the per-pair map; the caller scans ONLY the
+    * ambiguous files instead of the whole batch.
+    */
+  private[graft] def footerStatsPartial(spark: SparkSession, fs: FileSystem,
       dir: String, dataRel: String, cols: Seq[String],
-      schema: org.apache.spark.sql.types.StructType): Option[Seq[String]] = {
+      schema: org.apache.spark.sql.types.StructType)
+      : (Seq[String], Map[(String, String), Option[String]]) = {
     import org.apache.spark.sql.types._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -1074,17 +1263,16 @@ object ManifestTable {
     // long/int/short/byte/double/float/boolean is the JVM toString; string
     // is identity; TimestampType is the sidecar's canonical epoch-micros
     // long). Anything else (decimal, date, NTZ, nested) → definitional scan.
-    val supported = cols.forall(c => fields.get(c).exists {
+    def supportedType(dt: DataType): Boolean = dt match {
       case LongType | IntegerType | ShortType | ByteType | DoubleType |
            FloatType | StringType | BooleanType | TimestampType => true
       case _ => false
-    })
-    if (!supported) return None
+    }
     val files = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
       .map(_.getPath).filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName)
     val conf = spark.sparkContext.hadoopConfiguration
-    val out = Seq.newBuilder[String]
+    val out = Map.newBuilder[(String, String), Option[String]]
     files.foreach { p =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
@@ -1094,10 +1282,13 @@ object ManifestTable {
       val it0 = blocks.iterator()
       while (it0.hasNext) rows += it0.next().getRowCount
       cols.foreach { c =>
-        val dt = fields(c)
+        // a column missing from the schema is not the footer path's error
+        // to raise — mark the pair ambiguous so the scan path's contract
+        // require reports it (same error as pre-r18)
+        val dt = fields.getOrElse(c, NullType)
         var nulls = 0L
         var merged: org.apache.parquet.column.statistics.Statistics[_] = null
-        var usable = true
+        var usable = fields.get(c).exists(supportedType)
         val it = blocks.iterator()
         while (it.hasNext && usable) {
           val b = it.next()
@@ -1120,9 +1311,6 @@ object ManifestTable {
             }
           }
         }
-        if (!usable) return None
-        val nonnull = rows - nulls
-        if (nonnull > 0 && merged == null) return None
         // physical/logical type must match the Spark type's expected shape
         // before trusting genericGetMin/Max; rendering is the plain JVM
         // toString (== Spark's castToString for these types)
@@ -1154,37 +1342,72 @@ object ManifestTable {
             Some(b.toStringUsingUTF8)
           case _ => None
         }
-        val (mn, mx) =
-          if (nonnull == 0) ("-", "-")
-          else {
-            val tmn = typed(merged.genericGetMin)
-            val tmx = typed(merged.genericGetMax)
-            if (tmn.isEmpty || tmx.isEmpty) return None
-            (b64(tmn.get), b64(tmx.get))
+        val nonnull = rows - nulls
+        val line: Option[String] =
+          if (!usable) None
+          else if (nonnull > 0 && merged == null) None
+          else if (nonnull == 0)
+            Some(s"${p.getName}\t$c\t${dt.typeName}\t$rows\t$nonnull\t-\t-")
+          else (typed(merged.genericGetMin), typed(merged.genericGetMax)) match {
+            case (Some(mn), Some(mx)) => Some(
+              s"${p.getName}\t$c\t${dt.typeName}\t$rows\t$nonnull\t${b64(mn)}\t${b64(mx)}")
+            case _ => None
           }
-        out += s"${p.getName}\t$c\t${dt.typeName}\t$rows\t$nonnull\t$mn\t$mx"
+        out += ((p.getName, c) -> line)
       }
     }
-    Some(out.result())
+    (files.map(_.getName), out.result())
   }
 
-  private def writeStats(spark: SparkSession, fs: FileSystem, dir: String,
+  /** r18 all-or-nothing wrapper (spec surface): Some(lines) iff EVERY
+    * (file, column) pair is footer-provable. */
+  private[graft] def footerStatsLines(spark: SparkSession, fs: FileSystem,
+      dir: String, dataRel: String, cols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Option[Seq[String]] = {
+    val (names, pairs) = footerStatsPartial(spark, fs, dir, dataRel, cols, schema)
+    if (pairs.values.exists(_.isEmpty)) None
+    else Some(names.flatMap(f => cols.map(c => pairs((f, c)).get)))
+  }
+
+  private[graft] def writeStats(spark: SparkSession, fs: FileSystem, dir: String,
       dataRel: String, statsCols: Seq[String],
       schema: org.apache.spark.sql.types.StructType): Unit = {
-    footerStatsLines(spark, fs, dir, dataRel, statsCols.distinct, schema) match {
-      case Some(lines) =>
-        val out = fs.create(new Path(s"$dir/$dataRel/$StatsName"), true)
-        try out.write((lines.mkString("\n") + "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      case None => writeStatsScan(spark, fs, dir, dataRel, statsCols)
-    }
+    val cols = statsCols.distinct
+    val (names, pairs) = footerStatsPartial(spark, fs, dir, dataRel, cols, schema)
+    // granular fallback (r19, verdict item 3): the r18 path degraded the
+    // WHOLE batch to the distributed scan when ANY (file, column) was
+    // ambiguous (e.g. one exactly-zero double bound); now the scan reads
+    // ONLY the ambiguous files and only its lines for the ambiguous pairs
+    // are taken — every line still comes byte-identical from one of the
+    // two spec-pinned renderers, and the common case stays job-free
+    val ambiguous = pairs.collect { case (k, None) => k }.toSet
+    val lines: Seq[String] =
+      if (ambiguous.isEmpty) names.flatMap(f => cols.map(c => pairs((f, c)).get))
+      else {
+        val ambFiles = ambiguous.map(_._1)
+        val scanned = scanStatsLines(spark, fs, dir, dataRel, cols,
+          onlyFiles = Some(ambFiles))
+        names.flatMap(f => cols.map { c =>
+          pairs((f, c)).getOrElse(scanned((f, c)))
+        })
+      }
+    val out = fs.create(new Path(s"$dir/$dataRel/$StatsName"), true)
+    try out.write((lines.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
-  private[graft] def writeStatsScan(spark: SparkSession, fs: FileSystem, dir: String,
-      dataRel: String, statsCols: Seq[String]): Unit = {
+  /** The r14 distributed stats pass, as lines keyed by (file, column);
+    * `onlyFiles` restricts the scan to a subset of the batch's part files
+    * (the granular-fallback path — ambiguous files only). */
+  private def scanStatsLines(spark: SparkSession, fs: FileSystem, dir: String,
+      dataRel: String, statsCols: Seq[String], onlyFiles: Option[Set[String]])
+      : Map[(String, String), String] = {
     import org.apache.spark.sql.functions._
-    val bdf = spark.read.parquet(s"$dir/$dataRel")
+    val allNames = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    val scanNames = onlyFiles.fold(allNames)(s => allNames.filter(s))
+    val bdf = spark.read.parquet(scanNames.map(n => s"$dir/$dataRel/$n"): _*)
     val fields = bdf.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = statsCols.distinct
     cols.foreach(c => require(fields.contains(c),
@@ -1208,19 +1431,26 @@ object ManifestTable {
       cols.map { c =>
         val mn = Option(r.getAs[String](s"min__$c")).map(b64).getOrElse("-")
         val mx = Option(r.getAs[String](s"max__$c")).map(b64).getOrElse("-")
-        s"$base\t$c\t${fields(c).typeName}\t$n\t${r.getAs[Long](s"cnt__$c")}\t$mn\t$mx"
+        (base, c) ->
+          s"$base\t$c\t${fields(c).typeName}\t$n\t${r.getAs[Long](s"cnt__$c")}\t$mn\t$mx"
       }
     }
     // empty part files produce no group row; record explicit zero-row
     // stats for them so they prune under any predicate instead of being
     // conservatively kept forever
     val seen = rows.map(_.getAs[String]("f").split('/').last).toSet
-    val empties = fs.listStatus(new Path(s"$dir/$dataRel")).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !seen.contains(n))
-      .flatMap(n => cols.map(c => s"$n\t$c\t${fields(c).typeName}\t0\t0\t-\t-"))
+    val empties = scanNames
+      .filter(n => !seen.contains(n))
+      .flatMap(n => cols.map(c =>
+        (n, c) -> s"$n\t$c\t${fields(c).typeName}\t0\t0\t-\t-"))
+    (lines ++ empties).toMap
+  }
+
+  private[graft] def writeStatsScan(spark: SparkSession, fs: FileSystem, dir: String,
+      dataRel: String, statsCols: Seq[String]): Unit = {
+    val lines = scanStatsLines(spark, fs, dir, dataRel, statsCols, None).values.toSeq
     val out = fs.create(new Path(s"$dir/$dataRel/$StatsName"), true)
-    try out.write(((lines ++ empties).mkString("\n") + "\n")
+    try out.write((lines.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }

@@ -418,10 +418,13 @@ object Aggregates {
           col("o_orderkey").as("k"))
       // per-segment global rank over ~n/5-row frames: two-pass GlobalRank
       // (range partition + broadcast offsets), not one window task per
-      // segment — the (v, k) order is tie-free (k is the unique order key)
+      // segment — the (v, k) order is tie-free (k is the unique order key).
+      // groupCardinalityCapped: c_mktsegment is a 5-value enum, so the
+      // offsets side is bounded and safe to broadcast at any corpus size
       graft.operators.GlobalRank
         .prefix(x, Seq("seg"), Seq("v", "k"), Nil,
-          inclusive = false, rnCol = Some("rn0"))
+          inclusive = false, rnCol = Some("rn0"),
+          groupCardinalityCapped = true)
         .withColumn("rn", col("rn0").cast("decimal(18,0)"))
         .groupBy("seg")
         .agg(count(lit(1)).as("n"),

@@ -48,7 +48,6 @@ object Sources {
           s"$maxId — derive the shift from max(event_id) + 1")
       (0 to 1).foreach(r => ManifestTable.commit(s, dir,
         e.filter(pmod(col("event_id"), lit(2)) === r)))
-      ManifestTable.deleteWhere(s, dir, col("event_type") === "click")
       val upd = e.filter(col("event_type") === "purchase")
         .withColumn("value",
           expr("CAST(CAST(value AS DECIMAL(18,2)) + 100.00 AS DOUBLE)"))
@@ -56,7 +55,13 @@ object Sources {
           pmod(col("event_id"), lit(50)) === 0)
         .withColumn("event_id", col("event_id") + lit(1000000000L))
         .withColumn("event_type", lit("backfill"))
-      ManifestTable.upsertMor(s, dir, upd.unionByName(ins), Seq("event_id"))
+      // fused DELETE+MERGE staging (r19): publishes the same two manifest
+      // versions as the former sequential deleteWhere + upsertMor calls
+      // but scans the head's live rows ONCE (at 100 TB the head scan is
+      // the dominant MoR write cost); all five CDC consumers re-verified
+      // hash-identical against the oracle after the change
+      ManifestTable.deleteThenUpsertMor(s, dir,
+        col("event_type") === "click", upd.unionByName(ins), Seq("event_id"))
     }
     dir
   }

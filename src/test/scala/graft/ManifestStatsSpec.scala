@@ -107,6 +107,47 @@ class ManifestStatsSpec extends AnyFunSuite with SparkFixture {
     assert(footer.isEmpty)
   }
 
+  test("granular fallback (r19): a mixed batch takes footer lines for " +
+    "clean files and scan lines for ambiguous ones — sidecar equals the " +
+    "pure-scan sidecar") {
+    // file 0 carries an exactly-zero double bound (sign-ambiguous footer)
+    // while files 1..2 are clean — the r18 path re-scanned the WHOLE
+    // batch; the r19 path must produce the identical sidecar while only
+    // scanning the ambiguous file
+    val dir = s"/tmp/graft_statspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val rel = "data/b0"
+    val df = spark.range(0, 3000, 1, 3).select(
+      col("id").as("l"),
+      when(org.apache.spark.sql.functions.spark_partition_id() === 0,
+        col("id").cast("double") * 0.0)           // min 0.0 in file 0 only
+        .otherwise(col("id").cast("double") + 1.0).as("d"))
+    df.write.parquet(s"$dir/$rel")
+    val fs = fsOf(dir)
+    // the all-or-nothing wrapper must refuse (one pair ambiguous)...
+    val footer = graft.operators.ManifestTable
+      .footerStatsLines(spark, fs, dir, rel, Seq("l", "d"), df.schema)
+    assert(footer.isEmpty)
+    // ...but the granular map must be ambiguous ONLY for file-0's d
+    val (names, pairs) = graft.operators.ManifestTable
+      .footerStatsPartial(spark, fs, dir, rel, Seq("l", "d"), df.schema)
+    val amb = pairs.collect { case (k, None) => k }.toSet
+    assert(amb.map(_._2) == Set("d"), s"ambiguous pairs: $amb")
+    assert(amb.size == 1)
+    // the written sidecar (granular path) == the pure-scan sidecar
+    graft.operators.ManifestTable.writeStats(spark, fs, dir, rel,
+      Seq("l", "d"), df.schema)
+    val in = fs.open(new Path(s"$dir/$rel/_stats.tsv"))
+    val mixed = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toSet finally in.close()
+    graft.operators.ManifestTable.writeStatsScan(spark, fs, dir, rel,
+      Seq("l", "d"))
+    val in2 = fs.open(new Path(s"$dir/$rel/_stats.tsv"))
+    val scanned = try scala.io.Source.fromInputStream(in2, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toSet finally in2.close()
+    assert(mixed == scanned)
+    assert(names.size == 3)
+  }
+
   test("stats sidecar via commit() is footer-sourced and oracle-identical to pre-r18") {
     // end-to-end: a commit with statsCols over corpus events produces a
     // sidecar whose recorded values equal the recomputed truth (the

@@ -1348,4 +1348,44 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture with Matchers {
       .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
       Set(3L -> "r3", 4L -> "r4")
   }
+
+  test("deleteThenUpsertMor (r19): one head scan publishes the same two " +
+      "versions, snapshots and change feed as the sequential pair") {
+    import spark.implicits._
+    val base = (1 to 10).map(i =>
+      (i.toLong, if (i % 2 == 0) "click" else "view", i * 1.0))
+      .toDF("k", "t", "v").repartition(2)
+    // k=3 is live-and-viewed (merge UPDATE), k=4 is a click (deleted by
+    // the pred BEFORE the merge — its update row must land as an INSERT,
+    // not a double delete), k=99 is a pure insert
+    val ups = Seq((3L, "view", 300.0), (4L, "click", 400.0),
+      (99L, "ins", 990.0)).toDF("k", "t", "v")
+    val dirA = tmpDir(); val dirB = tmpDir()
+    ManifestTable.commit(spark, dirA, base)
+    ManifestTable.commit(spark, dirB, base)
+    val vDel = ManifestTable.deleteWhere(spark, dirA, col("t") === "click")
+    val vMor = ManifestTable.upsertMor(spark, dirA, ups, Seq("k"))
+    val (fDel, fMor) = ManifestTable.deleteThenUpsertMor(spark, dirB,
+      col("t") === "click", ups, Seq("k"))
+    fDel shouldBe vDel
+    fMor shouldBe vMor
+    def snap(dir: String, v: Long) = ManifestTable.read(spark, dir, v)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    (1L to vMor).foreach { v =>
+      snap(dirB, v) shouldBe snap(dirA, v)
+    }
+    // the change feed (per-version row events) must replay identically
+    def feed(dir: String) = ManifestTable.changes(spark, dir, 0L, vMor)
+      .collect().map(r => r.toSeq.toList).toSet
+    feed(dirB) shouldBe feed(dirA)
+    // no-pred-match: the delete version is skipped on both paths
+    val ups2 = Seq((1L, "view", 111.0)).toDF("k", "t", "v")
+    val vA2 = ManifestTable.deleteWhere(spark, dirA, col("t") === "nope")
+    val vA3 = ManifestTable.upsertMor(spark, dirA, ups2, Seq("k"))
+    val (fDel2, fMor2) = ManifestTable.deleteThenUpsertMor(spark, dirB,
+      col("t") === "nope", ups2, Seq("k"))
+    fDel2 shouldBe vA2
+    fMor2 shouldBe vA3
+    snap(dirB, fMor2) shouldBe snap(dirA, vA3)
+  }
 }
