@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (r19): interleaved A/B timing of two frame builders in ONE
+  * JVM — the only honest way to compare aggregate implementations on this
+  * box, whose ambient speed drifts ±15% across minutes. Usage:
+  * runMain graft.AbProf <sfDir> <reps> <case>
+  * Cases are hard-coded experiment pairs; output is per-rep seconds for
+  * A and B alternating, so load transients hit both sides equally.
+  */
+object AbProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val which = args(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+      .config("spark.sql.files.minPartitionNum", (2 * cpus.toInt).toString)
+      .config("spark.sql.files.openCostInBytes", "131072")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.warmup(spark, sfDir)
+
+    def cents(s: SparkSession) = T.t(s, sfDir, "orders")
+      .select(col("o_orderpriority"),
+        expr("CAST(rint(o_totalprice * 100) AS BIGINT)").as("c"))
+
+    val cases: Map[String, (String, () => DataFrame, String, () => DataFrame)] = Map(
+      "ttest_sums" -> ((
+        "builtin_dec38",
+        () => cents(spark).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c").cast("decimal(38,0)")).as("sv"),
+            sum((col("c") * col("c")).cast("decimal(38,0)")).as("sq")),
+        "dsumd_128",
+        () => cents(spark).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            T.dsumDec(col("c").cast("decimal(18,0)")).as("sv"),
+            T.dsumDec((col("c") * col("c")).cast("decimal(18,0)")).as("sq"))))
+    )
+    val (na, fa, nb, fb) = cases(which)
+    def time(f: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f().write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both plans once (codegen compile outside the timed reps)
+    time(fa); time(fb)
+    val as = Array.newBuilder[Double]; val bs = Array.newBuilder[Double]
+    (1 to reps).foreach { _ => as += time(fa); bs += time(fb) }
+    def fmt(v: Array[Double]) = v.map(x => f"$x%.3f").mkString(" ")
+    println(s"[ab] $which A=$na: ${fmt(as.result())}")
+    println(s"[ab] $which B=$nb: ${fmt(bs.result())}")
+    spark.stop()
+  }
+}

@@ -111,6 +111,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft_dsum takes 1 or 2 arguments")
         }
       }))
+    // r19 siblings of graft_dsum (see functions.ExactSum):
+    //  - graft_dxsum(x, y, sx, sy): exact cross-moment sum — value-
+    //    identical to sum(CAST(x AS DEC(18,sx)) * CAST(y AS DEC(18,sy)))
+    //    .cast("double"), per row one 128-bit integer multiply instead of
+    //    two string-path casts + a BigDecimal multiply.
+    //  - graft_dsumd(x): the 128-bit sum finished as DECIMAL(38, s) for
+    //    consumers that keep doing exact decimal arithmetic on the sum.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dxsum"),
+      new ExpressionInfo(classOf[graft.functions.SumUnscaledProduct].getName,
+        "graft_dxsum"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 4,
+          "graft_dxsum takes exactly 4 arguments: x, y, sx, sy")
+        def scaleOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other if other.foldable => other.eval() match {
+            case n: Number => n.intValue()
+            case _ => throw new IllegalArgumentException(
+              s"graft_dxsum: $what must be a literal int scale")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"graft_dxsum: $what must be a literal int scale")
+        }
+        graft.functions.SumUnscaledProduct(children(0), children(1),
+          scaleOf(children(2), "sx"), scaleOf(children(3), "sy"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dsumd"),
+      new ExpressionInfo(classOf[graft.functions.SumUnscaled128Dec].getName,
+        "graft_dsumd"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_dsumd takes exactly 1 argument")
+        graft.functions.SumUnscaled128Dec(children(0))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(

@@ -106,4 +106,17 @@ object T {
   /** Exact average: decimal sum over bigint count, one IEEE division. */
   def davg(c: Column, scale: Int): Column =
     dsum(c, scale) / count(lit(1))
+
+  /** Exact cross-moment sum (r19): value-identical to
+    * `sum(CAST(x AS DECIMAL(18,sx)) * CAST(y AS DECIMAL(18,sy)))
+    * .cast("double")` — the Σx²/Σxy sums of the agg_ols / agg_corr /
+    * agg_anova family — executed as one 128-bit integer multiply-
+    * accumulate per row ([[graft.functions.SumUnscaledProduct]]). */
+  def dxsum(x: Column, y: Column, sx: Int, sy: Int): Column =
+    call_function("graft_dxsum", x, y, lit(sx), lit(sy))
+
+  /** [[dsumDecimal]] finished as DECIMAL(38, s) instead of double, for
+    * consumers that keep doing exact decimal arithmetic on the sum
+    * (agg_ttest's complement subtraction). */
+  def dsumDec(c: Column): Column = call_function("graft_dsumd", c)
 }

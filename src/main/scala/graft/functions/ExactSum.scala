@@ -15,13 +15,27 @@ import org.apache.spark.sql.types._
   * never per row.
   */
 object I128Sum {
-  def toDouble(hi: Long, lo: Long, scale: Int): Double = {
+  private def toBigInteger(hi: Long, lo: Long): java.math.BigInteger = {
     val loBytes = new Array[Byte](8)
     var i = 0
     while (i < 8) { loBytes(i) = (lo >>> (56 - 8 * i)).toByte; i += 1 }
-    val bi = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+    java.math.BigInteger.valueOf(hi).shiftLeft(64)
       .add(new java.math.BigInteger(1, loBytes))
-    new java.math.BigDecimal(bi, scale).doubleValue()
+  }
+
+  def toDouble(hi: Long, lo: Long, scale: Int): Double =
+    new java.math.BigDecimal(toBigInteger(hi, lo), scale).doubleValue()
+
+  /** Finish as DECIMAL(38, scale) — for consumers that keep doing exact
+    * decimal arithmetic on the sum (agg_ttest's complement-subtraction)
+    * rather than converting to double. Null when the exact sum exceeds
+    * 38 digits, mirroring the built-in Sum's non-ANSI overflow-to-null
+    * (unreachable where the old decimal(38) form succeeded). */
+  def toDecimal38(hi: Long, lo: Long, scale: Int)
+      : org.apache.spark.sql.types.Decimal = {
+    val bd = new java.math.BigDecimal(toBigInteger(hi, lo), scale)
+    if (bd.precision > 38) null
+    else org.apache.spark.sql.types.Decimal(bd, 38, scale)
   }
 }
 
@@ -263,4 +277,189 @@ case class SumUnscaledFixed(child: Expression, scale: Int)
 
   override protected def withNewChildInternal(newChild: Expression): SumUnscaledFixed =
     copy(child = newChild)
+}
+
+/** [[SumUnscaled128]] finished as DECIMAL(38, s) instead of double —
+  * `graft_dsumd(x)` (r19): value-identical to
+  * `sum(CAST(x AS DECIMAL(38, s)))` for a compact-decimal input (the
+  * exact 128-bit unscaled sum interpreted at the input scale), for
+  * consumers that continue with exact decimal arithmetic on the sum
+  * (agg_ttest subtracts group sums from broadcast totals BEFORE its one
+  * double conversion — a double-valued sum would round too early). The
+  * built-in Sum's decimal(38) buffer leaves the compact-long
+  * representation, paying a BigDecimal add + re-serialization per row;
+  * here every row is two long adds and a carry (guide §4).
+  */
+case class SumUnscaled128Dec(child: Expression)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  private lazy val scale: Int = child.dataType match {
+    case dt: DecimalType => dt.scale
+    case _ => 0
+  }
+
+  override def dataType: DataType = DecimalType(38, scale)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dsumd"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case dt: DecimalType if dt.precision <= Decimal.MAX_LONG_DIGITS =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_dsumd needs a compact decimal input (precision <= 18), got " +
+            s"${other.simpleString} — cast to DECIMAL(18, s) first")
+    }
+
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val seen = AttributeReference("seen", BooleanType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, seen)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(false))
+
+  private def wadd(a: Expression, b: Expression): Expression =
+    Add(a, b, EvalMode.LEGACY)
+
+  private def carryOut(a: Expression, b: Expression, sum: Expression): Expression =
+    ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(a, b), BitwiseAnd(BitwiseOr(a, b), BitwiseNot(sum))),
+      Literal(63))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val u = UnscaledValue(child)
+    val loNew = wadd(lo, u)
+    val hiNew = wadd(wadd(hi, ShiftRight(u, Literal(63))), carryOut(lo, u, loNew))
+    Seq(
+      If(IsNull(child), hi, hiNew),
+      If(IsNull(child), lo, loNew),
+      Or(seen, IsNotNull(child)))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val loM = wadd(lo.left, lo.right)
+    val hiM = wadd(wadd(hi.left, hi.right), carryOut(lo.left, lo.right, loM))
+    Seq(hiM, loM, Or(seen.left, seen.right))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(seen,
+      StaticInvoke(I128Sum.getClass, DecimalType(38, scale), "toDecimal38",
+        Seq(hi, lo, Literal(scale)),
+        inputTypes = Seq(LongType, LongType, IntegerType),
+        propagateNull = false, returnNullable = true),
+      Literal(null, DecimalType(38, scale)))
+
+  override protected def withNewChildInternal(newChild: Expression): SumUnscaled128Dec =
+    copy(child = newChild)
+}
+
+/** Exact cross-moment sum — `graft_dxsum(x, y, sx, sy)` (r19, verdict
+  * item 5): value-identical to
+  * `sum(CAST(x AS DECIMAL(18,sx)) * CAST(y AS DECIMAL(18,sy))).cast("double")`
+  * — the Σx², Σxy power/cross sums of agg_ols / agg_corr / agg_anova —
+  * with none of the old path's per-row cost: the two casts (shortest-
+  * string parse + BigDecimal setScale each, for double children) become
+  * [[D2U.unscaled]] calls, the decimal multiply (a per-row
+  * BigDecimal.multiply — the product's precision 37 leaves the compact
+  * representation) becomes one 64×64→128-bit integer multiply
+  * (Math.multiplyHigh + wrapping low word), and the decimal(38) sum
+  * buffer's BigDecimal adds become the 128-bit two-limb carry adds.
+  *
+  * Value identity: CAST(x AS DEC(18,sx)) has unscaled ux (D2U ≡ the Cast,
+  * ExactSumSpec's 200k-trial pin), the decimal product's unscaled value
+  * at scale sx+sy is EXACTLY ux·uy (integer arithmetic, computed here in
+  * full 128-bit so it cannot truncate), 128-bit accumulation is exact
+  * with 2¹²⁷ ≈ 1.7e38 headroom (strictly wider than the old
+  * decimal(38)'s 1e38 — this cannot overflow where the old form
+  * succeeded), and the final conversion applies the same nearest-even
+  * BigDecimal→double rounding as Cast(decimal AS DOUBLE). Null rows
+  * (either side) are skipped, exactly like the built-in Sum over a
+  * null-propagating product.
+  */
+case class SumUnscaledProduct(left: Expression, right: Expression,
+    sx: Int, sy: Int)
+    extends DeclarativeAggregate
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dxsum"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: NumericType, _: NumericType)
+        if sx >= 0 && sx <= 18 && sy >= 0 && sy <= 18 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_dxsum(x, y, sx, sy) needs numeric x, y and scales in " +
+            s"[0, 18], got $other at scales ($sx, $sy)")
+    }
+
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val seen = AttributeReference("seen", BooleanType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, seen)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(false))
+
+  private def wadd(a: Expression, b: Expression): Expression =
+    Add(a, b, EvalMode.LEGACY)
+
+  private def wmul(a: Expression, b: Expression): Expression =
+    Multiply(a, b, EvalMode.LEGACY)
+
+  private def carryOut(a: Expression, b: Expression, sum: Expression): Expression =
+    ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(a, b), BitwiseAnd(BitwiseOr(a, b), BitwiseNot(sum))),
+      Literal(63))
+
+  private def unscaledOf(c: Expression, s: Int): Expression = c.dataType match {
+    case DoubleType => StaticInvoke(D2U.getClass, LongType, "unscaled",
+      Seq(c, Literal(s)),
+      inputTypes = Seq(DoubleType, IntegerType),
+      propagateNull = false, returnNullable = false)
+    case _ => UnscaledValue(Cast(c, DecimalType(18, s)))
+  }
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val ux = unscaledOf(left, sx)
+    val uy = unscaledOf(right, sy)
+    // full 128-bit signed product: (multiplyHigh, wrapping low word)
+    val phi = StaticInvoke(classOf[java.lang.Math], LongType, "multiplyHigh",
+      Seq(ux, uy), inputTypes = Seq(LongType, LongType),
+      propagateNull = false, returnNullable = false)
+    val plo = wmul(ux, uy)
+    val loNew = wadd(lo, plo)
+    val hiNew = wadd(wadd(hi, phi), carryOut(lo, plo, loNew))
+    val anyNull = Or(IsNull(left), IsNull(right))
+    Seq(
+      If(anyNull, hi, hiNew),
+      If(anyNull, lo, loNew),
+      Or(seen, Not(anyNull)))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val loM = wadd(lo.left, lo.right)
+    val hiM = wadd(wadd(hi.left, hi.right), carryOut(lo.left, lo.right, loM))
+    Seq(hiM, loM, Or(seen.left, seen.right))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(seen,
+      StaticInvoke(I128Sum.getClass, DoubleType, "toDouble",
+        Seq(hi, lo, Literal(sx + sy)),
+        inputTypes = Seq(LongType, LongType, IntegerType),
+        propagateNull = false, returnNullable = false),
+      Literal(null, DoubleType))
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SumUnscaledProduct =
+    copy(left = newLeft, right = newRight)
 }

@@ -157,12 +157,15 @@ object Aggregates {
           // digits, price ≤ 6 int digits with 2 frac ⇒ price² ≤ 11 int
           // digits + 4 frac = 15 digits), so the cast to (18,4) is
           // value-identical to the old (28,4) and the compact input rides
-          // the codegen'd 128-bit sum (graft_dsum) — no per-row BigDecimal
-          graft.T.dsumDecimal(expr("CAST(l_quantity AS DECIMAL(18,4))")).as("sq"),
-          graft.T.dsumDecimal(expr("CAST(l_quantity*l_quantity AS DECIMAL(18,4))")).as("sqq"),
-          graft.T.dsumDecimal(expr("CAST(l_extendedprice AS DECIMAL(18,4))")).as("sp"),
-          graft.T.dsumDecimal(expr("CAST(l_extendedprice*l_extendedprice AS DECIMAL(18,4))")).as("spp"),
-          graft.T.dsumDecimal(expr("CAST(l_quantity*l_extendedprice AS DECIMAL(18,4))")).as("spq"))
+          // the codegen'd 128-bit sum (graft_dsum) — no per-row BigDecimal.
+          // r19: the 2-arg form replaces even the per-row double→decimal
+          // Cast (the shortest-string parse) with the proven D2U fast path
+          // — same definition (sum(CAST(x AS DEC(18,4)))), same values
+          graft.T.dsum(col("l_quantity"), 4).as("sq"),
+          graft.T.dsum(expr("l_quantity*l_quantity"), 4).as("sqq"),
+          graft.T.dsum(col("l_extendedprice"), 4).as("sp"),
+          graft.T.dsum(expr("l_extendedprice*l_extendedprice"), 4).as("spp"),
+          graft.T.dsum(expr("l_quantity*l_extendedprice"), 4).as("spq"))
         .select(col("l_returnflag"), col("n"),
           round(col("sq") / col("n"), 6).as("mean_qty"),
           round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)), 6)
@@ -189,13 +192,13 @@ object Aggregates {
           // r18: quantity ≤ 2 digits ⇒ q⁴ ≤ 8 digits per row — every power
           // fits DECIMAL(18,0), so the compact cast is value-identical to
           // the old (23,0)/(33,0) and sums ride graft_dsum's 128-bit
-          // integer path (headroom 1.7e38 ≥ the old decimal(33) ceiling)
-          graft.T.dsumDecimal(expr("CAST(l_quantity AS DECIMAL(18,0))")).as("s1"),
-          graft.T.dsumDecimal(expr("CAST(l_quantity*l_quantity AS DECIMAL(18,0))")).as("s2"),
-          graft.T.dsumDecimal(expr("CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(18,0))"))
-            .as("s3"),
-          graft.T.dsumDecimal(
-            expr("CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(18,0))"))
+          // integer path (headroom 1.7e38 ≥ the old decimal(33) ceiling).
+          // r19: 2-arg dsum drops the per-row Cast too (integer-valued
+          // doubles always pass D2U's round-trip proof at scale 0)
+          graft.T.dsum(col("l_quantity"), 0).as("s1"),
+          graft.T.dsum(expr("l_quantity*l_quantity"), 0).as("s2"),
+          graft.T.dsum(expr("l_quantity*l_quantity*l_quantity"), 0).as("s3"),
+          graft.T.dsum(expr("l_quantity*l_quantity*l_quantity*l_quantity"), 0)
             .as("s4"))
         .select(col("l_returnflag"), col("n").cast("long").as("n"),
           round((col("s3") / col("n") -
@@ -834,15 +837,19 @@ object Aggregates {
     "agg_corr" -> ((s, sf) =>
       t(s, sf, "lineitem")
         .groupBy("l_returnflag")
+        // r19: the exact decimal sums/cross-sums ride the 128-bit
+        // aggregates (graft_dsum / graft_dxsum) — value-identical to the
+        // declared sum(CAST(..) [* CAST(..)]).cast("double") chains
+        // (ExactSumSpec pins both), with no per-row string-path cast,
+        // BigDecimal multiply, or decimal(38) buffer adds
         .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).cast("double").as("sx"),
-          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double").as("sy"),
-          sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))"))
-            .cast("double").as("sxx"),
-          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
-            .cast("double").as("syy"),
-          sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
-            .cast("double").as("sxy"))
+          graft.T.dsum(col("l_quantity"), 2).as("sx"),
+          graft.T.dsum(col("l_extendedprice"), 2).as("sy"),
+          graft.T.dxsum(col("l_quantity"), col("l_quantity"), 2, 2).as("sxx"),
+          graft.T.dxsum(col("l_extendedprice"), col("l_extendedprice"), 2, 2)
+            .as("syy"),
+          graft.T.dxsum(col("l_quantity"), col("l_extendedprice"), 2, 2)
+            .as("sxy"))
         .select(col("l_returnflag"), col("n"),
           round((col("n") * col("sxy") - col("sx") * col("sy")) /
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
@@ -865,15 +872,16 @@ object Aggregates {
     "agg_ols" -> ((s, sf) =>
       t(s, sf, "lineitem")
         .groupBy("l_returnflag")
+        // r19: 128-bit exact sums/cross-sums (see agg_corr) — identical
+        // values to the declared decimal chains, none of the per-row cost
         .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).cast("double").as("sx"),
-          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double").as("sy"),
-          sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))"))
-            .cast("double").as("sxx"),
-          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
-            .cast("double").as("syy"),
-          sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
-            .cast("double").as("sxy"))
+          graft.T.dsum(col("l_quantity"), 2).as("sx"),
+          graft.T.dsum(col("l_extendedprice"), 2).as("sy"),
+          graft.T.dxsum(col("l_quantity"), col("l_quantity"), 2, 2).as("sxx"),
+          graft.T.dxsum(col("l_extendedprice"), col("l_extendedprice"), 2, 2)
+            .as("syy"),
+          graft.T.dxsum(col("l_quantity"), col("l_extendedprice"), 2, 2)
+            .as("sxy"))
         .select(col("l_returnflag"), col("n"),
           round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
@@ -901,10 +909,11 @@ object Aggregates {
     "agg_anova" -> ((s, sf) => {
       val g = t(s, sf, "lineitem")
         .groupBy("l_returnflag")
+        // r19: 128-bit exact sums (see agg_corr) — value-identical
         .agg(count(lit(1)).as("ng"),
-          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double").as("sg"),
-          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
-            .cast("double").as("ssg"))
+          graft.T.dsum(col("l_extendedprice"), 2).as("sg"),
+          graft.T.dxsum(col("l_extendedprice"), col("l_extendedprice"), 2, 2)
+            .as("ssg"))
       val tot = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("nt"),
         sum(col("sg").cast("decimal(28,2)")).cast("double").as("st"))
       g.crossJoin(broadcast(tot))
@@ -967,8 +976,7 @@ object Aggregates {
         .agg(countDistinct(col("l_orderkey")).as("n_orders"),
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
-            .as("sum_qty"))
+          round(graft.T.dsum(col("l_quantity"), 2), 2).as("sum_qty"))
         .orderBy("l_returnflag")),
 
     // §2.4 robust dispersion: median absolute deviation (round 9) — the
@@ -1042,8 +1050,7 @@ object Aggregates {
       t(s, sf, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
-            .as("revenue"))
+          round(graft.T.dsum(col("o_totalprice"), 2), 2).as("revenue"))
         .orderBy("m")),
 
     // §2.4 hypothesis testing (round 9) — Welch's two-sample t statistic
@@ -1063,9 +1070,14 @@ object Aggregates {
         .select(col("o_orderpriority"),
           expr("CAST(rint(o_totalprice * 100) AS BIGINT)").as("c"))
         .groupBy("o_orderpriority")
+        // r19: the cents sums ride the 128-bit aggregate finished as
+        // DECIMAL(38,0) (graft_dsumd) — same exact values and types as
+        // the old sum(CAST(.. AS DECIMAL(38,0))) without its per-row
+        // non-compact buffer adds; c and c*c fit 18 digits per row by
+        // column bound (price < 1e7 cents, c² < 1e14)
         .agg(count(lit(1)).as("n"),
-          sum(col("c").cast("decimal(38,0)")).as("sv"),
-          sum((col("c") * col("c")).cast("decimal(38,0)")).as("sq"))
+          graft.T.dsumDec(col("c").cast("decimal(18,0)")).as("sv"),
+          graft.T.dsumDec((col("c") * col("c")).cast("decimal(18,0)")).as("sq"))
       val tot = g.agg(sum(col("n")).as("tn"),
         sum(col("sv")).as("tsv"), sum(col("sq")).as("tsq"))
       g.crossJoin(broadcast(tot))

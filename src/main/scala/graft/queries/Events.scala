@@ -424,8 +424,7 @@ object Events {
           round(max(col("value")), 2).as("high"),
           round(min(col("value")), 2).as("low"),
           round(max_by(col("value"), col("okey")), 2).as("close"),
-          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
-            .as("vsum"))
+          round(graft.T.dsum(col("value"), 2), 2).as("vsum"))
         .orderBy("user_id", "wk")),
 
     // linear gap interpolation (round 9) — the time-series repair step

@@ -32,6 +32,17 @@ object TextAnalysis {
     * the full contract. */
   private[graft] def collocations(docs: org.apache.spark.sql.DataFrame,
       vocabCap: Int): org.apache.spark.sql.DataFrame = {
+    // r19: the bigram-count table feeds FIVE consumers (total, both
+    // marginals via the union, the vocab count, and the final join) plus
+    // the output sort's range-sampling pass — unpersisted, each consumer
+    // re-ran the corpus explode + (w1, w2) shuffle from scratch (6 full
+    // passes at 100 TB). Persist the compact count table once (rows ∝
+    // distinct bigrams, never corpus tokens); every downstream consumer
+    // reads the cache (values unchanged — cache only). The block lives
+    // exactly as long as the returned lazy frame and is freed by the
+    // session's clearCache (the harness contract); it cannot ride a
+    // Tracked seal here because the result must stay lazy and sealing was
+    // measured to cost more than the vocab-scale re-execution it saves.
     val ab = docs
       .select(split(col("text"), " ").as("tk"))
       .where(expr("size(tk)") >= 2)
@@ -39,6 +50,7 @@ object TextAnalysis {
         "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("b"))
       .select(col("b.w1"), col("b.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = ab.agg(sum(col("cnt_ab")).cast("long").as("n_bg"))
     val tokCnt = ab.select(col("w1").as("tk"), col("cnt_ab"))
       .unionAll(ab.select(col("w2").as("tk"), col("cnt_ab")))
@@ -928,10 +940,31 @@ object TextAnalysis {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val merges = graft.ml.Bpe.train(vocab, 20).map(m => (m._2, m._3))
       val bc = s.sparkContext.broadcast(merges)
-      val nSub = udf { text: String =>
-        text.split(" ").iterator
-          .map(w => graft.ml.Bpe.encode(w, bc.value).length.toLong).sum
-      }
+      // r19: per-task word-type memo — the encode fold is deterministic
+      // per word, and word TYPES repeat across a corpus by orders of
+      // magnitude (the design note above: "a per-word memo would bound
+      // work by VOCAB at scale"); the @transient lazy map re-initializes
+      // per deserialized task instance, so executor state never leaks
+      // across tasks and the per-occurrence cost drops to a hash probe
+      val nSub = udf(new (String => Long) with Serializable {
+        @transient private lazy val memo =
+          new java.util.HashMap[String, java.lang.Long]()
+        def apply(text: String): Long = {
+          var total = 0L
+          val it = text.split(" ").iterator
+          while (it.hasNext) {
+            val w = it.next()
+            var n = memo.get(w)
+            if (n == null) {
+              n = java.lang.Long.valueOf(
+                graft.ml.Bpe.encode(w, bc.value).length.toLong)
+              memo.put(w, n)
+            }
+            total += n.longValue()
+          }
+          total
+        }
+      })
       t(s, sf, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_words"),

@@ -134,4 +134,112 @@ class ExactSumSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("compact decimal"))
   }
+
+  // --- r19: graft_dxsum (exact cross-moment sum) ---
+
+  private def builtinX(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, sx: Int, sy: Int) =
+    sum(x.cast(DecimalType(18, sx)) * y.cast(DecimalType(18, sy)))
+      .cast("double")
+
+  test("dxsum == built-in decimal cross-product sum on the corpus " +
+    "(agg_ols / agg_corr shape), per group") {
+    val li = T.t(spark, sf01c, "lineitem")
+    def both(x: String, y: String) = {
+      val a = li.groupBy("l_returnflag")
+        .agg(T.dxsum(col(x), col(y), 2, 2).as("v"))
+        .orderBy("l_returnflag").collect().map(_.getDouble(1))
+      val b = li.groupBy("l_returnflag")
+        .agg(builtinX(col(x), col(y), 2, 2).as("v"))
+        .orderBy("l_returnflag").collect().map(_.getDouble(1))
+      assert(a.toSeq == b.toSeq, s"dxsum($x, $y) drifted")
+    }
+    both("l_quantity", "l_quantity")
+    both("l_extendedprice", "l_extendedprice")
+    both("l_quantity", "l_extendedprice")
+  }
+
+  test("dxsum random fuzz vs built-in: mixed signs, mixed scales, " +
+    "per-row products crossing 2^63 of unscaled magnitude") {
+    // x up to ±1e9 at scale 4 (unscaled ±1e13), y up to ±1e5 at scale 2
+    // (unscaled ±1e7): per-row unscaled products reach ±1e20 > 2^63, so
+    // the 128-bit multiply path is exercised, not just the easy low word
+    val df = spark.range(0, 20000, 1, 16).select(
+      (col("id") % 7).as("g"),
+      (rand(7) * 2e9 - 1e9).as("x"),
+      (rand(11) * 2e5 - 1e5).as("y"))
+    val a = df.groupBy("g").agg(T.dxsum(col("x"), col("y"), 4, 2).as("v"))
+      .orderBy("g").collect().map(_.getDouble(1))
+    val b = df.groupBy("g").agg(builtinX(col("x"), col("y"), 4, 2).as("v"))
+      .orderBy("g").collect().map(_.getDouble(1))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("dxsum null semantics: a null on EITHER side skips the row; " +
+    "all-null group yields NULL") {
+    val df = spark.range(0, 12, 1, 4).select(
+      (col("id") % 3).as("g"),
+      when(col("id") % 2 === 0, col("id").cast("double") + 0.5).as("x"),
+      when(col("id") % 3 =!= 1, col("id").cast("double") * 2).as("y"))
+      // group 1 rows: ids 1,4,7,10 — y null on 1,4?,... make one group all-null
+      .withColumn("y", when(col("g") === 1, lit(null).cast("double"))
+        .otherwise(col("y")))
+    val a = df.groupBy("g").agg(T.dxsum(col("x"), col("y"), 2, 2).as("v"))
+      .orderBy("g").collect()
+    val b = df.groupBy("g").agg(builtinX(col("x"), col("y"), 2, 2).as("v"))
+      .orderBy("g").collect()
+    assert(a.map(_.isNullAt(1)).toSeq == b.map(_.isNullAt(1)).toSeq)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.isNullAt(1) || x.getDouble(1) == y.getDouble(1) })
+    assert(a.exists(_.isNullAt(1)))
+  }
+
+  test("dxsum non-double children keep the exact Cast path") {
+    val df = spark.range(0, 5000, 1, 8).select(
+      col("id").as("x"), (col("id").cast("decimal(12,2)") / 7).as("y"))
+    assert(df.agg(T.dxsum(col("x"), col("y"), 0, 2)).head.getDouble(0) ==
+      df.agg(sum(col("x").cast(DecimalType(18, 0)) *
+        col("y").cast(DecimalType(18, 2))).cast("double")).head.getDouble(0))
+  }
+
+  // --- r19: graft_dsumd (decimal-output 128-bit sum) ---
+
+  test("dsumd == built-in decimal(38) sum: exact values, exact TYPE, " +
+    "downstream decimal arithmetic unchanged (agg_ttest shape)") {
+    val o = T.t(spark, sf01c, "orders")
+      .select(col("o_orderpriority"),
+        expr("CAST(rint(o_totalprice * 100) AS BIGINT)").as("c"))
+    val g1 = o.groupBy("o_orderpriority")
+      .agg(T.dsumDec(col("c").cast("decimal(18,0)")).as("sv"),
+        T.dsumDec((col("c") * col("c")).cast("decimal(18,0)")).as("sq"))
+    val g2 = o.groupBy("o_orderpriority")
+      .agg(sum(col("c").cast("decimal(38,0)")).as("sv"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("sq"))
+    assert(g1.schema("sv").dataType == g2.schema("sv").dataType)
+    assert(g1.schema("sq").dataType == g2.schema("sq").dataType)
+    val a = g1.orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getDecimal(1), r.getDecimal(2)))
+    val b = g2.orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getDecimal(1), r.getDecimal(2)))
+    assert(a.toSeq == b.toSeq)
+    // Σc² at sf0.01 exceeds 2^53 — the decimal output must NOT have gone
+    // through a double (which would round): re-check one digit-exact sum
+    assert(a.map(_._3.toBigInteger.bitLength()).max > 53 ||
+      a.map(_._3).forall(_.precision <= 16))
+  }
+
+  test("dsumd null/empty semantics match the built-in") {
+    val df = spark.range(0, 10, 1, 4).select(
+      (col("id") % 2).as("g"),
+      when(col("id") % 2 === 0, col("id")).as("x"))
+    val a = df.groupBy("g")
+      .agg(T.dsumDec(col("x").cast("decimal(18,0)")).as("v")).orderBy("g")
+      .collect()
+    val b = df.groupBy("g")
+      .agg(sum(col("x").cast("decimal(38,0)")).as("v")).orderBy("g")
+      .collect()
+    assert(a.map(_.isNullAt(1)).toSeq == b.map(_.isNullAt(1)).toSeq)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.isNullAt(1) || x.getDecimal(1) == y.getDecimal(1) })
+  }
 }
