@@ -36,7 +36,36 @@ object AbProf {
       .select(col("o_orderpriority"),
         expr("CAST(rint(o_totalprice * 100) AS BIGINT)").as("c"))
 
+    // mcdf staging A/B: build the CDC fixture into a FRESH dir per rep,
+    // sequential deleteWhere+upsertMor vs the fused one-scan op; the
+    // returned frame is the head read (forces nothing heavy)
+    def stageMcdf(fused: Boolean): DataFrame = {
+      import graft.operators.ManifestTable
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_abmcdf_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val e = T.t(spark, sfDir, "events")
+      (0 to 1).foreach(r => ManifestTable.commit(spark, dir,
+        e.filter(pmod(col("event_id"), lit(2)) === r)))
+      val upd = e.filter(col("event_type") === "purchase")
+        .withColumn("value",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) + 100.00 AS DOUBLE)"))
+      val ins = e.filter(col("event_type") === "view" &&
+          pmod(col("event_id"), lit(50)) === 0)
+        .withColumn("event_id", col("event_id") + lit(1000000000L))
+        .withColumn("event_type", lit("backfill"))
+      if (fused)
+        ManifestTable.deleteThenUpsertMor(spark, dir,
+          col("event_type") === "click", upd.unionByName(ins), Seq("event_id"))
+      else {
+        ManifestTable.deleteWhere(spark, dir, col("event_type") === "click")
+        ManifestTable.upsertMor(spark, dir, upd.unionByName(ins), Seq("event_id"))
+      }
+      spark.range(1).toDF("x")
+    }
     val cases: Map[String, (String, () => DataFrame, String, () => DataFrame)] = Map(
+      "mcdf_staging" -> ((
+        "sequential", () => stageMcdf(fused = false),
+        "fused", () => stageMcdf(fused = true))),
       "ttest_sums" -> ((
         "builtin_dec38",
         () => cents(spark).groupBy("o_orderpriority")
@@ -49,12 +78,24 @@ object AbProf {
             T.dsumDec(col("c").cast("decimal(18,0)")).as("sv"),
             T.dsumDec((col("c") * col("c")).cast("decimal(18,0)")).as("sq"))))
     )
-    val (na, fa, nb, fb) = cases(which)
     def time(f: () => DataFrame): Double = {
       val t0 = System.nanoTime()
       f().write.mode("overwrite").format("noop").save()
+      spark.sharedState.cacheManager.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
+    val (na, fa, nb, fb): (String, () => DataFrame, String, () => DataFrame) =
+      if (which == "conf") {
+        // conf A/B over a declared query: runMain graft.AbProf <sf> <reps>
+        // conf <query> <confKey> <valueA> <valueB> — each timed run
+        // rebuilds the frame under the alternated session conf
+        val (q, key, va, vb) = (args(3), args(4), args(5), args(6))
+        val fn = SparkEntry.queries(q)
+        (s"$key=$va",
+          () => { spark.conf.set(key, va); fn(spark, sfDir) },
+          s"$key=$vb",
+          () => { spark.conf.set(key, vb); fn(spark, sfDir) })
+      } else cases(which)
     // warm both plans once (codegen compile outside the timed reps)
     time(fa); time(fb)
     val as = Array.newBuilder[Double]; val bs = Array.newBuilder[Double]

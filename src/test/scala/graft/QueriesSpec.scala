@@ -47,8 +47,11 @@ class QueriesSpec extends AnyFunSuite with SparkFixture with Matchers {
     // with the query count — this canary pins the worst-case line (big
     // total, error count present, long detail path) far inside the
     // window, where it stays for ANY number of future declarations.
+    // r19: the detail pointer names the immutable PER-RUN file (cpus, sf
+    // tag, UTC stamp), so the canary pins the longer worst-case name too
     val line = s"""{"metric":"total","value":99999.999,"unit":"sec","n_errors":99,""" +
-      s""""n_queries":${SparkEntry.queries.size},"detail":"BENCH_DETAIL.json","sf":"sf0.001"}"""
+      s""""n_queries":${SparkEntry.queries.size},""" +
+      s""""detail":"BENCH_DETAIL_c128_sf0.001_20991231T235959.json","sf":"sf0.001"}"""
     withClue(s"${line.length} chars at ${SparkEntry.queries.size} queries: ") {
       line.length should be <= 500
     }
