@@ -62,7 +62,31 @@ object AbProf {
       }
       spark.range(1).toDF("x")
     }
+    // driver-side microbench of the D2U slow path (r19): the shipped
+    // integer-rounding conversion vs the former BigDecimal chain, over
+    // the same slow-path-heavy product values agg_group's
+    // sum_disc/sum_charge convert per row
+    def d2uMicro(useBigDecimal: Boolean): DataFrame = {
+      val rnd = new java.util.Random(11)
+      val xs = Array.fill(2000000)(
+        (rnd.nextDouble() * 1e6) * (1.0 - rnd.nextDouble() * 0.1))
+      var acc = 0L
+      var i = 0
+      while (i < xs.length) {
+        acc += (if (useBigDecimal)
+          java.math.BigDecimal.valueOf(xs(i))
+            .setScale(4, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValueExact()
+        else graft.functions.D2U.unscaled(xs(i), 4))
+        i += 1
+      }
+      if (acc == 42L) println("") // keep the loop observable
+      spark.range(1).toDF("x")
+    }
     val cases: Map[String, (String, () => DataFrame, String, () => DataFrame)] = Map(
+      "d2u_micro" -> ((
+        "bigdecimal_chain", () => d2uMicro(useBigDecimal = true),
+        "integer_rounding", () => d2uMicro(useBigDecimal = false))),
       "mcdf_staging" -> ((
         "sequential", () => stageMcdf(fused = false),
         "fused", () => stageMcdf(fused = true))),

@@ -173,6 +173,7 @@ case class SumUnscaled128(child: Expression)
   */
 object D2U {
   private val POW: Array[Double] = Array.tabulate(19)(i => math.pow(10, i))
+  private val POW10L: Array[Long] = Array.iterate(1L, 19)(_ * 10L)
   def unscaled(x: Double, s: Int): Long = {
     val p = POW(s)
     val y = x * p
@@ -187,6 +188,60 @@ object D2U {
       throw new ArithmeticException(
         s"graft_dsum: non-finite input $x cannot be summed exactly at " +
           s"scale $s — filter NaN/Infinity rows first")
+    // r19: the definitional conversion WITHOUT BigDecimal. The semantic
+    // definition operates on Double.toString(x) — the shortest decimal
+    // representation ±D×10^e (D ≤ 17 significant digits, so D always
+    // fits a long) — and rounds it HALF_UP at scale s. That is pure
+    // integer arithmetic on the SAME string BigDecimal.valueOf parses:
+    //  · k = e + s ≥ 0: the value lies ON the scale-s grid — result is
+    //    exactly D×10^k (overflow → the BigDecimal fallback below, which
+    //    throws via longValueExact exactly as before);
+    //  · k < 0: drop m = −k digits with half-away-from-zero on the
+    //    remainder of the MAGNITUDE (= HALF_UP), sign applied after.
+    // Every branch is exact, so this is value-identical to the old
+    // BigDecimal chain by construction; the 200k-trial ExactSumSpec fuzz
+    // pins it against that chain directly. Cost: one digit scan instead
+    // of a BigDecimal parse + setScale + unscaledValue per slow-path row
+    // (computed products — agg_group's sum_disc/sum_charge, agg_stats'
+    // cross terms — are slow-path by design).
+    val str = java.lang.Double.toString(x)
+    val n = str.length
+    var i = 0
+    var neg = false
+    if (str.charAt(0) == '-') { neg = true; i = 1 }
+    var d = 0L
+    var frac = 0
+    var seenDot = false
+    var exp = 0
+    var done = false
+    while (i < n && !done) {
+      val c = str.charAt(i)
+      if (c == '.') seenDot = true
+      else if (c == 'E') {
+        exp = java.lang.Integer.parseInt(str.substring(i + 1))
+        done = true
+      } else {
+        d = d * 10 + (c - '0')
+        if (seenDot) frac += 1
+      }
+      i += 1
+    }
+    val k = exp - frac + s
+    if (k >= 0) {
+      if (k <= 18 && d <= Long.MaxValue / POW10L(k)) {
+        val m = d * POW10L(k)
+        return if (neg) -m else m
+      }
+      // provable overflow of the long result — definitional fallback
+      // below throws the same ArithmeticException the old path threw
+    } else {
+      val m = -k
+      if (m >= 19) return 0L // |value·10^s| < 1e17·10^-19 < 0.5 → 0
+      val pw = POW10L(m)
+      var q = d / pw
+      if (2L * (d % pw) >= pw) q += 1
+      return if (neg) -q else q
+    }
     java.math.BigDecimal.valueOf(x)
       .setScale(s, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()

@@ -99,6 +99,32 @@ class ExactSumSpec extends AnyFunSuite with SparkFixture {
     for (x <- Seq(1.1258999068426239e13, 1.1258999068426251e13, 9.9e12);
         s <- Seq(2, 3))
       assert(graft.functions.D2U.unscaled(x, s) == slow(x, s), s"x=$x s=$s")
+    // r19 slow-path rewrite (integer rounding over the Double.toString
+    // digits): wide-magnitude fuzz spanning both E-notation forms, every
+    // scale 0..18, 17-significant-digit mantissas, and the k>=0 branch
+    // (value already on the grid) — plus subnormals and near-long-overflow
+    var j = 0
+    while (j < 200000) {
+      val mag = math.pow(10, rnd.nextInt(34) - 17)
+      val x = (rnd.nextDouble() * 2 - 1) * mag
+      val s = rnd.nextInt(19)
+      val mine = try Right(graft.functions.D2U.unscaled(x, s))
+                 catch { case e: ArithmeticException => Left("overflow") }
+      val ref = try Right(slow(x, s))
+                catch { case e: ArithmeticException => Left("overflow") }
+      assert(mine == ref, s"x=$x s=$s")
+      j += 1
+    }
+    for (x <- Seq(4.9e-324, -4.9e-324, 1.7976931348623157e308, 1e17, 9e16,
+        -9e16, 1.2345678901234567e16, -1.2345678901234567e16, 0.001,
+        1.0e-3, 9.999999999999999e-4);
+        s <- Seq(0, 1, 2, 6, 18)) {
+      val mine = try Right(graft.functions.D2U.unscaled(x, s))
+                 catch { case e: ArithmeticException => Left("overflow") }
+      val ref = try Right(slow(x, s))
+                catch { case e: ArithmeticException => Left("overflow") }
+      assert(mine == ref, s"x=$x s=$s")
+    }
   }
 
   test("dsum(x, s) on computed double products == built-in (slow-path heavy)") {
